@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** All-strings schema-on-read CSV/TSV sources with `"$path"`-derived metadata,
+  * replicating the reference's external-table conventions:
+  *
+  *   - every raw column is a string (reference README.md:33-34 — "All fields
+  *     are defined as strings"); typing happens in stage models via explicit
+  *     casts, never via `inferSchema` (empty string must stay `''`, not null —
+  *     models/stage/mapping/stg_mpd_player_id_map.sql:20-24);
+  *   - rows carry `year`/`month`/`day`/`_ptkey`/`_filename`/`_loaddatetime`
+  *     parsed from the file path, mirroring Athena's `"$path"` pseudo-column
+  *     (models/source/fangraphs/src_fangraphs_projections_preseason_hitting.sql:8-14).
+  *
+  * Scale: the path layout is `feed/year=YYYY/month=M/day=D/file`; at 100 TB
+  * the same layout gives Spark file-level partition pruning when the
+  * latest-snapshot filter is pushed (the two-phase max+filter below reads the
+  * listing twice but scans matching files once).
+  */
+object SourceReader {
+
+  /** Read a feed as all-strings CSV. `recursiveFileLookup` intentionally
+    * disables Hive-style partition *discovery*: the year/month/day values are
+    * parsed from the path string, exactly like the reference's
+    * `regexp_extract("$path", ...)`, and `''` survives as empty string. */
+  def readCsv(spark: SparkSession, root: String, columns: Seq[String],
+      sep: String = ","): DataFrame = {
+    val schema = StructType(columns.map(c => StructField(c, StringType, nullable = true)))
+    spark.read
+      .option("header", "true")
+      .option("sep", sep)
+      .option("recursiveFileLookup", "true")
+      // keep '' as '': Spark's default nullValue is "" (empty CSV fields
+      // would become null); point nullValue at a never-occurring sentinel
+      .option("nullValue", "\\u0000")
+      .option("emptyValue", "")
+      .schema(schema)
+      .csv(root)
+  }
+
+  private def pathCol: Column = input_file_name()
+
+  /** The reference's `"$path"`-derived audit/partition columns. */
+  def withPathMeta(df: DataFrame): DataFrame = df
+    .withColumn("year", regexp_extract(pathCol, "year=([0-9]{4})", 1))
+    .withColumn("month", regexp_extract(pathCol, "month=([0-9]{1,2})", 1))
+    .withColumn("day", regexp_extract(pathCol, "day=([0-9]{1,2})", 1))
+    .withColumn("_ptkey", concat(col("year"), col("month"), col("day")))
+    .withColumn("_filename", element_at(split(pathCol, "/"), -1))
+    .withColumn("_loaddatetime", current_timestamp())
+
+  /** S4 latest-snapshot filter: keep rows of the max `_ptkey`. Two-phase
+    * (tiny agg broadcast + pushable equality filter) instead of a sorted scan. */
+  def latestSnapshot(df: DataFrame): DataFrame = {
+    val maxKey = df.agg(max(col("_ptkey")).as("_max_ptkey"))
+    df.join(broadcast(maxKey), col("_ptkey") === col("_max_ptkey")).drop("_max_ptkey")
+  }
+}

@@ -1,0 +1,486 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, QueryPack, Tables}
+
+/** Aggregations, windows, set operations, sorts and scalar functions —
+  * SURVEY.md §2.4–§2.8 rows over the driver corpus.
+  *
+  * Scale notes: all group-bys are hash aggregates with map-side partials (free
+  * in Spark); pivots are bounded-width; the only unpartitioned window (W4) is
+  * kept top-K-bounded, with the scalable alternative documented inline.
+  */
+object AggWindowOps extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---- A1: group-by blend aggregates (flagship q1 shape) ---------------------
+  // Reference: stg_proj_preseason_hitting_skills.sql:7-24 (group-by AVG blend)
+  // Money columns are summed as DECIMAL so the aggregation is exact and
+  // order-insensitive (double sums vary with partitioning), then cast back to
+  // double; integer-valued doubles (quantity) sum exactly as-is.
+  private val a1 = GQuery(
+    "a1_groupby_aggregates",
+    (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        avg(col("l_quantity")).as("avg_qty"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  sum(l_quantity) AS sum_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           |    AS sum_disc_price,
+           |  avg(l_quantity) AS avg_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           |  count(*) AS count_order
+           |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+    doc = "Hash aggregate with partial+final combine; exact decimal money sums (A1).")
+
+  // ---- A2: regression slope, built-in vs hand-rolled sums --------------------
+  // Reference: models/stage/nfbc/stg_nfbc_sgp_factors.sql:7-30
+  private val a2 = GQuery(
+    "a2_regr_slope",
+    (s, dir) =>
+      // Sums feeding the manual slope are exact decimals -> the slope
+      // arithmetic runs on bit-identical doubles in both engines.
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        count(col("l_quantity")).as("n"),
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("slope_raw"),
+        sum(col("l_quantity")).as("sx"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sy"),
+        sum(col("l_quantity").cast("decimal(18,2)") * col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sxy"),
+        sum(col("l_quantity") * col("l_quantity")).as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("slope_raw"), 4).as("slope"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope_manual")),
+    Some("""SELECT l_returnflag, count(l_quantity) AS n,
+           |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           |  round((count(l_quantity)*CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           |         - sum(l_quantity)*CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+           |      / (count(l_quantity)*sum(l_quantity*l_quantity)
+           |         - sum(l_quantity)*sum(l_quantity)), 4) AS slope_manual
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    doc = "Least-squares slope: regr_slope vs regression sums (A2).")
+
+  // ---- A3/W1: rank within group then aggregate per rank bucket ----------------
+  // Reference: models/stage/nfbc/stg_nfbc_sgp_inputs.sql:31-39
+  private val a3 = GQuery(
+    "a3_rank_bucket_avg",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("bucket", floor((col("rn") - 1) / lit(100.0)).cast("int"))
+        .filter(col("bucket") < 5)
+        .groupBy(col("o_orderpriority"), col("bucket"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .as("avg_price"), count(lit(1)).as("n"))
+    },
+    Some("""SELECT o_orderpriority, bucket,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           |  count(*) AS n
+           |FROM (
+           |  SELECT o_orderpriority, o_totalprice,
+           |    CAST(floor((row_number() OVER (PARTITION BY o_orderpriority
+           |      ORDER BY o_totalprice DESC, o_orderkey) - 1) / 100.0) AS INT) AS bucket
+           |  FROM orders) sub
+           |WHERE bucket < 5
+           |GROUP BY o_orderpriority, bucket""".stripMargin),
+    doc = "Average of values at each (group, rank-bucket) (A3).")
+
+  // ---- A4: pivot via max(CASE WHEN) -------------------------------------------
+  // Reference: models/main/mart_sgp_factors.sql:7-19
+  private val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  private val a4 = GQuery(
+    "a4_pivot_case_when",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val aggs = segments.map(seg =>
+        sum(when(col("c_mktsegment") === seg, col("c_acctbal").cast("decimal(18,2)")))
+          .cast("double").as(seg.toLowerCase))
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(aggs.head, aggs.tail: _*)
+    },
+    Some {
+      val cols = segments.map(seg =>
+        s"CAST(sum(CASE WHEN c_mktsegment = '$seg' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS ${seg.toLowerCase}")
+        .mkString(",\n  ")
+      s"""SELECT n_name,
+         |  $cols
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin
+    },
+    doc = "Wide pivot as max/sum(CASE WHEN) per category (A4).")
+
+  // ---- A5/A7: group-by MIN + scalar max over the result ------------------------
+  // Reference: stg_proj_preseason_hitting_rep_lvl_oc.sql:60-71
+  private val a5 = GQuery(
+    "a5_groupmin_scalar_max",
+    (s, dir) => {
+      val mins = t(s, dir, "supplier").groupBy(col("s_nationkey"))
+        .agg(min(col("s_acctbal")).as("min_bal"))
+      val gmax = mins.agg(max(col("min_bal")).as("max_of_mins"))
+      mins.crossJoin(broadcast(gmax))
+    },
+    Some("""WITH mins AS (SELECT s_nationkey, min(s_acctbal) AS min_bal
+           |              FROM supplier GROUP BY s_nationkey)
+           |SELECT s_nationkey, min_bal, (SELECT max(min_bal) FROM mins) AS max_of_mins
+           |FROM mins""".stripMargin),
+    doc = "Replacement-level MIN per group + scalar MAX over it (A5, A7).")
+
+  // ---- A6: global scalar aggregate -> constant --------------------------------
+  // Reference: stg_proj_preseason_hitting_values_oc.sql:16-20 (dollars/SGP)
+  private val a6 = GQuery(
+    "a6_global_scalar_budget",
+    (s, dir) => {
+      val budget = 12 * 260 * 0.67 - 12 * 14
+      t(s, dir, "lineitem").filter(col("l_discount") > 0.05)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("tot"))
+        .select(col("tot"), (lit(budget) / col("tot") * lit(1e9)).as("dollars_per_unit"))
+    },
+    Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS tot,
+           |  (12*260*0.67 - 12*14) / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 1e9
+           |    AS dollars_per_unit
+           |FROM lineitem WHERE l_discount > 0.05""".stripMargin),
+    doc = "Filtered global aggregate feeding a scalar budget formula (A6).")
+
+  // ---- A7: scalar subquery max (native SQL path) -------------------------------
+  // Reference: models/source/*:19-21; app/app.py:886
+  private val a7 = GQuery(
+    "a7_scalar_subquery",
+    (s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+              |FROM orders
+              |WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)""".stripMargin)
+    },
+    Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+           |FROM orders
+           |WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)""".stripMargin),
+    doc = "Uncorrelated scalar subquery, Catalyst-rewritten to a join (A7).")
+
+  // ---- A8/P12: exact percentiles with sign-flip normalization -------------------
+  // Reference: models/main/mart_sgp_percentiles.sql:16-32
+  private val a8 = GQuery(
+    "a8_percentile_signflip",
+    (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(expr("percentile(l_extendedprice, 0.8)"), 4).as("p80"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("-percentile(-l_extendedprice, 0.8)"), 4).as("p20_flip")),
+    Some("""SELECT l_returnflag,
+           |  round(quantile_cont(l_extendedprice, 0.8), 4) AS p80,
+           |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           |  round(-quantile_cont(-l_extendedprice, 0.8), 4) AS p20_flip
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    doc = "Exact interpolated percentiles + sign-flip for asc metrics (A8, P12).")
+
+  // ---- A9: SELECT DISTINCT -------------------------------------------------------
+  private val a9 = GQuery(
+    "a9_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct(),
+    Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"),
+    doc = "DISTINCT dedup (A9).")
+
+  // ---- A11: weighted means (serving-side aggregate semantics) --------------------
+  // Reference: app/app.py:909-937 (IP-weighted ERA/WHIP)
+  private val a11 = GQuery(
+    "a11_weighted_mean",
+    (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        (sum(col("l_extendedprice").cast("decimal(18,2)") * col("l_quantity").cast("decimal(18,2)"))
+          .cast("double") / sum(col("l_quantity"))).as("wavg_price"),
+        sum(col("l_quantity")).as("total_qty")),
+    Some("""SELECT l_returnflag,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           |    / sum(l_quantity) AS wavg_price,
+           |  sum(l_quantity) AS total_qty
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    doc = "Weighted mean as sum(x*w)/sum(w) (A11).")
+
+  // ---- W1: row_number per partition, top-N filter ---------------------------------
+  // Reference: models/stage/nfbc/stg_nfbc_ranked_standings.sql:32-41
+  private val w1 = GQuery(
+    "w1_rownumber_partitioned",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_acctbal"))
+    },
+    Some("""SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+           |  SELECT c_mktsegment, c_custkey, c_acctbal,
+           |    row_number() OVER (PARTITION BY c_mktsegment
+           |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+           |  FROM customer) sub WHERE rn <= 5""".stripMargin),
+    doc = "Partitioned ranking window with deterministic tie-break (W1).")
+
+  // ---- W2: rank() with ties sharing rank --------------------------------------------
+  private val w2 = GQuery(
+    "w2_rank_ties",
+    (s, dir) => {
+      val banded = t(s, dir, "supplier")
+        .withColumn("bal_band", floor(col("s_acctbal") / 100).cast("bigint"))
+      val w = Window.partitionBy(col("s_nationkey")).orderBy(col("bal_band").desc)
+      banded.withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("s_nationkey"), col("s_suppkey"), col("bal_band"), col("rnk"))
+    },
+    Some("""SELECT s_nationkey, s_suppkey, bal_band, rnk FROM (
+           |  SELECT s_nationkey, s_suppkey,
+           |    CAST(floor(s_acctbal / 100) AS BIGINT) AS bal_band,
+           |    rank() OVER (PARTITION BY s_nationkey
+           |                 ORDER BY CAST(floor(s_acctbal / 100) AS BIGINT) DESC) AS rnk
+           |  FROM supplier) sub WHERE rnk <= 3""".stripMargin),
+    doc = "rank() keeps ties — all tied rows survive (W2).")
+
+  // ---- W3/U3: cascaded residual top-K pools ------------------------------------------
+  // Reference: stg_proj_preseason_hitting_rep_lvl_oc.sql:8-31 (3 cascaded tiers)
+  private val w3 = GQuery(
+    "w3_topk_cascade",
+    (s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val w1 = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      val tier1 = sup.withColumn("rn", row_number().over(w1)).filter(col("rn") <= 3)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"), lit("tier1").as("tier"))
+      // Residual = complement of tier1 (left_anti); tier2 windows over it.
+      val resid = sup.join(tier1.select(col("s_suppkey").as("k")),
+        sup("s_suppkey") === col("k"), "left_anti")
+      val w2w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      val tier2 = resid.withColumn("rn", row_number().over(w2w)).filter(col("rn") <= 10)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"), lit("tier2").as("tier"))
+      tier1.union(tier2)
+    },
+    Some("""WITH t1 AS (
+           |  SELECT s_suppkey, s_nationkey, s_acctbal, 'tier1' AS tier FROM (
+           |    SELECT s_suppkey, s_nationkey, s_acctbal,
+           |      row_number() OVER (PARTITION BY s_nationkey
+           |                         ORDER BY s_acctbal DESC, s_suppkey) AS rn
+           |    FROM supplier) x WHERE rn <= 3),
+           |resid AS (
+           |  SELECT * FROM supplier WHERE s_suppkey NOT IN (SELECT s_suppkey FROM t1)),
+           |t2 AS (
+           |  SELECT s_suppkey, s_nationkey, s_acctbal, 'tier2' AS tier FROM (
+           |    SELECT s_suppkey, s_nationkey, s_acctbal,
+           |      row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rn
+           |    FROM resid) y WHERE rn <= 10)
+           |SELECT * FROM t1 UNION ALL SELECT * FROM t2""".stripMargin),
+    doc = "Cascaded top-K pools over residuals, then UNION ALL (W3, U3).")
+
+  // ---- W4: global (unpartitioned) row_number -------------------------------------------
+  // Reference: mart_preseason_overall_rankings_oc.sql:112,117.
+  // Single-partition window is fine because the input is top-K-bounded first;
+  // at 100 TB the pre-limit (orderBy+limit, done distributed via TakeOrdered)
+  // caps what reaches the one-partition stage.
+  private val w4 = GQuery(
+    "w4_global_rownumber",
+    (s, dir) => {
+      val top = t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      top.withColumn("rnk", row_number().over(w))
+        .select(col("rnk"), col("o_orderkey"), col("o_totalprice"),
+          (col("o_orderkey") - col("rnk")).as("rank_diff"))
+    },
+    Some("""SELECT rnk, o_orderkey, o_totalprice, o_orderkey - rnk AS rank_diff FROM (
+           |  SELECT o_orderkey, o_totalprice,
+           |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           |  FROM orders) sub WHERE rnk <= 100""".stripMargin),
+    doc = "Global overall-rank window, bounded by TakeOrdered pre-limit (W4).")
+
+  // ---- O1/O3: ORDER BY + LIMIT top-K ------------------------------------------------------
+  private val o1 = GQuery(
+    "o1_orderby_limit",
+    (s, dir) =>
+      t(s, dir, "part")
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        .limit(50)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice")),
+    Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+           |ORDER BY p_retailprice DESC, p_partkey LIMIT 50""".stripMargin),
+    doc = "Top-K via distributed TakeOrderedAndProject (O1, O3).")
+
+  // ---- U1: positional UNION ALL ------------------------------------------------------------
+  // Reference: stg_proj_preseason_hitting_pt.sql:7-19
+  private val u1 = GQuery(
+    "u1_union_positional",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), lit("customer").as("src"))
+      val sup = t(s, dir, "supplier").select(
+        col("s_suppkey"), col("s_name"), col("s_acctbal"), lit("supplier"))
+      c.union(sup) // positional, like SQL UNION ALL
+    },
+    Some("""SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal, 'customer' AS src
+           |FROM customer
+           |UNION ALL
+           |SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier""".stripMargin),
+    doc = "Schema-aligned-by-position UNION ALL (U1).")
+
+  // ---- U2: unpivot wide -> long --------------------------------------------------------------
+  // Reference: models/stage/nfbc/stg_nfbc_sgp_inputs.sql:7-19 (10-way union unpivot)
+  private val u2 = GQuery(
+    "u2_unpivot",
+    (s, dir) => {
+      val wide = t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        sum(col("l_quantity")).as("qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("price"),
+        sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("disc"))
+      wide.unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")), "measure", "value")
+    },
+    Some("""WITH wide AS (
+           |  SELECT l_returnflag, sum(l_quantity) AS qty,
+           |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+           |         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide
+           |UNION ALL SELECT l_returnflag, 'price', price FROM wide
+           |UNION ALL SELECT l_returnflag, 'disc', disc FROM wide""".stripMargin),
+    doc = "Unpivot/melt wide measures to long (U2).")
+
+  // ---- U3: UNION ALL appending a computed scalar row ------------------------------------------
+  // Reference: stg_proj_preseason_hitting_rep_lvl_oc.sql:68-71 (UT row append)
+  private val u3 = GQuery(
+    "u3_union_append_scalar",
+    (s, dir) => {
+      val mins = t(s, dir, "customer").groupBy(col("c_mktsegment"))
+        .agg(min(col("c_acctbal")).as("min_bal"))
+      val allRow = mins.agg(max(col("min_bal")).as("min_bal"))
+        .select(lit("ALL").as("c_mktsegment"), col("min_bal"))
+      mins.union(allRow)
+    },
+    Some("""WITH mins AS (SELECT c_mktsegment, min(c_acctbal) AS min_bal
+           |              FROM customer GROUP BY c_mktsegment)
+           |SELECT c_mktsegment, min_bal FROM mins
+           |UNION ALL
+           |SELECT 'ALL', max(min_bal) FROM mins""".stripMargin),
+    doc = "Computed scalar row appended via UNION ALL (U3).")
+
+  // ---- U4: UNION ALL with null-padded disjoint columns -----------------------------------------
+  // Reference: mart_preseason_overall_rankings_oc.sql:7-101
+  private val u4 = GQuery(
+    "u4_union_nullpad",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("mktsegment"),
+        lit(null).cast("int").as("supp_nationkey"), lit("cust").as("kind"))
+      val sup = t(s, dir, "supplier").select(
+        col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        lit(null).cast("string"), col("s_nationkey"), lit("supp"))
+      c.union(sup)
+    },
+    Some("""SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+           |  c_mktsegment AS mktsegment, CAST(NULL AS INT) AS supp_nationkey, 'cust' AS kind
+           |FROM customer
+           |UNION ALL
+           |SELECT s_suppkey, s_name, s_acctbal, CAST(NULL AS VARCHAR), s_nationkey, 'supp'
+           |FROM supplier""".stripMargin),
+    doc = "Disjoint-schema union with explicit null padding (U4).")
+
+  // ---- F1: scalar string function battery (§2.8) -------------------------------------------------
+  private val f1 = GQuery(
+    "f1_string_functions",
+    (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        concat(col("c_mktsegment"), lit("_"), col("c_name")).as("cat"),
+        element_at(split(col("c_name"), "#"), -1).as("last_part"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("sp2"),
+        expr("replace(c_name, 'Customer', 'Cust')").as("repl"),
+        length(col("c_name")).as("len"),
+        lower(col("c_mktsegment")).as("seg_lower")),
+    Some("""SELECT c_custkey,
+           |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           |  concat(c_mktsegment, '_', c_name) AS cat,
+           |  list_extract(string_split(c_name, '#'), -1) AS last_part,
+           |  split_part(c_name, '#', 2) AS sp2,
+           |  replace(c_name, 'Customer', 'Cust') AS repl,
+           |  length(c_name) AS len,
+           |  lower(c_mktsegment) AS seg_lower
+           |FROM customer""".stripMargin),
+    doc = "regexp_extract/concat/split/element_at/split_part/replace (§2.8).")
+
+  // ---- F2/S3: input_file_name() path metadata (no SQL oracle: engine-specific) -------------------
+  // Reference: "$path" pseudo-column, src_fangraphs_projections_preseason_hitting.sql:8-14
+  private val f2 = GQuery(
+    "f2_input_file_metadata",
+    (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("_filename",
+          regexp_extract(input_file_name(), "([^/]+)\\.parquet", 1))
+        .groupBy(col("_filename"))
+        .agg(count(lit(1)).as("n")),
+    None,
+    doc = "File-path pseudo-column as a first-class key (S3); rows-only check.")
+
+  // ---- F3: CTE + derived columns + scalar subquery (app §3.3 shape) -------------------------------
+  // Reference: app/app.py:868-887
+  private val f3 = GQuery(
+    "f3_cte_scalar_subquery",
+    (s, dir) => {
+      Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""WITH parts AS (
+              |  SELECT doc_id, source,
+              |    CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS srcnum, n_chars
+              |  FROM documents)
+              |SELECT srcnum, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+              |FROM parts
+              |WHERE srcnum = (SELECT max(srcnum) FROM parts WHERE srcnum < 15)
+              |GROUP BY srcnum""".stripMargin)
+    },
+    Some("""WITH parts AS (
+           |  SELECT doc_id, source,
+           |    CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS srcnum, n_chars
+           |  FROM documents)
+           |SELECT srcnum, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM parts
+           |WHERE srcnum = (SELECT max(srcnum) FROM parts WHERE srcnum < 15)
+           |GROUP BY srcnum""".stripMargin),
+    doc = "Derived-column CTE + uncorrelated scalar subquery (§3.3).")
+
+  // ---- ST1: tumbling-window aggregate (batch twin of the streaming path) ---------------------------
+  private val st1 = GQuery(
+    "st1_tumbling_window_agg",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("total")),
+    Some("""SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
+           |  event_type, count(*) AS n, round(sum(value), 4) AS total
+           |FROM events GROUP BY 1, 2""".stripMargin),
+    doc = "5-minute tumbling window aggregate; same plan drives streaming (§2.9).")
+
+  override val all: Seq[GQuery] =
+    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11,
+      w1, w2, w3, w4, o1, u1, u2, u3, u4, f1, f2, f3, st1)
+}

@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, QueryPack, Tables}
+
+/** Scans, projections, filters and joins — SURVEY.md §2.1–§2.3 rows, phrased
+  * against the driver corpus (`FIXTURES.md` §B).
+  *
+  * Scale notes (100 TB posture):
+  *   - latest-snapshot filters (S4/S5) are two-pass: a tiny aggregate that can
+  *     be broadcast, then a pushable equality filter — no global sort;
+  *   - every dimension side here is broadcast explicitly (`broadcast(...)`) so
+  *     the fact scan never shuffles for the join;
+  *   - all ranking windows are partitioned by a key (except W4, documented in
+  *     [[AggWindowOps]]) so state is bounded per partition.
+  */
+object RelationalOps extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---- S4: latest-snapshot filter (scalar-subquery semantics) -------------
+  // Reference: models/source/fangraphs/src_fangraphs_projections_preseason_hitting.sql:17-21
+  private val s4 = GQuery(
+    "s4_latest_snapshot",
+    (s, dir) => {
+      val ev = t(s, dir, "events").withColumn("day", to_date(col("ts")))
+      // Two-step max+broadcast-join instead of a scalar subquery: the 1-row
+      // aggregate is broadcast, the filter stays pushable on the big scan.
+      val maxDay = ev.agg(max(col("day")).as("max_day"))
+      ev.join(broadcast(maxDay), col("day") === col("max_day"))
+        .select(col("event_id"), col("event_type"), col("day"), col("value"))
+    },
+    Some("""SELECT event_id, event_type, CAST(ts AS DATE) AS day, value
+           |FROM events
+           |WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)""".stripMargin),
+    doc = "Keep only rows from the newest snapshot day (S4).")
+
+  // ---- S5/W2: per-group latest snapshot via rank() -------------------------
+  // Reference: models/source/nfbc/src_nfbc_adp.sql:15-24
+  private val s5 = GQuery(
+    "s5_snapshot_per_group",
+    (s, dir) => {
+      val ev = t(s, dir, "events").withColumn("day", to_date(col("ts")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day").desc)
+      ev.withColumn("rnk", rank().over(w))
+        .filter(col("rnk") === 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("day")).as("day"))
+    },
+    Some("""SELECT event_type, count(*) AS n, max(day) AS day FROM (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |         rank() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE) DESC) AS rnk
+           |  FROM events) sub
+           |WHERE rnk = 1 GROUP BY event_type""".stripMargin),
+    doc = "Newest snapshot per file/group, ties kept (S5, W2).")
+
+  // ---- P1/P3: projection + arithmetic rate normalization -------------------
+  // Reference: models/stage/fangraphs/stg_fg_proj_preseason_hitting_per_pa.sql:7-25
+  // No rounding here on purpose: per-row IEEE arithmetic is bit-identical
+  // across engines, while round() algorithms differ near .5 boundaries.
+  private val p1 = GQuery(
+    "p1_project_arithmetic",
+    (s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price")),
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  l_extendedprice * (1 - l_discount) AS disc_price,
+           |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           |  l_extendedprice / l_quantity AS unit_price
+           |FROM lineitem""".stripMargin),
+    doc = "Column projection with computed rate columns (P1, P3).")
+
+  // ---- P2: explicit casts (string->int spine, all-strings ingest posture) --
+  // Reference: models/stage/nfbc/stg_nfbc_ranked_standings.sql:12-28
+  private val p2 = GQuery(
+    "p2_cast",
+    (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        split_part(col("c_name"), lit("#"), lit(2)).cast("int").as("parsed_id"),
+        floor(col("c_acctbal")).cast("bigint").as("bal_floor")),
+    Some("""SELECT c_custkey, CAST(split_part(c_name, '#', 2) AS INT) AS parsed_id,
+           |  CAST(floor(c_acctbal) AS BIGINT) AS bal_floor FROM customer""".stripMargin),
+    doc = "Explicit string->int and guarded double->int casts (P2).")
+
+  // ---- P5: CASE WHEN ladders ------------------------------------------------
+  // Reference: models/stage/projections/preseason/hitting/stg_proj_preseason_hitting_sgp_oc.sql:44-58
+  private val p5 = GQuery(
+    "p5_case_ladder",
+    (s, dir) => {
+      val sized = t(s, dir, "part")
+        .withColumn("size_bucket",
+          when(col("p_size") <= 10, "small")
+            .when(col("p_size") <= 25, "medium")
+            .otherwise("large"))
+        .withColumn("tier",
+          when(col("p_type").isin("ECONOMY", "SMALL"), "budget")
+            .when(col("p_type") === "PROMO", "promo")
+            .otherwise("regular"))
+      sized.groupBy(col("size_bucket"), col("tier"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("p_retailprice").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+            .as("avg_price"))
+    },
+    Some("""SELECT size_bucket, tier, count(*) AS n,
+           |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+           |FROM (
+           |  SELECT CASE WHEN p_size <= 10 THEN 'small'
+           |              WHEN p_size <= 25 THEN 'medium' ELSE 'large' END AS size_bucket,
+           |         CASE WHEN p_type IN ('ECONOMY','SMALL') THEN 'budget'
+           |              WHEN p_type = 'PROMO' THEN 'promo' ELSE 'regular' END AS tier,
+           |         p_retailprice
+           |  FROM part) sub
+           |GROUP BY size_bucket, tier""".stripMargin),
+    doc = "Bucketing CASE WHEN ladders (P5).")
+
+  // ---- P6/P9/P10: LIKE + BETWEEN + IN-list ---------------------------------
+  // Reference: models/stage/nfbc/stg_nfbc_sgp_inputs.sql:21-28 and P10 rows
+  private val p6 = GQuery(
+    "p6_like_between_in",
+    (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_name").like("%bolt%")
+          && col("p_size").between(5, 40)
+          && col("p_brand").isin("Brand#1", "Brand#2", "Brand#17", "Brand#21"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size")),
+    Some("""SELECT p_partkey, p_name, p_brand, p_size FROM part
+           |WHERE p_name LIKE '%bolt%' AND p_size BETWEEN 5 AND 40
+           |  AND p_brand IN ('Brand#1','Brand#2','Brand#17','Brand#21')""".stripMargin),
+    doc = "LIKE / BETWEEN / IN-list predicates (P6, P9, P10).")
+
+  // ---- P7: inequality + compound predicate filters --------------------------
+  // Reference: models/stage/mapping/stg_mpd_player_id_map.sql:20-24
+  private val p7 = GQuery(
+    "p7_compound_filters",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_mktsegment") =!= "BUILDING"
+          && col("c_name") =!= ""
+          && (col("c_acctbal") < 0 || col("c_nationkey") === 3))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+    Some("""SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+           |WHERE c_mktsegment != 'BUILDING' AND c_name != ''
+           |  AND (c_acctbal < 0 OR c_nationkey = 3)""".stripMargin),
+    doc = "Compound equality/inequality filters incl. empty-string test (P7).")
+
+  // ---- P8: nullif divide-by-zero guard --------------------------------------
+  // Reference: models/stage/nfbc/stg_nfbc_sgp_factors.sql:14-17
+  private val p8 = GQuery(
+    "p8_nullif_guard",
+    // Fixed-point aggregation: the per-row ratio is rounded to 1e-4 and summed
+    // as an exact integer, so the distributed sum is order-insensitive and the
+    // final average is bit-identical across engines.
+    (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        (sum(round(col("l_extendedprice") / expr("nullif(l_discount, 0)") * 1e4, 0).cast("bigint"))
+          .cast("double") / lit(1e4)
+          / count(col("l_extendedprice") / expr("nullif(l_discount, 0)"))).as("avg_ratio"),
+        count(when(col("l_discount") === 0, 1)).as("n_zero_disc")),
+    Some("""SELECT l_returnflag,
+           |  CAST(sum(CAST(round(l_extendedprice / nullif(l_discount, 0) * 1e4) AS BIGINT)) AS DOUBLE)
+           |    / 1e4 / count(l_extendedprice / nullif(l_discount, 0)) AS avg_ratio,
+           |  count(CASE WHEN l_discount = 0 THEN 1 END) AS n_zero_disc
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    doc = "nullif(x,0) guard; avg skips nulls; fixed-point exact sum (P8).")
+
+  // ---- P11/A10: conditional null-out inside aggregate ------------------------
+  // Reference: models/stage/projections/preseason/pitching/stg_proj_preseason_pitching_skills.sql:13-19
+  private val p11 = GQuery(
+    "p11_conditional_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        avg(when(col("l_linestatus") =!= "F", col("l_quantity"))).as("avg_qty_open"),
+        sum(when(col("l_linestatus") === "F", col("l_extendedprice").cast("decimal(18,2)")))
+          .cast("double").as("sum_price_f")),
+    Some("""SELECT l_returnflag,
+           |  avg(CASE WHEN l_linestatus != 'F' THEN l_quantity END) AS avg_qty_open,
+           |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+           |    AS sum_price_f
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    doc = "avg/sum over CASE-nulled input (P11, A10).")
+
+  // ---- J1: inner equi-join fact<->dim ---------------------------------------
+  // Reference: models/stage/fangraphs/stg_fg_proj_preseason_hitting_per_pa.sql:26-28
+  private val j1 = GQuery(
+    "j1_inner_equijoin",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      // customer is the dimension side: broadcast to keep the orders scan
+      // shuffle-free (at 100 TB orders shuffles, customer rarely should).
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+    },
+    Some("""SELECT c_mktsegment,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           |  count(*) AS n_orders
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment""".stripMargin),
+    doc = "Inner equi-join with broadcast dimension (J1).")
+
+  // ---- J2: inner equi-join on shared key ------------------------------------
+  private val j2 = GQuery(
+    "j2_inner_join_agg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(avg(col("l_quantity")), 6).as("avg_qty"), count(lit(1)).as("n"))
+    },
+    Some("""SELECT p_brand, round(avg(l_quantity), 6) AS avg_qty, count(*) AS n
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_brand""".stripMargin),
+    doc = "Inner equi-join + blend aggregate (J2, A1 shape).")
+
+  // ---- J3: join then DISTINCT to collapse fan-out ----------------------------
+  // Reference: stg_proj_preseason_hitting_sgp_oc.sql:28-30
+  private val j3 = GQuery(
+    "j3_join_distinct",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .select(col("c_custkey"), col("c_name"))
+        .distinct()
+    },
+    Some("""SELECT DISTINCT c_custkey, c_name
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE l_returnflag = 'R'""".stripMargin),
+    doc = "Join + DISTINCT dedup after fan-out (J3, A9).")
+
+  // ---- J4: left outer join with null-aware aggregation -----------------------
+  // Reference: models/main/mart_preseason_overall_rankings_oc.sql:120-124
+  private val j4 = GQuery(
+    "j4_left_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), lit(0.0))
+            .as("total"))
+    },
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+           |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0) AS total
+           |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |GROUP BY c_custkey""".stripMargin),
+    doc = "Left join preserving unmatched keys (J4).")
+
+  // ---- J5: left join with compound condition incl. a literal -----------------
+  // Reference: models/main/mart_preseason_overall_rankings_oc.sql:120-122
+  private val j5 = GQuery(
+    "j5_left_join_literal",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey") && li("l_returnflag") === lit("R"), "left")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(col("l_orderkey")).as("n_matched"), count(lit(1)).as("n_rows"))
+    },
+    Some("""SELECT o_orderstatus, count(l_orderkey) AS n_matched, count(*) AS n_rows
+           |FROM orders LEFT JOIN lineitem
+           |  ON o_orderkey = l_orderkey AND l_returnflag = 'R'
+           |GROUP BY o_orderstatus""".stripMargin),
+    doc = "Left join whose ON clause carries a literal predicate (J5).")
+
+  // ---- J6/A6: 1-row constants relation broadcast-cross-joined -----------------
+  // Reference: stg_proj_preseason_hitting_sgp_oc.sql:33-41 (cross join sgp_constants)
+  private val j6 = GQuery(
+    "j6_cross_join_constants",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val avgRow = o.agg(avg(col("o_totalprice")).as("global_avg"))
+      o.crossJoin(broadcast(avgRow))
+        .filter(col("o_totalprice") > col("global_avg"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_above"),
+          round(avg(col("o_totalprice") / col("global_avg")), 6).as("avg_ratio"))
+    },
+    Some("""WITH g AS (SELECT avg(o_totalprice) AS global_avg FROM orders)
+           |SELECT o_orderpriority, count(*) AS n_above,
+           |  round(avg(o_totalprice / global_avg), 6) AS avg_ratio
+           |FROM orders CROSS JOIN g
+           |WHERE o_totalprice > global_avg
+           |GROUP BY o_orderpriority""".stripMargin),
+    doc = "Cross join of a broadcast 1-row constants relation (J6).")
+
+  override val all: Seq[GQuery] =
+    Seq(s4, s5, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6)
+}

@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, QueryPack, Tables}
+
+/** Training-data text pipeline operators over the `documents` table:
+  * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash), language ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * Scale notes (100 TB posture):
+  *   - near-dup candidate generation is always inverted-index / LSH-band joins
+  *     (shuffle on shingle/band key), never an all-pairs cross join;
+  *   - MinHash signatures are 128 universal hashes derived from ONE xxhash64
+  *     pass per shingle (cheap arithmetic, stays in whole-stage codegen);
+  *   - SimHash banding uses the pigeonhole guarantee (6 chunks of 10 bits ⇒
+  *     no pair at hamming ≤ 5 is missed), so the LSH output is exact.
+  */
+object TextOps extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Distinct k=3 word shingles, 1-based element_at to mirror the SQL oracle. */
+  private def shingleExpr: Column = {
+    val w = words(col("text"))
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), shingleExpr.as("shingles"))
+
+  /** Shared SQL fragment: doc_id -> distinct 3-word shingle list (DuckDB). */
+  private val shingleSqlCte =
+    """docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(w) >= 3 THEN
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+      |  ELSE []::VARCHAR[] END AS s
+      |  FROM docs)""".stripMargin
+
+  private def exactJaccardOracle(threshold: Double): String =
+    s"""WITH $shingleSqlCte,
+       |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $threshold""".stripMargin
+
+  // ---- D1: exact dedup (hash group-by) ----------------------------------------
+  private val d1 = GQuery(
+    "d1_dedup_exact",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+    Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+           |FROM documents GROUP BY md5(text)""".stripMargin),
+    doc = "Exact duplicate grouping by content hash (dedup #1).")
+
+  // ---- D2: n-gram Jaccard near-dup via inverted-index join -----------------------
+  private val d2 = GQuery(
+    "d2_dedup_ngram_jaccard",
+    (s, dir) => {
+      val sh = shingled(s, dir).cache()
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      // Inverted index: pairs sharing >=1 shingle. Shuffles on shingle, never
+      // cross-joins documents (at scale add a doc-frequency cap on hot shingles).
+      val pairs = ex.as("a").join(ex.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      pairs
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+    Some(exactJaccardOracle(0.5)),
+    doc = "3-word-shingle Jaccard >= 0.5 via shared-shingle join (dedup #2).")
+
+  // ---- D3: MinHash + LSH banding, exact-Jaccard verified ---------------------------
+  private val NumHashes = 128
+  private val Bands = 32 // 32 bands x 4 rows: P(miss | j=0.8) ~ 5e-8
+  private val RowsPerBand = NumHashes / Bands
+  private val P = 2147483647L // 2^31 - 1
+  private val (hashA, hashB) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(NumHashes)(1 + rnd.nextLong().abs % (P - 1)),
+      Array.fill(NumHashes)(rnd.nextLong().abs % P))
+  }
+
+  private val d3 = GQuery(
+    "d3_dedup_minhash_lsh",
+    (s, dir) => {
+      val sh = shingled(s, dir).cache()
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .withColumn("hv", pmod(xxhash64(col("shingle")), lit(P)))
+      // 128 universal hashes from one base hash; min per doc = signature.
+      val minCols = (0 until NumHashes).map(i =>
+        min((lit(hashA(i)) * col("hv") + lit(hashB(i))) % lit(P)).as(s"m$i"))
+      val sig = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      // Band signatures: hash of each 4-row slice; explode to (band, bandHash).
+      val bandStructs = (0 until Bands).map { b =>
+        val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+        struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("bh"))
+      }
+      val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
+        .select(col("doc_id"), col("x.band"), col("x.bh"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // Exact verification of LSH candidates (so output matches the exact oracle).
+      val verified = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+      verified.select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+    Some(exactJaccardOracle(0.8)),
+    doc = "MinHash (128 hashes) + 32x4 LSH bands + exact verify (dedup #3).")
+
+  // ---- D4: SimHash near-dup with pigeonhole-exact banded join -----------------------
+  private val SimBits = 60 // 15 hex chars of md5 -> portable across engines
+  private val SimChunks = 6 // 6 x 10-bit chunks: exact for hamming <= 5
+  private val HamMax = 5
+
+  private val d4 = GQuery(
+    "d4_dedup_simhash",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("tok"))
+        .withColumn("hv", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+      val bitSums = (0 until SimBits).map(b =>
+        sum(expr(s"(shiftright(hv, $b) & 1) * 2 - 1")).as(s"s$b"))
+      val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      val simExpr = (0 until SimBits).map(b =>
+        s"(CASE WHEN s$b > 0 THEN shiftleft(cast(1 as bigint), $b) ELSE cast(0 as bigint) END)")
+        .mkString(" + ")
+      val sims = sums.select(col("doc_id"), expr(simExpr).as("sim"))
+      val chunkArr = (0 until SimChunks).map(c =>
+        struct(lit(c).as("chunk_id"),
+          expr(s"shiftright(sim, ${c * 10}) & 1023").as("chunk")))
+      val chunks = sims.select(col("doc_id"), col("sim"),
+          explode(array(chunkArr: _*)).as("x"))
+        .select(col("doc_id"), col("sim"), col("x.chunk_id"), col("x.chunk"))
+      chunks.as("a").join(chunks.as("b"),
+          col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.sim ^ b.sim)").as("dist"))
+        .distinct()
+        .filter(col("dist") <= HamMax)
+    },
+    Some {
+      val sumCols = (0 until SimBits)
+        .map(b => s"sum(((hv >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n  ")
+      val simExpr = (0 until SimBits)
+        .map(b => s"(CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents),
+         |hv AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
+         |sums AS (SELECT doc_id,
+         |  $sumCols
+         |  FROM hv GROUP BY doc_id),
+         |sims AS (SELECT doc_id, $simExpr AS sim FROM sums)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.sim, b.sim)) AS dist
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= $HamMax""".stripMargin
+    },
+    doc = "60-bit SimHash, hamming<=5 pairs via pigeonhole-banded join (dedup #4).")
+
+  // ---- D5: language ID by stopword-lexicon voting -------------------------------------
+  private val lexicon: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "to", "en" -> "a",
+    "de" -> "der", "de" -> "und", "de" -> "die", "de" -> "das", "de" -> "ist",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "y", "es" -> "los",
+    "fr" -> "le", "fr" -> "la", "fr" -> "les", "fr" -> "et", "fr" -> "des")
+
+  private val d5 = GQuery(
+    "d5_lang_id",
+    (s, dir) => {
+      import s.implicits._
+      val lex = lexicon.toDF("lang", "word")
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      val scores = toks.join(broadcast(lex), col("tok") === col("word"))
+        .groupBy(col("doc_id"), col("lang")).agg(count(lit(1)).as("score"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("lang"))
+      val best = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      docs.select(col("doc_id"))
+        .join(best.select(col("doc_id"), col("lang"), col("score")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lang"), lit("und")).as("pred_lang"),
+          coalesce(col("score"), lit(0L)).as("score"))
+    },
+    Some {
+      val values = lexicon.map { case (l, wd) => s"('$l','$wd')" }.mkString(",")
+      s"""WITH lex(lang, word) AS (VALUES $values),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |scores AS (SELECT doc_id, lang, count(*) AS score
+         |           FROM toks JOIN lex ON tok = word GROUP BY 1, 2),
+         |best AS (SELECT doc_id, lang, score,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+         |         FROM scores)
+         |SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang,
+         |  CAST(coalesce(b.score, 0) AS BIGINT) AS score
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id""".stripMargin
+    },
+    doc = "Stopword-lexicon language vote with deterministic argmax (text #1).")
+
+  // ---- D6: quality scoring --------------------------------------------------------------
+  private val d6 = GQuery(
+    "d6_quality_score",
+    (s, dir) => {
+      val w = words(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(w).as("n_words"),
+        round(size(array_distinct(w)).cast("double") / size(w), 6).as("distinct_ratio"),
+        round((length(col("text")) - (size(w) - 1)).cast("double") / size(w), 6)
+          .as("avg_word_len"),
+        round(least(lit(1.0), size(w) / lit(100.0))
+          * (size(array_distinct(w)).cast("double") / size(w)), 6).as("quality"))
+    },
+    Some("""SELECT doc_id,
+           |  len(string_split(text, ' ')) AS n_words,
+           |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           |        / len(string_split(text, ' ')), 6) AS distinct_ratio,
+           |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           |        / len(string_split(text, ' ')), 6) AS avg_word_len,
+           |  round(least(1.0, len(string_split(text, ' ')) / 100.0)
+           |        * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           |           / len(string_split(text, ' '))), 6) AS quality
+           |FROM documents""".stripMargin),
+    doc = "Length/diversity quality features + composite score (text #2).")
+
+  // ---- D7: token counting (whitespace + BPE-ish regex) ------------------------------------
+  private val d7 = GQuery(
+    "d7_token_count",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(words(col("text"))).as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .as("bpe_ish_tokens")),
+    Some("""SELECT doc_id,
+           |  len(string_split(text, ' ')) AS ws_tokens,
+           |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
+           |FROM documents""".stripMargin),
+    doc = "Whitespace + regex-segmented token counts (text #3).")
+
+  // ---- D8: document fingerprinting (normalized hash + rolling polynomial hash) ------------
+  private val d8 = GQuery(
+    "d8_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("fp_norm"),
+        expr("""aggregate(
+                 transform(split(text, ' '),
+                   x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint) % 2147483647),
+                 cast(0 as bigint),
+                 (acc, h) -> (acc * 31 + h) % 2147483647)""").as("fp_rolling")),
+    Some("""SELECT doc_id,
+           |  md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp_norm,
+           |  list_reduce(
+           |    list_prepend(0::BIGINT,
+           |      list_transform(string_split(text, ' '),
+           |        x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)),
+           |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fp_rolling
+           |FROM documents""".stripMargin),
+    doc = "Normalized-content MD5 + order-sensitive rolling hash (text #4).")
+
+  override val all: Seq[GQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8)
+}
