@@ -41,7 +41,10 @@ object SourceReader {
       .csv(root)
   }
 
-  private def pathCol: Column = input_file_name()
+  /** `input_file_name()` is URI-encoded (spaces → %20); the reference's
+    * Athena `"$path"` carries the raw S3 key, so decode for parity — the
+    * standings filename keys contain spaces (`'NFBC OC 2025 …'`). */
+  private def pathCol: Column = url_decode(input_file_name())
 
   /** The reference's `"$path"`-derived audit/partition columns. */
   def withPathMeta(df: DataFrame): DataFrame = df

@@ -76,18 +76,33 @@ object TextOps extends QueryPack {
   private val d2 = GQuery(
     "d2_dedup_ngram_jaccard",
     (s, dir) => {
-      val sh = shingled(s, dir).cache()
-      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      // Inverted index: pairs sharing >=1 shingle. Shuffles on shingle, never
-      // cross-joins documents (at scale add a doc-frequency cap on hot shingles).
-      val pairs = ex.as("a").join(ex.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // Single-scan inverted index: explode (doc, shingle-hash) once, bucket
+      // by hash, and emit each bucket's pairwise combinations with an
+      // explode — no self-join, so the shingle pipeline runs exactly once
+      // and nothing needs caching. Doc sizes fall out of the same explode.
+      // (64-bit hash instead of the string key: collision odds at 260k
+      // distinct shingles ~1e-9 — immaterial next to the 0.5 threshold.)
+      // cache the narrow (doc_id, hv) table — two longs/row — since both the
+      // bucket index and the per-doc sizes derive from it
+      val ex = shingled(s, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("hv"))
+        .cache()
+      val buckets = ex.groupBy(col("hv"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      // pairwise combos of the (tiny: max doc-frequency ~25) bucket list
+      val pairs = buckets.select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(slice(ids, i + 1, size(ids) - i),
+          |    j -> struct(element_at(ids, i) as doc_a, j as doc_b))))""".stripMargin))
+        .as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
-      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       pairs
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .join(broadcast(sizes.as("sa")), col("doc_a") === col("sa.doc_id"))
+        .join(broadcast(sizes.as("sb")), col("doc_b") === col("sb.doc_id"))
         .withColumn("jaccard",
           col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
         .filter(col("jaccard") >= 0.5)
@@ -110,6 +125,8 @@ object TextOps extends QueryPack {
   private val d3 = GQuery(
     "d3_dedup_minhash_lsh",
     (s, dir) => {
+      // shingle arrays are read three times (signature build + both sides of
+      // the exact-verify join) — cache the one shared scan
       val sh = shingled(s, dir).cache()
       val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
         .withColumn("hv", pmod(xxhash64(col("shingle")), lit(P)))
@@ -117,20 +134,29 @@ object TextOps extends QueryPack {
       val minCols = (0 until NumHashes).map(i =>
         min((lit(hashA(i)) * col("hv") + lit(hashB(i))) % lit(P)).as(s"m$i"))
       val sig = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-      // Band signatures: hash of each 4-row slice; explode to (band, bandHash).
+      // Band signatures: hash of each 4-row slice; explode to (band, bandHash),
+      // then bucket-group and emit pairwise combos — no self-join, so the
+      // shingle+128-hash pipeline executes exactly once.
       val bandStructs = (0 until Bands).map { b =>
         val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
         struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("bh"))
       }
       val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
         .select(col("doc_id"), col("x.band"), col("x.bh"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val cand = bands.groupBy(col("band"), col("bh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+            |  i -> transform(slice(ids, i + 1, size(ids) - i),
+            |    j -> struct(element_at(ids, i) as doc_a, j as doc_b))))""".stripMargin))
+          .as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()
-      // Exact verification of LSH candidates (so output matches the exact oracle).
-      val verified = cand
+      // Exact verification of LSH candidates (so output matches the exact
+      // oracle). Candidates are rare; broadcast them across the two
+      // shingle-array scans.
+      val verified = broadcast(cand)
         .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))

@@ -21,16 +21,17 @@ object VectorOps extends QueryPack {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two double arrays. */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
+  /** Cosine over double arrays via the native codegen kernel
+    * [[graft.functions.CosineSimilarity]] — a fused one-pass loop instead of
+    * interpreted aggregate/zip_with lambdas (same ascending-index fold, so
+    * results are bit-identical to the composed form). */
+  private def cosine(a: String, b: String): Column = expr(s"graft_cosine($a, $b)")
 
-  private def cosine(a: String, b: String): Column =
-    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
-
-  private def embDouble(s: SparkSession, dir: String): DataFrame =
+  private def embDouble(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     t(s, dir, "embeddings").select(col("vec_id"), col("label"),
       asDouble(col("embedding")).as("v"))
+  }
 
   // ---- E1: brute-force cosine top-k (the exactness baseline) --------------------
   private val e1 = GQuery(
@@ -133,6 +134,68 @@ object VectorOps extends QueryPack {
            |GROUP BY label, dim""".stripMargin),
     doc = "Per-cluster mean vectors — IVF coarse centroids (similarity #3).")
 
+  // ---- E4: IVF probe search — coarse quantize to centroids, scan 2 cells -------------
+  // The label column is the (pre-assigned) coarse cluster; centroids are the
+  // per-label means (e3). Queries score all centroids (tiny), pick nprobe=2
+  // cells, and scan only those cells' vectors — the classic IVF recall/cost
+  // trade, expressed as joins the optimizer can distribute.
+  private val e4 = GQuery(
+    "e4_ann_ivf_probe",
+    (s, dir) => {
+      val emb = embDouble(s, dir)
+      val cent = emb.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("label"))
+      val probes = q.crossJoin(broadcast(cent))
+        .withColumn("csim", cosine("qv", "cv"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("qid"), col("qv"), col("label"))
+      val cand = broadcast(probes)
+        .join(emb.select(col("vec_id").as("nid"), col("label"), col("v").as("nv")), Seq("label"))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("sim", round(cosine("qv", "nv"), 6))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      cand.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 10)
+        .select(col("qid"), col("nid"), col("sim"), col("rn"))
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+           |         generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings),
+           |cent AS (SELECT label, i, avg(x) AS cx FROM e GROUP BY 1, 2),
+           |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+           |cnorm AS (SELECT label, sqrt(sum(cx * cx)) AS cn FROM cent GROUP BY 1),
+           |q AS (SELECT * FROM e WHERE vec_id < 10),
+           |qc AS (
+           |  SELECT q.vec_id AS qid, c.label, sum(q.x * c.cx) AS dp
+           |  FROM q JOIN cent c ON q.i = c.i GROUP BY 1, 2),
+           |probe AS (
+           |  SELECT qid, label FROM (
+           |    SELECT qid, qc.label, row_number() OVER (
+           |      PARTITION BY qid ORDER BY dp / (nq.nrm * cn.cn) DESC, qc.label) AS rn
+           |    FROM qc JOIN norms nq ON qid = nq.vec_id JOIN cnorm cn ON qc.label = cn.label) z
+           |  WHERE rn <= 2),
+           |cand AS (
+           |  SELECT p.qid, e.vec_id AS nid, e.i, e.x
+           |  FROM probe p JOIN e ON e.label = p.label AND e.vec_id != p.qid),
+           |dots AS (
+           |  SELECT c.qid, c.nid, sum(q.x * c.x) AS dp
+           |  FROM cand c JOIN e q ON q.vec_id = c.qid AND q.i = c.i GROUP BY 1, 2),
+           |sims AS (
+           |  SELECT qid, nid, round(dp / (nq.nrm * nc.nrm), 6) AS sim
+           |  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON nid = nc.vec_id)
+           |SELECT qid, nid, sim, rn FROM (
+           |  SELECT qid, nid, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+           |  FROM sims) sub
+           |WHERE rn <= 10""".stripMargin),
+    doc = "IVF: rank centroids, probe 2 cells, exact-score within cells (similarity #4).")
+
   // ---- D9: embedding-cosine near-dup pairs ------------------------------------------
   private val d9 = GQuery(
     "d9_dedup_embedding_cosine",
@@ -161,5 +224,5 @@ object VectorOps extends QueryPack {
            |WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.4""".stripMargin),
     doc = "Embedding-cosine near-duplicate pairs, sim >= 0.4 (dedup #5).")
 
-  override val all: Seq[GQuery] = Seq(e1, e2, e3, d9)
+  override val all: Seq[GQuery] = Seq(e1, e2, e3, e4, d9)
 }

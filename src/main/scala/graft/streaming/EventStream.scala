@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming path over the `events` stream (SURVEY.md §2.9 notes
+  * the reference has no streaming — this is the beyond-parity scale surface,
+  * §7.5): watermarked tumbling-window aggregation and stateful
+  * sessionization. The windowed aggregation is the SAME logical plan as the
+  * batch query `st1_tumbling_window_agg` — one definition, two runtimes.
+  *
+  * Scale notes: state is keyed by (window, event_type) / (user_id), bounded
+  * by the watermark, and distributed by the state-store partitioning —
+  * nothing here concentrates on the driver.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The shared transform: 5-minute tumbling windows per event type. Works
+    * identically on a batch frame or a streaming frame (same Catalyst plan,
+    * incrementalized by the streaming runner when the input streams). */
+  def windowedCounts(events: DataFrame, watermark: Boolean = false): DataFrame = {
+    val in = if (watermark) events.withWatermark("ts", "10 minutes") else events
+    in.groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+  }
+
+  /** File-source streaming ingest of an events directory (parquet drops),
+    * mirroring the reference's manual-file-drop refresh as a live stream. */
+  def fromFileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Start the windowed aggregation into an in-memory sink (tests/serving). */
+  def startWindowed(events: DataFrame, queryName: String): StreamingQuery =
+    windowedCounts(events, watermark = true).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  // ---- stateful sessionization (flatMapGroupsWithState) ---------------------
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, total_value: Double)
+
+  /** Per-user sessions closed after `gapSeconds` of inactivity — custom state
+    * the built-in windows can't express (KeyValueGroupedDataset +
+    * flatMapGroupsWithState with event-time timeout). */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start, s.lastSeen, s.nEvents, s.total))
+          } else {
+            val events = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            events.foreach { e =>
+              val t = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapSeconds =>
+                  cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.start, s.lastSeen, s.nEvents, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen * 1000 + gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The native kernels must be bit-identical to the composed
+  * aggregate/zip_with form they replace (both fold ascending-index). */
+class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def composedCosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> p * q), cast(0 as double), (acc, v) -> acc + v)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  test("graft_dot and graft_cosine match the composed form bit-exactly") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = (1 to 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1))).toDF("id", "v")
+    vecs.createOrReplaceTempView("vecs")
+    val pairs = sp.sql(
+      """SELECT a.v AS va, b.v AS vb,
+        |  graft_dot(a.v, b.v) AS ndot, graft_cosine(a.v, b.v) AS ncos
+        |FROM vecs a JOIN vecs b ON a.id < b.id""".stripMargin)
+      .withColumn("cdot", expr(
+        "aggregate(zip_with(va, vb, (p, q) -> p * q), cast(0 as double), (acc, v) -> acc + v)"))
+      .withColumn("ccos", expr(composedCosine("va", "vb")))
+    val bad = pairs.filter(col("ndot") =!= col("cdot") || col("ncos") =!= col("ccos")).count()
+    assert(bad == 0, s"$bad of ${pairs.count()} pairs differ from the composed form")
+  }
+
+  test("null and empty inputs behave like the built-ins") {
+    val rows = spark.sql(
+      """SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS null_dot,
+        |       graft_dot(CAST(array() AS ARRAY<DOUBLE>), CAST(array() AS ARRAY<DOUBLE>)) AS empty_dot,
+        |       graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS self_cos
+        |""".stripMargin).first()
+    assert(rows.isNullAt(0), "null input -> null")
+    assert(rows.getDouble(1) == 0.0, "empty arrays -> 0.0 dot")
+    assert(rows.getDouble(2) == 1.0, "self cosine == 1.0")
+  }
+
+  test("mismatched element type is rejected at analysis") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array('a'), array(1.0d))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<double>")
+      || e.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+}

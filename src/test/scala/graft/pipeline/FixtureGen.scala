@@ -179,8 +179,10 @@ object FixtureGen {
       (hitters.map(_.i) ++ pitchers.map(_.i)).zipWithIndex.map { case (i, idx) =>
         Seq(nfbcId(i), f"${idx + 1 + off}%.1f", idx + 1, idx + 15).mkString("\t")
       }
+    // NB: _ptkey is a string concat (reference semantics) — day must stay
+    // two-digit here or string max would pick the wrong "newest"
     write(root, "nfbc/adp/year=2026/month=2/day=11/OC_ADP.tsv", adpHeader, adpRows(0.4))
-    write(root, "nfbc/adp/year=2026/month=2/day=8/OC_ADP.tsv", adpHeader, adpRows(9.9))
+    write(root, "nfbc/adp/year=2026/month=2/day=10/OC_ADP.tsv", adpHeader, adpRows(9.9))
     write(root, "nfbc/adp/year=2026/month=2/day=12/Fifties_ADP.tsv", adpHeader, adpRows(0.7))
 
     // ---- underdog adp (unconsumed leaf) ------------------------------------

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Drives the streaming path with MemoryStream micro-batches: watermarked
+  * window agg parity with the batch plan, and gap-based sessionization. */
+class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String, v: Double) =
+    EventStream.Event(id, new Timestamp(1700000000000L + minute * 60000L), user, typ, v)
+
+  test("streaming windowed agg equals the batch plan on the same data") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val events = (0 until 40).map(i => ev(i, i / 2, i % 3, if (i % 2 == 0) "click" else "view", i * 1.5))
+    input.addData(events)
+
+    val q = EventStream.startWindowed(
+      input.toDF().withColumn("props", lit("{}")), "win_stream")
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("win_stream")
+      .select("win_start", "event_type", "n", "total")
+    val batch = EventStream.windowedCounts(
+      events.toDF().withColumn("props", lit("{}")))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0,
+      "streaming (AvailableNow) result must equal the batch plan result")
+  }
+
+  test("sessionization closes sessions at the inactivity gap") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    // user 1: events at minute 0,5,10 then a 60-min gap then 70 -> 2 sessions
+    // user 2: single event at minute 0 -> 1 session (closed by watermark advance)
+    input.addData(Seq(ev(1, 0, 1, "a", 1), ev(2, 5, 1, "a", 2), ev(3, 10, 1, "a", 3),
+      ev(4, 0, 2, "b", 5)))
+    input.addData(Seq(ev(5, 70, 1, "a", 4)))
+    // far-future event pushes the watermark past every timeout
+    input.addData(Seq(ev(99, 600, 3, "c", 0)))
+
+    val out = EventStream.sessionize(input.toDS(), gapSeconds = 1800)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sessions").as[EventStream.SessionOut].collect()
+      .groupBy(_.user_id)
+    val u1 = sessions.getOrElse(1L, Array.empty).sortBy(_.session_start)
+    assert(u1.length >= 1, s"user 1 should close at least the first session, got ${u1.toSeq}")
+    assert(u1.head.n_events == 3 && u1.head.total_value == 6.0,
+      s"first session should hold 3 events totalling 6.0: ${u1.head}")
+    val u2 = sessions.getOrElse(2L, Array.empty)
+    assert(u2.length == 1 && u2.head.n_events == 1)
+  }
+}
