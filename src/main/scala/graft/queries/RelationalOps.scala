@@ -299,6 +299,80 @@ object RelationalOps extends QueryPack {
            |GROUP BY o_orderpriority""".stripMargin),
     doc = "Cross join of a broadcast 1-row constants relation (J6).")
 
+  // ---- X1: salted join for skewed keys ---------------------------------------
+  // l_returnflag has 3 distinct values over 600k rows — the canonical skew
+  // case: an unsalted shuffle join lands everything in 3 partitions. Salting
+  // spreads each hot key over 16 sub-keys: the big side salts by a
+  // deterministic row hash, the small side replicates across all salts.
+  // (Here the small side is 3 rows, so broadcast would win outright — this
+  // query demonstrates the pattern for when BOTH sides are too big to
+  // broadcast; results are identical to the plain join, which is the oracle.)
+  private val x1 = GQuery(
+    "x1_skew_salted_join",
+    (s, dir) => {
+      val Salts = 16
+      val li = t(s, dir, "lineitem")
+      val flagStats = li.groupBy(col("l_returnflag"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("flag_avg"))
+      val saltedDim = flagStats.withColumn("salt",
+        explode(expr(s"sequence(0, ${Salts - 1})")))
+      val saltedFact = li.withColumn("salt",
+        pmod(col("l_orderkey") + col("l_linenumber"), lit(Salts)).cast("int"))
+      // hint forces the shuffled hash join (Catalyst would otherwise
+      // broadcast the tiny dim and hide the salting effect being shown)
+      saltedFact.join(saltedDim.hint("shuffle_hash"), Seq("l_returnflag", "salt"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(when(col("l_extendedprice") > col("flag_avg"), 1)).as("n_above_avg"),
+          count(lit(1)).as("n"))
+    },
+    Some("""WITH flag_stats AS (
+           |  SELECT l_returnflag,
+           |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS flag_avg
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT li.l_returnflag,
+           |  count(CASE WHEN li.l_extendedprice > fs.flag_avg THEN 1 END) AS n_above_avg,
+           |  count(*) AS n
+           |FROM lineitem li JOIN flag_stats fs ON li.l_returnflag = fs.l_returnflag
+           |GROUP BY li.l_returnflag""".stripMargin),
+    doc = "Salted join spreading 3 hot keys over 16 sub-keys (skew pattern).")
+
+  // ---- X2: bucketed co-located join -------------------------------------------
+  // Bucket both sides on the join key once at write time; every later join on
+  // that key is exchange-free (the scan's output partitioning already
+  // satisfies the join's requirement). This is the 100 TB answer for
+  // repeatedly-joined fact tables where broadcast can't apply: pay the
+  // shuffle once, amortize it over every downstream join.
+  private val x2 = GQuery(
+    "x2_bucketed_colocated_join",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$wh'")
+      val Buckets = 8
+      t(s, dir, "orders").write.mode("overwrite")
+        .option("path", s"$wh/orders_b")
+        .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_buckets.orders_b")
+      t(s, dir, "lineitem").write.mode("overwrite")
+        .option("path", s"$wh/lineitem_b")
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_buckets.lineitem_b")
+      val o = s.table("graft_buckets.orders_b")
+      val li = s.table("graft_buckets.lineitem_b")
+      li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("total_qty"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS total_qty
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority""".stripMargin),
+    doc = "Bucket-pruned exchange-free join: bucketBy once, join shuffle-free (X2).")
+
+  /** Exposed for plan-shape tests. */
+  private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame =
+    x2.run(s, dir)
+
   override val all: Seq[GQuery] =
-    Seq(s4, s5, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6)
+    Seq(s4, s5, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, x1, x2)
 }

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan shape assertions — "the plan you'd want, not the first one
+  * that passed": pushdown reaches the scan, dimensions broadcast, bucketed
+  * joins skip the exchange, aggregates keep partial/final split.
+  * Runs on sf0.001 (plan shape is scale-invariant).
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("p6: filters are pushed into the parquet scan") {
+    val p = plan("p6_like_between_in")
+    assert(p.contains("PushedFilters: ["), "scan should carry PushedFilters")
+    assert(p.contains("GreaterThanOrEqual(p_size,5)") || p.contains("p_size"),
+      s"size range must reach the scan:\n${p.take(1200)}")
+  }
+
+  test("j1: dimension side broadcasts; fact scan prunes columns") {
+    val p = plan("j1_inner_equijoin")
+    assert(p.contains("BroadcastHashJoin"), "customer dim must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no SMJ for a broadcastable dim")
+    // column pruning: the orders scan should read only the join+agg columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_orderdate"), s"unused column read: $readSchema")
+  }
+
+  test("a1: aggregate runs as partial + final hash aggregate") {
+    val p = plan("a1_groupby_aggregates")
+    // two HashAggregates around one Exchange = map-side partials then final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final HashAggregate")
+    assert(p.contains("hashpartitioning(l_returnflag"),
+      "single shuffle keyed by the group-by columns")
+  }
+
+  test("x2: bucketed join plans without a shuffle exchange") {
+    val p = RelationalOps.bucketedJoin(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    val joinSection = p.substring(0, p.indexOf("HashAggregate").max(p.length - 1))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "bucketed join should be a (merge) join, not broadcast, for this test")
+    // the join inputs must come straight from bucketed scans — the only
+    // allowed exchange is the post-join aggregation shuffle
+    val exchangesBeforeJoin = "Exchange hashpartitioning\\((l_orderkey|o_orderkey)"
+      .r.findAllIn(p).size
+    assert(exchangesBeforeJoin == 0,
+      s"join inputs must be exchange-free (bucketing co-locates):\n${p.take(1500)}")
+  }
+
+  test("x1: salted join spreads the 3 hot keys over composite keys") {
+    val p = plan("x1_skew_salted_join")
+    assert(p.contains("l_returnflag") && p.contains("salt"),
+      "join key must be the composite (flag, salt)")
+  }
+}
