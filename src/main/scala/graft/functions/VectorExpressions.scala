@@ -100,8 +100,39 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     copy(left = l, right = r)
 }
 
-/** Registration: session-local (temp function) for library use, plus a
-  * `SparkSessionExtensions` hook for cluster-wide
+/** Optimizer rule: rewrite the composed higher-order-function dot product
+  *   `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v)`
+  * into the fused [[DotProduct]] kernel. Users keep writing the declarative
+  * form; the plan gets the tight loop (same ascending fold → same result).
+  */
+object RewriteVectorFolds extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def isZero(e: Expression): Boolean = e match {
+    case Literal(0.0, DoubleType) => true
+    case Cast(Literal(0, _), DoubleType, _, _) => true
+    case _ => false
+  }
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+        ZipWith(a, b, LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _)),
+        zero,
+        LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
+        LambdaFunction(fin: NamedLambdaVariable, _, _))
+      if isZero(zero) && isDoubleArray(a) && isDoubleArray(b) =>
+      DotProduct(a, b)
+  }
+}
+
+/** Registration: session-local (temp functions + optimizer rule) for library
+  * use, plus a `SparkSessionExtensions` hook for cluster-wide
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -110,8 +141,13 @@ object GraftFunctions {
 
   /** Idempotent per-session registration; call before using the functions
     * through `expr("graft_cosine(...)")`. */
-  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+  def register(spark: SparkSession): Unit = {
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+    if (!spark.experimental.extraOptimizations.contains(RewriteVectorFolds))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteVectorFolds
   }
 }
 
@@ -123,5 +159,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectOptimizerRule(_ => RewriteVectorFolds)
   }
 }

@@ -369,10 +369,44 @@ object RelationalOps extends QueryPack {
            |GROUP BY o_orderpriority""".stripMargin),
     doc = "Bucket-pruned exchange-free join: bucketBy once, join shuffle-free (X2).")
 
+  // ---- Q3: TPC-H-Q3-shaped headline query --------------------------------------
+  // Multi-join + filtered scan + agg + top-K: the canonical OLAP shape the
+  // marts are made of. Dates filter pushes to both scans; customer broadcasts;
+  // orders<->lineitem is the one real shuffle; top-10 via TakeOrdered.
+  private val q3 = GQuery(
+    "q3_shipping_priority",
+    (s, dir) => {
+      val cutoff = "1995-03-15"
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit(cutoff))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit(cutoff))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,6)"))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"), round(col("revenue"), 4).as("revenue"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey,
+           |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4)
+           |    AS revenue,
+           |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+           |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+           |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+    doc = "TPC-H Q3 shape: filtered 3-way join, decimal-exact revenue, top-10 (Q3).")
+
   /** Exposed for plan-shape tests. */
   private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame =
     x2.run(s, dir)
 
   override val all: Seq[GQuery] =
-    Seq(s4, s5, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, x1, x2)
+    Seq(s4, s5, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, x1, x2, q3)
 }

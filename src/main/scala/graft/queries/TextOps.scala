@@ -189,14 +189,23 @@ object TextOps extends QueryPack {
       val chunkArr = (0 until SimChunks).map(c =>
         struct(lit(c).as("chunk_id"),
           expr(s"shiftright(sim, ${c * 10}) & 1023").as("chunk")))
+      // bucket-group + pairwise combos (carrying each doc's full simhash in
+      // the bucket) instead of a self-join: the token/bit-sum pipeline runs
+      // exactly once
       val chunks = sims.select(col("doc_id"), col("sim"),
           explode(array(chunkArr: _*)).as("x"))
         .select(col("doc_id"), col("sim"), col("x.chunk_id"), col("x.chunk"))
-      chunks.as("a").join(chunks.as("b"),
-          col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("bit_count(a.sim ^ b.sim)").as("dist"))
+      chunks.groupBy(col("chunk_id"), col("chunk"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("sim")))).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ds) - 1),
+            |  i -> transform(slice(ds, i + 1, size(ds) - i),
+            |    j -> struct(element_at(ds, i).doc_id as doc_a, j.doc_id as doc_b,
+            |                bit_count(element_at(ds, i).sim ^ j.sim) as dist))))""".stripMargin))
+          .as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          col("p.dist").as("dist"))
         .distinct()
         .filter(col("dist") <= HamMax)
     },

@@ -57,6 +57,24 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.getDouble(2) == 1.0, "self cosine == 1.0")
   }
 
+  test("optimizer rule rewrites composed aggregate/zip_with into the kernel") {
+    val sp = spark
+    // parquet-backed source so the optimizer can't constant-fold the plan away
+    sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .createOrReplaceTempView("rv")
+    val composed = sp.sql(
+      """SELECT vec_id, aggregate(zip_with(v, v, (x, y) -> x * y),
+        |  cast(0 as double), (acc, w) -> acc + w) AS selfdot FROM rv""".stripMargin)
+    val optimized = composed.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"),
+      s"composed fold should rewrite to DotProduct:\n$optimized")
+    // and the rewrite changes nothing numerically vs the kernel spelled directly
+    val direct = sp.sql("SELECT vec_id, graft_dot(v, v) AS selfdot FROM rv")
+    assert(composed.exceptAll(direct).count() == 0
+      && direct.exceptAll(composed).count() == 0)
+  }
+
   test("mismatched element type is rejected at analysis") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_dot(array('a'), array(1.0d))").collect()
