@@ -33,12 +33,14 @@ object SourceReader {
       .option("header", "true")
       .option("sep", sep)
       .option("recursiveFileLookup", "true")
-      // keep '' as '': Spark's default nullValue is "" (empty CSV fields
-      // would become null); point nullValue at a never-occurring sentinel
-      .option("nullValue", "\\u0000")
       .option("emptyValue", "")
       .schema(schema)
       .csv(root)
+      // Athena all-string externals have NO nulls: an empty CSV field is ''.
+      // Spark's parser still nulls unquoted empties regardless of options,
+      // so normalize — the id-map's `!= ''` tests depend on it
+      // (models/stage/mapping/stg_mpd_player_id_map.sql:20-24).
+      .na.fill("")
   }
 
   /** `input_file_name()` is URI-encoded (spaces → %20); the reference's

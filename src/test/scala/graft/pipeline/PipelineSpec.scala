@@ -161,6 +161,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(era > 0, s"ERA p80 should be positive after double sign-flip, got $era")
   }
 
+  test("one player's SGP and dollar value recompute independently from upstream models") {
+    // cross-model check: take hitter n8's blended stats + the OC factors and
+    // redo the arithmetic of sgp_oc/values_oc in plain Scala
+    val f = LeagueFormat.Oc
+    val agg = out("stg_proj_preseason_hitting_agg")
+      .filter(col("id") === "n8").first()
+    val fac = out("mart_sgp_factors")
+      .filter(col("_filename") === f.standingsFile).first()
+    def d(r: org.apache.spark.sql.Row, c: String) = r.getAs[Double](c)
+    val expectedSgp =
+      d(agg, "r") / d(fac, "sgp_r") + d(agg, "hr") / d(fac, "sgp_hr") +
+        d(agg, "rbi") / d(fac, "sgp_rbi") + d(agg, "sb") / d(fac, "sgp_sb") +
+        ((d(agg, "h") + f.lgH) / (d(agg, "ab") + f.lgAb) - f.lgAvg) / d(fac, "sgp_avg")
+    // n8 is single-position 1B (no multi-position bonus/penalty)
+    val got = out("stg_proj_preseason_hitting_sgp_oc")
+      .filter(col("id") === "n8").select("sgp").first().getDouble(0)
+    assert(math.abs(got - expectedSgp) < 1e-9, s"sgp $got != $expectedSgp")
+    // dollars: value = sgpar * budget / sum(positive sgpar) + 1
+    val values = out("stg_proj_preseason_hitting_values_oc")
+    val sumPos = values.filter(col("sgpar") > 0)
+      .agg(sum("sgpar")).first().getDouble(0)
+    val row = values.filter(col("id") === "n8")
+      .select("sgpar", "value").first()
+    val expectedValue = row.getDouble(0) * (f.hitBudget / sumPos) + 1
+    assert(math.abs(row.getDouble(1) - expectedValue) < 1e-6,
+      s"value ${row.getDouble(1)} != $expectedValue")
+  }
+
   test("fused mode produces the same mart as materialized mode") {
     // fused: no per-model parquet breaks — Catalyst optimizes across the DAG.
     // Values may differ in low-order bits (double sums accumulate in a
