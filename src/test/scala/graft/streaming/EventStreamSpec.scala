@@ -50,6 +50,23 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streaming (AvailableNow) result must equal the batch plan result")
   }
 
+  test("file-source streaming ingest of parquet drops equals the batch read") {
+    // stage the events table as a "file drop" directory, stream it in
+    val dir = java.nio.file.Files.createTempDirectory("graft-drops").toString
+    val batch = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    batch.write.mode("overwrite").parquet(dir)
+    val streamed = EventStream.fromFileSource(spark, dir)
+    assert(streamed.isStreaming, "file source must produce a streaming frame")
+    val q = EventStream.startWindowed(streamed, "win_files")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("win_files").select("win_start", "event_type", "n", "total")
+    val want = EventStream.windowedCounts(spark.read.parquet(dir))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "streamed file drops must aggregate identically to the batch read")
+  }
+
   test("sessionization closes sessions at the inactivity gap") {
     val sp = spark
     import sp.implicits._
