@@ -333,5 +333,25 @@ object TextOps extends QueryPack {
            |FROM documents""".stripMargin),
     doc = "Normalized-content MD5 + order-sensitive rolling hash (text #4).")
 
-  override val all: Seq[GQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8)
+  // ---- D10: corpus vocabulary statistics ---------------------------------------
+  // Training-data staple: global token frequencies + document frequencies,
+  // top-100. Pure two-level aggregation (map-side partials absorb the heavy
+  // token explosion); the top-K is a distributed TakeOrdered, no global sort.
+  private val d10 = GQuery(
+    "d10_vocab_stats",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("tok"))
+        .limit(100)
+    },
+    Some("""SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+           |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+           |GROUP BY tok
+           |ORDER BY tf DESC, tok LIMIT 100""".stripMargin),
+    doc = "Corpus vocabulary: term + document frequency, top-100 (text #5).")
+
+  override val all: Seq[GQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10)
 }
