@@ -14,8 +14,9 @@ import graft.core.{GQuery, QueryPack, Tables}
   *     (shuffle on shingle/band key), never an all-pairs cross join;
   *   - MinHash signatures are 128 universal hashes derived from ONE xxhash64
   *     pass per shingle (cheap arithmetic, stays in whole-stage codegen);
-  *   - SimHash banding uses the pigeonhole guarantee (6 chunks of 10 bits ⇒
-  *     no pair at hamming ≤ 5 is missed), so the LSH output is exact.
+  *   - SimHash banding uses a two-level pigeonhole guarantee (3 super-chunks
+  *     of 20 bits, multi-probed for ≤1-bit error ⇒ no pair at hamming ≤ 5 is
+  *     missed), so the LSH output is exact with 2^20-key buckets.
   */
 object TextOps extends QueryPack {
 
@@ -168,47 +169,72 @@ object TextOps extends QueryPack {
     Some(exactJaccardOracle(0.8)),
     doc = "MinHash (128 hashes) + 32x4 LSH bands + exact verify (dedup #3).")
 
-  // ---- D4: SimHash near-dup with pigeonhole-exact banded join -----------------------
+  // ---- D4: SimHash near-dup with pigeonhole-exact two-level banded join -------------
   private val SimBits = 60 // 15 hex chars of md5 -> portable across engines
-  private val SimChunks = 6 // 6 x 10-bit chunks: exact for hamming <= 5
   private val HamMax = 5
+  // Two-level banding: 3 super-chunks of 20 bits. A pair at hamming <= 5 has
+  // <= floor(5/3) = 1 differing bit in SOME super-chunk (pigeonhole), so the
+  // banded join stays exact — but the bucket key space is 2^20 per chunk
+  // instead of 2^10, which is the difference between O((n/2^10)^2) and
+  // O((n/2^20)^2) pairwise-explode cost per bucket at corpus scale. The
+  // <=1-bit tolerance is realized by multi-probing: each doc emits its exact
+  // chunk value plus the 20 single-bit flips, and pairs form probe x exact.
+  private val SuperChunks = 3
+  private val SuperBits = 20
+  private val ChunkMask = (1L << SuperBits) - 1
+
+  /** (doc_id, sim) 60-bit SimHash signatures — exposed for the brute-force
+    * differential test in SimilaritySpec. */
+  private[queries] def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("tok"))
+      .withColumn("hv", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+    val bitSums = (0 until SimBits).map(b =>
+      sum(expr(s"(shiftright(hv, $b) & 1) * 2 - 1")).as(s"s$b"))
+    val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simExpr = (0 until SimBits).map(b =>
+      s"(CASE WHEN s$b > 0 THEN shiftleft(cast(1 as bigint), $b) ELSE cast(0 as bigint) END)")
+      .mkString(" + ")
+    sums.select(col("doc_id"), expr(simExpr).as("sim"))
+  }
+
+  /** Exact hamming <= maxDist pairs over (doc_id, sim) signatures via the
+    * two-level banded bucket join. Single pass: probe and exact entries live
+    * in one exploded frame (tagged `is_exact`), bucket-grouped, pairs emitted
+    * probe x exact inside each bucket — no self-join, so the signature
+    * pipeline executes exactly once. */
+  private[queries] def hammingPairs(sims: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist < 2 * SuperChunks,
+      s"pigeonhole banding needs maxDist < ${2 * SuperChunks}")
+    // b = -1 is the exact entry; b in [0, 20) are the single-bit probe flips
+    val entries = sims.select(col("doc_id"), col("sim"), explode(expr(
+      s"""flatten(transform(sequence(0, ${SuperChunks - 1}), u ->
+         |  transform(sequence(-1, ${SuperBits - 1}), b ->
+         |    struct(u as u,
+         |      CASE WHEN b = -1 THEN shiftright(sim, u * $SuperBits) & $ChunkMask
+         |           ELSE (shiftright(sim, u * $SuperBits) & $ChunkMask)
+         |                ^ shiftleft(cast(1 as bigint), b) END as key,
+         |      b = -1 as is_exact))))""".stripMargin)).as("x"))
+      .select(col("doc_id"), col("sim"),
+        col("x.u").as("u"), col("x.key").as("key"), col("x.is_exact").as("is_exact"))
+    entries.groupBy(col("u"), col("key"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("sim"), col("is_exact")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(filter(ds, e -> e.is_exact), e ->
+          |  transform(filter(ds, p -> p.doc_id < e.doc_id), p ->
+          |    struct(p.doc_id as doc_a, e.doc_id as doc_b,
+          |           bit_count(p.sim ^ e.sim) as dist))))""".stripMargin)).as("c"))
+      .select(col("c.doc_a").as("doc_a"), col("c.doc_b").as("doc_b"),
+        col("c.dist").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
 
   private val d4 = GQuery(
     "d4_dedup_simhash",
-    (s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("tok"))
-        .withColumn("hv", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
-      val bitSums = (0 until SimBits).map(b =>
-        sum(expr(s"(shiftright(hv, $b) & 1) * 2 - 1")).as(s"s$b"))
-      val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      val simExpr = (0 until SimBits).map(b =>
-        s"(CASE WHEN s$b > 0 THEN shiftleft(cast(1 as bigint), $b) ELSE cast(0 as bigint) END)")
-        .mkString(" + ")
-      val sims = sums.select(col("doc_id"), expr(simExpr).as("sim"))
-      val chunkArr = (0 until SimChunks).map(c =>
-        struct(lit(c).as("chunk_id"),
-          expr(s"shiftright(sim, ${c * 10}) & 1023").as("chunk")))
-      // bucket-group + pairwise combos (carrying each doc's full simhash in
-      // the bucket) instead of a self-join: the token/bit-sum pipeline runs
-      // exactly once
-      val chunks = sims.select(col("doc_id"), col("sim"),
-          explode(array(chunkArr: _*)).as("x"))
-        .select(col("doc_id"), col("sim"), col("x.chunk_id"), col("x.chunk"))
-      chunks.groupBy(col("chunk_id"), col("chunk"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("sim")))).as("ds"))
-        .filter(size(col("ds")) > 1)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ds) - 1),
-            |  i -> transform(slice(ds, i + 1, size(ds) - i),
-            |    j -> struct(element_at(ds, i).doc_id as doc_a, j.doc_id as doc_b,
-            |                bit_count(element_at(ds, i).sim ^ j.sim) as dist))))""".stripMargin))
-          .as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-          col("p.dist").as("dist"))
-        .distinct()
-        .filter(col("dist") <= HamMax)
-    },
+    (s, dir) => hammingPairs(simhashSigs(s, dir), HamMax),
     Some {
       val sumCols = (0 until SimBits)
         .map(b => s"sum(((hv >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n  ")
@@ -228,7 +254,7 @@ object TextOps extends QueryPack {
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= $HamMax""".stripMargin
     },
-    doc = "60-bit SimHash, hamming<=5 pairs via pigeonhole-banded join (dedup #4).")
+    doc = "60-bit SimHash, hamming<=5 pairs via two-level pigeonhole banding (dedup #4).")
 
   // ---- D5: language ID by stopword-lexicon voting -------------------------------------
   private val lexicon: Seq[(String, String)] = Seq(

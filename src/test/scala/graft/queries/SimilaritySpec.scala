@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Differential + scale-shape tests for the similarity/dedup operators:
+  *   - d9 cell-ball-pruned cosine join is bit-identical to the all-pairs form
+  *     and its prune actually fires on a clustered corpus;
+  *   - d4 two-level banded hamming join is identical to brute force, and its
+  *     candidate buckets stay tiny on a random corpus (the 2^20-key property);
+  *   - e2 ANN carries a measured recall@10 floor against e1's exact top-10.
+  */
+class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf001 = "/root/testdata/sf0.001"
+  private val sf01 = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def embDouble(dir: String): DataFrame =
+    graft.core.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  // ---- d9 ----------------------------------------------------------------
+
+  test("d9: ball-pruned pair join == all-pairs brute force (sf0.001 + sf0.01)") {
+    for (dir <- Seq(sf001, sf01)) {
+      val emb = embDouble(dir)
+      val pruned = VectorOps.cosineNearDupPairs(emb, 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      val brute = a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("sim", round(expr("graft_cosine(va, vb)"), 6))
+        .filter(col("sim") >= 0.4)
+        .select("vec_a", "vec_b", "sim")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pruned == brute, s"$dir: pruned join must equal brute force")
+      assert(brute.nonEmpty, s"$dir: fixture should produce pairs")
+    }
+  }
+
+  test("d9: cell ball prune eliminates cross-cell probes on a clustered corpus") {
+    val s = spark; import s.implicits._
+    // 3 tight clusters around orthogonal axes: inter-centroid angle 90deg
+    // >> acos(0.4) + radii, so no vector may probe a foreign cell.
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 40
+    } yield {
+      val v = Array.tabulate(dim)(d =>
+        (if (d == c) 1.0 else 0.0) + rnd.nextGaussian() * 0.01)
+      (c.toLong * 100 + i, c.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "label", "v")
+    val probes = VectorOps.cellProbes(emb, 0.4)
+    val crossCell = probes.filter(col("cell_a") =!= col("cell")).count()
+    assert(crossCell == 0, "orthogonal clusters: every cross-cell probe must prune")
+    assert(probes.count() == rows.size, "own-cell probes always survive")
+    // and the pruned join still finds exactly the within-cluster pairs
+    val pairs = VectorOps.cosineNearDupPairs(emb, 0.4)
+    assert(pairs.count() == 3L * 40 * 39 / 2,
+      "within-cluster pairs (sim ~ 1) must all be found")
+  }
+
+  test("d9: physical plan has no nested-loop or cartesian join") {
+    val df = graft.SparkEntry.queries("d9_dedup_embedding_cosine")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no BNLJ in d9")
+    assert(!p.contains("CartesianProduct"), "no cartesian in d9")
+  }
+
+  // ---- d4 ----------------------------------------------------------------
+
+  test("d4: two-level banded hamming join == brute force over signatures") {
+    val sigs = TextOps.simhashSigs(spark, sf001)
+    val banded = TextOps.hammingPairs(sigs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val raw = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (da, sa) <- raw; (db, sb) <- raw if da < db
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 5
+    } yield (da, db, d)).toSet
+    assert(banded == brute, "banded join must equal brute-force hamming pairs")
+    assert(brute.nonEmpty, "fixture should produce pairs")
+  }
+
+  test("d4: candidate buckets stay tiny on a random corpus (2^20 key space)") {
+    val s = spark; import s.implicits._
+    // 5000 random 60-bit signatures: with 2^20-key buckets the exact-entry
+    // collision count stays O(1); the old 2^10 chunks would put ~5 docs in
+    // EVERY bucket (15k pair-explosions per chunk level minimum).
+    val rnd = new scala.util.Random(3)
+    val sims = (0 until 5000).map(i => (i.toLong, rnd.nextLong() & ((1L << 60) - 1)))
+      .toDF("doc_id", "sim")
+    val exactBuckets = sims.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, 2),
+        |  u -> struct(u as u, shiftright(sim, u * 20) & 1048575 as key))""".stripMargin)).as("x"))
+      .groupBy(col("x.u"), col("x.key")).count()
+    val maxBucket = exactBuckets.agg(max("count")).head().getLong(0)
+    assert(maxBucket <= 4, s"random sigs must spread over 2^20 keys, got $maxBucket")
+    // and the join finds nothing among random sigs (hamming <= 5 of 60 is rare)
+    assert(TextOps.hammingPairs(sims, 5).count() == 0)
+  }
+
+  // ---- e2 ----------------------------------------------------------------
+
+  test("e2: recall@10 >= 0.7 against e1's exact top-10 (sf0.01)") {
+    val exact = graft.SparkEntry.queries("e1_ann_bruteforce_topk")(spark, sf01)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.SparkEntry.queries("e2_ann_lsh_bucketed")(spark, sf01)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"e2 recall@10 = $recall%.3f over ${exact.size} exact pairs")
+    assert(recall >= 0.7, f"ANN recall floor: $recall%.3f < 0.7")
+  }
+}
