@@ -35,9 +35,6 @@ object TextOps extends QueryPack {
       .otherwise(array().cast("array<string>"))
   }
 
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"), shingleExpr.as("shingles"))
-
   /** Shared SQL fragment: doc_id -> distinct 3-word shingle list (DuckDB). */
   private val shingleSqlCte =
     """docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -47,20 +44,51 @@ object TextOps extends QueryPack {
       |  ELSE []::VARCHAR[] END AS s
       |  FROM docs)""".stripMargin
 
-  private def exactJaccardOracle(threshold: Double): String =
+  /** Exact-Jaccard oracle over the DF-capped shingle universe (shingles with
+    * doc frequency > dfCap are excluded on both engines — see [[DfCap]]). */
+  private def exactJaccardOracle(threshold: Double, dfCap: Long): String =
     s"""WITH $shingleSqlCte,
-       |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= $dfCap),
+       |ex AS (SELECT ex0.doc_id, ex0.shingle FROM ex0 JOIN keep USING (shingle)),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id)
        |SELECT doc_a, doc_b,
        |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
        |FROM pairs
        |JOIN sizes sa ON doc_a = sa.doc_id
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $threshold""".stripMargin
+
+  /** Doc-frequency cap for the near-dup inverted indexes: a shingle occurring
+    * in more than this many documents is dropped from the index, the
+    * signature input, AND the Jaccard universe (both engines — the oracle
+    * carries the same filter, so correctness does not depend on the cap
+    * never firing). Why: one degenerate corpus-wide shingle ("click here to
+    * subscribe") makes a bucket of df docs and an O(df^2) pairwise explode —
+    * the classic near-dup scale-killer. An ultra-common shingle also carries
+    * ~zero similarity signal, so dropping it is standard practice. Sized so
+    * nothing fires at test scale (max fixture DF ~25); observable via
+    * [[heavyShingleStats]]. */
+  private val DfCap = 10000L
+
+  /** DF-cap diagnostics: (# distinct shingles over the cap, # postings they
+    * contribute). Logged at WARN when non-zero so capped production runs are
+    * visible. */
+  def heavyShingleStats(docs: DataFrame, dfCap: Long): (Long, Long) = {
+    val heavy = docs.select(col("doc_id"), explode(shingleExpr).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+    val rows = heavy.agg(count(lit(1)), coalesce(sum("df"), lit(0L))).head()
+    val (n, postings) = (rows.getLong(0), rows.getLong(1))
+    if (n > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"DF cap $dfCap dropped $n shingles ($postings postings) from the near-dup index")
+    (n, postings)
+  }
 
   // ---- D1: exact dedup (hash group-by) ----------------------------------------
   private val d1 = GQuery(
@@ -74,43 +102,53 @@ object TextOps extends QueryPack {
     doc = "Exact duplicate grouping by content hash (dedup #1).")
 
   // ---- D2: n-gram Jaccard near-dup via inverted-index join -----------------------
+
+  /** Exact Jaccard >= threshold pairs over docs (doc_id, text), via a
+    * single-scan inverted index with a DF cap: explode (doc, shingle-hash)
+    * once, drop heavy shingles (broadcast anti join — the heavy set is at
+    * most totalPostings/dfCap entries, broadcastable by construction),
+    * bucket by hash, and emit each bucket's pairwise combinations with an
+    * explode — no self-join, so the shingle pipeline runs exactly once. Doc
+    * sizes fall out of the same capped index, keeping the Jaccard universe
+    * self-consistent. (64-bit hash instead of the string key: collision
+    * odds at 260k distinct shingles ~1e-9 — immaterial next to the
+    * threshold.) */
+  private[queries] def jaccardPairs(docs: DataFrame, threshold: Double,
+      dfCap: Long): DataFrame = {
+    // cache the narrow (doc_id, hv) table — two longs/row — since the heavy
+    // set, the bucket index, and the per-doc sizes all derive from it
+    val ex0 = docs.select(col("doc_id"), explode(shingleExpr).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("hv"))
+      .cache()
+    val heavy = ex0.groupBy(col("hv")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+    val ex = ex0.join(broadcast(heavy), Seq("hv"), "left_anti")
+    val buckets = ex.groupBy(col("hv"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // pairwise combos of the (<= dfCap, typically tiny) bucket list
+    val pairs = buckets.select(explode(expr(
+      """flatten(transform(sequence(1, size(ids) - 1),
+        |  i -> transform(slice(ids, i + 1, size(ids) - i),
+        |    j -> struct(element_at(ids, i) as doc_a, j as doc_b))))""".stripMargin))
+      .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(sizes.as("sa")), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sizes.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   private val d2 = GQuery(
     "d2_dedup_ngram_jaccard",
-    (s, dir) => {
-      // Single-scan inverted index: explode (doc, shingle-hash) once, bucket
-      // by hash, and emit each bucket's pairwise combinations with an
-      // explode — no self-join, so the shingle pipeline runs exactly once
-      // and nothing needs caching. Doc sizes fall out of the same explode.
-      // (64-bit hash instead of the string key: collision odds at 260k
-      // distinct shingles ~1e-9 — immaterial next to the 0.5 threshold.)
-      // cache the narrow (doc_id, hv) table — two longs/row — since both the
-      // bucket index and the per-doc sizes derive from it
-      val ex = shingled(s, dir)
-        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("hv"))
-        .cache()
-      val buckets = ex.groupBy(col("hv"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-      // pairwise combos of the (tiny: max doc-frequency ~25) bucket list
-      val pairs = buckets.select(explode(expr(
-        """flatten(transform(sequence(1, size(ids) - 1),
-          |  i -> transform(slice(ids, i + 1, size(ids) - i),
-          |    j -> struct(element_at(ids, i) as doc_a, j as doc_b))))""".stripMargin))
-        .as("p"))
-        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      pairs
-        .join(broadcast(sizes.as("sa")), col("doc_a") === col("sa.doc_id"))
-        .join(broadcast(sizes.as("sb")), col("doc_b") === col("sb.doc_id"))
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-    },
-    Some(exactJaccardOracle(0.5)),
-    doc = "3-word-shingle Jaccard >= 0.5 via shared-shingle join (dedup #2).")
+    (s, dir) => jaccardPairs(t(s, dir, "documents"), 0.5, DfCap),
+    Some(exactJaccardOracle(0.5, DfCap)),
+    doc = "3-word-shingle Jaccard >= 0.5 via DF-capped shared-shingle join (dedup #2).")
 
   // ---- D3: MinHash + LSH banding, exact-Jaccard verified ---------------------------
   private val NumHashes = 128
@@ -123,51 +161,64 @@ object TextOps extends QueryPack {
       Array.fill(NumHashes)(rnd.nextLong().abs % P))
   }
 
+  /** MinHash+LSH Jaccard >= threshold pairs over docs (doc_id, text), DF-cap
+    * applied to the postings BEFORE signatures and the verify universe, so
+    * signatures, candidates, and exact verification all agree on the capped
+    * shingle set (and with the oracle, which carries the same filter). */
+  private[queries] def minhashPairs(docs: DataFrame, threshold: Double,
+      dfCap: Long): DataFrame = {
+    // capped postings are read three times (signature build + both sides of
+    // the exact-verify join, via the re-grouped arrays) — cache the one
+    // exploded scan
+    val ex0 = docs.select(col("doc_id"), explode(shingleExpr).as("shingle"))
+      .cache()
+    val heavy = ex0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+    val exF = ex0.join(broadcast(heavy), Seq("shingle"), "left_anti")
+    val sh = exF.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("shingles"))
+    val ex = exF.withColumn("hv", pmod(xxhash64(col("shingle")), lit(P)))
+    // 128 universal hashes from one base hash; min per doc = signature.
+    val minCols = (0 until NumHashes).map(i =>
+      min((lit(hashA(i)) * col("hv") + lit(hashB(i))) % lit(P)).as(s"m$i"))
+    val sig = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    // Band signatures: hash of each 4-row slice; explode to (band, bandHash),
+    // then bucket-group and emit pairwise combos — no self-join, so the
+    // shingle+128-hash pipeline executes exactly once.
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("bh"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("doc_id"), col("x.band"), col("x.bh"))
+    val cand = bands.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(slice(ids, i + 1, size(ids) - i),
+          |    j -> struct(element_at(ids, i) as doc_a, j as doc_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    // Exact verification of LSH candidates (so output matches the exact
+    // oracle). Candidates are rare; broadcast them across the two
+    // shingle-array scans.
+    val verified = broadcast(cand)
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+    verified.select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   private val d3 = GQuery(
     "d3_dedup_minhash_lsh",
-    (s, dir) => {
-      // shingle arrays are read three times (signature build + both sides of
-      // the exact-verify join) — cache the one shared scan
-      val sh = shingled(s, dir).cache()
-      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        .withColumn("hv", pmod(xxhash64(col("shingle")), lit(P)))
-      // 128 universal hashes from one base hash; min per doc = signature.
-      val minCols = (0 until NumHashes).map(i =>
-        min((lit(hashA(i)) * col("hv") + lit(hashB(i))) % lit(P)).as(s"m$i"))
-      val sig = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-      // Band signatures: hash of each 4-row slice; explode to (band, bandHash),
-      // then bucket-group and emit pairwise combos — no self-join, so the
-      // shingle+128-hash pipeline executes exactly once.
-      val bandStructs = (0 until Bands).map { b =>
-        val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
-        struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("bh"))
-      }
-      val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
-        .select(col("doc_id"), col("x.band"), col("x.bh"))
-      val cand = bands.groupBy(col("band"), col("bh"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 1),
-            |  i -> transform(slice(ids, i + 1, size(ids) - i),
-            |    j -> struct(element_at(ids, i) as doc_a, j as doc_b))))""".stripMargin))
-          .as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .distinct()
-      // Exact verification of LSH candidates (so output matches the exact
-      // oracle). Candidates are rare; broadcast them across the two
-      // shingle-array scans.
-      val verified = broadcast(cand)
-        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
-        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-        .withColumn("jaccard",
-          col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
-        .filter(col("jaccard") >= 0.8)
-      verified.select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-    },
-    Some(exactJaccardOracle(0.8)),
-    doc = "MinHash (128 hashes) + 32x4 LSH bands + exact verify (dedup #3).")
+    (s, dir) => minhashPairs(t(s, dir, "documents"), 0.8, DfCap),
+    Some(exactJaccardOracle(0.8, DfCap)),
+    doc = "MinHash (128 hashes) + 32x4 LSH bands + DF cap + exact verify (dedup #3).")
 
   // ---- D4: SimHash near-dup with pigeonhole-exact two-level banded join -------------
   private val SimBits = 60 // 15 hex chars of md5 -> portable across engines

@@ -118,6 +118,33 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.hammingPairs(sims, 5).count() == 0)
   }
 
+  // ---- d2/d3 DF cap ------------------------------------------------------
+
+  test("d2/d3: DF cap drops a degenerate corpus-wide shingle, pairs stay exact") {
+    val s = spark; import s.implicits._
+    // every doc opens with the universal shingle "a b c"; docs 1 and 2 are
+    // identical apart from it, everything else is unique
+    val docs = ((1 to 20).map { i =>
+      val tail = if (i <= 2) "dup dup2" else s"t$i u$i"
+      (i.toLong, s"a b c $tail")
+    }).toDF("doc_id", "text")
+    val (nHeavy, nPostings) = TextOps.heavyShingleStats(docs, 2)
+    assert(nHeavy == 1 && nPostings == 20, "the universal shingle must trip the cap")
+    // capped universe: docs 1,2 share all surviving shingles -> jaccard 1.0;
+    // no other doc pair shares anything
+    val d2 = TextOps.jaccardPairs(docs, 0.5, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(d2 == Set((1L, 2L, 1.0)), s"capped d2 pairs: $d2")
+    val d3 = TextOps.minhashPairs(docs, 0.8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(d3 == Set((1L, 2L, 1.0)), s"capped d3 pairs: $d3")
+    // with the cap out of reach the universal shingle is back in the
+    // universe: jaccard(1,2) stays 1.0 and still nothing else qualifies
+    val uncapped = TextOps.jaccardPairs(docs, 0.5, 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncapped == Set((1L, 2L, 1.0)))
+  }
+
   // ---- e2 ----------------------------------------------------------------
 
   test("e2: recall@10 >= 0.7 against e1's exact top-10 (sf0.01)") {
