@@ -1,6 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Per-round benchmark surface: one JSON line with per-query seconds.
+  *
+  * Each query runs `Reps` times (JVM/codegen warm after the first) and
+  * reports the MEDIAN — the host VM's wall clock swings 5-10x under
+  * contention (BASELINE.md's variance caveat), so a single sample can't
+  * distinguish a regression from a noisy neighbor; the median of 3
+  * self-defends. Failures are recorded as negative durations (-1.0) and
+  * listed in a `failed` field so a broken query can never masquerade as a
+  * fast one.
+  */
 object Bench {
+  private val Reps = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -11,21 +23,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink evaluates EVERY output column — count() would let Catalyst
-      // prune computed columns and under-measure the query's real work
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries may cache intermediates; drop them so later queries aren't
-      // slowed by eviction thrash from accumulated cached blocks
-      spark.catalog.clearCache()
-      name -> dt
+      val samples = (1 to Reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // noop sink evaluates EVERY output column — count() would let
+        // Catalyst prune computed columns and under-measure the real work
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        // queries may cache intermediates; drop them so reps measure the
+        // full pipeline and later queries aren't slowed by eviction thrash
+        spark.catalog.clearCache()
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      val median =
+        if (samples.isEmpty) -1.0
+        else samples.sorted.apply(samples.size / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$Reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

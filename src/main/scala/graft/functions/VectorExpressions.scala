@@ -35,29 +35,45 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   }
 }
 
-/** `graft_dot(a, b)` — Σ a(i)·b(i), ascending i. */
+/** `graft_dot(a, b)` — Σ a(i)·b(i), ascending i.
+  *
+  * Null/length semantics replicate the composed
+  * `aggregate(zip_with(a,b,(x,y)->x*y), 0d, (acc,v)->acc+v)` form exactly:
+  * mismatched lengths (zip_with null-pads the shorter side) or any null
+  * element yield NULL — so [[RewriteVectorFolds]] is a pure strength
+  * reduction, never a semantics change. */
 case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "graft_dot"
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i); i += 1
+    }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) =>
       s"""
-         |int n = Math.min($x.numElements(), $y.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $x.getDouble(i) * $y.getDouble(i);
+         |int n = $x.numElements();
+         |if (n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double acc = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    if ($x.isNullAt(i) || $y.isNullAt(i)) { ${ev.isNull} = true; break; }
+         |    acc += $x.getDouble(i) * $y.getDouble(i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = acc;
          |}
-         |${ev.value} = acc;
        """.stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
@@ -65,17 +81,21 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
 }
 
 /** `graft_cosine(a, b)` — dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))),
-  * all three accumulators in one fused pass. */
+  * all three accumulators in one fused pass. Same null/length semantics as
+  * [[DotProduct]]: mismatched lengths or a null element yield NULL. */
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "graft_cosine"
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getDouble(i); val yv = y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
@@ -86,14 +106,19 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) =>
       s"""
-         |int n = Math.min($x.numElements(), $y.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = $x.getDouble(i);
-         |  double yv = $y.getDouble(i);
-         |  dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |int n = $x.numElements();
+         |if (n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double dot = 0.0, na = 0.0, nb = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    if ($x.isNullAt(i) || $y.isNullAt(i)) { ${ev.isNull} = true; break; }
+         |    double xv = $x.getDouble(i);
+         |    double yv = $y.getDouble(i);
+         |    dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
          |}
-         |${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
        """.stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
@@ -104,6 +129,14 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   *   `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v)`
   * into the fused [[DotProduct]] kernel. Users keep writing the declarative
   * form; the plan gets the tight loop (same ascending fold → same result).
+  *
+  * The match is exact, not shape-based: the Multiply operands must be
+  * precisely the zip_with lambda's two (distinct) parameters and the Add
+  * operands precisely the merge lambda's two parameters — `(x, y) -> x * x`
+  * or `(acc, v) -> acc + acc` must NOT rewrite — and the finalize lambda
+  * must be the identity on its own parameter. [[DotProduct]] replicates
+  * zip_with's null/length-pad semantics, so no type-level nullability guard
+  * is needed: the rewrite is sound for every input.
   */
 object RewriteVectorFolds extends org.apache.spark.sql.catalyst.rules.Rule[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
@@ -120,13 +153,31 @@ object RewriteVectorFolds extends org.apache.spark.sql.catalyst.rules.Rule[
     case _ => false
   }
 
+  /** The binary op's operands are exactly the lambda's two distinct
+    * parameters (either order), referenced by exprId — not merely any two
+    * lambda variables in scope. */
+  private def usesBothParams(l: Expression, r: Expression,
+      args: Seq[NamedExpression]): Boolean = (l, r, args) match {
+    case (lv: NamedLambdaVariable, rv: NamedLambdaVariable,
+          Seq(a1: NamedLambdaVariable, a2: NamedLambdaVariable)) =>
+      a1.exprId != a2.exprId &&
+        Set(lv.exprId, rv.exprId) == Set(a1.exprId, a2.exprId)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
-        ZipWith(a, b, LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _)),
+        ZipWith(a, b, LambdaFunction(Multiply(ml, mr, _), zipArgs, _)),
         zero,
-        LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
-        LambdaFunction(fin: NamedLambdaVariable, _, _))
-      if isZero(zero) && isDoubleArray(a) && isDoubleArray(b) =>
+        LambdaFunction(Add(al, ar, _), mergeArgs, _),
+        LambdaFunction(fin: NamedLambdaVariable, finArgs, _))
+      if isZero(zero) && isDoubleArray(a) && isDoubleArray(b) &&
+        usesBothParams(ml, mr, zipArgs) &&
+        usesBothParams(al, ar, mergeArgs) &&
+        (finArgs match {
+          case Seq(fa: NamedLambdaVariable) => fa.exprId == fin.exprId
+          case _ => false
+        }) =>
       DotProduct(a, b)
   }
 }

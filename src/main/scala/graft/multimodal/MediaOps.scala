@@ -93,7 +93,9 @@ object MediaOps extends QueryPack {
 
   /** m1: ingest + metadata projection over the binary payload (octet length,
     * magic-byte sniff, kind routing) — all computable by the oracle from the
-    * same utf8 bytes. */
+    * same utf8 bytes. The oracle slices hex chars AFTER encode (4 bytes = 8
+    * hex chars) so both engines hash the same leading BYTES even when a
+    * multi-byte character straddles the boundary. */
   private val m1 = GQuery(
     "m1_media_metadata",
     (s, dir) =>
@@ -105,7 +107,7 @@ object MediaOps extends QueryPack {
     Some("""SELECT doc_id AS media_id,
            |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
            |  octet_length(encode(text)) AS n_bytes,
-           |  upper(hex(encode(substring(text, 1, 4)))) AS magic,
+           |  upper(substring(hex(encode(text)), 1, 8)) AS magic,
            |  length(text) * 20 AS duration_ms
            |FROM documents""".stripMargin),
     doc = "Opaque binary payload + typed metadata projection (multimodal #1).")

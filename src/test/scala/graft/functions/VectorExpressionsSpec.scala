@@ -75,6 +75,46 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       && direct.exceptAll(composed).count() == 0)
   }
 
+  test("optimizer rule does NOT fire on lookalike lambdas") {
+    val sp = spark
+    sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .createOrReplaceTempView("rv2")
+    // (x, y) -> x * x is a sum of squares of the LEFT side, not a dot product
+    val squares = sp.sql(
+      """SELECT vec_id, aggregate(zip_with(v, v, (x, y) -> x * x),
+        |  cast(0 as double), (acc, w) -> acc + w) AS s FROM rv2""".stripMargin)
+    assert(!squares.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "x * x must not rewrite to DotProduct")
+    // (acc, w) -> acc + acc doubles the accumulator, ignoring the element
+    val accacc = sp.sql(
+      """SELECT vec_id, aggregate(zip_with(v, v, (x, y) -> x * y),
+        |  cast(0 as double), (acc, w) -> acc + acc) AS s FROM rv2""".stripMargin)
+    assert(!accacc.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "acc + acc must not rewrite to DotProduct")
+    // sanity: the results really do differ from a dot product
+    val r = sp.sql(
+      """SELECT aggregate(zip_with(array(1.0d, 2.0d), array(3.0d, 4.0d),
+        |  (x, y) -> x * x), cast(0 as double), (acc, w) -> acc + w) AS sq""".stripMargin).first()
+    assert(r.getDouble(0) == 5.0, "1 + 4, not the dot product 11")
+  }
+
+  test("kernels replicate zip_with null/length-pad semantics") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d)) AS mismatched,
+        |  aggregate(zip_with(array(1.0d, 2.0d), array(3.0d), (x, y) -> x * y),
+        |    cast(0 as double), (acc, v) -> acc + v) AS composed_mismatched,
+        |  graft_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)) AS null_elem,
+        |  aggregate(zip_with(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d),
+        |    (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v) AS composed_null_elem,
+        |  graft_cosine(array(1.0d, 2.0d), array(3.0d)) AS cos_mismatched
+        |""".stripMargin).first()
+    assert(r.isNullAt(0) && r.isNullAt(1), "length mismatch -> NULL, both forms")
+    assert(r.isNullAt(2) && r.isNullAt(3), "null element -> NULL, both forms")
+    assert(r.isNullAt(4), "cosine length mismatch -> NULL")
+  }
+
   test("mismatched element type is rejected at analysis") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_dot(array('a'), array(1.0d))").collect()

@@ -82,7 +82,8 @@ def main():
             results[name] = cmp_frames(spark_df, odf)
         except Exception as e:
             results[name] = f"COMPARE ERROR {e}"
-    ok = sum(1 for v in results.values() if v == "OK" or v.startswith("ROWS-ONLY rows="))
+    ok = sum(1 for v in results.values()
+             if v == "OK" or (v.startswith("ROWS-ONLY") and "EMPTY" not in v))
     bad = {k: v for k, v in results.items() if not (v == "OK" or (v.startswith("ROWS-ONLY") and "EMPTY" not in v))}
     for k in sorted(results):
         print(f"{k:32s} {results[k]}")
