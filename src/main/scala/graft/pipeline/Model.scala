@@ -27,21 +27,39 @@ object Model {
   }
 }
 
+/** How [[DagRunner]] persists each built model. */
+sealed trait Materialization
+object Materialization {
+  /** Lazy composed DataFrames — Catalyst optimizes ACROSS model boundaries
+    * (column pruning through the whole DAG), the fused mode the reference
+    * engine cannot do. Same results; strictly less work at scale. */
+  case object Compose extends Materialization
+
+  /** dbt's `materialized='table'` pipeline-breaker semantics to bare parquet
+    * paths: every model optimizes in isolation, intermediates inspectable. */
+  final case class ParquetDir(dir: String) extends Materialization
+
+  /** Catalog tables via `saveAsTable` into the reference's three schemas
+    * (`dbt_project.yml:38-51`: source / stage / main), so downstream users
+    * address models as `spark.table("main.mart_...")` exactly as the
+    * reference's Athena/Iceberg consumers do. */
+  final case class Catalog(schemaOf: String => String = Materialization.layerSchema)
+    extends Materialization
+
+  /** Reference layer mapping: `src_*` → source, `mart_*` → main (the
+    * reference keeps marts in `models/main/`), everything else → stage. */
+  val layerSchema: String => String = n =>
+    if (n.startsWith("src_")) "source"
+    else if (n.startsWith("mart_")) "main"
+    else "stage"
+}
+
 /** Topologically sorts and executes a model DAG.
   *
   * Ordering follows TRUE dependencies, not layer names — the reference has a
   * mart→stage back-edge (`mart_sgp_factors` feeds stage models,
   * models/stage/projections/preseason/hitting/stg_proj_preseason_hitting_sgp_oc.sql:39-41)
   * so a layer-ordered runner would deadlock (SURVEY.md §7.4).
-  *
-  * Materialization modes:
-  *   - `materializeDir = Some(dir)`: each model is written to parquet and read
-  *     back — dbt's `materialized='table'` pipeline-breaker semantics; every
-  *     model optimizes in isolation, intermediate state is inspectable.
-  *   - `materializeDir = None`: models stay as composed (lazy) DataFrames and
-  *     Catalyst optimizes ACROSS model boundaries (column pruning through the
-  *     whole DAG) — the fused mode the reference engine cannot do. Same
-  *     results; strictly less work at scale.
   */
 final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.empty) {
 
@@ -66,19 +84,34 @@ final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.
   }
 
   /** Builds every model; returns the materialized (or composed) frames. */
-  def run(spark: SparkSession, materializeDir: Option[String] = None): Map[String, DataFrame] = {
+  def run(spark: SparkSession, materializeDir: Option[String] = None): Map[String, DataFrame] =
+    runAs(spark, materializeDir.fold[Materialization](Materialization.Compose)(
+      Materialization.ParquetDir))
+
+  /** Builds every model under the given materialization mode. */
+  def runAs(spark: SparkSession, mat: Materialization): Map[String, DataFrame] = {
     val built = mutable.LinkedHashMap[String, DataFrame]()
     def resolve(n: String): DataFrame =
       built.getOrElse(n, sources.getOrElse(n,
         throw new NoSuchElementException(s"unknown ref/source: $n")))
+    mat match {
+      case Materialization.Catalog(schemaOf) =>
+        topoOrder.map(schemaOf).distinct.foreach(db =>
+          spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
+      case _ => ()
+    }
     topoOrder.foreach { n =>
       val df = byName(n).build(spark, resolve)
-      built(n) = materializeDir match {
-        case Some(dir) =>
+      built(n) = mat match {
+        case Materialization.ParquetDir(dir) =>
           val path = s"$dir/$n"
           df.write.mode("overwrite").parquet(path)
           spark.read.parquet(path)
-        case None => df
+        case Materialization.Catalog(schemaOf) =>
+          val fqn = s"${schemaOf(n)}.$n"
+          df.write.mode("overwrite").format("parquet").saveAsTable(fqn)
+          spark.table(fqn)
+        case Materialization.Compose => df
       }
     }
     built.toMap

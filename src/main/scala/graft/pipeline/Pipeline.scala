@@ -27,6 +27,12 @@ object Pipeline {
       materializeDir: Option[String] = None): Map[String, DataFrame] =
     runner(dataRoot).run(spark, materializeDir)
 
+  /** dbt_project.yml:38-51 semantics: materialize every model as a catalog
+    * table in its layer's database (source / stage / main), queryable as
+    * e.g. `spark.table("main.mart_preseason_overall_rankings_oc")`. */
+  def runCatalog(spark: SparkSession, dataRoot: String): Map[String, DataFrame] =
+    runner(dataRoot).runAs(spark, Materialization.Catalog())
+
   // ---- serving queries (app/app.py read paths, SURVEY.md §3.2-3.3) ---------
 
   /** app/app.py:419-430 — the draft-table pull: explicit column list ordered
@@ -59,4 +65,70 @@ object Pipeline {
   /** app/app.py:567-569 — drafted-status KV membership join (`isin`). */
   def withDraftedFlag(rankings: DataFrame, draftedIds: Set[String]): DataFrame =
     rankings.withColumn("drafted", col("id").isin(draftedIds.toSeq: _*))
+
+  /** app/app.py:596-625 — the interactive filter battery, engine-side.
+    * Position filter is any-substring-match over the multi-position string
+    * ("2B/SS" matches selection "SS"); team/status are exact membership;
+    * name search is case-insensitive contains (null names excluded, the
+    * pandas `na=False` behavior); draft filter keeps drafted or undrafted
+    * rows. Each filter applies only when its column exists, mirroring the
+    * app's `'col' in columns` guards. */
+  def filterRankings(df: DataFrame,
+      positions: Seq[String] = Nil, teams: Seq[String] = Nil,
+      statuses: Seq[String] = Nil, nameSearch: Option[String] = None,
+      draftedOnly: Option[Boolean] = None): DataFrame = {
+    def has(c: String) = df.columns.contains(c)
+    var out = df
+    if (positions.nonEmpty && has("pos"))
+      out = out.filter(positions.map(p =>
+        col("pos").cast("string").contains(p)).reduce(_ || _))
+    if (teams.nonEmpty && has("team"))
+      out = out.filter(col("team").isin(teams: _*))
+    if (statuses.nonEmpty && has("projected_opening_day_status"))
+      out = out.filter(col("projected_opening_day_status").isin(statuses: _*))
+    nameSearch.withFilter(_ => has("name")).foreach(q =>
+      out = out.filter(lower(col("name")).contains(q.toLowerCase)))
+    draftedOnly.withFilter(_ => has("drafted")).foreach(d =>
+      out = out.filter(col("drafted") === d))
+    out
+  }
+
+  /** app/app.py:744-786 — the mock-draft pick model: normal pdf centered on
+    * each player's ADP (std dev = max(range/3, 3)), with the app's range and
+    * urgency adjustments (early pick dampened, overdue boosted, approaching
+    * max ramped), normalized to a distribution over the available players
+    * (id, name, adp, min_pick, max_pick). The 1-row total attaches via a
+    * broadcast cross join — the j6 constants pattern. */
+  def draftPickProbabilities(players: DataFrame, currentPick: Int): DataFrame = {
+    val cp = lit(currentPick.toDouble)
+    val stdDev = greatest((col("max_pick") - col("min_pick")) / 3.0, lit(3.0))
+    val base = exp(lit(-0.5) * pow((cp - col("adp")) / stdDev, 2))
+    val raw =
+      when(cp < col("min_pick"),
+        when(col("min_pick") - cp <= 2, base * 0.1).otherwise(lit(0.0001)))
+        .when(cp > col("max_pick"),
+          base * (lit(1) + (cp - col("max_pick")) * 2) * 10)
+        .when(cp >= col("max_pick") - 2,
+          base * (lit(1) + (lit(2) - (col("max_pick") - cp)) * 0.5))
+        .otherwise(base)
+    val weighted = players.withColumn("raw_prob", raw)
+    val total = weighted.agg(sum(col("raw_prob")).as("_total"))
+    weighted.crossJoin(broadcast(total))
+      .withColumn("prob", col("raw_prob") / col("_total"))
+      .drop("_total")
+  }
+
+  /** Deterministic-seed weighted pick: inverse-CDF walk over the cumulative
+    * distribution in id order (the app's np.random.choice with p=probs, made
+    * reproducible). Serving-scale global window — the candidate pool is the
+    * undrafted tail of one league, not a corpus. */
+  def sampleDraftPick(probs: DataFrame, seed: Long): DataFrame = {
+    val u = new scala.util.Random(seed).nextDouble()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("id")).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    probs.withColumn("cum", sum(col("prob")).over(w))
+      .filter(col("cum") >= u)
+      .orderBy(col("cum")).limit(1)
+  }
 }

@@ -50,6 +50,31 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  // ---- streaming exact dedup (the streaming face of d1) ----------------------
+
+  /** Key-based exact dedup with WATERMARK-BOUNDED state:
+    * `dropDuplicatesWithinWatermark` drops a key's state once the watermark
+    * passes it, so the state store holds only the last watermark-window of
+    * keys — the property that makes streaming dedup viable at corpus scale
+    * (a plain `dropDuplicates` would accumulate every key forever). */
+  def dedupEvents(events: DataFrame, keys: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** `foreachBatch` sink: lands each deduped micro-batch as parquet under a
+    * batch-id path — idempotent on retry (the batch overwrites its own dir),
+    * the standard pattern for sinks the streaming runtime lacks natively. */
+  def startDedupToParquet(events: DataFrame, outDir: String,
+      checkpoint: String): StreamingQuery =
+    dedupEvents(events).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // ---- stateful sessionization (flatMapGroupsWithState) ---------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -189,6 +189,92 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"value ${row.getDouble(1)} != $expectedValue")
   }
 
+  test("serving filter battery + drafted flag (app.py:567-625)") {
+    val mart = out("mart_preseason_overall_rankings_oc")
+    val flagged = Pipeline.withDraftedFlag(mart, Set("n8"))
+    val byId = flagged.select("id", "drafted").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(byId("n8") && byId.count(_._2) == 1, "exactly n8 is drafted")
+    // position substring any-match: multi-position strings hit on any token
+    val posSet = Set("1B", "SS")
+    val gotPos = Pipeline.filterRankings(flagged, positions = Seq("1B", "SS"))
+      .select("pos").collect().map(_.getString(0))
+    assert(gotPos.nonEmpty && gotPos.forall(p => posSet.exists(p.contains)),
+      s"every surviving pos must contain 1B or SS: ${gotPos.mkString(",")}")
+    // case-insensitive name contains
+    val name = mart.select("name").first().getString(0)
+    val sub = name.substring(1, name.length - 1)
+    assert(Pipeline.filterRankings(mart,
+      nameSearch = Some(sub.toUpperCase)).count() >= 1)
+    // drafted-only / undrafted-only split partitions the table
+    val d = Pipeline.filterRankings(flagged, draftedOnly = Some(true)).count()
+    val u = Pipeline.filterRankings(flagged, draftedOnly = Some(false)).count()
+    assert(d == 1 && d + u == flagged.count())
+    // team membership
+    val team = mart.select("team").first().getString(0)
+    assert(Pipeline.filterRankings(mart, teams = Seq(team)).count() ==
+      mart.filter(col("team") === team).count())
+  }
+
+  test("mock-draft pick model: normalized urgency-weighted pdf, deterministic sample") {
+    val sp = spark; import sp.implicits._
+    val players = Seq(
+      ("p1", "Alpha", 10.0, 5.0, 15.0),   // current pick inside range
+      ("p2", "Beta", 30.0, 25.0, 40.0),   // too early (>2 before min) -> 1e-4
+      ("p3", "Gamma", 4.0, 1.0, 8.0),     // overdue -> urgency boost
+      ("p4", "Delta", 12.0, 3.0, 13.0))   // within 2 of max -> ramp
+      .toDF("id", "name", "adp", "min_pick", "max_pick")
+    val probs = Pipeline.draftPickProbabilities(players, currentPick = 12)
+    val rows = probs.select("id", "raw_prob", "prob").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // hand-computed against the app's formulas (app.py:744-776)
+    def base(adp: Double, lo: Double, hi: Double) =
+      math.exp(-0.5 * math.pow((12 - adp) / math.max((hi - lo) / 3, 3), 2))
+    assert(math.abs(rows("p1")._1 - base(10, 5, 15)) < 1e-12)
+    assert(rows("p2")._1 == 0.0001, "too-early player pinned to epsilon")
+    assert(math.abs(rows("p3")._1 - base(4, 1, 8) * (1 + (12 - 8) * 2) * 10) < 1e-12)
+    assert(math.abs(rows("p4")._1 - base(12, 3, 13) * (1 + (2 - 1) * 0.5)) < 1e-12)
+    assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-12, "probs normalize to 1")
+    // deterministic: same seed -> same pick, twice
+    val pick1 = Pipeline.sampleDraftPick(probs, seed = 42).select("id").first().getString(0)
+    val pick2 = Pipeline.sampleDraftPick(probs, seed = 42).select("id").first().getString(0)
+    assert(pick1 == pick2, "fixed seed must reproduce the pick")
+    // the overdue player dominates this distribution; seed 42 must land there
+    assert(rows("p3")._2 > 0.5)
+  }
+
+  test("catalog materialization lands every model in its layer database (S7)") {
+    // dbt_project.yml:38-51: source/stage/main schemas. Explicit LOCATIONs so
+    // the test never writes under the repo's cwd warehouse.
+    val wh = Files.createTempDirectory("graft-cat").toString
+    Seq("source", "stage", "main").foreach(db =>
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh/$db'"))
+    val cat = Pipeline.runCatalog(spark, root)
+    assert(cat.size == 40)
+    val mart = spark.table("main.mart_preseason_overall_rankings_oc")
+    val viaOut = out("mart_preseason_overall_rankings_oc")
+    assert(mart.count() == viaOut.count() && mart.count() > 0)
+    // values with tolerance: table vs parquet materialization can split
+    // files differently, reordering double sums by low-order bits (same
+    // rationale as the fused-mode comparison below)
+    val joined = viaOut.select(col("id"), col("value"))
+      .join(mart.select(col("id"), col("value").as("value_c")), Seq("id")).collect()
+    assert(joined.length == viaOut.count(), "catalog mart must cover every id")
+    joined.foreach { r =>
+      assert(math.abs(r.getAs[Double]("value") - r.getAs[Double]("value_c")) < 1e-9,
+        s"value mismatch for ${r.getAs[String]("id")}")
+    }
+    // listTables also returns session temp views — exclude them
+    val srcTables = spark.catalog.listTables("source").collect()
+      .filter(!_.isTemporary).map(_.name).toSet
+    assert(srcTables.contains("src_nfbc_players") && srcTables.size == 10,
+      s"10 source-layer tables expected, got $srcTables")
+    assert(spark.catalog.listTables("stage").collect()
+      .exists(_.name == "stg_proj_preseason_hitting_sgp_oc"))
+    assert(spark.catalog.listTables("main").collect().map(_.name).toSet
+      .contains("mart_sgp_factors"))
+  }
+
   test("fused mode produces the same mart as materialized mode") {
     // fused: no per-model parquet breaks — Catalyst optimizes across the DAG.
     // Values may differ in low-order bits (double sums accumulate in a

@@ -67,6 +67,27 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed file drops must aggregate identically to the batch read")
   }
 
+  test("streaming dedup within watermark + foreachBatch parquet sink (d1 twin)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    // event 1 duplicated inside a batch, event 2 duplicated ACROSS batches
+    // (both within the watermark window)
+    input.addData(Seq(ev(1, 0, 1, "a", 1), ev(2, 1, 1, "a", 2), ev(1, 0, 1, "a", 1)))
+    input.addData(Seq(ev(2, 1, 1, "a", 2), ev(3, 2, 2, "b", 3)))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dedup-out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-dedup-cp").toString
+    val q = EventStream.startDedupToParquet(
+      input.toDF().withColumn("props", lit("{}")), outDir, cp)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+    val ids = got.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"each event_id must land exactly once across all batches, got $ids")
+  }
+
   test("sessionization closes sessions at the inactivity gap") {
     val sp = spark
     import sp.implicits._
