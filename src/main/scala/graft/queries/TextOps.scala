@@ -164,20 +164,26 @@ object TextOps extends QueryPack {
   /** MinHash+LSH Jaccard >= threshold pairs over docs (doc_id, text), DF-cap
     * applied to the postings BEFORE signatures and the verify universe, so
     * signatures, candidates, and exact verification all agree on the capped
-    * shingle set (and with the oracle, which carries the same filter). */
+    * shingle set (and with the oracle, which carries the same filter).
+    *
+    * The whole pipeline — cap, signatures, AND exact verify — runs in
+    * 64-bit-hash space: the cached postings table is two longs per row, the
+    * heavy-set agg and the per-doc verify arrays shuffle longs, never the
+    * shingle strings (3-8x less bytes moved; same collision exposure d2
+    * already accepts, ~1e-9 at fixture vocabulary sizes). */
   private[queries] def minhashPairs(docs: DataFrame, threshold: Double,
       dfCap: Long): DataFrame = {
-    // capped postings are read three times (signature build + both sides of
-    // the exact-verify join, via the re-grouped arrays) — cache the one
-    // exploded scan
+    // capped postings feed three consumers (heavy set, signatures, verify
+    // arrays) — cache the one narrow exploded scan
     val ex0 = docs.select(col("doc_id"), explode(shingleExpr).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("hv"))
       .cache()
-    val heavy = ex0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val heavy = ex0.groupBy(col("hv")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
-    val exF = ex0.join(broadcast(heavy), Seq("shingle"), "left_anti")
+    val exF = ex0.join(broadcast(heavy), Seq("hv"), "left_anti")
     val sh = exF.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("shingle"))).as("shingles"))
-    val ex = exF.withColumn("hv", pmod(xxhash64(col("shingle")), lit(P)))
+      .agg(sort_array(collect_list(col("hv"))).as("shingles"))
+    val ex = exF.withColumn("hv", pmod(col("hv"), lit(P)))
     // 128 universal hashes from one base hash; min per doc = signature.
     val minCols = (0 until NumHashes).map(i =>
       min((lit(hashA(i)) * col("hv") + lit(hashB(i))) % lit(P)).as(s"m$i"))

@@ -90,22 +90,28 @@ object VectorOps extends QueryPack {
     Array.fill(Planes, Dim)(if (rnd.nextBoolean()) 1 else -1)
   }
 
-  /** (vec_id, band, bh) LSH bucket entries — shared by e2 and its recall test. */
+  /** (vec_id, band, bh) LSH bucket entries — shared by e2 and its recall
+    * test. The plane matrix is a compile-time constant, so the whole
+    * signature computation is a MAP-ONLY expression: `transform` over the
+    * literal plane array with the fused `graft_dot` kernel gives all 150
+    * projections per row inside whole-stage codegen — no explode, no
+    * broadcast join, no re-aggregation shuffle. At cluster scale this means
+    * signatures cost one narrow pass over the vectors; only the tiny
+    * (vec_id, band, bh) triples ever shuffle. */
   private[queries] def lshBands(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val emb = embDouble(s, dir)
-    val planes = planeW.zipWithIndex.flatMap { case (w, p) =>
-      w.zipWithIndex.map { case (wt, i) => (p, i, wt.toDouble) }
-    }.toSeq.toDF("p", "i", "wt")
-    // signature bit p = sign(sum_i v[i] * w[p][i]); dataflow form scales
-    // (explode + broadcast-join + reaggregate, no per-row python).
-    emb.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
-      .join(broadcast(planes), Seq("i"))
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("x") * col("wt")).as("proj"))
-      .withColumn("bit", when(col("proj") > 0, 1L).otherwise(0L))
-      .groupBy(col("vec_id"), expr(s"p div $BandBits").as("band"))
-      .agg(sum(expr(s"shiftleft(bit, cast(p % $BandBits as int))")).as("bh"))
+    val planesSql = planeW.map(r => r.map(w => s"${w}d").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val bands = Planes / BandBits
+    val bhExpr = (0 until BandBits).map(r =>
+      s"(CASE WHEN element_at(proj, b * $BandBits + $r + 1) > 0" +
+        s" THEN ${1L << r}L ELSE 0L END)").mkString(" + ")
+    emb.select(col("vec_id"),
+        expr(s"transform($planesSql, w -> graft_dot(v, w))").as("proj"))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, $bhExpr as bh))"))
+        .as("x"))
+      .select(col("vec_id"), col("x.band").as("band"), col("x.bh").as("bh"))
   }
 
   private val e2 = GQuery(
