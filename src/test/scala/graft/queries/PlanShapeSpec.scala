@@ -68,6 +68,29 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"join inputs must be exchange-free (bucketing co-locates):\n${p.take(1500)}")
   }
 
+  test("plan hygiene sweep: no cartesian/nested-loop joins outside constant attaches") {
+    // The only sanctioned nested-loop shapes are deliberate broadcast
+    // attaches of metadata-scale relations (1-row constants, the 10-query
+    // probe side, K centroids). Everything else must plan as hash/merge
+    // joins — a BNLJ on data-scale inputs is the O(n^2) scale-killer this
+    // sweep exists to catch.
+    val constantAttach = Set(
+      "j6_cross_join_constants", // 1-row constants relation, by design
+      "e1_ann_bruteforce_topk",  // 10-query probe side broadcast (exactness baseline)
+      "e4_ann_ivf_probe",        // K-row centroid table broadcast
+      "u3_union_append_scalar",  // appends a 1-row aggregate
+      "a5_groupmin_scalar_max")  // 1-row scalar max attach (replacement-level pattern)
+    val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      val cart = if (p.contains("CartesianProduct")) Seq(s"$name:cartesian") else Nil
+      val bnlj = if (!constantAttach(name) && p.contains("BroadcastNestedLoopJoin"))
+        Seq(s"$name:bnlj") else Nil
+      cart ++ bnlj
+    }
+    assert(offenders.isEmpty, s"non-hash join shapes: ${offenders.mkString(", ")}")
+  }
+
   test("x1: salted join spreads the 3 hot keys over composite keys") {
     val p = plan("x1_skew_salted_join")
     assert(p.contains("l_returnflag") && p.contains("salt"),
