@@ -436,5 +436,33 @@ object TextOps extends QueryPack {
            |ORDER BY tf DESC, tok LIMIT 100""".stripMargin),
     doc = "Corpus vocabulary: term + document frequency, top-100 (text #5).")
 
-  override val all: Seq[GQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10)
+  // ---- D11: sketched corpus statistics -----------------------------------------
+  // The 100 TB face of d10: at corpus scale exact countDistinct/percentile
+  // need a full shuffle of every token; the sketch versions (HyperLogLog++,
+  // KLL/GK quantiles) aggregate in fixed memory with map-side partials and
+  // merge associatively across executors. Engine-specific sketch internals
+  // mean no DuckDB oracle (rows-only) — the accuracy gate lives in
+  // SimilaritySpec: each estimate must sit within the sketch's documented
+  // error bound of the exact value computed on the same corpus.
+  private val d11 = GQuery(
+    "d11_sketch_stats",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      val lens = docs.select(length(col("text")).as("len"))
+      val vocab = toks.agg(
+        approx_count_distinct(col("tok"), 0.02).as("approx_vocab"),
+        count(lit(1)).as("n_tokens"))
+      val quant = lens.agg(
+        expr("approx_percentile(len, array(0.5, 0.9, 0.99), 1000)").as("len_q"))
+      vocab.crossJoin(quant)
+        .select(col("approx_vocab"), col("n_tokens"),
+          element_at(col("len_q"), 1).as("len_p50"),
+          element_at(col("len_q"), 2).as("len_p90"),
+          element_at(col("len_q"), 3).as("len_p99"))
+    },
+    None,
+    doc = "HLL++ vocabulary + KLL length quantiles — fixed-memory corpus stats (text #6).")
+
+  override val all: Seq[GQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11)
 }

@@ -79,7 +79,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "e1_ann_bruteforce_topk",  // 10-query probe side broadcast (exactness baseline)
       "e4_ann_ivf_probe",        // K-row centroid table broadcast
       "u3_union_append_scalar",  // appends a 1-row aggregate
-      "a5_groupmin_scalar_max")  // 1-row scalar max attach (replacement-level pattern)
+      "a5_groupmin_scalar_max",  // 1-row scalar max attach (replacement-level pattern)
+      "d11_sketch_stats")        // joins two 1-row sketch aggregates
     val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       spark.catalog.clearCache()

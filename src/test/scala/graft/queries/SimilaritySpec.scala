@@ -145,6 +145,27 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncapped == Set((1L, 2L, 1.0)))
   }
 
+  // ---- d11 ---------------------------------------------------------------
+
+  test("d11: sketched corpus stats sit within error bounds of exact values (sf0.01)") {
+    val docs = graft.core.Tables.load(spark, sf01, "documents")
+    val row = graft.SparkEntry.queries("d11_sketch_stats")(spark, sf01).first()
+    val approxVocab = row.getLong(0).toDouble
+    val exactVocab = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok"))).first().getLong(0).toDouble
+    assert(math.abs(approxVocab - exactVocab) / exactVocab < 0.05,
+      f"HLL (rsd 0.02) vocab $approxVocab%.0f vs exact $exactVocab%.0f")
+    val lens = docs.select(length(col("text")).cast("double").as("len"))
+      .collect().map(_.getDouble(0)).sorted
+    def exactQ(q: Double) = lens(math.min(lens.length - 1, (q * lens.length).toInt))
+    for ((q, idx) <- Seq(0.5 -> 2, 0.9 -> 3, 0.99 -> 4)) {
+      val approx = row.getInt(idx).toDouble
+      val exact = exactQ(q)
+      assert(math.abs(approx - exact) / exact < 0.05,
+        f"p$q quantile: approx $approx%.0f vs exact $exact%.0f")
+    }
+  }
+
   // ---- e2 ----------------------------------------------------------------
 
   test("e2: recall@10 >= 0.7 against e1's exact top-10 (sf0.01)") {
