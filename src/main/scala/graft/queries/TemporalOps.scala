@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, QueryPack, Tables}
+
+/** Temporal join operators neither the reference nor stock Spark offers as a
+  * primitive — as-of join and range join — in their scale-correct Spark
+  * forms (the naive spellings are range-condition joins Spark would plan as
+  * a per-key quadratic nested loop):
+  *
+  *   - As-of join: union-tag both sides, ONE shuffle on the partition key,
+  *     and carry the right side forward with a running `last(_, ignoreNulls)`
+  *     window. Cost is a sort per key — independent of how many right rows
+  *     each left row "sees".
+  *   - Range join: bucket event time by the range width; the earlier side
+  *     probes its own and the next bucket (equi-keys!), then the exact range
+  *     predicate filters. Each qualifying pair meets in exactly one bucket,
+  *     so no dedup pass is needed; the join stays a hash/merge join on
+  *     (user, bucket).
+  *
+  * Timestamps flow as exact micros longs (`unix_micros` / DuckDB `epoch_us`)
+  * so the oracle compare is bit-exact; raw values pass through unrounded.
+  */
+object TemporalOps extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def micros(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("event_id"), col("user_id"),
+      col("event_type"), expr("unix_micros(ts)").as("us"), col("value"))
+
+  // ---- T1: as-of join ----------------------------------------------------------
+  // For every click, the most recent prior-or-equal view of the same user
+  // (NULL when none): the canonical "latest quote for each trade" shape.
+  private val t1 = GQuery(
+    "t1_asof_join",
+    (s, dir) => {
+      val ev = micros(s, dir).filter(col("event_type").isin("click", "view"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev
+        .withColumn("view_us",
+          last(when(col("event_type") === "view", col("us")), ignoreNulls = true).over(w))
+        .withColumn("view_value",
+          last(when(col("event_type") === "view", col("value")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("us").as("click_us"), col("view_us"), col("view_value"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
+           |  FROM events WHERE event_type IN ('click', 'view')),
+           |enriched AS (
+           |  SELECT event_id, user_id, event_type, us,
+           |    last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY us, event_id
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_us,
+           |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY us, event_id
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_value
+           |  FROM ev)
+           |SELECT event_id AS click_id, user_id, us AS click_us, view_us, view_value
+           |FROM enriched WHERE event_type = 'click'""".stripMargin),
+    doc = "As-of join: latest prior view per click, via running last() window (temporal #1).")
+
+  // ---- T2: range join, bucketed ------------------------------------------------
+  // All same-user event pairs at most 300 s apart (strictly later second
+  // event). Bucket width == range width, earlier side probes 2 buckets.
+  private val RangeUs = 300L * 1000 * 1000
+
+  private val t2 = GQuery(
+    "t2_range_join_bucketed",
+    (s, dir) => {
+      val ev = micros(s, dir).select(col("event_id"), col("user_id"), col("us"))
+      val early = ev
+        .withColumn("jb", explode(array(
+          expr(s"us div $RangeUs"), expr(s"us div $RangeUs + 1"))))
+        .select(col("user_id"), col("jb"),
+          col("event_id").as("early_id"), col("us").as("early_us"))
+      val late = ev.select(col("user_id"), expr(s"us div $RangeUs").as("jb"),
+        col("event_id").as("late_id"), col("us").as("late_us"))
+      early.join(late, Seq("user_id", "jb"))
+        .filter(col("late_us") > col("early_us") &&
+          col("late_us") <= col("early_us") + RangeUs)
+        .select(col("user_id"), col("early_id"), col("late_id"),
+          (col("late_us") - col("early_us")).as("gap_us"))
+    },
+    Some(s"""SELECT a.user_id, a.event_id AS early_id, b.event_id AS late_id,
+            |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+            |FROM events a JOIN events b
+            |ON a.user_id = b.user_id
+            |AND epoch_us(b.ts) > epoch_us(a.ts)
+            |AND epoch_us(b.ts) <= epoch_us(a.ts) + $RangeUs""".stripMargin),
+    doc = "Range join: same-user pairs within 300 s, bucket-probed equi-join (temporal #2).")
+
+  override val all: Seq[GQuery] = Seq(t1, t2)
+}
