@@ -212,6 +212,58 @@ object VectorOps extends QueryPack {
            |WHERE rn <= 10""".stripMargin),
     doc = "IVF: rank centroids, probe 2 cells, exact-score within cells (similarity #4).")
 
+  // ---- E5: k-means coarse quantizer ---------------------------------------------
+  // Lloyd's k-means in cosine geometry, fully declarative: deterministic seed
+  // init (lowest vec_ids), then `iters` rounds of
+  //   assign:    n x k fan-out via the constant-key broadcast hash join
+  //              (k is coarse-quantizer-small), argmax cosine by window;
+  //   recompute: posexplode + per-(cell, dim) mean + array rebuild.
+  // Data-adaptive cells replace the given labels as the coarse quantizer for
+  // the IVF/ball-pruning operators (e4/d9 accept any cell column) — tighter
+  // radii mean more pruning. At k ~ 10^4 the assign step would instead
+  // broadcast collected centroids per round (the MLlib pattern: k*d doubles
+  // of planning-scale metadata); the dataflow form keeps small-k fully lazy.
+
+  /** (vec_id, label, v) -> (vec_id, label := cell id, v). */
+  private[queries] def kmeansCells(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    def assign(cent: DataFrame): DataFrame = {
+      val meta = cent.select(col("cell"), col("cv"),
+        pmod(col("cell"), lit(1)).cast("int").as("kk"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+      emb.withColumn("kk", pmod(col("vec_id"), lit(1)).cast("int"))
+        .join(broadcast(meta), Seq("kk"))
+        .withColumn("csim", cosine("v", "cv"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell"), col("v"))
+    }
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned.select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("c"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
+    // hash-spread deterministic init: k seeds picked by vec_id hash order —
+    // reproducible like lowest-ids, but spread across the corpus instead of
+    // clumped in whatever region low ids happen to share
+    val init = emb.orderBy(expr("xxhash64(vec_id)"), col("vec_id")).limit(k)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    var cent = init
+    (0 until iters).foreach(_ => cent = recompute(assign(cent)))
+    assign(cent).select(col("vec_id"), col("cell").as("label"), col("v"))
+  }
+
+  private val e5 = GQuery(
+    "e5_kmeans_cells",
+    (s, dir) => {
+      val cells = kmeansCells(embDouble(s, dir), k = 8, iters = 3)
+      cells.join(broadcast(cellMeta(cells)), Seq("label"))
+        .groupBy(col("label").as("cell"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(cosine("v", "cv")), 6).as("mean_sim_to_centroid"))
+    },
+    None,
+    doc = "k-means coarse quantizer (k=8, 3 Lloyd rounds) + cell cohesion stats (similarity #5).")
+
   // ---- D9: embedding-cosine near-dup pairs ------------------------------------------
   // Exact threshold join WITHOUT an all-pairs nested loop. Candidates come
   // from metric ball pruning over coarse cells (the label column is the
@@ -311,5 +363,5 @@ object VectorOps extends QueryPack {
            |WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.4""".stripMargin),
     doc = "Embedding-cosine near-dup pairs via cell ball-pruning + exact verify, sim >= 0.4 (dedup #5).")
 
-  override val all: Seq[GQuery] = Seq(e1, e2, e3, e4, d9)
+  override val all: Seq[GQuery] = Seq(e1, e2, e3, e4, e5, d9)
 }

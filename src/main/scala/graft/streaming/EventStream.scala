@@ -50,6 +50,33 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  // ---- stream-stream interval join -------------------------------------------
+
+  /** Watermarked stream-stream interval join: each click pairs with the same
+    * user's views at most 10 minutes older (the streaming face of the t2
+    * range join / attribution). Both sides carry a watermark AND the join
+    * carries a time-range constraint — together they let the state store
+    * evict view rows older than (click watermark − 10 min), so join state is
+    * bounded no matter how long the streams run. Works identically on batch
+    * frames (same plan, no watermark needed) — the parity test runs both. */
+  def attributedClicks(events: DataFrame, stream: Boolean = true): DataFrame = {
+    def wm(df: DataFrame, tsCol: String) =
+      if (stream) df.withWatermark(tsCol, "10 minutes") else df
+    val clicks = wm(events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts")), "click_ts")
+    val views = wm(events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts")), "view_ts")
+    clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("user_id"),
+        expr("unix_micros(click_ts)").as("click_us"),
+        col("view_id"), expr("unix_micros(view_ts)").as("view_us"))
+  }
+
   // ---- streaming exact dedup (the streaming face of d1) ----------------------
 
   /** Key-based exact dedup with WATERMARK-BOUNDED state:

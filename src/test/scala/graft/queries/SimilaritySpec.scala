@@ -118,6 +118,31 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.hammingPairs(sims, 5).count() == 0)
   }
 
+  // ---- e5 k-means --------------------------------------------------------
+
+  test("e5: k-means cells are pure on a clustered corpus and swap into the d9 prune") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 8
+    val rows = for { c <- 0 until 3; i <- 0 until 40 } yield {
+      val v = Array.tabulate(dim)(d =>
+        (if (d == c * 2) 1.0 else 0.0) + rnd.nextGaussian() * 0.01)
+      (c.toLong * 1000 + i, 0L, v) // all input labels identical: cells must be LEARNED
+    }
+    val emb = rows.toDF("vec_id", "label", "v")
+    val cells = VectorOps.kmeansCells(emb, k = 8, iters = 3).cache()
+    // purity: every learned cell contains vectors of exactly one true cluster
+    val purity = cells.withColumn("truth", (col("vec_id") / 1000).cast("int"))
+      .groupBy(col("label")).agg(countDistinct(col("truth")).as("nTruth"))
+      .agg(max("nTruth")).head().getLong(0)
+    assert(purity == 1L, "each k-means cell must be pure on orthogonal clusters")
+    assert(cells.count() == rows.size, "every vector assigned")
+    // learned cells drive the exact d9 prune just like given labels
+    val pairs = VectorOps.cosineNearDupPairs(cells, 0.4)
+    assert(pairs.count() == 3L * 40 * 39 / 2, "all within-cluster pairs found")
+    cells.unpersist()
+  }
+
   // ---- d2/d3 DF cap ------------------------------------------------------
 
   test("d2/d3: DF cap drops a degenerate corpus-wide shingle, pairs stay exact") {

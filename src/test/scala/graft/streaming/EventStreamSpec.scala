@@ -67,6 +67,38 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed file drops must aggregate identically to the batch read")
   }
 
+  test("stream-stream interval join equals the batch plan on the same data") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    // user 1: views at minutes 0 and 8, clicks at 5 and 30 — click@5 pairs
+    // with view@0 only; click@30 is beyond 10 min of both views.
+    // user 2: view@2, click@7 pairs; user 3: click with no view.
+    val events = Seq(
+      ev(10, 0, 1, "view", 1), ev(11, 8, 1, "view", 1),
+      ev(12, 5, 1, "click", 2), ev(13, 30, 1, "click", 2),
+      ev(20, 2, 2, "view", 1), ev(21, 7, 2, "click", 2),
+      ev(30, 3, 3, "click", 2),
+      ev(99, 600, 9, "error", 0)) // watermark pusher
+    input.addData(events)
+    val q = EventStream.attributedClicks(
+      input.toDF().withColumn("props", lit("{}")), stream = true)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attrib")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val batch = EventStream.attributedClicks(
+      events.toDF().withColumn("props", lit("{}")), stream = false)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(batch == Set((12L, 10L), (21L, 20L)),
+      s"hand-checked attribution pairs (view@8 is after click@5), got $batch")
+    assert(streamed == batch, "stream-stream join must equal the batch twin")
+  }
+
   test("streaming dedup within watermark + foreachBatch parquet sink (d1 twin)") {
     val sp = spark
     import sp.implicits._
