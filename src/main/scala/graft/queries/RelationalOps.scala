@@ -376,6 +376,38 @@ object RelationalOps extends QueryPack {
            |GROUP BY o_orderpriority""".stripMargin),
     doc = "Bucket-pruned exchange-free join: bucketBy once, join shuffle-free (X2).")
 
+  // ---- X3: partition-pruned scan ------------------------------------------------
+  // The other half of lakehouse layout (x2 covers bucketing): partition the
+  // fact table by a coarse time key at write time, and every query filtering
+  // on it reads ONLY the matching directories — the scan never touches the
+  // other years' files (PartitionFilters in the plan, asserted in
+  // PlanShapeSpec). At 100 TB this is the #1 bytes-read reducer; the write
+  // is once-per-scale and skip-if-exists like x2.
+  private val x3 = GQuery(
+    "x3_partition_pruned_scan",
+    (s, dir) => {
+      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
+        s"${sys.props("java.io.tmpdir")}/graft-buckets")
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets")
+      val tbl = s"graft_buckets.orders_part_$tag"
+      if (!s.catalog.tableExists(tbl))
+        t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite")
+          .option("path", s"$wh/orders_part_$tag")
+          .partitionBy("o_year")
+          .saveAsTable(tbl)
+      s.table(tbl).filter(col("o_year") === 1995)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders WHERE year(o_orderdate) = 1995
+           |GROUP BY o_orderpriority""".stripMargin),
+    doc = "Partition-pruned scan: write partitioned by year once, read one year's files (X3).")
+
   // ---- Q3: TPC-H-Q3-shaped headline query --------------------------------------
   // Multi-join + filtered scan + agg + top-K: the canonical OLAP shape the
   // marts are made of. Dates filter pushes to both scans; customer broadcasts;
@@ -415,5 +447,5 @@ object RelationalOps extends QueryPack {
     x2.run(s, dir)
 
   override val all: Seq[GQuery] =
-    Seq(s4, s5, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, x1, x2, q3)
+    Seq(s4, s5, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, x1, x2, x3, q3)
 }

@@ -92,6 +92,24 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(offenders.isEmpty, s"non-hash join shapes: ${offenders.mkString(", ")}")
   }
 
+  test("x3: year filter becomes a partition filter — non-matching files never scanned") {
+    val p = plan("x3_partition_pruned_scan")
+    assert(p.contains("o_year"), "partition column must appear in the plan")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("o_year"),
+      s"year predicate must be a PartitionFilter, not a data filter:\n$scanLine")
+  }
+
+  test("AQE: runtime re-plan coalesces the tiny shuffle (adaptive execution on)") {
+    val df = graft.SparkEntry.queries("a1_groupby_aggregates")(spark, sfDir)
+    df.collect() // AQE finalizes the plan only after execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"),
+      "query should run under adaptive execution")
+    assert(p.contains("AQEShuffleRead coalesced") || p.contains("coalesced"),
+      s"tiny shuffle should coalesce at runtime:\n${p.take(800)}")
+  }
+
   test("x1: salted join spreads the 3 hot keys over composite keys") {
     val p = plan("x1_skew_salted_join")
     assert(p.contains("l_returnflag") && p.contains("salt"),
