@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, QueryPack, Tables}
+
+/** Corpus-curation operators a large-scale training-data pipeline needs on
+  * top of pairwise dedup: duplicate-cluster resolution, deterministic
+  * train/test splitting, staged quality filtering, and token-budget packing.
+  *
+  * Scale notes (100 TB posture):
+  *   - d12 connected components is iterative min-label propagation over the
+  *     near-dup edge list: every step is a shuffle-join + hash aggregate
+  *     (both distributed), lineage is cut per iteration with a checkpoint,
+  *     and convergence is O(max component diameter) rounds — near-dup
+  *     clusters are shallow (dup chains, not long paths), so a handful of
+  *     rounds suffices at any corpus size. No driver-side graph state.
+  *   - d13 split assignment is a pure per-row hash — no sampling state, no
+  *     shuffle, and the assignment of an existing doc never changes when the
+  *     corpus grows (the property that matters for reproducible evals).
+  *   - d14 is per-row expressions + one hash aggregate: map-side partials,
+  *     5-row output.
+  *   - d15 uses the two-level distributed prefix scan: per-block cumulative
+  *     sums in parallel, then a tiny global window over ONE ROW PER BLOCK
+  *     (n/blockSize rows) to compute block offsets — the classic fix for
+  *     the single-partition global-window anti-pattern.
+  */
+object CorpusOps extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---- D12: duplicate clusters via distributed connected components ---------
+
+  /** Min-label propagation to a fixpoint. `edgesIn` must carry (u, v) with
+    * BOTH directions present. Each doc converges to the minimum doc_id
+    * reachable from it (its component id). Iterations are bounded and the
+    * fixpoint is detected by the (monotone-decreasing) label checksum, so
+    * termination never depends on a guess. `localCheckpoint` cuts lineage so
+    * plan size stays O(1) across rounds; a production run on a real cluster
+    * would use a reliable `checkpoint` dir instead.
+    */
+  private[queries] def connectedComponents(edgesIn: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = edgesIn.select(col("u"), col("v")).persist()
+    var labels = edges.select(col("u").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("lbl"))
+      .localCheckpoint()
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prev = checksum(labels)
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      val prop = edges.join(labels, edges("u") === labels("doc"))
+        .select(edges("v").as("doc"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val cur = checksum(next)
+      done = cur.compareTo(prev) == 0
+      prev = cur
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup pairs (d2 semantics, same threshold + DF cap) resolved into
+    * duplicate clusters; output is one row per cluster with its canonical id
+    * (the minimum member — the doc a dedup pass would keep). The DuckDB
+    * oracle computes the same components with a recursive CTE over the
+    * identical exact-Jaccard edge list. */
+  private val d12 = GQuery(
+    "d12_dedup_components",
+    (s, dir) => {
+      val jp = TextOps.jaccardPairs(t(s, dir, "documents"), 0.5, TextOps.DfCap)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = jp.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(jp.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      connectedComponents(edges)
+        .groupBy(col("lbl").as("component"))
+        .agg(count(lit(1)).as("csize"), max(col("doc")).as("max_doc"))
+    },
+    Some(s"""WITH RECURSIVE ${TextOps.shingleSqlCte},
+            |ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            |keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= ${TextOps.DfCap}),
+            |ex AS (SELECT ex0.doc_id, ex0.shingle FROM ex0 JOIN keep USING (shingle)),
+            |pairs AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+            |jp AS (
+            |  SELECT doc_a, doc_b FROM pairs
+            |  JOIN sizes sa ON doc_a = sa.doc_id
+            |  JOIN sizes sb ON doc_b = sb.doc_id
+            |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+            |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+            |          UNION ALL SELECT doc_b, doc_a FROM jp),
+            |verts AS (SELECT DISTINCT u AS doc FROM edges),
+            |walk AS (
+            |  SELECT doc, doc AS lbl FROM verts
+            |  UNION
+            |  SELECT e.v AS doc, w.lbl FROM walk w JOIN edges e ON e.u = w.doc),
+            |comp AS (SELECT doc, min(lbl) AS lbl FROM walk GROUP BY doc)
+            |SELECT lbl AS component, count(*) AS csize, max(doc) AS max_doc
+            |FROM comp GROUP BY lbl""".stripMargin),
+    doc = "Near-dup pairs resolved to duplicate clusters (connected components).")
+
+  // ---- D13: deterministic hash split (train/test) ---------------------------
+
+  /** Salted-md5 bucket on doc_id: buckets 00..19 hex (26/256 ~ 10.2%) go to
+    * test. Pure per-row function of the key — stable under corpus growth,
+    * no RNG state, identical on any engine with md5. */
+  private val d13 = GQuery(
+    "d13_split_assign",
+    (s, dir) => {
+      val bucket = substring(
+        md5(concat(lit("graft-split:"), col("doc_id").cast("string"))), 1, 2)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        bucket.as("bucket"),
+        when(bucket < lit("1a"), lit("test")).otherwise(lit("train")).as("split"))
+    },
+    Some("""SELECT doc_id,
+           |  substring(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+           |  CASE WHEN substring(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+           |       THEN 'test' ELSE 'train' END AS split
+           |FROM documents""".stripMargin),
+    doc = "Deterministic hash-bucketed train/test assignment per document.")
+
+  // ---- D14: staged quality-rule funnel (Gopher-style) -----------------------
+
+  /** Four cumulative quality gates with per-stage survivor counts:
+    * word count in [10, 5000]; mean word length in [2, 12]; symbol fraction
+    * <= 0.10; contains the stopword " the ". Counts use count(CASE WHEN ..
+    * THEN 1 END) on both engines so every output stays BIGINT (DuckDB's
+    * sum() would widen to HUGEINT and break the hash compare). */
+  private val d14 = GQuery(
+    "d14_quality_funnel",
+    (s, dir) => {
+      val nw = size(split(col("text"), " "))
+      val compact = length(regexp_replace(col("text"), " ", ""))
+      val alnum = length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
+      val mwl = compact.cast("double") / nw
+      val symFrac = (length(col("text")) - alnum).cast("double") / length(col("text"))
+      val c1 = nw.between(10, 5000)
+      val c2 = c1 && mwl.between(2.0, 12.0)
+      val c3 = c2 && symFrac <= 0.10
+      val c4 = c3 && concat(lit(" "), col("text"), lit(" ")).contains(" the ")
+      t(s, dir, "documents")
+        .agg(
+          count(lit(1)).as("r0"),
+          count(when(c1, lit(1))).as("r1"),
+          count(when(c2, lit(1))).as("r2"),
+          count(when(c3, lit(1))).as("r3"),
+          count(when(c4, lit(1))).as("r4"))
+        .select(expr(
+          """stack(5,
+            |  'r0_total', r0,
+            |  'r1_words', r1,
+            |  'r2_wordlen', r2,
+            |  'r3_symbols', r3,
+            |  'r4_stopword', r4) AS (stage, n_docs)""".stripMargin))
+    },
+    Some("""WITH f AS (
+           |  SELECT
+           |    len(string_split(text, ' ')) AS nw,
+           |    CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mwl,
+           |    CAST(len(text) - len(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+           |      / len(text) AS sym_frac,
+           |    (' ' || text || ' ') LIKE '% the %' AS has_stop
+           |  FROM documents),
+           |g AS (
+           |  SELECT
+           |    nw BETWEEN 10 AND 5000 AS c1,
+           |    nw BETWEEN 10 AND 5000 AND mwl BETWEEN 2.0 AND 12.0 AS c2,
+           |    nw BETWEEN 10 AND 5000 AND mwl BETWEEN 2.0 AND 12.0 AND sym_frac <= 0.10 AS c3,
+           |    nw BETWEEN 10 AND 5000 AND mwl BETWEEN 2.0 AND 12.0 AND sym_frac <= 0.10
+           |      AND has_stop AS c4
+           |  FROM f),
+           |a AS (
+           |  SELECT count(*) AS r0,
+           |    count(CASE WHEN c1 THEN 1 END) AS r1,
+           |    count(CASE WHEN c2 THEN 1 END) AS r2,
+           |    count(CASE WHEN c3 THEN 1 END) AS r3,
+           |    count(CASE WHEN c4 THEN 1 END) AS r4
+           |  FROM g)
+           |SELECT 'r0_total' AS stage, r0 AS n_docs FROM a
+           |UNION ALL SELECT 'r1_words', r1 FROM a
+           |UNION ALL SELECT 'r2_wordlen', r2 FROM a
+           |UNION ALL SELECT 'r3_symbols', r3 FROM a
+           |UNION ALL SELECT 'r4_stopword', r4 FROM a""".stripMargin),
+    doc = "Staged quality-rule funnel with per-stage survivor counts.")
+
+  // ---- D15: token-budget corpus packing (distributed prefix scan) -----------
+
+  /** Contiguous sharding by cumulative token budget (4096 tokens/shard):
+    * shard(doc) = floor(tokens-before-doc / budget) in doc_id order. The
+    * cumulative sum is the two-level scan described in the header: blocks of
+    * 100 doc_ids scan in parallel, the global window only orders the
+    * per-block totals (one row per block), and offsets broadcast back. */
+  private val d15 = GQuery(
+    "d15_pack_token_budget",
+    (s, dir) => {
+      val tok = t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        expr("doc_id div 100").as("block"))
+      val wIn = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inBlock = tok.withColumn("cum_in", sum(col("n_tok")).over(wIn))
+      val wOff = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = inBlock.groupBy(col("block")).agg(sum(col("n_tok")).as("btot"))
+        .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+        .select(col("block"), col("off"))
+      inBlock.join(broadcast(offsets), Seq("block"))
+        .withColumn("cum", col("cum_in") + col("off"))
+        .withColumn("shard", expr("(cum - n_tok) div 4096"))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("shard_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |cum AS (
+           |  SELECT doc_id, n_tok,
+           |    sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           |      AND CURRENT ROW) AS cum
+           |  FROM tok),
+           |sh AS (SELECT doc_id, n_tok, CAST((cum - n_tok) // 4096 AS BIGINT) AS shard FROM cum)
+           |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM sh GROUP BY shard""".stripMargin),
+    doc = "Token-budget packing: contiguous 4096-token shards via a two-level prefix scan.")
+
+  override val all: Seq[GQuery] = Seq(d12, d13, d14, d15)
+}

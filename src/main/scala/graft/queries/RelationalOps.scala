@@ -21,6 +21,43 @@ object RelationalOps extends QueryPack {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  // ---- S2: star() projection (macro-expanded explicit column list) --------
+  // Reference: models/source/nfbc/src_nfbc_players.sql:7 (dbt_utils.star with
+  // an exclusion list — the macro expands to every column EXCEPT the named
+  // ones, so the projection is explicit and prunable at the scan).
+  private val s2 = GQuery(
+    "s2_star_projection",
+    (s, dir) => {
+      val df = t(s, dir, "nation")
+      df.select(df.columns.filterNot(_ == "n_regionkey").map(col).toSeq: _*)
+    },
+    Some("SELECT n_nationkey, n_name FROM nation"),
+    doc = "star(except=[...]) projection: all columns minus exclusions (S2).")
+
+  // ---- S6: no-filter passthrough scan --------------------------------------
+  // Reference: models/source/nfbc/src_nfbc_standings.sql:7-16 (keeps ALL
+  // history — no snapshot filter, no WHERE).
+  private val s6 = GQuery(
+    "s6_passthrough_scan",
+    (s, dir) => t(s, dir, "region")
+      .select(col("r_regionkey"), col("r_name")),
+    Some("SELECT r_regionkey, r_name FROM region"),
+    doc = "Full-history passthrough scan, no filter (S6).")
+
+  // ---- S8: serving scan with explicit ordered column list ------------------
+  // Reference: app/app.py:419-430 (SELECT <explicit col list> FROM mart
+  // ORDER BY rank). The explicit list is what lets the scan prune to the
+  // served columns; the sort is a final TakeOrdered-able presentation step.
+  private val s8 = GQuery(
+    "s8_serving_columns",
+    (s, dir) => t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(100),
+    Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+           |ORDER BY c_acctbal DESC, c_custkey LIMIT 100""".stripMargin),
+    doc = "Serving pull: explicit column list + rank ordering + page limit (S8).")
+
   // ---- S4: latest-snapshot filter (scalar-subquery semantics) -------------
   // Reference: models/source/fangraphs/src_fangraphs_projections_preseason_hitting.sql:17-21
   private val s4 = GQuery(
@@ -447,5 +484,5 @@ object RelationalOps extends QueryPack {
     x2.run(s, dir)
 
   override val all: Seq[GQuery] =
-    Seq(s4, s5, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, x1, x2, x3, q3)
+    Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, x1, x2, x3, q3)
 }

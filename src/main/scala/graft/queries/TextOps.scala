@@ -36,7 +36,7 @@ object TextOps extends QueryPack {
   }
 
   /** Shared SQL fragment: doc_id -> distinct 3-word shingle list (DuckDB). */
-  private val shingleSqlCte =
+  private[queries] val shingleSqlCte =
     """docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT doc_id,
       |  CASE WHEN len(w) >= 3 THEN
@@ -73,7 +73,7 @@ object TextOps extends QueryPack {
     * ~zero similarity signal, so dropping it is standard practice. Sized so
     * nothing fires at test scale (max fixture DF ~25); observable via
     * [[heavyShingleStats]]. */
-  private val DfCap = 10000L
+  private[queries] val DfCap = 10000L
 
   /** DF-cap diagnostics: (# distinct shingles over the cap, # postings they
     * contribute). Logged at WARN when non-zero so capped production runs are

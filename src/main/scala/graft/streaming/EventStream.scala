@@ -59,7 +59,8 @@ object EventStream {
     * evict view rows older than (click watermark − 10 min), so join state is
     * bounded no matter how long the streams run. Works identically on batch
     * frames (same plan, no watermark needed) — the parity test runs both. */
-  def attributedClicks(events: DataFrame, stream: Boolean = true): DataFrame = {
+  def attributedClicks(events: DataFrame, stream: Boolean = true,
+      joinType: String = "inner"): DataFrame = {
     def wm(df: DataFrame, tsCol: String) =
       if (stream) df.withWatermark(tsCol, "10 minutes") else df
     val clicks = wm(events.filter(col("event_type") === "click")
@@ -71,11 +72,22 @@ object EventStream {
     clicks.join(views,
         col("user_id") === col("v_user") &&
           col("view_ts") <= col("click_ts") &&
-          col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES"))
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES"),
+        joinType)
       .select(col("click_id"), col("user_id"),
         expr("unix_micros(click_ts)").as("click_us"),
         col("view_id"), expr("unix_micros(view_ts)").as("view_us"))
   }
+
+  /** Left-outer variant: clicks with NO qualifying view still emit, with null
+    * view columns — but only once the view-side watermark has passed the end
+    * of the click's match interval, i.e. when the runtime can PROVE no late
+    * view can ever match. That proof is what makes streaming outer joins
+    * need both the watermark and the time-range constraint; the null rows
+    * surface one micro-batch after the watermark passes. Batch twin: the
+    * same plan with `stream = false` is a plain left join. */
+  def attributedClicksOuter(events: DataFrame, stream: Boolean = true): DataFrame =
+    attributedClicks(events, stream, joinType = "left_outer")
 
   // ---- streaming exact dedup (the streaming face of d1) ----------------------
 

