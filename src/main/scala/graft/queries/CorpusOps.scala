@@ -68,47 +68,88 @@ object CorpusOps extends QueryPack {
     labels
   }
 
+  /** DuckDB CTE chain ending in `comp(doc, lbl)`: the d2 exact-Jaccard edge
+    * list resolved to connected components by a recursive min-label walk —
+    * the oracle twin of [[connectedComponents]], shared by d12 and d16. */
+  private val componentsSqlCtes: String =
+    s"""${TextOps.shingleSqlCte},
+       |ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= ${TextOps.DfCap}),
+       |ex AS (SELECT ex0.doc_id, ex0.shingle FROM ex0 JOIN keep USING (shingle)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+       |jp AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+       |          UNION ALL SELECT doc_b, doc_a FROM jp),
+       |verts AS (SELECT DISTINCT u AS doc FROM edges),
+       |walk AS (
+       |  SELECT doc, doc AS lbl FROM verts
+       |  UNION
+       |  SELECT e.v AS doc, w.lbl FROM walk w JOIN edges e ON e.u = w.doc),
+       |comp AS (SELECT doc, min(lbl) AS lbl FROM walk GROUP BY doc)""".stripMargin
+
   /** Near-dup pairs (d2 semantics, same threshold + DF cap) resolved into
     * duplicate clusters; output is one row per cluster with its canonical id
     * (the minimum member — the doc a dedup pass would keep). The DuckDB
     * oracle computes the same components with a recursive CTE over the
     * identical exact-Jaccard edge list. */
+  /** (doc, lbl) membership of every doc that has at least one near-dup edge:
+    * the d2 pairs turned into an undirected edge list and collapsed by
+    * [[connectedComponents]]. Shared by d12 (cluster stats) and d16 (apply). */
+  private def dupComponents(docs: DataFrame): DataFrame = {
+    val jp = TextOps.jaccardPairs(docs, 0.5, TextOps.DfCap)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = jp.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(jp.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    connectedComponents(edges)
+  }
+
   private val d12 = GQuery(
     "d12_dedup_components",
-    (s, dir) => {
-      val jp = TextOps.jaccardPairs(t(s, dir, "documents"), 0.5, TextOps.DfCap)
-        .select(col("doc_a"), col("doc_b"))
-      val edges = jp.select(col("doc_a").as("u"), col("doc_b").as("v"))
-        .union(jp.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      connectedComponents(edges)
+    (s, dir) =>
+      dupComponents(t(s, dir, "documents"))
         .groupBy(col("lbl").as("component"))
-        .agg(count(lit(1)).as("csize"), max(col("doc")).as("max_doc"))
-    },
-    Some(s"""WITH RECURSIVE ${TextOps.shingleSqlCte},
-            |ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-            |keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= ${TextOps.DfCap}),
-            |ex AS (SELECT ex0.doc_id, ex0.shingle FROM ex0 JOIN keep USING (shingle)),
-            |pairs AS (
-            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-            |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            |  GROUP BY 1, 2),
-            |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
-            |jp AS (
-            |  SELECT doc_a, doc_b FROM pairs
-            |  JOIN sizes sa ON doc_a = sa.doc_id
-            |  JOIN sizes sb ON doc_b = sb.doc_id
-            |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
-            |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
-            |          UNION ALL SELECT doc_b, doc_a FROM jp),
-            |verts AS (SELECT DISTINCT u AS doc FROM edges),
-            |walk AS (
-            |  SELECT doc, doc AS lbl FROM verts
-            |  UNION
-            |  SELECT e.v AS doc, w.lbl FROM walk w JOIN edges e ON e.u = w.doc),
-            |comp AS (SELECT doc, min(lbl) AS lbl FROM walk GROUP BY doc)
+        .agg(count(lit(1)).as("csize"), max(col("doc")).as("max_doc")),
+    Some(s"""WITH RECURSIVE $componentsSqlCtes
             |SELECT lbl AS component, count(*) AS csize, max(doc) AS max_doc
             |FROM comp GROUP BY lbl""".stripMargin),
     doc = "Near-dup pairs resolved to duplicate clusters (connected components).")
+
+  // ---- D16: apply the dedup — drop non-canonical members, keep the rest -----
+
+  /** The operational end of the dedup story: every clustered doc EXCEPT its
+    * cluster's canonical (minimum) member goes on the drop list, and the
+    * surviving corpus is `documents LEFT ANTI JOIN drops` — the anti join is
+    * a broadcastable hash join (the drop list is duplicates-only, a small
+    * fraction of any real corpus), so applying dedup at 100 TB costs one
+    * scan of the corpus. Output is a per-language survivor summary so the
+    * result stays compact and hash-comparable. */
+  private val d16 = GQuery(
+    "d16_dedup_apply",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val drops = dupComponents(docs)
+        .filter(col("doc") =!= col("lbl"))
+        .select(col("doc").as("doc_id"))
+      docs.join(broadcast(drops), Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"))
+    },
+    Some(s"""WITH RECURSIVE $componentsSqlCtes,
+            |drops AS (SELECT doc FROM comp WHERE doc <> lbl)
+            |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+            |FROM documents
+            |WHERE doc_id NOT IN (SELECT doc FROM drops)
+            |GROUP BY lang""".stripMargin),
+    doc = "Dedup applied: anti-join the drop list, per-language survivor stats.")
 
   // ---- D13: deterministic hash split (train/test) ---------------------------
 
@@ -242,5 +283,5 @@ object CorpusOps extends QueryPack {
            |FROM sh GROUP BY shard""".stripMargin),
     doc = "Token-budget packing: contiguous 4096-token shards via a two-level prefix scan.")
 
-  override val all: Seq[GQuery] = Seq(d12, d13, d14, d15)
+  override val all: Seq[GQuery] = Seq(d12, d13, d14, d15, d16)
 }

@@ -420,21 +420,28 @@ object RelationalOps extends QueryPack {
   // other years' files (PartitionFilters in the plan, asserted in
   // PlanShapeSpec). At 100 TB this is the #1 bytes-read reducer; the write
   // is once-per-scale and skip-if-exists like x2.
+  /** Year-partitioned copy of `orders`, written once per scale dir
+    * (skip-if-exists) into the stable bucket warehouse — shared by the
+    * partition-pruning demos x3 (static) and x4 (dynamic). */
+  private def partitionedOrders(s: SparkSession, dir: String): String = {
+    val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
+      s"${sys.props("java.io.tmpdir")}/graft-buckets")
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets")
+    val tbl = s"graft_buckets.orders_part_$tag"
+    if (!s.catalog.tableExists(tbl))
+      t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite")
+        .option("path", s"$wh/orders_part_$tag")
+        .partitionBy("o_year")
+        .saveAsTable(tbl)
+    tbl
+  }
+
   private val x3 = GQuery(
     "x3_partition_pruned_scan",
     (s, dir) => {
-      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
-        s"${sys.props("java.io.tmpdir")}/graft-buckets")
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets")
-      val tbl = s"graft_buckets.orders_part_$tag"
-      if (!s.catalog.tableExists(tbl))
-        t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
-          .write.mode("overwrite")
-          .option("path", s"$wh/orders_part_$tag")
-          .partitionBy("o_year")
-          .saveAsTable(tbl)
-      s.table(tbl).filter(col("o_year") === 1995)
+      s.table(partitionedOrders(s, dir)).filter(col("o_year") === 1995)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
@@ -444,6 +451,32 @@ object RelationalOps extends QueryPack {
            |FROM orders WHERE year(o_orderdate) = 1995
            |GROUP BY o_orderpriority""".stripMargin),
     doc = "Partition-pruned scan: write partitioned by year once, read one year's files (X3).")
+
+  // ---- X4: dynamic partition pruning — runtime subquery prunes the fact scan --
+  // The years to read are only known after FILTERING THE DIM at runtime, so no
+  // static PartitionFilter can exist; Spark's DPP injects a
+  // dynamicpruningexpression(o_year IN <broadcast result>) into the fact
+  // scan's partition filters — at 100 TB this is the difference between
+  // scanning every year and scanning the two the dim selects. The dim here is
+  // the distinct-year relation (a stand-in for a date dimension), filtered on
+  // an attribute (even years) the planner cannot constant-fold away.
+  private val x4 = GQuery(
+    "x4_dynamic_partition_pruning",
+    (s, dir) => {
+      val fact = s.table(partitionedOrders(s, dir))
+      val dim = t(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("d_year")).distinct()
+        .filter(col("d_year") % 2 === 0)
+      fact.join(broadcast(dim), col("o_year") === col("d_year"))
+        .groupBy(col("o_year").cast("int").as("o_year"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders WHERE year(o_orderdate) % 2 = 0
+           |GROUP BY 1""".stripMargin),
+    doc = "Dynamic partition pruning: dim filter decides at runtime which year partitions the fact scan reads (X4).")
 
   // ---- Q3: TPC-H-Q3-shaped headline query --------------------------------------
   // Multi-join + filtered scan + agg + top-K: the canonical OLAP shape the
@@ -484,5 +517,5 @@ object RelationalOps extends QueryPack {
     x2.run(s, dir)
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, x1, x2, x3, q3)
+    Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, x1, x2, x3, x4, q3)
 }

@@ -100,6 +100,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"year predicate must be a PartitionFilter, not a data filter:\n$scanLine")
   }
 
+  test("x4: fact scan carries a dynamic pruning expression from the dim filter") {
+    val p = plan("x4_dynamic_partition_pruning").toLowerCase
+    assert(p.contains("dynamicpruning"),
+      s"fact partition filters must include a runtime pruning subquery:\n${p.take(2000)}")
+  }
+
   test("AQE: runtime re-plan coalesces the tiny shuffle (adaptive execution on)") {
     val df = graft.SparkEntry.queries("a1_groupby_aggregates")(spark, sfDir)
     df.collect() // AQE finalizes the plan only after execution
