@@ -283,5 +283,57 @@ object CorpusOps extends QueryPack {
            |FROM sh GROUP BY shard""".stripMargin),
     doc = "Token-budget packing: contiguous 4096-token shards via a two-level prefix scan.")
 
-  override val all: Seq[GQuery] = Seq(d12, d13, d14, d15, d16)
+  // ---- D17: bigram language-model log-probability (perplexity-style filter) --
+
+  /** Corpus-trained bigram LM score per document: sum over the doc's bigrams
+    * of ln( count(w1 w2) / count(w1 ·) ) — the KenLM-style signal quality
+    * filters threshold on ("does this doc read like the corpus?"). No global
+    * scalar is needed because the model is conditional (prefix-normalized),
+    * so everything is equi-joins and hash aggregates.
+    *
+    * Scale notes: the exploded bigram stream is reduced to 64-bit hashes
+    * immediately (caching exploded STRINGS is the measured d3 perf trap) and
+    * cached once — the bigram counts, prefix counts, and the scoring join
+    * all reuse it. The count joins are big-big shuffle joins on the hash
+    * key; the log terms go through DECIMAL(28,12) so the per-doc sum is
+    * order-insensitive (ln() can differ in the last ulp across engines —
+    * 12 fractional digits is far above that noise, far below the signal). */
+  private val d17 = GQuery(
+    "d17_bigram_logprob",
+    (s, dir) => {
+      val wArr = split(col("text"), " ")
+      val bgExpr = when(size(wArr) >= 2,
+        transform(sequence(lit(1), size(wArr) - 1),
+          i => concat_ws(" ", element_at(wArr, i), element_at(wArr, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val bg = t(s, dir, "documents")
+        .select(col("doc_id"), explode(bgExpr).as("bg"))
+        .select(col("doc_id"),
+          xxhash64(col("bg")).as("hb"),
+          xxhash64(element_at(split(col("bg"), " "), 1)).as("hw"))
+        .cache()
+      val cbg = bg.groupBy(col("hb")).agg(count(lit(1)).as("c_bg"))
+      val cpre = bg.groupBy(col("hw")).agg(count(lit(1)).as("c_pre"))
+      bg.join(cbg, Seq("hb")).join(cpre, Seq("hw"))
+        .withColumn("lp", (log(col("c_bg")) - log(col("c_pre"))).cast("decimal(28,12)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("lp")).cast("double").as("logprob_sum"))
+    },
+    Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |bgl AS (SELECT doc_id,
+           |  CASE WHEN len(w) >= 2 THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+           |       ELSE []::VARCHAR[] END AS l
+           |  FROM docs),
+           |bgw AS (SELECT doc_id, unnest(l) AS bg FROM bgl),
+           |bgp AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bgw),
+           |cbg AS (SELECT bg, count(*) AS c_bg FROM bgp GROUP BY bg),
+           |cpre AS (SELECT w1, count(*) AS c_pre FROM bgp GROUP BY w1)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  CAST(sum(CAST(ln(c_bg) - ln(c_pre) AS DECIMAL(28,12))) AS DOUBLE) AS logprob_sum
+           |FROM bgp JOIN cbg USING (bg) JOIN cpre USING (w1)
+           |GROUP BY doc_id""".stripMargin),
+    doc = "Bigram LM log-prob per doc: corpus-conditional ln p(w2|w1) sums (quality filter).")
+
+  override val all: Seq[GQuery] = Seq(d12, d13, d14, d15, d16, d17)
 }

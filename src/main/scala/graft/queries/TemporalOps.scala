@@ -97,5 +97,46 @@ object TemporalOps extends QueryPack {
             |AND epoch_us(b.ts) <= epoch_us(a.ts) + $RangeUs""".stripMargin),
     doc = "Range join: same-user pairs within 300 s, bucket-probed equi-join (temporal #2).")
 
-  override val all: Seq[GQuery] = Seq(t1, t2)
+  // ---- T3: session windows (batch twin of the streaming sessionizer) -----------
+  // Native `session_window` grouping: per-user sessions that close after 30
+  // minutes of inactivity; the same gap definition EventStream.sessionize
+  // implements statefully. Spark merges the windows during aggregation (no
+  // per-user sort materialized); the DuckDB oracle derives identical
+  // sessions with the classic gaps-and-islands window (lag + running flag
+  // sum). The value sum goes through DECIMAL so per-session totals are
+  // order-insensitive and hash-stable.
+  private val SessionGapUs = 1800L * 1000 * 1000
+
+  private val t3 = GQuery(
+    "t3_session_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+        .select(col("user_id"),
+          expr("unix_micros(session_window.start)").as("sess_start_us"),
+          expr("unix_micros(session_window.end)").as("sess_end_us"),
+          col("n_events"), col("total")),
+    Some(s"""WITH ev AS (
+            |  SELECT user_id, epoch_us(ts) AS us, value FROM events),
+            |flagged AS (
+            |  SELECT user_id, us, value,
+            |    CASE WHEN lag(us) OVER w IS NULL
+            |           OR us - lag(us) OVER w > $SessionGapUs THEN 1 ELSE 0 END AS new_sess
+            |  FROM ev
+            |  WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+            |islands AS (
+            |  SELECT user_id, us, value,
+            |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+            |  FROM flagged)
+            |SELECT user_id, min(us) AS sess_start_us,
+            |  max(us) + $SessionGapUs AS sess_end_us,
+            |  count(*) AS n_events,
+            |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+            |FROM islands GROUP BY user_id, sess_id""".stripMargin),
+    doc = "Session windows: 30-min inactivity gap per user, native session_window (temporal #3).")
+
+  override val all: Seq[GQuery] = Seq(t1, t2, t3)
 }
