@@ -298,15 +298,13 @@ object CorpusOps extends QueryPack {
     * key; the log terms go through DECIMAL(28,12) so the per-doc sum is
     * order-insensitive (ln() can differ in the last ulp across engines —
     * 12 fractional digits is far above that noise, far below the signal). */
-  private val d17 = GQuery(
-    "d17_bigram_logprob",
-    (s, dir) => {
+  private[queries] def bigramLogProb(docs: DataFrame): DataFrame = {
       val wArr = split(col("text"), " ")
       val bgExpr = when(size(wArr) >= 2,
         transform(sequence(lit(1), size(wArr) - 1),
           i => concat_ws(" ", element_at(wArr, i), element_at(wArr, i + 1))))
         .otherwise(array().cast("array<string>"))
-      val bg = t(s, dir, "documents")
+      val bg = docs
         .select(col("doc_id"), explode(bgExpr).as("bg"))
         .select(col("doc_id"),
           xxhash64(col("bg")).as("hb"),
@@ -319,7 +317,11 @@ object CorpusOps extends QueryPack {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           sum(col("lp")).cast("double").as("logprob_sum"))
-    },
+  }
+
+  private val d17 = GQuery(
+    "d17_bigram_logprob",
+    (s, dir) => bigramLogProb(t(s, dir, "documents")),
     Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
            |bgl AS (SELECT doc_id,
            |  CASE WHEN len(w) >= 2 THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]

@@ -107,17 +107,19 @@ object TemporalOps extends QueryPack {
   // order-insensitive and hash-stable.
   private val SessionGapUs = 1800L * 1000 * 1000
 
+  private[graft] def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+      .select(col("user_id"),
+        expr("unix_micros(session_window.start)").as("sess_start_us"),
+        expr("unix_micros(session_window.end)").as("sess_end_us"),
+        col("n_events"), col("total"))
+
   private val t3 = GQuery(
     "t3_session_window",
-    (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
-        .select(col("user_id"),
-          expr("unix_micros(session_window.start)").as("sess_start_us"),
-          expr("unix_micros(session_window.end)").as("sess_end_us"),
-          col("n_events"), col("total")),
+    (s, dir) => sessionAgg(t(s, dir, "events")),
     Some(s"""WITH ev AS (
             |  SELECT user_id, epoch_us(ts) AS us, value FROM events),
             |flagged AS (

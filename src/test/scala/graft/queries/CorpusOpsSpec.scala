@@ -72,6 +72,20 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"funnel must only shrink: ${order.zip(counts)}")
   }
 
+  test("d17 bigram log-prob matches a hand-computed two-doc model") {
+    val sp = spark
+    import sp.implicits._
+    // corpus: c("a b")=3, c("b c")=1, c("b a")=1; prefixes: c(a .)=3, c(b .)=2
+    val docs = Seq((1L, "a b c"), (2L, "a b a b")).toDF("doc_id", "text")
+    val got = CorpusOps.bigramLogProb(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc 1: ln(3/3) + ln(1/2); doc 2: 2*ln(3/3) + ln(1/2)
+    val half = math.log(0.5)
+    assert(got(1L)._1 == 2 && got(2L)._1 == 3, s"bigram counts: $got")
+    assert(math.abs(got(1L)._2 - half) < 1e-9, s"doc 1 logprob: ${got(1L)}")
+    assert(math.abs(got(2L)._2 - half) < 1e-9, s"doc 2 logprob: ${got(2L)}")
+  }
+
   test("d15 two-level prefix scan equals the naive global cumulative sum") {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val tok = docs.select(col("doc_id"),

@@ -166,6 +166,42 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"each event_id must land exactly once across all batches, got $ids")
   }
 
+  test("stateful sessionizer agrees with the batch session_window aggregation (t3 twin)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // whole-minute timestamps so the sessionizer's second-granularity state
+    // and session_window's microsecond bounds describe identical sessions
+    val fixture = Seq(
+      ev(1, 0, 1, "a", 1), ev(2, 5, 1, "a", 2), ev(3, 10, 1, "a", 3),
+      ev(4, 70, 1, "a", 4),                       // 60-min gap -> new session
+      ev(5, 0, 2, "b", 5), ev(6, 29, 2, "b", 6),  // 29-min gap -> same session
+      ev(7, 61, 2, "b", 7))                       // 32-min gap -> new session
+    val input = MemoryStream[EventStream.Event]
+    input.addData(fixture)
+    input.addData(Seq(ev(99, 600, 9, "c", 0))) // closes every session via timeout
+    val q = EventStream.sessionize(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_parity").as[EventStream.SessionOut].collect()
+      .filter(_.user_id != 9)
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value))
+      .toSet
+    val batch = graft.queries.TemporalOps.sessionAgg(
+      fixture.toDF().withColumn("props", lit("{}")))
+      .collect().map { r =>
+        // t3 shape -> sessionizer shape: end_us = lastSeen + gap, in micros
+        (r.getLong(0), r.getLong(1) / 1000000L,
+          r.getLong(2) / 1000000L - 1800L, r.getLong(3), r.getDouble(4))
+      }.toSet
+    assert(batch.size == 4, s"hand fixture spans 4 sessions, got $batch")
+    assert(streamed == batch,
+      s"stateful and session_window sessions must agree:\nstream=$streamed\nbatch=$batch")
+  }
+
   test("sessionization closes sessions at the inactivity gap") {
     val sp = spark
     import sp.implicits._
