@@ -33,13 +33,25 @@ object CorpusOps extends QueryPack {
 
   // ---- D12: duplicate clusters via distributed connected components ---------
 
-  /** Min-label propagation to a fixpoint. `edgesIn` must carry (u, v) with
-    * BOTH directions present. Each doc converges to the minimum doc_id
-    * reachable from it (its component id). Iterations are bounded and the
-    * fixpoint is detected by the (monotone-decreasing) label checksum, so
-    * termination never depends on a guess. `localCheckpoint` cuts lineage so
-    * plan size stays O(1) across rounds; a production run on a real cluster
-    * would use a reliable `checkpoint` dir instead.
+  /** Min-label propagation with pointer jumping, to a fixpoint. `edgesIn`
+    * must carry (u, v) with BOTH directions present. Each doc converges to
+    * the minimum doc_id reachable from it (its component id).
+    *
+    * Each round does two distributed steps:
+    *   1. neighbor propagation — every doc takes the min of its own and its
+    *      neighbors' labels (shuffle-join on the edge list + hash agg);
+    *   2. pointer jump — `lbl(v) := lbl(lbl(v))` via a self-join of the
+    *      label table (labels are always doc ids of the vertex set, so the
+    *      lookup is closed). The jump halves the length of every label
+    *      chain, so convergence is O(log diameter) rounds rather than
+    *      O(diameter) — the difference that matters if a duplicate "chain"
+    *      (a → b → c → …) ever gets long at corpus scale.
+    *
+    * Iterations are bounded and the fixpoint is detected by the
+    * (monotone-decreasing) label checksum, so termination never depends on
+    * a guess. `localCheckpoint` cuts lineage so plan size stays O(1) across
+    * rounds; a production run on a real cluster would use a reliable
+    * `checkpoint` dir instead.
     */
   private[queries] def connectedComponents(edgesIn: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = edgesIn.select(col("u"), col("v")).persist()
@@ -55,8 +67,15 @@ object CorpusOps extends QueryPack {
     while (!done && it < maxIters) {
       val prop = edges.join(labels, edges("u") === labels("doc"))
         .select(edges("v").as("doc"), col("lbl"))
-      val next = labels.union(prop)
+      val stepped = labels.union(prop)
         .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
+      // pointer jump: lbl(v) := lbl(lbl(v)); lbl(x) <= x invariantly, so the
+      // jumped label can only improve and stays within the component. The
+      // lookup side re-aliases to fresh attributes — a raw self-join of the
+      // same plan collides on attribute ids.
+      val lookup = stepped.select(col("doc").as("p_doc"), col("lbl").as("p_lbl"))
+      val next = stepped.join(lookup, col("lbl") === col("p_doc"))
+        .select(col("doc"), col("p_lbl").as("lbl"))
         .localCheckpoint()
       val cur = checksum(next)
       done = cur.compareTo(prev) == 0
