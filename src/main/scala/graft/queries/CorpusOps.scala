@@ -145,11 +145,13 @@ object CorpusOps extends QueryPack {
 
   /** The operational end of the dedup story: every clustered doc EXCEPT its
     * cluster's canonical (minimum) member goes on the drop list, and the
-    * surviving corpus is `documents LEFT ANTI JOIN drops` — the anti join is
-    * a broadcastable hash join (the drop list is duplicates-only, a small
-    * fraction of any real corpus), so applying dedup at 100 TB costs one
-    * scan of the corpus. Output is a per-language survivor summary so the
-    * result stays compact and hash-comparable. */
+    * surviving corpus is `documents LEFT ANTI JOIN drops`. No broadcast hint
+    * on purpose: a lightly-duplicated corpus gives a broadcastable drop list
+    * (AQE picks broadcast at runtime from the real size), while a heavily-
+    * duplicated one gives a corpus-scale drop list that must shuffle — a
+    * forced broadcast would OOM exactly when dedup matters most. Output is a
+    * per-language survivor summary so the result stays compact and
+    * hash-comparable. */
   private val d16 = GQuery(
     "d16_dedup_apply",
     (s, dir) => {
@@ -157,7 +159,7 @@ object CorpusOps extends QueryPack {
       val drops = dupComponents(docs)
         .filter(col("doc") =!= col("lbl"))
         .select(col("doc").as("doc_id"))
-      docs.join(broadcast(drops), Seq("doc_id"), "left_anti")
+      docs.join(drops, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("n_chars"))
