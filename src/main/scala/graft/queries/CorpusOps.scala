@@ -280,7 +280,10 @@ object CorpusOps extends QueryPack {
       val offsets = inBlock.groupBy(col("block")).agg(sum(col("n_tok")).as("btot"))
         .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
         .select(col("block"), col("off"))
-      inBlock.join(broadcast(offsets), Seq("block"))
+      // no broadcast hint: offsets is n/blockSize rows — tiny at any tested
+      // scale (AQE broadcasts it), but letting the planner size it keeps the
+      // query correct even when block counts grow past the broadcast budget
+      inBlock.join(offsets, Seq("block"))
         .withColumn("cum", col("cum_in") + col("off"))
         .withColumn("shard", expr("(cum - n_tok) div 4096"))
         .groupBy(col("shard"))

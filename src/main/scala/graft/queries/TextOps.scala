@@ -135,9 +135,12 @@ object TextOps extends QueryPack {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // no broadcast hint: `sizes` is one row PER DOCUMENT (unbounded at corpus
+    // scale) while `pairs` is bounded by the bucket combinatorics — AQE
+    // broadcasts whichever side is actually small at runtime
     pairs
-      .join(broadcast(sizes.as("sa")), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
       .filter(col("jaccard") >= threshold)
