@@ -357,19 +357,25 @@ object TextOps extends QueryPack {
     doc = "Stopword-lexicon language vote with deterministic argmax (text #1).")
 
   // ---- D6: quality scoring --------------------------------------------------------------
+
+  /** Per-document quality features — a pure row-local projection, so the SAME
+    * plan runs on a batch frame or a document stream (the streaming suite
+    * pins that parity). */
+  private[graft] def qualityFeatures(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(w).as("n_words"),
+      round(size(array_distinct(w)).cast("double") / size(w), 6).as("distinct_ratio"),
+      round((length(col("text")) - (size(w) - 1)).cast("double") / size(w), 6)
+        .as("avg_word_len"),
+      round(least(lit(1.0), size(w) / lit(100.0))
+        * (size(array_distinct(w)).cast("double") / size(w)), 6).as("quality"))
+  }
+
   private val d6 = GQuery(
     "d6_quality_score",
-    (s, dir) => {
-      val w = words(col("text"))
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        size(w).as("n_words"),
-        round(size(array_distinct(w)).cast("double") / size(w), 6).as("distinct_ratio"),
-        round((length(col("text")) - (size(w) - 1)).cast("double") / size(w), 6)
-          .as("avg_word_len"),
-        round(least(lit(1.0), size(w) / lit(100.0))
-          * (size(array_distinct(w)).cast("double") / size(w)), 6).as("quality"))
-    },
+    (s, dir) => qualityFeatures(t(s, dir, "documents")),
     Some("""SELECT doc_id,
            |  len(string_split(text, ' ')) AS n_words,
            |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)

@@ -202,6 +202,29 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stateful and session_window sessions must agree:\nstream=$streamed\nbatch=$batch")
   }
 
+  test("quality scoring transform runs unchanged on a document stream (d6 twin)") {
+    // The curation projections are row-local, so the batch definition IS the
+    // streaming definition — stream the documents table as parquet drops
+    // through TextOps.qualityFeatures and compare to the batch run.
+    val dir = java.nio.file.Files.createTempDirectory("graft-doc-drops").toString
+    val batchDocs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    batchDocs.write.mode("overwrite").parquet(dir)
+    val streamedDocs = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val q = graft.queries.TextOps.qualityFeatures(streamedDocs)
+      .writeStream.format("memory").queryName("doc_quality")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("doc_quality")
+    val want = graft.queries.TextOps.qualityFeatures(spark.read.parquet(dir))
+    assert(got.count() == batchDocs.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "streamed quality features must equal the batch plan result")
+  }
+
   test("sessionization closes sessions at the inactivity gap") {
     val sp = spark
     import sp.implicits._
