@@ -33,21 +33,56 @@ object TemporalOps extends QueryPack {
       col("event_type"), expr("unix_micros(ts)").as("us"), col("value"))
 
   // ---- T1: as-of join ----------------------------------------------------------
+
+  /** Generic as-of join: for every left row, the latest right row of the
+    * same `key` with `rightTs` <= `leftTs` (right columns NULL when none).
+    * Union-tag both sides, ONE shuffle on the key, carry the right side
+    * forward with running `last(_, ignoreNulls)` windows — cost is a sort
+    * per key, independent of how many right rows each left row "sees", and
+    * no range-condition join Spark would plan as a per-key nested loop.
+    *
+    * `left`/`right` must share no column names besides what `payload`
+    * selects; ties on the timestamp resolve by `tieBreak` (right rows at
+    * the same (ts, tieBreak <= left's) are visible). */
+  private[graft] def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String],
+      tieBreak: String): DataFrame = {
+    require(payload.forall(c => !left.columns.contains(c)),
+      "payload columns must not collide with left columns")
+    val leftExtra = left.columns.filterNot(_ == key).toSeq
+    val taggedLeft = left.select(
+      Seq(col(key)) ++ leftExtra.map(col) ++
+        Seq(col(leftTs).as("_ts"), col(tieBreak).as("_tb"), lit(1).as("_is_left")) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val taggedRight = right.select(
+      Seq(col(key)) ++
+        leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(rightTs).as("_ts"), col(tieBreak).as("_tb"), lit(0).as("_is_left")) ++
+        payload.map(col): _*)
+    // at equal (_ts, _tb) right rows sort before left rows, so a
+    // prior-or-equal right value is visible to the left row
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts"), col("_tb"), col("_is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(taggedLeft.unionByName(taggedRight)) { (df, c) =>
+      df.withColumn(c, last(when(col("_is_left") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_is_left") === 1).drop("_is_left", "_ts", "_tb")
+  }
+
   // For every click, the most recent prior-or-equal view of the same user
   // (NULL when none): the canonical "latest quote for each trade" shape.
   private val t1 = GQuery(
     "t1_asof_join",
     (s, dir) => {
       val ev = micros(s, dir).filter(col("event_type").isin("click", "view"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("us"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev
-        .withColumn("view_us",
-          last(when(col("event_type") === "view", col("us")), ignoreNulls = true).over(w))
-        .withColumn("view_value",
-          last(when(col("event_type") === "view", col("value")), ignoreNulls = true).over(w))
-        .filter(col("event_type") === "click")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("us").as("view_us"), col("value").as("view_value"))
+      asofJoin(clicks, views, key = "user_id", leftTs = "us", rightTs = "us",
+        payload = Seq("view_us", "view_value"), tieBreak = "event_id")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("us").as("click_us"), col("view_us"), col("view_value"))
     },

@@ -49,6 +49,36 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Seq(29L, 30L, 31L, 32L).forall(got(_) == 29L), s"star must collapse to 29: $got")
   }
 
+  test("connected components match a union-find oracle on random graphs") {
+    // 8 seeded random graphs, each checked against a plain driver-side
+    // union-find — the distributed fixpoint must agree exactly on every node
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 10 + rnd.nextInt(30)
+      val pairs = Seq.fill(5 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(p => p._1 != p._2)
+      if (pairs.nonEmpty) {
+        // union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(x => x -> {
+          // component id = min member: min over all nodes sharing the root
+          val r = find(x)
+          parent.keys.filter(find(_) == r).min
+        }).toMap
+        val got = components(pairs)
+        assert(got == want, s"seed=$seed edges=$pairs\ngot=$got\nwant=$want")
+      }
+    }
+  }
+
   test("d13 split: deterministic, stable under corpus growth, ~10% test") {
     val full = graft.SparkEntry.queries("d13_split_assign")(spark, sfDir)
     val n = full.count()

@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Hand-checked semantics of the generic as-of join. */
+class TemporalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("asofJoin picks the latest prior-or-equal right row per key, null when none") {
+    val sp = spark
+    import sp.implicits._
+    // trades: (id, key, ts); quotes: (id, key, ts, px)
+    val trades = Seq((100L, 1L, 10L), (101L, 1L, 20L), (102L, 2L, 5L), (103L, 3L, 7L))
+      .toDF("id", "k", "ts")
+    val quotes = Seq((1L, 1L, 10L, 1.5), (2L, 1L, 15L, 2.5), (3L, 2L, 6L, 9.9))
+      .toDF("id", "k", "ts", "px")
+    val got = TemporalOps.asofJoin(trades, quotes, key = "k",
+      leftTs = "ts", rightTs = "ts", payload = Seq("px"), tieBreak = "id")
+      .select("id", "k", "px")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toMap
+    // trade 100 @ (k1,t10): quote 1 @ t10 is prior-or-equal (tie on ts, id 1 < 100)
+    // trade 101 @ (k1,t20): latest is quote 2 @ t15
+    // trade 102 @ (k2,t5): quote 3 is at t6 — in the future -> null
+    // trade 103 @ (k3,t7): no quotes for key 3 -> null
+    assert(got == Map(100L -> 1.5, 101L -> 2.5, 102L -> -1.0, 103L -> -1.0), s"got $got")
+  }
+}
