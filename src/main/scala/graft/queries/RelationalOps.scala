@@ -344,21 +344,32 @@ object RelationalOps extends QueryPack {
   // (Here the small side is 3 rows, so broadcast would win outright — this
   // query demonstrates the pattern for when BOTH sides are too big to
   // broadcast; results are identical to the plain join, which is the oracle.)
+  /** Generic skew-spreading equi-join: the fact side salts every row with a
+    * deterministic hash of `saltBy` into `salts` sub-keys; the (small) dim
+    * side replicates each row across all salts; the join runs on
+    * `keys :+ salt`, so a hot key's rows land in `salts` partitions instead
+    * of one. The salt choice never changes results — the dim carries every
+    * salt value — only the shuffle distribution. */
+  private[graft] def saltedJoin(fact: DataFrame, dim: DataFrame,
+      keys: Seq[String], salts: Int, saltBy: Seq[String]): DataFrame = {
+    val saltedFact = fact.withColumn("salt",
+      pmod(hash(saltBy.map(col): _*), lit(salts)))
+    val saltedDim = dim.withColumn("salt",
+      explode(expr(s"sequence(0, ${salts - 1})")))
+    // hint forces the shuffled hash join (Catalyst would otherwise
+    // broadcast the tiny dim and hide the salting effect being shown)
+    saltedFact.join(saltedDim.hint("shuffle_hash"), keys :+ "salt").drop("salt")
+  }
+
   private val x1 = GQuery(
     "x1_skew_salted_join",
     (s, dir) => {
-      val Salts = 16
       val li = t(s, dir, "lineitem")
       val flagStats = li.groupBy(col("l_returnflag"))
         .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
           / count(lit(1))).as("flag_avg"))
-      val saltedDim = flagStats.withColumn("salt",
-        explode(expr(s"sequence(0, ${Salts - 1})")))
-      val saltedFact = li.withColumn("salt",
-        pmod(col("l_orderkey") + col("l_linenumber"), lit(Salts)).cast("int"))
-      // hint forces the shuffled hash join (Catalyst would otherwise
-      // broadcast the tiny dim and hide the salting effect being shown)
-      saltedFact.join(saltedDim.hint("shuffle_hash"), Seq("l_returnflag", "salt"))
+      saltedJoin(li, flagStats, keys = Seq("l_returnflag"), salts = 16,
+        saltBy = Seq("l_orderkey", "l_linenumber"))
         .groupBy(col("l_returnflag"))
         .agg(count(when(col("l_extendedprice") > col("flag_avg"), 1)).as("n_above_avg"),
           count(lit(1)).as("n"))
