@@ -65,6 +65,19 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row1.getString(1) == "", "empty CSV field must stay '' (not null)")
   }
 
+  test("ragged CSV rows: short rows pad to '', long rows drop extra fields") {
+    // raw feed drops are not schema-validated upstream — pin how the reader
+    // degrades: a missing trailing field becomes '' (the all-strings
+    // convention), an extra field is discarded, and no row is lost
+    val dir = java.nio.file.Files.createTempDirectory("dialect-ragged").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.csv"),
+      "a,b,c\n1,2,3\n4,5\n6,7,8,9\n".getBytes)
+    val df = SourceReader.readCsv(spark, dir, Seq("a", "b", "c"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(("1", "2", "3"), ("4", "5", ""), ("6", "7", "8")),
+      s"ragged-row degradation changed: $rows")
+  }
+
   test("avg(CASE WHEN...) skips nulled-out rows exactly like a filtered avg") {
     spark.range(10).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS x")
       .createOrReplaceTempView("t10")
