@@ -103,24 +103,38 @@ object TemporalOps extends QueryPack {
     doc = "As-of join: latest prior view per click, via running last() window (temporal #1).")
 
   // ---- T2: range join, bucketed ------------------------------------------------
-  // All same-user event pairs at most 300 s apart (strictly later second
-  // event). Bucket width == range width, earlier side probes 2 buckets.
   private val RangeUs = 300L * 1000 * 1000
 
+  /** Generic bucketed range join: all (early, late) row pairs sharing `key`
+    * with `0 < late.ts - early.ts <= range`. Bucket width == range width;
+    * the early side probes its own and the next bucket (equi-keys!), then
+    * the exact predicate filters. Each qualifying pair meets in exactly one
+    * bucket, so no dedup pass is needed and the join stays a hash/merge
+    * join on (key, bucket) — never the per-key nested loop Spark plans for
+    * a raw range condition. Column name collisions are the caller's to
+    * avoid (prefix the two sides). */
+  private[graft] def rangeJoin(early: DataFrame, late: DataFrame, key: String,
+      earlyTs: String, lateTs: String, range: Long): DataFrame = {
+    val e = early.withColumn("_jb",
+      explode(array(expr(s"$earlyTs div $range"), expr(s"$earlyTs div $range + 1"))))
+    val l = late.withColumn("_jb", expr(s"$lateTs div $range"))
+    e.join(l, Seq(key, "_jb"))
+      .filter(col(lateTs) > col(earlyTs) && col(lateTs) <= col(earlyTs) + range)
+      .drop("_jb")
+  }
+
+  // All same-user event pairs at most 300 s apart (strictly later second
+  // event). Bucket width == range width, earlier side probes 2 buckets.
   private val t2 = GQuery(
     "t2_range_join_bucketed",
     (s, dir) => {
       val ev = micros(s, dir).select(col("event_id"), col("user_id"), col("us"))
-      val early = ev
-        .withColumn("jb", explode(array(
-          expr(s"us div $RangeUs"), expr(s"us div $RangeUs + 1"))))
-        .select(col("user_id"), col("jb"),
-          col("event_id").as("early_id"), col("us").as("early_us"))
-      val late = ev.select(col("user_id"), expr(s"us div $RangeUs").as("jb"),
+      val early = ev.select(col("user_id"),
+        col("event_id").as("early_id"), col("us").as("early_us"))
+      val late = ev.select(col("user_id"),
         col("event_id").as("late_id"), col("us").as("late_us"))
-      early.join(late, Seq("user_id", "jb"))
-        .filter(col("late_us") > col("early_us") &&
-          col("late_us") <= col("early_us") + RangeUs)
+      rangeJoin(early, late, key = "user_id",
+        earlyTs = "early_us", lateTs = "late_us", range = RangeUs)
         .select(col("user_id"), col("early_id"), col("late_id"),
           (col("late_us") - col("early_us")).as("gap_us"))
     },

@@ -37,4 +37,21 @@ class TemporalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // trade 103 @ (k3,t7): no quotes for key 3 -> null
     assert(got == Map(100L -> 1.5, 101L -> 2.5, 102L -> -1.0, 103L -> -1.0), s"got $got")
   }
+
+  test("rangeJoin finds exactly the in-range pairs, including across buckets") {
+    val sp = spark
+    import sp.implicits._
+    // key 1: ts 0,100,250,600 with range 300 -> (0,100),(0,250),(100,250);
+    // key 2: ts 299,301 straddle a bucket boundary -> the 2-bucket probe
+    // must still pair them exactly once
+    val ev = Seq((1L, 10L, 0L), (1L, 11L, 100L), (1L, 12L, 250L), (1L, 13L, 600L),
+      (2L, 20L, 299L), (2L, 21L, 301L)).toDF("k", "id", "ts")
+    val early = ev.select($"k", $"id".as("early_id"), $"ts".as("early_ts"))
+    val late = ev.select($"k", $"id".as("late_id"), $"ts".as("late_ts"))
+    val got = TemporalOps.rangeJoin(early, late, key = "k",
+      earlyTs = "early_ts", lateTs = "late_ts", range = 300L)
+      .select("early_id", "late_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)), s"got $got")
+  }
 }

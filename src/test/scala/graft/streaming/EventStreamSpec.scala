@@ -202,6 +202,39 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stateful and session_window sessions must agree:\nstream=$streamed\nbatch=$batch")
   }
 
+  test("native session_window aggregation also runs on a stream with watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val fixture = Seq(
+      ev(1, 0, 1, "a", 1), ev(2, 5, 1, "a", 2), ev(3, 10, 1, "a", 3),
+      ev(4, 70, 1, "a", 4), ev(5, 0, 2, "b", 5))
+    val input = MemoryStream[EventStream.Event]
+    val q = graft.queries.TemporalOps.sessionAgg(
+      input.toDF().withColumn("props", lit("{}"))
+        .withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("sess_native")
+      .outputMode("append").start()
+    input.addData(fixture)
+    q.processAllAvailable()
+    // append mode only emits sessions the watermark has CLOSED — push it
+    input.addData(Seq(ev(98, 600, 9, "c", 0)))
+    q.processAllAvailable()
+    input.addData(Seq(ev(99, 620, 9, "c", 0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_native").filter(col("user_id") < 9)
+      .select("user_id", "sess_start_us", "n_events", "total").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = graft.queries.TemporalOps.sessionAgg(
+      fixture.toDF().withColumn("props", lit("{}")))
+      .select("user_id", "sess_start_us", "n_events", "total").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(batch.size == 3, s"fixture spans 3 sessions, got $batch")
+    assert(streamed == batch,
+      s"streamed session_window must equal the batch plan:\n$streamed\nvs\n$batch")
+  }
+
   test("quality scoring transform runs unchanged on a document stream (d6 twin)") {
     // The curation projections are row-local, so the batch definition IS the
     // streaming definition — stream the documents table as parquet drops
