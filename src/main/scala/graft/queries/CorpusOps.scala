@@ -361,5 +361,85 @@ object CorpusOps extends QueryPack {
            |GROUP BY doc_id""".stripMargin),
     doc = "Bigram LM log-prob per doc: corpus-conditional ln p(w2|w1) sums (quality filter).")
 
-  override val all: Seq[GQuery] = Seq(d12, d13, d14, d15, d16, d17)
+  // ---- D18: stratified (balanced per-group) sampling ------------------------
+
+  /** Deterministic balanced subsample: at most K docs per language, chosen
+    * by salted-hash order — the "equal representation per source/language"
+    * sampling step of corpus assembly. Per-group windows keep state bounded
+    * (no global sort), and the hash order makes the sample a pure function
+    * of doc_id: re-running on a grown corpus can only swap docs whose hash
+    * order changed within a stratum, never reshuffle across strata. */
+  private val SamplePerLang = 100
+
+  private val d18 = GQuery(
+    "d18_stratified_sample",
+    (s, dir) => {
+      val h = md5(concat(lit("graft-sample:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= SamplePerLang)
+        .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+    },
+    Some(s"""SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+            |  SELECT doc_id, lang,
+            |    row_number() OVER (PARTITION BY lang
+            |      ORDER BY md5('graft-sample:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            |  FROM documents) t
+            |WHERE rn <= $SamplePerLang""".stripMargin),
+    doc = "Stratified sampling: deterministic hash-ordered top-K per language.")
+
+  // ---- D19: train/eval decontamination (shingle-overlap screening) ----------
+
+  /** Contamination screen between the d13 train and test splits: a test doc
+    * is contaminated if it shares any (DF-capped) 3-word shingle with any
+    * train doc. Exactly the published-benchmark decontamination shape —
+    * n-gram collision via an inverted-index equi-join, never a doc×doc
+    * comparison. The DF cap drops boilerplate shingles from the screen on
+    * BOTH engines (an ultra-common n-gram is not contamination evidence),
+    * which is also what bounds the join fan-out at corpus scale. Output:
+    * per test doc, how many of its shingles collide and with how many
+    * distinct train docs. */
+  private val d19 = GQuery(
+    "d19_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = substring(
+        md5(concat(lit("graft-split:"), col("doc_id").cast("string"))), 1, 2)
+      val ex0 = docs
+        .withColumn("is_test", split < lit("1a"))
+        .select(col("doc_id"), col("is_test"),
+          explode(TextOps.shingleExpr).as("shingle"))
+        .select(col("doc_id"), col("is_test"), xxhash64(col("shingle")).as("hv"))
+        .cache()
+      val heavy = ex0.groupBy(col("hv")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > TextOps.DfCap)
+      val ex = ex0.join(broadcast(heavy), Seq("hv"), "left_anti")
+      val train = ex.filter(!col("is_test"))
+        .select(col("hv"), col("doc_id").as("train_doc")).distinct()
+      val test = ex.filter(col("is_test"))
+        .select(col("doc_id"), col("hv")).distinct()
+      test.join(train, Seq("hv"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("hv")).as("n_shared_shingles"),
+          countDistinct(col("train_doc")).as("n_train_docs"))
+    },
+    Some(s"""WITH ${TextOps.shingleSqlCte},
+            |tagged AS (
+            |  SELECT doc_id, s,
+            |    substring(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' AS is_test
+            |  FROM sh),
+            |ex0 AS (SELECT doc_id, is_test, unnest(s) AS shingle FROM tagged),
+            |keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= ${TextOps.DfCap}),
+            |ex AS (SELECT ex0.doc_id, ex0.is_test, ex0.shingle FROM ex0 JOIN keep USING (shingle)),
+            |train AS (SELECT DISTINCT shingle, doc_id AS train_doc FROM ex WHERE NOT is_test),
+            |test AS (SELECT DISTINCT doc_id, shingle FROM ex WHERE is_test)
+            |SELECT test.doc_id,
+            |  count(DISTINCT test.shingle) AS n_shared_shingles,
+            |  count(DISTINCT train.train_doc) AS n_train_docs
+            |FROM test JOIN train ON test.shingle = train.shingle
+            |GROUP BY test.doc_id""".stripMargin),
+    doc = "Decontamination: test docs sharing capped 3-gram shingles with train docs.")
+
+  override val all: Seq[GQuery] = Seq(d12, d13, d14, d15, d16, d17, d18, d19)
 }

@@ -27,7 +27,7 @@ object TextOps extends QueryPack {
   private def words(c: Column): Column = split(c, " ")
 
   /** Distinct k=3 word shingles, 1-based element_at to mirror the SQL oracle. */
-  private def shingleExpr: Column = {
+  private[queries] def shingleExpr: Column = {
     val w = words(col("text"))
     when(size(w) >= 3,
       array_distinct(transform(sequence(lit(1), size(w) - 2),
