@@ -67,8 +67,11 @@ object CorpusOps extends QueryPack {
     while (!done && it < maxIters) {
       val prop = edges.join(labels, edges("u") === labels("doc"))
         .select(edges("v").as("doc"), col("lbl"))
+      // materialize BEFORE the self-join below — otherwise both join sides
+      // recompute the whole union+aggregate and the round costs double
       val stepped = labels.union(prop)
         .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
       // pointer jump: lbl(v) := lbl(lbl(v)); lbl(x) <= x invariantly, so the
       // jumped label can only improve and stays within the component. The
       // lookup side re-aliases to fresh attributes — a raw self-join of the
