@@ -344,24 +344,67 @@ object VectorOps extends QueryPack {
         greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("sim"))
   }
 
+  /** DuckDB CTE chain ending in `flt(vec_a, vec_b, sim)`: exact all-pairs
+    * cosine >= 0.4 with vec_a < vec_b — the oracle twin of
+    * [[cosineNearDupPairs]], shared by d9 and e6. */
+  private val pairSqlCtes: String =
+    """e AS (
+      |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dp
+      |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2),
+      |flt AS (
+      |  SELECT vec_a, vec_b, round(dp / (na.nrm * nb.nrm), 6) AS sim
+      |  FROM dots
+      |  JOIN norms na ON vec_a = na.vec_id
+      |  JOIN norms nb ON vec_b = nb.vec_id
+      |  WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.4)""".stripMargin
+
   private val d9 = GQuery(
     "d9_dedup_embedding_cosine",
     (s, dir) => cosineNearDupPairs(embDouble(s, dir), D9Threshold),
-    Some("""WITH e AS (
-           |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
-           |         generate_subscripts(embedding, 1) AS i
-           |  FROM embeddings),
-           |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
-           |dots AS (
-           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dp
-           |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
-           |  GROUP BY 1, 2)
-           |SELECT vec_a, vec_b, round(dp / (na.nrm * nb.nrm), 6) AS sim
-           |FROM dots
-           |JOIN norms na ON vec_a = na.vec_id
-           |JOIN norms nb ON vec_b = nb.vec_id
-           |WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.4""".stripMargin),
+    Some(s"""WITH $pairSqlCtes
+            |SELECT vec_a, vec_b, sim FROM flt""".stripMargin),
     doc = "Embedding-cosine near-dup pairs via cell ball-pruning + exact verify, sim >= 0.4 (dedup #5).")
 
-  override val all: Seq[GQuery] = Seq(e1, e2, e3, e4, e5, d9)
+  // ---- E6: radius-bounded exact k-NN graph -----------------------------------------
+  // Each vector's top-3 neighbors among pairs with cosine >= 0.4 — the
+  // standard scalable k-NN-graph construction (radius-bound first, then
+  // rank): the edge set comes from the same cell-ball-pruned exact pair
+  // join as d9 (never all-pairs), symmetrized, and ranked by a
+  // PER-VECTOR window (bounded state). A floor-free exact top-k would
+  // need adaptive per-vector radii; the bounded-radius graph is what
+  // NN-Descent-style refinements start from.
+  private val e6 = GQuery(
+    "e6_knn_graph",
+    (s, dir) => {
+      val pairs = cosineNearDupPairs(embDouble(s, dir), D9Threshold)
+      val sym = pairs
+        .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor"), col("sim"))
+        .union(pairs
+          .select(col("vec_b").as("vec_id"), col("vec_a").as("neighbor"), col("sim")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbor"))
+      sym.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("vec_id"), col("rank").cast("long").as("rank"),
+          col("neighbor"), col("sim"))
+    },
+    Some(s"""WITH $pairSqlCtes,
+            |sym AS (
+            |  SELECT vec_a AS vec_id, vec_b AS neighbor, sim FROM flt
+            |  UNION ALL
+            |  SELECT vec_b, vec_a, sim FROM flt)
+            |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor, sim FROM (
+            |  SELECT vec_id, neighbor, sim,
+            |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor) AS rank
+            |  FROM sym) t
+            |WHERE rank <= 3""".stripMargin),
+    doc = "Exact radius-bounded k-NN graph: top-3 neighbors per vector at sim >= 0.4 (ANN #6).")
+
+  override val all: Seq[GQuery] = Seq(e1, e2, e3, e4, e5, e6, d9)
 }
