@@ -44,11 +44,16 @@ object FixtureGen {
     Files.write(p, (header +: rows).mkString("\n").getBytes(StandardCharsets.UTF_8))
   }
 
-  // deterministic pseudo-noise
-  private def j(i: Int, k: Int): Int = (i * 7 + k * 13) % 5
-
-  def generate(rootDir: String): Unit = {
+  /** Generate the fixture corpus. `noiseSeed` perturbs the deterministic
+    * pseudo-noise stream — the DAG's STRUCTURAL invariants (budget
+    * conservation, contiguous ranks, snapshot filtering) must hold for any
+    * seed; hand-computed value assertions pin seed 0 only. */
+  def generate(rootDir: String, noiseSeed: Int = 0): Unit = {
     val root = Paths.get(rootDir)
+
+    // deterministic pseudo-noise
+    def j(i: Int, k: Int): Int =
+      math.floorMod(i * 7 + k * 13 + noiseSeed * 17 + (i + k) * noiseSeed, 5)
 
     // ---- nfbc standings: 3 format files × 2 leagues ------------------------
     def standingsRows(nTeams: Int, seed: Int): Seq[String] =

@@ -243,6 +243,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("p3")._2 > 0.5)
   }
 
+  test("structural invariants hold across randomized fixture seeds") {
+    // the fixed-seed tests above pin hand-computed values; this pins the
+    // STRUCTURE — budget conservation, contiguous value-sorted ranks — on
+    // perturbed inputs, so the invariants can't be artifacts of one corpus
+    Seq(7, 23).foreach { seed =>
+      val dir = Files.createTempDirectory(s"graft-fix-seed$seed").toString
+      FixtureGen.generate(dir, noiseSeed = seed)
+      val o = Pipeline.run(spark, dir)
+      val v = o("stg_proj_preseason_hitting_values_oc")
+      val total = v.filter(col("sgpar") > 0)
+        .agg(sum(col("value") - 1)).first().getDouble(0)
+      assert(math.abs(total - LeagueFormat.Oc.hitBudget) < 1e-6,
+        s"seed=$seed: sum(value-1)=$total != budget ${LeagueFormat.Oc.hitBudget}")
+      val mart = o("mart_preseason_overall_rankings_oc")
+      val rows = mart.select("rank", "value").orderBy("rank").collect()
+      assert(rows.nonEmpty, s"seed=$seed: empty mart")
+      assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length),
+        s"seed=$seed: ranks must stay 1..N")
+      val values = rows.map(_.getDouble(1))
+      assert(values.zip(values.tail).forall { case (a, b) => a >= b },
+        s"seed=$seed: value ordering broke")
+    }
+  }
+
   test("catalog materialization lands every model in its layer database (S7)") {
     // dbt_project.yml:38-51: source/stage/main schemas. Explicit LOCATIONs so
     // the test never writes under the repo's cwd warehouse.
