@@ -480,7 +480,36 @@ object AggWindowOps extends QueryPack {
            |FROM events GROUP BY 1, 2""".stripMargin),
     doc = "5-minute tumbling window aggregate; same plan drives streaming (§2.9).")
 
+  // ---- A12: typed top-k Aggregator (§2.10 UDAF surface) ---------------------
+  // Per-flag top-3 line items by price through graft.functions.TopKAggregator:
+  // the buffer holds k entries, partials reduce map-side, merge combines two
+  // k-buffers — O(k) shuffle state per group instead of the window sort's
+  // full-group shuffle. The DuckDB oracle uses the ranking-window
+  // formulation, so the aggregator is cross-checked against an independent
+  // algorithm, not a reimplementation of itself.
+  private val a12 = GQuery(
+    "a12_topk_aggregator",
+    (s, dir) => {
+      val topK = graft.functions.TopKAggregator.topK(3)
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("line_id"))
+        .groupBy(col("l_returnflag"))
+        .agg(topK(col("l_extendedprice"), col("line_id")).as("top"))
+        .select(col("l_returnflag"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rk"),
+          col("t._1").as("price"), col("t._2").as("line_id"))
+    },
+    Some("""SELECT l_returnflag, CAST(rk AS BIGINT) AS rk, price, line_id FROM (
+           |  SELECT l_returnflag, l_extendedprice AS price,
+           |    l_orderkey * 10 + l_linenumber AS line_id,
+           |    row_number() OVER (PARTITION BY l_returnflag
+           |      ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS rk
+           |  FROM lineitem) t
+           |WHERE rk <= 3""".stripMargin),
+    doc = "Typed Aggregator top-k: O(k) buffer vs the window sort, cross-checked (A12/§2.10).")
+
   override val all: Seq[GQuery] =
-    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11,
+    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12,
       w1, w2, w3, w4, o1, u1, u2, u3, u4, f1, f2, f3, st1)
 }

@@ -115,6 +115,26 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(4), "cosine length mismatch -> NULL")
   }
 
+  test("TopKAggregator: ties break by id, k caps, merge path is partition-invariant") {
+    val sp = spark
+    import sp.implicits._
+    // score 9.0 appears three times — ids 4,5,6 — so the top-3 must be
+    // (9.0, 4), (9.0, 5), (9.0, 6) regardless of how rows are distributed
+    val rows = Seq((9.0, 6L), (1.0, 1L), (9.0, 4L), (2.0, 2L), (9.0, 5L), (8.0, 3L))
+    val topK = TopKAggregator.topK(3)
+    def run(parts: Int) =
+      rows.toDF("score", "id").repartition(parts)
+        .agg(topK(col("score"), col("id")).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t._1"), col("t._2"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    val expected = Seq((9.0, 4L), (9.0, 5L), (9.0, 6L))
+    (1 to 4).foreach { parts =>
+      assert(run(parts) == expected,
+        s"$parts partitions: merge must preserve order+ties, got ${run(parts)}")
+    }
+  }
+
   test("mismatched element type is rejected at analysis") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_dot(array('a'), array(1.0d))").collect()
