@@ -509,7 +509,95 @@ object AggWindowOps extends QueryPack {
            |WHERE rk <= 3""".stripMargin),
     doc = "Typed Aggregator top-k: O(k) buffer vs the window sort, cross-checked (A12/§2.10).")
 
+  // ---- A13: ROLLUP — subtotal hierarchy in one pass -------------------------
+  // The marts' summary views re-aggregate the same facts at several grains;
+  // ROLLUP computes every grain in one shuffle (Expand feeds a single hash
+  // aggregate) instead of N scans + a union. Rolled-up keys surface as a
+  // sentinel so the oracle compare never conflates a subtotal NULL with a
+  // data NULL. Decimal accumulation keeps the double sum order-insensitive.
+  private val a13 = GQuery(
+    "a13_rollup",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n"), col("total")),
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           |  count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin),
+    doc = "ROLLUP subtotal hierarchy: all grains in one Expand+aggregate pass (A13).")
+
+  // ---- W5: window frames — lag/lead + bounded moving aggregate --------------
+  // Per-customer order history: previous/next order price and a 3-order
+  // moving average / running total. Frames are ROWS-bounded with a
+  // deterministic (date, key) order, so state per partition is O(frame), and
+  // the running total accumulates in DECIMAL so the compare is order-proof.
+  private val w5 = GQuery(
+    "w5_window_frames",
+    (s, dir) => {
+      val ord = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val mov = ord.rowsBetween(-2, 0)
+      val run = ord.rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        lag(col("o_totalprice"), 1).over(ord).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(ord).as("next_price"),
+        round(avg(col("o_totalprice")).over(mov), 4).as("mov_avg3"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(run)
+          .cast("double").as("run_total"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+           |  lag(o_totalprice, 1) OVER w AS prev_price,
+           |  lead(o_totalprice, 1) OVER w AS next_price,
+           |  round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           |       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin),
+    doc = "lag/lead + ROWS-framed moving avg and decimal running total (W5).")
+
+  // ---- F4: date/time function battery ---------------------------------------
+  // The snapshot filters (S4/S5) only exercise to_date; this pins the wider
+  // calendar surface — component extraction, truncation, day arithmetic —
+  // against the oracle's independent implementations. All pure per-row
+  // projections: trivially parallel, no shuffle, codegen'd.
+  // weekday()+1 matches DuckDB's isodow (Monday=1); dayofweek() would not
+  // (Spark counts Sunday=1).
+  private val f4 = GQuery(
+    "f4_datetime_functions",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("d", to_date(col("o_orderdate")))
+        .select(
+          col("o_orderkey"),
+          col("d"),
+          year(col("d")).as("yr"),
+          quarter(col("d")).as("qtr"),
+          month(col("d")).as("mo"),
+          dayofmonth(col("d")).as("dom"),
+          (weekday(col("d")) + 1).as("isodow"),
+          to_date(date_trunc("month", col("d"))).as("month_start"),
+          last_day(col("d")).as("month_end"),
+          datediff(col("d"), lit("1995-01-01").cast("date")).as("days_since_95"),
+          date_add(col("d"), 30).as("due_date")),
+    Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+           |  year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+           |  month(o_orderdate) AS mo, day(o_orderdate) AS dom,
+           |  isodow(o_orderdate) AS isodow,
+           |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+           |  CAST(o_orderdate AS DATE) + 30 AS due_date
+           |FROM orders""".stripMargin),
+    doc = "Calendar battery: extract/trunc/last_day/diff/add vs independent oracle impls (F4/§2.8).")
+
   override val all: Seq[GQuery] =
-    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12,
-      w1, w2, w3, w4, o1, u1, u2, u3, u4, f1, f2, f3, st1)
+    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13,
+      w1, w2, w3, w4, w5, o1, u1, u2, u3, u4, f1, f2, f3, f4, st1)
 }

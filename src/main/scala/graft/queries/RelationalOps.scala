@@ -489,6 +489,46 @@ object RelationalOps extends QueryPack {
            |GROUP BY 1""".stripMargin),
     doc = "Dynamic partition pruning: dim filter decides at runtime which year partitions the fact scan reads (X4).")
 
+  // ---- J7: semi / anti join (EXISTS / NOT EXISTS) --------------------------
+  // The reference's draft-state filter (app/app.py:567-569) is an IN-list —
+  // the set face of EXISTS. Engine-side the general form is LeftSemi/LeftAnti:
+  // no columns from the probe side survive, so Spark builds the hash table on
+  // the (deduplicated) key set only — at 100 TB a semi join against a big key
+  // set is a shuffled hash join on keys alone, never a row-multiplying join.
+  // No broadcast hint on `urgent`: it grows with the fact table, AQE
+  // broadcasts it only while it is actually small.
+  private val j7 = GQuery(
+    "j7_semi_anti_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val withU = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_urgent"))
+      val withoutU = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without_urgent"))
+      withU.join(withoutU, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_with_urgent"), lit(0L)).as("n_with_urgent"),
+          coalesce(col("n_without_urgent"), lit(0L)).as("n_without_urgent"))
+    },
+    Some("""WITH w AS (
+           |  SELECT c_mktsegment, count(*) AS n_with_urgent FROM customer
+           |  WHERE EXISTS (SELECT 1 FROM orders
+           |                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+           |  GROUP BY 1),
+           |wo AS (
+           |  SELECT c_mktsegment, count(*) AS n_without_urgent FROM customer
+           |  WHERE NOT EXISTS (SELECT 1 FROM orders
+           |                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+           |  GROUP BY 1)
+           |SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+           |  coalesce(n_with_urgent, 0) AS n_with_urgent,
+           |  coalesce(n_without_urgent, 0) AS n_without_urgent
+           |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment""".stripMargin),
+    doc = "LeftSemi/LeftAnti joins — EXISTS / NOT EXISTS without row multiplication (J7).")
+
   // ---- Q3: TPC-H-Q3-shaped headline query --------------------------------------
   // Multi-join + filtered scan + agg + top-K: the canonical OLAP shape the
   // marts are made of. Dates filter pushes to both scans; customer broadcasts;
@@ -528,5 +568,5 @@ object RelationalOps extends QueryPack {
     x2.run(s, dir)
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, x1, x2, x3, x4, q3)
+    Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, j7, x1, x2, x3, x4, q3)
 }

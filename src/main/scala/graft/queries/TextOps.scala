@@ -473,5 +473,101 @@ object TextOps extends QueryPack {
     None,
     doc = "HLL++ vocabulary + KLL length quantiles — fixed-memory corpus stats (text #6).")
 
-  override val all: Seq[GQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11)
+  // ---- D20: repetition ratios (Gopher-style quality signals) ---------------
+  // Within-document repetition is a strong low-quality signal for training
+  // corpora (boilerplate, keyword stuffing, generator loops). Distinct-token
+  // ratio and top-token mass are per-document hash aggregates over the token
+  // explode — one shuffle keyed by doc_id, bounded state per doc, no
+  // corpus-level join, so the operator is embarrassingly scalable.
+  private val d20 = GQuery(
+    "d20_repetition_ratio",
+    (s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      tf.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_c"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("distinct_ratio"),
+          round(col("top_c").cast("double") / col("n_tokens"), 6).as("top_tok_frac"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |tf AS (SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok <> ''
+           |       GROUP BY 1, 2)
+           |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |  count(*) AS n_distinct,
+           |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio,
+           |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_tok_frac
+           |FROM tf GROUP BY doc_id""".stripMargin),
+    doc = "Gopher-style repetition signals: distinct-token ratio + top-token mass (text #7).")
+
+  // ---- D21: mean-IDF informativeness ---------------------------------------
+  // Documents made of only corpus-ubiquitous words (navigation chrome, SEO
+  // filler) score near ln(N/df)≈0; rare-word-dense docs score high. The df
+  // table is an equi-join back onto the token stream with NO broadcast hint:
+  // vocabulary grows with the corpus (Heaps' law), so AQE broadcasts it while
+  // small and shuffles when it is not. N arrives via the whitelisted 1-row
+  // cross join.
+  private val d21 = GQuery(
+    "d21_mean_idf",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val df = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      toks.join(df, "tok")
+        .crossJoin(broadcast(n))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(log(col("n_docs").cast("double") / col("df"))), 6).as("mean_idf"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+           |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents)
+           |SELECT doc_id, round(avg(ln(CAST(n_docs AS DOUBLE) / df)), 6) AS mean_idf
+           |FROM t2 JOIN df USING (tok) CROSS JOIN n
+           |GROUP BY doc_id""".stripMargin),
+    doc = "Informativeness score: token-frequency-weighted mean IDF per document (text #8).")
+
+  // ---- D22: source mixing weights (temperature-scaled sampling) ------------
+  // Multi-source corpora are rarely sampled proportionally: p^alpha
+  // (alpha<1) upweights small high-quality sources (GPT-3/Pile recipe).
+  // Two-level shape: per-source hash aggregate (5 rows by construction),
+  // then 1-row totals attached by the whitelisted broadcast cross join —
+  // the global normalizers never route through a single-partition window.
+  private val d22 = GQuery(
+    "d22_source_mix_weights",
+    (s, dir) => {
+      val bySrc = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      val tot = bySrc.agg(sum(col("chars")).as("tot"))
+      val p = bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("chars"),
+          (col("chars").cast("double") / col("tot")).as("p_raw"))
+      val z = p.agg(sum(pow(col("p_raw"), 0.7)).as("z"))
+      p.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), col("chars"),
+          round(col("p_raw"), 6).as("p"),
+          round(pow(col("p_raw"), 0.7) / col("z"), 6).as("mix_weight"))
+    },
+    Some("""WITH s AS (SELECT source, count(*) AS n_docs,
+           |            CAST(sum(n_chars) AS BIGINT) AS chars
+           |          FROM documents GROUP BY 1),
+           |t AS (SELECT CAST(sum(chars) AS DOUBLE) AS tot FROM s),
+           |p AS (SELECT source, n_docs, chars, chars / tot AS p_raw FROM s, t),
+           |z AS (SELECT sum(pow(p_raw, 0.7)) AS z FROM p)
+           |SELECT source, n_docs, chars, round(p_raw, 6) AS p,
+           |  round(pow(p_raw, 0.7) / z, 6) AS mix_weight
+           |FROM p, z""".stripMargin),
+    doc = "Temperature-scaled source sampling weights p^0.7 (text #9, GPT-3/Pile recipe).")
+
+  override val all: Seq[GQuery] =
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22)
 }

@@ -80,7 +80,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "e4_ann_ivf_probe",        // K-row centroid table broadcast
       "u3_union_append_scalar",  // appends a 1-row aggregate
       "a5_groupmin_scalar_max",  // 1-row scalar max attach (replacement-level pattern)
-      "d11_sketch_stats")        // joins two 1-row sketch aggregates
+      "d11_sketch_stats",        // joins two 1-row sketch aggregates
+      "d21_mean_idf",            // 1-row corpus-count attach for ln(N/df)
+      "d22_source_mix_weights")  // 1-row total + 1-row normalizer attaches
     val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       spark.catalog.clearCache()
