@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** dbt-style incremental materializations, Spark-first.
+  *
+  * The reference project materializes every model as a full CTAS
+  * (dbt_project.yml:38-51 — `table` for stage/main, no `incremental` or
+  * `snapshot` blocks), which is affordable at its data size. At 100 TB a
+  * daily full rebuild is not; dbt's other two materialization strategies —
+  * `incremental` (merge-by-key) and `snapshot` (SCD2 history) — become the
+  * load-bearing path. This object provides both as reusable operators:
+  *
+  *   - [[upsert]]: dbt `incremental` with `unique_key` + merge — the
+  *     incoming batch replaces matching keys and appends new ones.
+  *   - [[scd2Rebuild]]: dbt `snapshot` (check strategy) as a batch backfill
+  *     from a change log — compress consecutive equal values per key into
+  *     validity intervals. One partitioned window pass, no iteration.
+  *   - [[scd2Apply]]: the per-batch incremental face of the same snapshot —
+  *     close open intervals cut by the batch and append the batch's change
+  *     points. `IncrementalSpec` pins fold(scd2Apply) == scd2Rebuild on
+  *     randomized fixtures, so the cheap incremental path provably
+  *     converges to the expensive rebuild.
+  *
+  * Scale notes (100 TB posture):
+  *   - every join is an equi-join on the model's unique key with NO broadcast
+  *     hint — the incoming batch is usually small (AQE broadcasts it) but
+  *     backfills are not (AQE shuffles);
+  *   - all windows are partitioned by the key: state is one key-group, never
+  *     a global sort;
+  *   - `upsert` reads the base table once (one anti join), so the write
+  *     amplification is O(base + batch), the floor for a rewrite-on-merge
+  *     table format without deletion vectors.
+  */
+object Incremental {
+
+  /** dbt `incremental` materialization, merge strategy: rows of `updates`
+    * replace base rows sharing their key; unseen keys append. Within
+    * `updates` the row with the highest `version` (ties: highest `tieBreak`)
+    * wins, so replaying a batch is idempotent.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
+             version: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(version).desc, col(tieBreak).desc)
+    val latest = updates.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val kept = base.join(latest.select(keys.map(col): _*), keys, "left_anti")
+    kept.unionByName(latest)
+  }
+
+  /** dbt `snapshot` (SCD2) as a batch backfill: compress a change log
+    * (key, attr, ordered by `ts`, `tieBreak`) into validity intervals.
+    * Consecutive equal attr values merge; `valid_to` is null on the open
+    * (current) interval. Output: keys ++ (attr, valid_from, valid_to).
+    */
+  def scd2Rebuild(changes: DataFrame, keys: Seq[String], attr: String,
+                  ts: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts), col(tieBreak))
+    val points = changes
+      .withColumn("_prev", lag(col(attr), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(attr))
+      .drop("_prev")
+    val w2 = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts), col(tieBreak))
+    points
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(w2))
+      .select((keys.map(col) ++ Seq(col(attr), col("valid_from"), col("valid_to"))): _*)
+  }
+
+  /** One incremental snapshot step: fold a new batch of changes into an
+    * existing SCD2 `history` (same schema as [[scd2Rebuild]] output).
+    * Batch rows at or before a key's open `valid_from` are late arrivals for
+    * an already-closed span and are ignored (the rebuild path is the
+    * re-statement tool for those). A batch whose first effective change
+    * equals the key's current attr merges into the open interval instead of
+    * opening a zero-width one.
+    */
+  def scd2Apply(history: DataFrame, batch: DataFrame, keys: Seq[String],
+                attr: String, ts: String, tieBreak: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val outCols = keys.map(col) ++ Seq(col(attr), col("valid_from"), col("valid_to"))
+
+    // current open interval per key (at most one by construction)
+    val cur = history.filter(col("valid_to").isNull)
+      .select((keys.map(col) ++ Seq(col(attr).as("_cur_attr"), col("valid_from").as("_cur_from"))): _*)
+
+    // drop late arrivals, then compress the batch against the running value:
+    // the previous attr for the first surviving batch row is the key's
+    // current attr, so a batch opening with the same value is a no-change
+    val joined = batch.join(cur, keys, "left")
+      .filter(col("_cur_from").isNull || col(ts) > col("_cur_from"))
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(ts), col(tieBreak))
+    val points = joined
+      .withColumn("_prev", coalesce(lag(col(attr), 1).over(w), col("_cur_attr")))
+      .filter(col("_prev").isNull || col("_prev") =!= col(attr))
+    val newRows = points
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .select(outCols: _*)
+
+    // close open intervals cut by an effective batch change
+    val cuts = points.groupBy(keyCols: _*).agg(min(col(ts)).as("_cut"))
+    val stillOpen = history.filter(col("valid_to").isNull)
+      .join(cuts, keys, "left")
+      .withColumn("valid_to", col("_cut"))
+      .select(outCols: _*)
+    val closed = history.filter(col("valid_to").isNotNull)
+
+    closed.unionByName(stillOpen).unionByName(newRows)
+  }
+}

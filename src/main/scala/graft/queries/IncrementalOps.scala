@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, QueryPack, Tables}
+import graft.pipeline.Incremental
+
+/** Registry face of [[graft.pipeline.Incremental]] — dbt's `incremental` and
+  * `snapshot` materializations over the events change log, oracle-checked.
+  *
+  * i3 is the important one: the engine folds the log through the cheap
+  * per-batch [[Incremental.scd2Apply]] path, while the oracle recomputes the
+  * history from the full log in one SQL pass — so the DuckDB gate proves the
+  * incremental path converges to the batch rebuild, not just that two copies
+  * of the same algorithm agree.
+  */
+object IncrementalOps extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+
+  /** Surfaced per convention: timestamps leave as floored epoch seconds. */
+  private def sec(c: org.apache.spark.sql.Column) = unix_timestamp(c)
+
+  // ---- I1: incremental merge (dbt incremental, unique_key=user_id) ---------
+  // Base = latest pre-cutoff event per user; the post-cutoff batch merges in,
+  // replacing matched keys and appending new ones. The oracle states the
+  // fixpoint directly: latest event per user over the whole log.
+  private val i1 = GQuery(
+    "i1_incremental_upsert",
+    (s, dir) => {
+      val all = ev(s, dir)
+      val cutoff = lit("2024-01-20").cast("timestamp")
+      val old = all.filter(col("ts") < cutoff)
+      val batch = all.filter(col("ts") >= cutoff)
+      val base = Incremental.upsert(old.limit(0), old,
+        Seq("user_id"), "ts", "event_id")
+      Incremental.upsert(base, batch, Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), sec(col("ts")).as("ts_sec"))
+    },
+    Some("""SELECT user_id, event_id, event_type, value,
+           |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+           |FROM (SELECT *, row_number() OVER (
+           |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |      FROM events) r
+           |WHERE rn = 1""".stripMargin),
+    doc = "dbt incremental merge: batch replaces matched keys, appends new (I1).")
+
+  // ---- I2: SCD2 snapshot backfill (dbt snapshot, check strategy) -----------
+  // Compress the per-user event_type change log into validity intervals in
+  // one partitioned window pass.
+  private val i2 = GQuery(
+    "i2_scd2_history",
+    (s, dir) =>
+      Incremental.scd2Rebuild(ev(s, dir), Seq("user_id"), "event_type",
+          "ts", "event_id")
+        .select(col("user_id"), col("event_type"),
+          sec(col("valid_from")).as("valid_from_sec"),
+          sec(col("valid_to")).as("valid_to_sec")),
+    Some(scd2OracleSql),
+    doc = "dbt snapshot backfill: change log -> SCD2 validity intervals (I2).")
+
+  // ---- I3: SCD2 incremental apply == batch rebuild (differential) ----------
+  // The engine folds three disjoint time slices through scd2Apply; the
+  // oracle rebuilds from the full log. Hash-equality proves the incremental
+  // materialization converges to the batch one.
+  private val i3 = GQuery(
+    "i3_scd2_incremental",
+    (s, dir) => {
+      val all = ev(s, dir)
+      val c1 = lit("2024-01-11").cast("timestamp")
+      val c2 = lit("2024-01-21").cast("timestamp")
+      val h0 = Incremental.scd2Rebuild(all.filter(col("ts") < c1),
+        Seq("user_id"), "event_type", "ts", "event_id")
+      val h1 = Incremental.scd2Apply(h0,
+        all.filter(col("ts") >= c1 && col("ts") < c2),
+        Seq("user_id"), "event_type", "ts", "event_id")
+      val h2 = Incremental.scd2Apply(h1, all.filter(col("ts") >= c2),
+        Seq("user_id"), "event_type", "ts", "event_id")
+      h2.select(col("user_id"), col("event_type"),
+        sec(col("valid_from")).as("valid_from_sec"),
+        sec(col("valid_to")).as("valid_to_sec"))
+    },
+    Some(scd2OracleSql),
+    doc = "SCD2 incremental fold over 3 batches, oracle-checked against the full rebuild (I3).")
+
+  private lazy val scd2OracleSql =
+    """WITH c AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |chg AS (SELECT user_id, event_type, ts, event_id FROM c
+      |        WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_sec,
+      |  CAST(floor(epoch(lead(ts) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS valid_to_sec
+      |FROM chg""".stripMargin
+
+  override val all: Seq[GQuery] = Seq(i1, i2, i3)
+}

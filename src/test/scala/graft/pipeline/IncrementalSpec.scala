@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import scala.util.Random
+
+/** Differential tests for the incremental materializations:
+  *   - fold(scd2Apply over K batches) == scd2Rebuild(full log), on randomized
+  *     change logs — the incremental path provably converges to the batch
+  *     path, for any batch boundaries;
+  *   - upsert is idempotent (replaying the same batch changes nothing) and
+  *     equivalent to latest-per-key over the concatenated log;
+  *   - SCD2 output is structurally sound: per key, intervals chain
+  *     contiguously and exactly one is open.
+  */
+class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Random change log: `n` rows over `nKeys` keys, 4 attr values, unique
+    * (seq) tiebreak; ts collisions across keys on purpose. */
+  private def randomLog(seed: Long, n: Int, nKeys: Int): DataFrame = {
+    val rnd = new Random(seed)
+    val rows = (0 until n).map { i =>
+      (rnd.nextInt(nKeys).toLong, s"v${rnd.nextInt(4)}", rnd.nextInt(50).toLong, i.toLong)
+    }
+    val s = spark
+    import s.implicits._
+    rows.toDF("k", "attr", "ts", "seq")
+  }
+
+  private def canon(df: DataFrame): Set[(Long, String, Long, Option[Long])] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+
+  test("fold of scd2Apply batches == scd2Rebuild on the full log (randomized)") {
+    for (seed <- 1 to 5) {
+      val log = randomLog(seed, 400, 12).cache()
+      val full = Incremental.scd2Rebuild(log, Seq("k"), "attr", "ts", "seq")
+        .select(col("k"), col("attr"), col("valid_from"), col("valid_to"))
+
+      // batch boundaries depend on the seed so the split points vary too
+      val cut1 = 10 + seed * 3
+      val cut2 = 25 + seed * 3
+      val h0 = Incremental.scd2Rebuild(log.filter(col("ts") < cut1),
+        Seq("k"), "attr", "ts", "seq")
+      val h1 = Incremental.scd2Apply(h0,
+        log.filter(col("ts") >= cut1 && col("ts") < cut2), Seq("k"), "attr", "ts", "seq")
+      val h2 = Incremental.scd2Apply(h1, log.filter(col("ts") >= cut2),
+        Seq("k"), "attr", "ts", "seq")
+        .select(col("k"), col("attr"), col("valid_from"), col("valid_to"))
+
+      assert(canon(h2) === canon(full), s"seed=$seed")
+      log.unpersist()
+    }
+  }
+
+  test("scd2 intervals chain contiguously with exactly one open per key") {
+    val log = randomLog(99, 500, 10)
+    val h = Incremental.scd2Rebuild(log, Seq("k"), "attr", "ts", "seq")
+    val open = h.filter(col("valid_to").isNull).groupBy(col("k")).count()
+      .filter(col("count") =!= 1)
+    assert(open.count() === 0, "each key must have exactly one open interval")
+    // every closed interval's valid_to equals the next interval's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("valid_from"))
+    val broken = h.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"))
+    assert(broken.count() === 0, "intervals must chain without gaps or overlaps")
+    // consecutive intervals must actually change the attr
+    val flat = h.withColumn("next_attr", lead(col("attr"), 1).over(w))
+      .filter(col("next_attr").isNotNull && col("next_attr") === col("attr"))
+    assert(flat.count() === 0, "consecutive intervals with equal attr must merge")
+  }
+
+  test("upsert == latest-per-key; replaying the batch is a no-op") {
+    val log = randomLog(7, 300, 15)
+    val old = log.filter(col("ts") < 25)
+    val batch = log.filter(col("ts") >= 25)
+    val base = Incremental.upsert(old.limit(0), old, Seq("k"), "ts", "seq")
+    val merged = Incremental.upsert(base, batch, Seq("k"), "ts", "seq")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"))
+      .orderBy((col("ts") >= 25).desc, col("ts").desc, col("seq").desc)
+    val expect = log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    def c(df: DataFrame) = df.select(col("k"), col("attr"), col("ts"), col("seq"))
+      .collect().map(_.toSeq).toSet
+    assert(c(merged) === c(expect))
+
+    val replay = Incremental.upsert(merged, batch, Seq("k"), "ts", "seq")
+    assert(c(replay) === c(merged), "replaying the same batch must be idempotent")
+  }
+}
