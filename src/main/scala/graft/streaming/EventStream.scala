@@ -114,6 +114,51 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  // ---- streaming merge sink (the streaming face of i1) -----------------------
+
+  /** `foreachBatch` merge sink: each micro-batch upserts into a versioned
+    * parquet table via [[graft.pipeline.Incremental.upsert]] — the streaming
+    * face of the dbt incremental materialization. Plain parquet cannot be
+    * overwritten while being read, so each merge lands a NEW version dir
+    * `v=<batchId>` built from the latest version < batchId; a retried batch
+    * deterministically rebuilds its own version from the same predecessor
+    * (idempotent), and readers always see a complete version. This is the
+    * manual core of what a transactional table format does with a commit
+    * log; at 100 TB the version list would live in a metastore, not a
+    * directory listing.
+    */
+  def startUpsertToParquet(events: DataFrame, tableDir: String,
+      checkpoint: String, keys: Seq[String] = Seq("user_id")): StreamingQuery =
+    events.withWatermark("ts", "10 minutes").writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val dir = new java.io.File(tableDir)
+        val versions = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("v="))
+          .map(_.getName.stripPrefix("v=").toLong)
+          .filter(_ < batchId)
+        val base =
+          if (versions.isEmpty) batch.limit(0)
+          else spark.read.parquet(s"$tableDir/v=${versions.max}")
+        graft.pipeline.Incremental
+          .upsert(base, batch.toDF(), keys, "ts", "event_id")
+          .write.mode("overwrite").parquet(s"$tableDir/v=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Latest materialized version of a [[startUpsertToParquet]] table. */
+  def latestVersion(spark: SparkSession, tableDir: String): DataFrame = {
+    val versions = Option(new java.io.File(tableDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+    require(versions.nonEmpty, s"no versions under $tableDir")
+    spark.read.parquet(s"$tableDir/v=${versions.max}")
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ---------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

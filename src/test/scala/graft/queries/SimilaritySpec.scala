@@ -202,4 +202,18 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"e2 recall@10 = $recall%.3f over ${exact.size} exact pairs")
     assert(recall >= 0.7, f"ANN recall floor: $recall%.3f < 0.7")
   }
+
+  // ---- e7 ----------------------------------------------------------------
+
+  test("e7: int8-quantized ordering keeps recall@10 >= 0.9 vs e1's float-exact top-10 (sf0.01)") {
+    // quantization perturbs similarities by ~1/127 per component — near-ties
+    // can swap, but the top-10 sets should survive almost unchanged
+    val exact = graft.SparkEntry.queries("e1_ann_bruteforce_topk")(spark, sf01)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = graft.SparkEntry.queries("e7_ann_int8_quantized")(spark, sf01)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    info(f"e7 recall@10 = $recall%.3f over ${exact.size} exact pairs")
+    assert(recall >= 0.9, f"int8 quantization recall floor: $recall%.3f < 0.9")
+  }
 }

@@ -145,6 +145,29 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming outer join must equal the batch left join, got $rows")
   }
 
+  test("streaming merge sink: folded upserts equal latest-per-key over the log (i1 twin)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val tbl = java.nio.file.Files.createTempDirectory("graft-upsert-tbl").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-upsert-cp").toString
+    // slice A: users 1 and 2; slice B: user 1 advances, user 3 appears.
+    // The final table is the same whether the runtime folds the slices as
+    // one micro-batch or two — that indifference is the upsert contract.
+    input.addData(Seq(ev(10, 0, 1, "a", 1), ev(11, 1, 2, "a", 2)))
+    input.addData(Seq(ev(12, 5, 1, "b", 3), ev(13, 6, 3, "a", 4)))
+    val q1 = EventStream.startUpsertToParquet(
+      input.toDF().withColumn("props", lit("{}")), tbl, cp)
+    q1.processAllAvailable()
+    q1.stop()
+    val got = EventStream.latestVersion(spark, tbl)
+      .select("user_id", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((1L, 12L, "b"), (2L, 11L, "a"), (3L, 13L, "a")),
+      s"merged table must hold the latest event per user, got $got")
+  }
+
   test("streaming dedup within watermark + foreachBatch parquet sink (d1 twin)") {
     val sp = spark
     import sp.implicits._
