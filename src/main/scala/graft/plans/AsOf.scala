@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+
+/** User-facing face of the native [[AsOfJoin]] operator. */
+object AsOf {
+
+  /** Idempotently install [[AsOfJoinStrategy]] into the session planner. */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** As-of join `left` with `right`: for each left row, the payload of the
+    * last right row of the same `key` with (ts, tie) at or before the left
+    * row's. `payload` names right-side columns to carry (they must not
+    * collide with left column names); all other right columns are dropped.
+    */
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String, payload: Seq[String],
+           tieBreak: String): DataFrame = {
+    require(payload.forall(c => !left.columns.contains(c)),
+      "payload columns must not collide with left columns")
+    val spark = left.sparkSession
+    install(spark)
+    val lPlan = left.queryExecution.analyzed
+    // Re-alias every right column: when both sides share lineage (the common
+    // self-as-of case) their attribute ids collide, and the analyzer's
+    // relation dedup would rewrite the right child underneath this node's
+    // already-bound expressions. Fresh aliases make the children disjoint.
+    val rPlan = right
+      .select(right.columns.map(c => org.apache.spark.sql.functions.col(c).as(c)): _*)
+      .queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String): Attribute =
+      plan.output.find(_.name == name)
+        .getOrElse(sys.error(s"column $name not found in ${plan.output.map(_.name)}"))
+    val node = AsOfJoin(lPlan, rPlan,
+      leftKey = attr(lPlan, key), rightKey = attr(rPlan, key),
+      leftTs = attr(lPlan, leftTs), rightTs = attr(rPlan, rightTs),
+      leftTie = attr(lPlan, tieBreak), rightTie = attr(rPlan, tieBreak),
+      payload = payload.map(attr(rPlan, _)))
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(spark, node)
+  }
+}

@@ -597,7 +597,37 @@ object AggWindowOps extends QueryPack {
            |FROM orders""".stripMargin),
     doc = "Calendar battery: extract/trunc/last_day/diff/add vs independent oracle impls (F4/§2.8).")
 
+  // ---- F5: JSON extraction battery ------------------------------------------
+  // The events feed carries a semi-structured `props` JSON column — the
+  // lakehouse shape the reference's all-strings CSV posture turns into at
+  // scale. Engine side extracts BOTH ways: `from_json` (typed, vectorized,
+  // the Spark-first path) and `json_tuple` (string-path generator); the
+  // equality filter keeps every row only while the two extractors agree, so
+  // a divergence would surface as a row-count mismatch against the oracle.
+  // Extraction is per-row and codegen'd — no shuffle beyond the final agg.
+  private val f5 = GQuery(
+    "f5_json_extraction",
+    (s, dir) => {
+      val parsed = t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"),
+          json_tuple(col("props"), "k").as("k2"))
+        .filter(col("k") === col("k2").cast("int"))
+      parsed.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"), sum(col("k")).as("k_sum"))
+    },
+    Some("""SELECT event_type, count(*) AS n, min(k) AS k_min, max(k) AS k_max,
+           |  CAST(sum(k) AS BIGINT) AS k_sum
+           |FROM (SELECT event_type,
+           |        CAST(json_extract_string(props, '$.k') AS INT) AS k
+           |      FROM events) j
+           |GROUP BY event_type""".stripMargin),
+    doc = "Semi-structured JSON column: typed from_json + json_tuple cross-checked (F5/§2.8).")
+
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13,
-      w1, w2, w3, w4, w5, o1, u1, u2, u3, u4, f1, f2, f3, f4, st1)
+      w1, w2, w3, w4, w5, o1, u1, u2, u3, u4, f1, f2, f3, f4, f5, st1)
 }

@@ -189,5 +189,43 @@ object TemporalOps extends QueryPack {
             |FROM islands GROUP BY user_id, sess_id""".stripMargin),
     doc = "Session windows: 30-min inactivity gap per user, native session_window (temporal #3).")
 
-  override val all: Seq[GQuery] = Seq(t1, t2, t3)
+  // ---- T4: as-of join through the native Catalyst operator ---------------------
+  // Same query and SAME DuckDB oracle as t1, but planned through
+  // graft.plans.AsOfJoin -> AsOfJoinStrategy -> AsOfJoinExec: co-partitioned
+  // sorted-merge with one buffered right row instead of the union+window
+  // composition. The shared oracle means the custom physical operator is
+  // value-proven by the same gate as the composed form, and
+  // AsOfJoinNativeSpec pins plan shape + equality on randomized fixtures.
+  private val t4 = GQuery(
+    "t4_asof_join_native",
+    (s, dir) => {
+      val ev = micros(s, dir).filter(col("event_type").isin("click", "view"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("us").as("view_us"), col("value").as("view_value"))
+      graft.plans.AsOf.join(clicks, views, key = "user_id",
+        leftTs = "us", rightTs = "us",
+        payload = Seq("view_us", "view_value"), tieBreak = "event_id")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("us").as("click_us"), col("view_us"), col("view_value"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
+           |  FROM events WHERE event_type IN ('click', 'view')),
+           |enriched AS (
+           |  SELECT event_id, user_id, event_type, us,
+           |    last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY us, event_id
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_us,
+           |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY us, event_id
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_value
+           |  FROM ev)
+           |SELECT event_id AS click_id, user_id, us AS click_us, view_us, view_value
+           |FROM enriched WHERE event_type = 'click'""".stripMargin),
+    doc = "As-of join via custom LogicalPlan/Strategy/SparkPlan: co-partitioned sorted merge (temporal #4).")
+
+  override val all: Seq[GQuery] = Seq(t1, t2, t3, t4)
 }

@@ -593,6 +593,42 @@ object TextOps extends QueryPack {
     None,
     doc = "Misra-Gries frequent tokens: O(k) state, certified-heavy output (text #10).")
 
+  // ---- D24: quality-classifier inference (linear model scoring) ------------
+  // The production successor to d6's hand-tuned thresholds: a trained
+  // logistic-regression quality classifier applied at corpus scale. Training
+  // happens offline; INFERENCE is the 100 TB problem, and for a linear model
+  // it is a pure per-row projection — weights are literals folded into
+  // whole-stage codegen, no UDF, no shuffle, no model server. The weights
+  // here are illustrative; the operator is the w·x+b -> sigmoid shape.
+  private val d24 = GQuery(
+    "d24_quality_classifier",
+    (s, dir) => {
+      val toks = words(col("text"))
+      val nTok = size(toks).cast("double")
+      val avgWordLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+      val fracThe = size(filter(toks, x => x === "the")).cast("double") / nTok
+      val logLen = log(col("n_chars").cast("double"))
+      val z = lit(-3.0) + lit(0.45) * avgWordLen + lit(4.0) * fracThe +
+        lit(0.35) * logLen
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"),
+        (lit(1.0) / (lit(1.0) + exp(-z)) >= 0.5).as("keep"))
+    },
+    Some("""SELECT doc_id,
+           |  round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
+           |  1.0 / (1.0 + exp(-z)) >= 0.5 AS keep
+           |FROM (
+           |  SELECT doc_id,
+           |    -3.0 + 0.45 * (CAST(len(replace(text, ' ', '')) AS DOUBLE)
+           |                   / len(string_split(text, ' ')))
+           |         + 4.0 * (CAST(len(list_filter(string_split(text, ' '),
+           |                                       x -> x = 'the')) AS DOUBLE)
+           |                  / len(string_split(text, ' ')))
+           |         + 0.35 * ln(CAST(n_chars AS DOUBLE)) AS z
+           |  FROM documents) f""".stripMargin),
+    doc = "Logistic quality-classifier inference: codegen'd per-row w*x+b -> sigmoid (text #11).")
+
   override val all: Seq[GQuery] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24)
 }

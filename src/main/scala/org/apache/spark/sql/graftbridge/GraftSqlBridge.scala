@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal `private[sql]` bridge: turning a hand-built [[LogicalPlan]] back
+  * into a [[DataFrame]] (`Dataset.ofRows`) has no public API, so this one
+  * forwarding call lives inside the `org.apache.spark.sql` package scope.
+  * Nothing else in the repo reaches into Spark internals this way.
+  */
+object GraftSqlBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

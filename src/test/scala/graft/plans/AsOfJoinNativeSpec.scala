@@ -1,0 +1,105 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import scala.util.Random
+
+/** The native as-of operator (AsOfJoin -> AsOfJoinStrategy -> AsOfJoinExec)
+  * against the composed union+window form:
+  *   - bit-identical results on randomized fixtures with heavy (key, ts)
+  *     ties and keys missing from either side;
+  *   - the physical plan actually contains AsOfJoinExec (the strategy fired)
+  *     and co-partitions/sorts both sides rather than unioning them;
+  *   - null timestamps and unmatched keys produce null payloads.
+  */
+class AsOfJoinNativeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Random (key, ts, tie-unique id, value) frames with many ts collisions. */
+  private def fixture(seed: Long, n: Int, nKeys: Int): (DataFrame, DataFrame) = {
+    val rnd = new Random(seed)
+    val s = spark
+    import s.implicits._
+    // left keys range over [0, nKeys), right over [1, nKeys+1) so each side
+    // has a key the other lacks
+    val left = (0 until n).map { i =>
+      (rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong, i.toLong)
+    }.toDF("k", "ts", "id")
+    val right = (0 until n).map { i =>
+      (rnd.nextInt(nKeys).toLong + 1, rnd.nextInt(40).toLong, (n + i).toLong,
+        rnd.nextDouble())
+    }.toDF("k", "ts", "id", "payload_v")
+    (left, right)
+  }
+
+  /** The composed reference implementation (same shape as TemporalOps). */
+  private def composed(left: DataFrame, right: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"))
+      .orderBy(col("ts"), col("id"), col("_is_left"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tl = left.withColumn("_is_left", lit(1))
+      .withColumn("payload_v", lit(null).cast("double"))
+    val tr = right.withColumn("_is_left", lit(0))
+    tl.unionByName(tr)
+      .withColumn("pv", last(when(col("_is_left") === 0, col("payload_v")),
+        ignoreNulls = true).over(w))
+      .filter(col("_is_left") === 1)
+      .select(col("k"), col("ts"), col("id"), col("pv").as("payload_v"))
+  }
+
+  private def canon(df: DataFrame): Set[(Long, Long, Long, Option[Double])] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+
+  test("native as-of == composed union+window on randomized tie-heavy fixtures") {
+    for (seed <- 1 to 4) {
+      val (left, right) = fixture(seed, 500, 8)
+      val native = AsOf.join(left, right.select(col("k"), col("ts"), col("id"),
+          col("payload_v")), key = "k", leftTs = "ts", rightTs = "ts",
+          payload = Seq("payload_v"), tieBreak = "id")
+        .select(col("k"), col("ts"), col("id"), col("payload_v"))
+      assert(canon(native) === canon(composed(left, right)), s"seed=$seed")
+    }
+  }
+
+  test("strategy plans AsOfJoinExec with co-partitioned sorted children") {
+    val (left, right) = fixture(9, 100, 4)
+    val df = AsOf.join(left, right, key = "k", leftTs = "ts", rightTs = "ts",
+      payload = Seq("payload_v"), tieBreak = "id")
+    df.collect() // force execution so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan.toString
+    // nodeName strips the Exec suffix: the physical node prints as "AsOfJoin"
+    assert(p.contains("AsOfJoin"), s"strategy must fire:\n$p")
+    assert(!p.contains("Window"), s"no window machinery in the native plan:\n$p")
+    assert(p.contains("Sort"), s"children must be sort-merged:\n$p")
+    assert(p.contains("hashpartitioning(k"),
+      s"both sides must co-partition on the key:\n$p")
+  }
+
+  test("unmatched keys and too-early left rows carry null payload") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 5L, 1L), (1L, 1L, 2L), (99L, 5L, 3L))
+      .toDF("k", "ts", "id")
+    val right = Seq((1L, 3L, 10L, 0.5)).toDF("k", "ts", "id", "payload_v")
+    val out = AsOf.join(left, right, "k", "ts", "ts", Seq("payload_v"), "id")
+      .collect().map(r => (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out === Map(1L -> Some(0.5), 2L -> None, 3L -> None))
+  }
+}

@@ -77,6 +77,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val constantAttach = Set(
       "j6_cross_join_constants", // 1-row constants relation, by design
       "e1_ann_bruteforce_topk",  // 10-query probe side broadcast (exactness baseline)
+      "e7_ann_int8_quantized",   // same 10-query probe side, quantized scoring
       "e4_ann_ivf_probe",        // K-row centroid table broadcast
       "u3_union_append_scalar",  // appends a 1-row aggregate
       "a5_groupmin_scalar_max",  // 1-row scalar max attach (replacement-level pattern)

@@ -82,6 +82,11 @@ def main():
             results[name] = cmp_frames(spark_df, odf)
         except Exception as e:
             results[name] = f"COMPARE ERROR {e}"
+    # a query that threw in Verify leaves NO result dir — surface it instead
+    # of letting the pass count silently shrink
+    for name in oracle:
+        if name not in results:
+            results[name] = "MISSING RESULT (query failed in Verify?)"
     ok = sum(1 for v in results.values()
              if v == "OK" or (v.startswith("ROWS-ONLY") and "EMPTY" not in v))
     bad = {k: v for k, v in results.items() if not (v == "OK" or (v.startswith("ROWS-ONLY") and "EMPTY" not in v))}
