@@ -258,16 +258,31 @@ object TextOps extends QueryPack {
     sums.select(col("doc_id"), expr(simExpr).as("sim"))
   }
 
-  /** Exact hamming <= maxDist pairs over (doc_id, sim) signatures via the
-    * two-level banded bucket join. Single pass: probe and exact entries live
-    * in one exploded frame (tagged `is_exact`), bucket-grouped, pairs emitted
-    * probe x exact inside each bucket — no self-join, so the signature
-    * pipeline executes exactly once. */
-  private[queries] def hammingPairs(sims: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist < 2 * SuperChunks,
-      s"pigeonhole banding needs maxDist < ${2 * SuperChunks}")
-    // b = -1 is the exact entry; b in [0, 20) are the single-bit probe flips
-    val entries = sims.select(col("doc_id"), col("sim"), explode(expr(
+  /** Degenerate-bucket guard for [[hammingPairs]]: a (chunk, key) bucket
+    * larger than this is dropped instead of pairwise-exploded. On a
+    * self-similar corpus (boilerplate-heavy web text) many documents share
+    * identical 20-bit chunks, and one such bucket turns the explode
+    * quadratic — the same failure class the d2/d3 [[DfCap]] guards against.
+    * The cap is far above any bucket the driver corpus produces (the
+    * SimilaritySpec cap test pins the margin), so CORRECTNESS output is
+    * unchanged; at corpus scale it bounds the worst bucket at O(cap²) and
+    * [[oversizedBucketStats]] reports what a run dropped. */
+  private[queries] val BucketCap = 10000
+
+  /** (buckets over cap, entries inside them) — the drop a capped run logs. */
+  def oversizedBucketStats(sims: DataFrame, cap: Int): (Long, Long) = {
+    val sizes = bucketEntries(sims)
+      .groupBy(col("u"), col("key")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+      .agg(count(lit(1)).as("buckets"),
+        coalesce(sum(col("n")), lit(0L)).as("entries")).head()
+    (sizes.getLong(0), sizes.getLong(1))
+  }
+
+  /** The multi-probed (doc_id, sim, u, key, is_exact) bucket-entry frame
+    * shared by [[hammingPairs]] and [[oversizedBucketStats]]. */
+  private def bucketEntries(sims: DataFrame): DataFrame =
+    sims.select(col("doc_id"), col("sim"), explode(expr(
       s"""flatten(transform(sequence(0, ${SuperChunks - 1}), u ->
          |  transform(sequence(-1, ${SuperBits - 1}), b ->
          |    struct(u as u,
@@ -277,10 +292,22 @@ object TextOps extends QueryPack {
          |      b = -1 as is_exact))))""".stripMargin)).as("x"))
       .select(col("doc_id"), col("sim"),
         col("x.u").as("u"), col("x.key").as("key"), col("x.is_exact").as("is_exact"))
-    entries.groupBy(col("u"), col("key"))
+
+  /** Exact hamming <= maxDist pairs over (doc_id, sim) signatures via the
+    * two-level banded bucket join. Single pass: probe and exact entries live
+    * in one exploded frame (tagged `is_exact`), bucket-grouped, pairs emitted
+    * probe x exact inside each bucket — no self-join, so the signature
+    * pipeline executes exactly once. Buckets beyond `cap` entries are
+    * dropped (see [[BucketCap]]). */
+  private[queries] def hammingPairs(sims: DataFrame, maxDist: Int,
+      cap: Int = BucketCap): DataFrame = {
+    require(maxDist < 2 * SuperChunks,
+      s"pigeonhole banding needs maxDist < ${2 * SuperChunks}")
+    // b = -1 is the exact entry; b in [0, 20) are the single-bit probe flips
+    bucketEntries(sims).groupBy(col("u"), col("key"))
       .agg(sort_array(collect_list(
         struct(col("doc_id"), col("sim"), col("is_exact")))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= cap)
       .select(explode(expr(
         """flatten(transform(filter(ds, e -> e.is_exact), e ->
           |  transform(filter(ds, p -> p.doc_id < e.doc_id), p ->

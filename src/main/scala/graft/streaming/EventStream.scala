@@ -149,6 +149,39 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** `foreachBatch` SCD2 sink: each micro-batch folds into a versioned SCD2
+    * history table via [[graft.pipeline.Incremental.scd2Apply]] — the
+    * streaming face of the dbt snapshot. Same versioned-parquet protocol as
+    * [[startUpsertToParquet]] (retry-idempotent, readers see complete
+    * versions); `IncrementalSpec` proves the per-batch fold converges to the
+    * batch rebuild, so the stream's history equals what a backfill computes.
+    */
+  def startScd2ToParquet(events: DataFrame, tableDir: String,
+      checkpoint: String, attr: String = "event_type"): StreamingQuery =
+    events.withWatermark("ts", "10 minutes").writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val dir = new java.io.File(tableDir)
+        val versions = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("v="))
+          .map(_.getName.stripPrefix("v=").toLong)
+          .filter(_ < batchId)
+        val changes = batch.toDF().select(col("user_id"), col(attr), col("ts"),
+          col("event_id"))
+        val history =
+          if (versions.isEmpty)
+            graft.pipeline.Incremental.scd2Rebuild(changes.limit(0),
+              Seq("user_id"), attr, "ts", "event_id")
+          else spark.read.parquet(s"$tableDir/v=${versions.max}")
+        graft.pipeline.Incremental
+          .scd2Apply(history, changes, Seq("user_id"), attr, "ts", "event_id")
+          .write.mode("overwrite").parquet(s"$tableDir/v=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Latest materialized version of a [[startUpsertToParquet]] table. */
   def latestVersion(spark: SparkSession, tableDir: String): DataFrame = {
     val versions = Option(new java.io.File(tableDir).listFiles())

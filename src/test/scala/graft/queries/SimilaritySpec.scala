@@ -118,6 +118,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.hammingPairs(sims, 5).count() == 0)
   }
 
+  test("d4: bucket cap never fires on the driver corpus, and drops a degenerate bucket") {
+    val s = spark; import s.implicits._
+    // margin on the real corpus: the largest (chunk, key) bucket sits far
+    // below BucketCap, so the capped join's CORRECTNESS output is identical
+    val (nOver, _) = TextOps.oversizedBucketStats(
+      TextOps.simhashSigs(spark, sf01), TextOps.BucketCap)
+    assert(nOver === 0, "no driver-corpus bucket may reach the cap")
+    // degenerate corpus: every doc shares one signature -> one mega-bucket
+    // per chunk; a cap of 10 drops them all and the pair join yields nothing
+    // instead of exploding quadratically
+    val degenerate = (0 until 200).map(i => (i.toLong, 12345L)).toDF("doc_id", "sim")
+    val (nHot, entries) = TextOps.oversizedBucketStats(degenerate, 10)
+    assert(nHot >= 3 && entries >= 600L,
+      s"the shared-signature buckets must trip the cap, got ($nHot, $entries)")
+    assert(TextOps.hammingPairs(degenerate, 5, cap = 10).count() === 0,
+      "capped buckets must be dropped, not exploded")
+  }
+
   // ---- e5 k-means --------------------------------------------------------
 
   test("e5: k-means cells are pure on a clustered corpus and swap into the d9 prune") {

@@ -168,6 +168,39 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"merged table must hold the latest event per user, got $got")
   }
 
+  test("streaming SCD2 sink: folded history equals the batch rebuild (i3 twin)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    // user 1 changes type a -> b -> b (the repeat must merge); user 2 stays c
+    val log = Seq(ev(10, 0, 1, "a", 1), ev(11, 5, 1, "b", 1),
+      ev(12, 9, 1, "b", 1), ev(13, 2, 2, "c", 1))
+    input.addData(log.take(2))
+    input.addData(log.drop(2))
+    val tbl = java.nio.file.Files.createTempDirectory("graft-scd2-tbl").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-scd2-cp").toString
+    val q = EventStream.startScd2ToParquet(
+      input.toDF().withColumn("props", lit("{}")), tbl, cp)
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_type"),
+          expr("unix_micros(valid_from)").as("f"),
+          expr("unix_micros(valid_to)").as("t"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val streamed = canon(EventStream.latestVersion(spark, tbl))
+    val rebuilt = canon(graft.pipeline.Incremental.scd2Rebuild(
+      log.toDF().withColumn("props", lit("{}"))
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+      Seq("user_id"), "event_type", "ts", "event_id"))
+    assert(streamed === rebuilt,
+      s"streamed history must equal the batch rebuild:\n$streamed\n$rebuilt")
+    assert(rebuilt.map(x => (x._1, x._2, x._4)).contains((1L, "b", -1L)),
+      "user 1 must end open on 'b' with the repeat merged")
+  }
+
   test("streaming dedup within watermark + foreachBatch parquet sink (d1 twin)") {
     val sp = spark
     import sp.implicits._
