@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet table protocol shared by the streaming merge/SCD2 sinks
+  * and batch maintenance: each write lands a complete `v=<n>` directory, so
+  * readers never observe a partial table and a retried writer rebuilds its
+  * own version deterministically. This is the manual core of what a
+  * transactional table format keeps in a commit log; at 100 TB the version
+  * list would live in a metastore, not a directory listing.
+  *
+  * Maintenance mirrors the table-format operations a long-lived merge table
+  * needs:
+  *   - [[compact]]: many-small-files versions (the steady state of frequent
+  *     micro-batch merges) are rewritten into a target file count as a NEW
+  *     version — readers of older versions are untouched;
+  *   - [[vacuum]]: retire all but the newest `keep` versions (time-travel
+  *     window = what vacuum has not yet reclaimed);
+  *   - [[read]]: latest or any still-retained version (time travel).
+  */
+object VersionedTable {
+
+  def versions(tableDir: String): Seq[Long] =
+    Option(new File(tableDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong).sorted.toSeq
+
+  /** Latest version, or a specific retained one (time travel). */
+  def read(spark: SparkSession, tableDir: String, version: Option[Long] = None): DataFrame = {
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no versions under $tableDir")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not retained (have ${vs.mkString(",")})")
+    spark.read.parquet(s"$tableDir/v=$v")
+  }
+
+  /** Rewrite the latest version into `targetFiles` files as a new version.
+    * Returns the new version id. A distributed run would size targetFiles
+    * from bytes/128MB; the rewrite is one narrow repartition — no shuffle
+    * key, so AQE-planned round-robin. */
+  def compact(spark: SparkSession, tableDir: String, targetFiles: Int): Long = {
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no versions under $tableDir")
+    val next = vs.max + 1
+    spark.read.parquet(s"$tableDir/v=${vs.max}")
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(s"$tableDir/v=$next")
+    next
+  }
+
+  /** Delete all but the newest `keep` versions; returns what was removed. */
+  def vacuum(tableDir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must retain at least the newest version")
+    val vs = versions(tableDir)
+    val drop = vs.dropRight(keep)
+    drop.foreach { v =>
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new File(s"$tableDir/v=$v"))
+    }
+    drop
+  }
+}

@@ -627,7 +627,84 @@ object AggWindowOps extends QueryPack {
            |GROUP BY event_type""".stripMargin),
     doc = "Semi-structured JSON column: typed from_json + json_tuple cross-checked (F5/§2.8).")
 
+  // ---- A14: several COUNT(DISTINCT) in one aggregate -----------------------
+  // Spark plans multi-distinct through Expand (one row replica per distinct
+  // set) feeding a single two-level aggregate — one shuffle for all three
+  // distincts instead of three self-aggregating scans. The same Expand
+  // machinery as a13's ROLLUP, pointed at dedup instead of subtotals.
+  private val a14 = GQuery(
+    "a14_multi_count_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows")),
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+           |  count(DISTINCT l_suppkey) AS n_supps,
+           |  count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    doc = "Three COUNT(DISTINCT) + COUNT(*) in one Expand-planned aggregate (A14).")
+
+  // ---- W6: distribution window functions -----------------------------------
+  // percent_rank / cume_dist / ntile complete the ranking-window surface
+  // (w1/w2 cover row_number/rank). All partitioned by a key — bounded state;
+  // percent_rank and cume_dist are exact rationals of counts, so rounding to
+  // 6 is engine-stable.
+  private val w6 = GQuery(
+    "w6_distribution_windows",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(10).over(w).as("decile"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment,
+           |  round(percent_rank() OVER w, 6) AS pct_rank,
+           |  round(cume_dist() OVER w, 6) AS cume,
+           |  CAST(ntile(10) OVER w AS INT) AS decile
+           |FROM customer
+           |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin),
+    doc = "percent_rank / cume_dist / ntile over partitioned windows (W6).")
+
+  // ---- U5: INTERSECT / EXCEPT ----------------------------------------------
+  // The remaining ANSI set operators beyond the U1-U4 union family. Spark
+  // plans both as hash semi/anti joins over distinct rows — same machinery
+  // as j7, reached through the set-operator surface.
+  private val u5 = GQuery(
+    "u5_intersect_except",
+    (s, dir) => {
+      val urgentCust = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val highCust = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("custkey"))
+      val both = urgentCust.intersect(highCust)
+        .select(lit("urgent_and_high").as("bucket"), col("custkey"))
+      val onlyUrgent = urgentCust.except(highCust)
+        .select(lit("urgent_only").as("bucket"), col("custkey"))
+      both.unionByName(onlyUrgent)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH u AS (SELECT o_custkey AS custkey FROM orders
+           |          WHERE o_orderpriority = '1-URGENT'),
+           |h AS (SELECT o_custkey AS custkey FROM orders
+           |      WHERE o_totalprice > 300000),
+           |b AS (SELECT 'urgent_and_high' AS bucket, custkey
+           |      FROM (SELECT custkey FROM u INTERSECT SELECT custkey FROM h) x),
+           |o AS (SELECT 'urgent_only' AS bucket, custkey
+           |      FROM (SELECT custkey FROM u EXCEPT SELECT custkey FROM h) y)
+           |SELECT bucket, count(*) AS n FROM (
+           |  SELECT * FROM b UNION ALL SELECT * FROM o) z
+           |GROUP BY bucket""".stripMargin),
+    doc = "INTERSECT / EXCEPT planned as hash semi/anti joins over distinct rows (U5/§2.7).")
+
   override val all: Seq[GQuery] =
-    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13,
-      w1, w2, w3, w4, w5, o1, u1, u2, u3, u4, f1, f2, f3, f4, f5, st1)
+    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14,
+      w1, w2, w3, w4, w5, w6, o1, u1, u2, u3, u4, u5, f1, f2, f3, f4, f5, st1)
 }

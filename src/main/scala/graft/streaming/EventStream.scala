@@ -134,10 +134,7 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val dir = new java.io.File(tableDir)
-        val versions = Option(dir.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v="))
-          .map(_.getName.stripPrefix("v=").toLong)
+        val versions = graft.pipeline.VersionedTable.versions(tableDir)
           .filter(_ < batchId)
         val base =
           if (versions.isEmpty) batch.limit(0)
@@ -163,10 +160,7 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val dir = new java.io.File(tableDir)
-        val versions = Option(dir.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v="))
-          .map(_.getName.stripPrefix("v=").toLong)
+        val versions = graft.pipeline.VersionedTable.versions(tableDir)
           .filter(_ < batchId)
         val changes = batch.toDF().select(col("user_id"), col(attr), col("ts"),
           col("event_id"))
@@ -183,14 +177,8 @@ object EventStream {
       .start()
 
   /** Latest materialized version of a [[startUpsertToParquet]] table. */
-  def latestVersion(spark: SparkSession, tableDir: String): DataFrame = {
-    val versions = Option(new java.io.File(tableDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
-    require(versions.nonEmpty, s"no versions under $tableDir")
-    spark.read.parquet(s"$tableDir/v=${versions.max}")
-  }
+  def latestVersion(spark: SparkSession, tableDir: String): DataFrame =
+    graft.pipeline.VersionedTable.read(spark, tableDir)
 
   // ---- stateful sessionization (flatMapGroupsWithState) ---------------------
 
