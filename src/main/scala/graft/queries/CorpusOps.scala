@@ -409,11 +409,11 @@ object CorpusOps extends QueryPack {
       val docs = t(s, dir, "documents")
       val split = substring(
         md5(concat(lit("graft-split:"), col("doc_id").cast("string"))), 1, 2)
-      val ex0 = docs
+      // word-hash shingle combine (TextOps.hashedShingles) — same postings
+      // optimization as d2/d3; is_test derives from doc_id so it rides along
+      val ex0 = TextOps.hashedShingles(docs)
         .withColumn("is_test", split < lit("1a"))
-        .select(col("doc_id"), col("is_test"),
-          explode(TextOps.shingleExpr).as("shingle"))
-        .select(col("doc_id"), col("is_test"), xxhash64(col("shingle")).as("hv"))
+        .select(col("doc_id"), col("is_test"), col("hv"))
         .cache()
       val heavy = ex0.groupBy(col("hv")).agg(count(lit(1)).as("df"))
         .filter(col("df") > TextOps.DfCap)
