@@ -563,10 +563,59 @@ object RelationalOps extends QueryPack {
            |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
     doc = "TPC-H Q3 shape: filtered 3-way join, decimal-exact revenue, top-10 (Q3).")
 
+  // ---- Q5: TPC-H-Q5-shaped 6-way join --------------------------------------
+  // The deepest join tree in the registry: region -> nation -> supplier and
+  // customer fan into the orders<->lineitem fact spine, with the
+  // local-supplier constraint (c_nationkey = s_nationkey) closing the loop.
+  // This is the canonical optimizer stress: the region/nation filter must
+  // cascade through broadcasts down to the supplier side, the year filter
+  // must push to the orders scan, and only the two fact tables may shuffle.
+  // Revenue accumulates in DECIMAL (q3's order-insensitive idiom).
+  private val q5 = GQuery(
+    "q5_local_supplier_volume",
+    (s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val c = t(s, dir, "customer")
+      t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        // no hint on customer: it scales with the corpus (AQE broadcasts it
+        // while small, shuffles it when it is not)
+        .join(c,
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")).cast("double").as("revenue"))
+        .select(col("n_name"), round(col("revenue"), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+           |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4)
+           |    AS revenue
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+           |GROUP BY n_name
+           |ORDER BY revenue DESC, n_name""".stripMargin),
+    doc = "TPC-H Q5 shape: 6-way join, cascading broadcasts, local-supplier constraint (Q5).")
+
   /** Exposed for plan-shape tests. */
   private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame =
     x2.run(s, dir)
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, j7, x1, x2, x3, x4, q3)
+    Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, j7, x1, x2, x3, x4, q3, q5)
 }
