@@ -30,7 +30,8 @@ object AsOf {
     // relation dedup would rewrite the right child underneath this node's
     // already-bound expressions. Fresh aliases make the children disjoint.
     val rPlan = right
-      .select(right.columns.map(c => org.apache.spark.sql.functions.col(c).as(c)): _*)
+      .select(right.columns.toIndexedSeq.map(c =>
+        org.apache.spark.sql.functions.col(c).as(c)): _*)
       .queryExecution.analyzed
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
              name: String): Attribute =
