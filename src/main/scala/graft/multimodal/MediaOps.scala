@@ -49,6 +49,62 @@ object MediaOps extends QueryPack {
       def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
         java.util.Arrays.copyOf(payload, math.min(payload.length, w * h))
     }
+
+    /** REAL decode, pure JVM: `javax.imageio` PNG. `checksum` carries the
+      * exact integer pixel sum (grayscale sample values), `n_bytes` the
+      * encoded payload size — PNG is lossless, so pixel stats computed from
+      * the decoded raster are integer-exact and oracle-able. */
+    object Png extends MediaCodec {
+      def features(payload: Array[Byte], meta: MediaMeta): MediaFeatures = {
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        require(img != null, "payload is not a decodable image")
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        MediaFeatures(-1, meta.kind, payload.length.toLong, sum, sum.toDouble / n)
+      }
+      def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+        javax.imageio.ImageIO.setUseCache(false)
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        val dst = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = dst.createGraphics()
+        try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", baos)
+        baos.toByteArray
+      }
+    }
+  }
+
+  /** Deterministic grayscale test image: sample(x, y) =
+    * (id*31 + 7x + 13y) mod 256 — a closed form the DuckDB oracle can
+    * evaluate without any image library. PNG-encoded (lossless) so the
+    * decode path reproduces it bit-exactly. */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((id * 31 + 7L * x + 13L * y) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
   }
 
   /** Partition-batched feature extraction — the `mapInPandas` twin: one codec
@@ -145,21 +201,55 @@ object MediaOps extends QueryPack {
            |FROM frames""".stripMargin),
     doc = "Fixed-stride frame sampling with per-frame digests (multimodal #2).")
 
-  /** m3: stubbed 'pixel' statistics via the batched codec path — checksum +
-    * mean byte value per media, grouped per kind (rows-only check: the fake
-    * codec's rolling checksum is engine-specific). */
+  /** m3: REAL image decode through the batched codec path. Each document
+    * becomes a deterministic grayscale PNG ([[syntheticPng]] — closed-form
+    * pixels), the executor ENCODES then DECODES it with `javax.imageio`, and
+    * per-kind stats aggregate the decoded rasters' integer pixel sums. The
+    * DuckDB oracle evaluates the same closed form analytically (a lateral
+    * generate_series per image) — a broken decode cannot reproduce it, so
+    * this hash-checks the decode path itself. All accumulators are integers;
+    * the one double division divides two exact longs. */
   private val m3 = GQuery(
     "m3_media_features",
     (s, dir) => {
       import s.implicits._
-      val media = mediaFrame(s, dir).as[MediaRecord]
-      extractFeatures(media).groupBy(col("kind"))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+          (pmod(col("doc_id"), lit(24)) + 8).cast("int").as("w"),
+          (pmod(col("doc_id"), lit(16)) + 8).cast("int").as("h"))
+        .as[(Long, String, Int, Int)]
+        .mapPartitions(_.map { case (id, kind, w, h) =>
+          MediaRecord(id, syntheticPng(id, w, h),
+            MediaMeta(kind, w, h, 0, 0L, "png"))
+        })
+      extractFeatures(media, MediaCodec.Png)
+        .withColumn("n_px", ((pmod(col("media_id"), lit(24)) + 8)
+          * (pmod(col("media_id"), lit(16)) + 8)).cast("long"))
+        .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
-          sum(col("n_bytes")).as("total_bytes"),
-          (sum(col("mean_byte") * col("n_bytes")) / sum(col("n_bytes"))).as("wavg_byte"))
+          sum(col("n_px")).as("total_px"),
+          sum(col("checksum")).as("px_sum"))
+        .withColumn("avg_px",
+          col("px_sum").cast("double") / col("total_px").cast("double"))
     },
-    None,
-    doc = "Partition-batched stub-codec feature extraction (multimodal #3).")
+    Some("""WITH m AS (
+           |  SELECT doc_id,
+           |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+           |    CAST(doc_id % 24 + 8 AS BIGINT) AS w,
+           |    CAST(doc_id % 16 + 8 AS BIGINT) AS h
+           |  FROM documents),
+           |px AS (
+           |  SELECT kind, w * h AS n_px,
+           |    list_sum(list_transform(range(0, CAST(w * h AS INT)),
+           |      i -> (doc_id * 31 + 7 * (i % w) + 13 * (i // w)) % 256)) AS px_sum
+           |  FROM m)
+           |SELECT kind, count(*) AS n, CAST(sum(n_px) AS BIGINT) AS total_px,
+           |  CAST(sum(px_sum) AS BIGINT) AS px_sum,
+           |  CAST(sum(px_sum) AS DOUBLE) / CAST(sum(n_px) AS DOUBLE) AS avg_px
+           |FROM px GROUP BY kind""".stripMargin),
+    doc = "Real javax.imageio PNG decode, closed-form pixel oracle (multimodal #3).")
 
   override val all: Seq[GQuery] = Seq(m1, m2, m3)
 }

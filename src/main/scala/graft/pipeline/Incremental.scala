@@ -79,6 +79,18 @@ object Incremental {
     * re-statement tool for those). A batch whose first effective change
     * equals the key's current attr merges into the open interval instead of
     * opening a zero-width one.
+    *
+    * PRECONDITION (strict time slices): every batch row's `ts` must be
+    * strictly greater than the open interval's `valid_from` for its key.
+    * fold(scd2Apply) == scd2Rebuild holds only under this contract: the
+    * history schema does not retain the open interval's `tieBreak`, so a
+    * batch row at ts == valid_from cannot be ordered against the change
+    * point the way the rebuild orders it (rebuild places it after via the
+    * tie-break and emits an interval; apply drops it as late). Slice batches
+    * on strict ts boundaries — the natural daily/hourly cut — and re-state
+    * equal-ts corrections through [[scd2Rebuild]].
+    * `IncrementalSpec` pins both the equivalence under strict slices and the
+    * documented drop at the equal-ts boundary.
     */
   def scd2Apply(history: DataFrame, batch: DataFrame, keys: Seq[String],
                 attr: String, ts: String, tieBreak: String): DataFrame = {

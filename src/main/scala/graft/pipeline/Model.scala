@@ -46,6 +46,18 @@ object Materialization {
   final case class Catalog(schemaOf: String => String = Materialization.layerSchema)
     extends Materialization
 
+  /** [[Catalog]] with time travel: each model lands as a NEW `v=<n>`
+    * directory under `root/<schema>/<model>/` (the [[VersionedTable]]
+    * protocol — complete versions, never partially-visible tables), and the
+    * catalog table is re-pointed at the newest version. Re-running the
+    * pipeline therefore preserves every prior run's tables for
+    * `VersionedTable.read(..., version = Some(v))` — the snapshot-isolation
+    * face of the reference's Iceberg materializations, without a format
+    * dependency. `vacuum` bounds retention. */
+  final case class VersionedCatalog(root: String,
+      schemaOf: String => String = Materialization.layerSchema)
+    extends Materialization
+
   /** Reference layer mapping: `src_*` → source, `mart_*` → main (the
     * reference keeps marts in `models/main/`), everything else → stage. */
   val layerSchema: String => String = n =>
@@ -98,6 +110,9 @@ final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.
       case Materialization.Catalog(schemaOf) =>
         topoOrder.map(schemaOf).distinct.foreach(db =>
           spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
+      case Materialization.VersionedCatalog(_, schemaOf) =>
+        topoOrder.map(schemaOf).distinct.foreach(db =>
+          spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
       case _ => ()
     }
     topoOrder.foreach { n =>
@@ -110,6 +125,17 @@ final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.
         case Materialization.Catalog(schemaOf) =>
           val fqn = s"${schemaOf(n)}.$n"
           df.write.mode("overwrite").format("parquet").saveAsTable(fqn)
+          spark.table(fqn)
+        case Materialization.VersionedCatalog(root, schemaOf) =>
+          val tableDir = s"$root/${schemaOf(n)}/$n"
+          val next = VersionedTable.versions(tableDir).lastOption.fold(0L)(_ + 1)
+          val path = s"$tableDir/v=$next"
+          df.write.mode("overwrite").parquet(path)
+          // re-point the catalog name at the new version; prior versions
+          // stay readable via VersionedTable.read(tableDir, Some(v))
+          val fqn = s"${schemaOf(n)}.$n"
+          spark.sql(s"DROP TABLE IF EXISTS $fqn")
+          spark.sql(s"CREATE TABLE $fqn USING parquet LOCATION '$path'")
           spark.table(fqn)
         case Materialization.Compose => df
       }

@@ -33,6 +33,15 @@ object Pipeline {
   def runCatalog(spark: SparkSession, dataRoot: String): Map[String, DataFrame] =
     runner(dataRoot).runAs(spark, Materialization.Catalog())
 
+  /** [[runCatalog]] with time travel: every run lands each model as a new
+    * `v=<n>` under `versionRoot/<schema>/<model>/` and re-points the catalog
+    * table at it — prior runs stay readable via
+    * `VersionedTable.read(spark, dir, Some(v))` (the snapshot-isolation face
+    * of the reference's Iceberg tables). */
+  def runVersioned(spark: SparkSession, dataRoot: String,
+      versionRoot: String): Map[String, DataFrame] =
+    runner(dataRoot).runAs(spark, Materialization.VersionedCatalog(versionRoot))
+
   // ---- serving queries (app/app.py read paths, SURVEY.md §3.2-3.3) ---------
 
   /** app/app.py:419-430 — the draft-table pull: explicit column list ordered

@@ -16,6 +16,10 @@ object AsOf {
     * last right row of the same `key` with (ts, tie) at or before the left
     * row's. `payload` names right-side columns to carry (they must not
     * collide with left column names); all other right columns are dropped.
+    *
+    * The key/ts/tieBreak columns must have identical data types on both
+    * sides (the exec compares values across sides with orderings built from
+    * the left types), and tieBreak values must be non-null.
     */
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String, payload: Seq[String],
@@ -37,6 +41,15 @@ object AsOf {
              name: String): Attribute =
       plan.output.find(_.name == name)
         .getOrElse(sys.error(s"column $name not found in ${plan.output.map(_.name)}"))
+    // Fail at plan-build time on cross-side type drift: the exec's orderings
+    // come from the LEFT types only, so an INT-vs-BIGINT key would
+    // ClassCastException (or miscompare) deep inside execution otherwise.
+    Seq((key, key), (leftTs, rightTs), (tieBreak, tieBreak)).foreach {
+      case (lName, rName) =>
+        val (lt, rt) = (attr(lPlan, lName).dataType, attr(rPlan, rName).dataType)
+        require(lt == rt,
+          s"as-of join column type mismatch: left $lName is $lt, right $rName is $rt")
+    }
     val node = AsOfJoin(lPlan, rPlan,
       leftKey = attr(lPlan, key), rightKey = attr(rPlan, key),
       leftTs = attr(lPlan, leftTs), rightTs = attr(rPlan, rightTs),

@@ -143,7 +143,12 @@ case class AsOfJoinExec(
             joined(lRow, nullPayload)
           } else {
             if (matchKey == null || keyOrd.compare(matchKey, lKeyV) != 0) {
-              matchKey = lKeyV
+              // Copy: for buffer-backed types (UTF8String, Decimal, Binary,
+              // struct) the evaluated value aliases the mutable UnsafeRow the
+              // sorted child iterator reuses across next() calls — retaining
+              // it uncopied would silently track the current row's key and
+              // the key-change check above would never fire.
+              matchKey = InternalRow.copyValue(lKeyV)
               matchRow = null
             }
             // consume right rows that fall at-or-before this left row

@@ -600,10 +600,12 @@ object AggWindowOps extends QueryPack {
   // ---- F5: JSON extraction battery ------------------------------------------
   // The events feed carries a semi-structured `props` JSON column — the
   // lakehouse shape the reference's all-strings CSV posture turns into at
-  // scale. Engine side extracts BOTH ways: `from_json` (typed, vectorized,
-  // the Spark-first path) and `json_tuple` (string-path generator); the
-  // equality filter keeps every row only while the two extractors agree, so
-  // a divergence would surface as a row-count mismatch against the oracle.
+  // scale. Engine side extracts with `from_json` (typed, vectorized, the
+  // Spark-first path) and filters ONLY nulls; the oracle mirrors with
+  // `WHERE k IS NOT NULL`, so both sides drop exactly the missing/malformed
+  // rows and a real extractor divergence shows up as a value mismatch, not a
+  // masked row-count delta. from_json-vs-json_tuple agreement is a separate
+  // hard ScalaTest check (ExtendedOpsSpec), not a row-dropping filter here.
   // Extraction is per-row and codegen'd — no shuffle beyond the final agg.
   private val f5 = GQuery(
     "f5_json_extraction",
@@ -612,9 +614,8 @@ object AggWindowOps extends QueryPack {
         .select(col("event_type"),
           from_json(col("props"),
             org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-            .getField("k").as("k"),
-          json_tuple(col("props"), "k").as("k2"))
-        .filter(col("k") === col("k2").cast("int"))
+            .getField("k").as("k"))
+        .filter(col("k").isNotNull)
       parsed.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
           max(col("k")).as("k_max"), sum(col("k")).as("k_sum"))
@@ -624,6 +625,7 @@ object AggWindowOps extends QueryPack {
            |FROM (SELECT event_type,
            |        CAST(json_extract_string(props, '$.k') AS INT) AS k
            |      FROM events) j
+           |WHERE k IS NOT NULL
            |GROUP BY event_type""".stripMargin),
     doc = "Semi-structured JSON column: typed from_json + json_tuple cross-checked (F5/§2.8).")
 

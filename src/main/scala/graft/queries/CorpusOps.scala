@@ -49,15 +49,26 @@ object CorpusOps extends QueryPack {
     *
     * Iterations are bounded and the fixpoint is detected by the
     * (monotone-decreasing) label checksum, so termination never depends on
-    * a guess. `localCheckpoint` cuts lineage so plan size stays O(1) across
-    * rounds; a production run on a real cluster would use a reliable
-    * `checkpoint` dir instead.
+    * a guess. Lineage is cut every round so plan size stays O(1): by
+    * `localCheckpoint` (executor-local blocks) by default, or by a RELIABLE
+    * `checkpoint` when `spark.graft.checkpointDir` is set — on a real
+    * cluster localCheckpoint blocks die with their executor mid-job, so a
+    * production run points the knob at durable storage (HDFS/S3) and every
+    * round's cut survives executor loss.
     */
   private[queries] def connectedComponents(edgesIn: DataFrame, maxIters: Int = 25): DataFrame = {
+    val spark = edgesIn.sparkSession
+    val reliable = spark.conf.getOption("spark.graft.checkpointDir").map { dir =>
+      if (spark.sparkContext.getCheckpointDir.isEmpty ||
+          !spark.sparkContext.getCheckpointDir.exists(_.startsWith(dir)))
+        spark.sparkContext.setCheckpointDir(dir)
+      dir
+    }.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val edges = edgesIn.select(col("u"), col("v")).persist()
-    var labels = edges.select(col("u").as("doc")).distinct()
-      .select(col("doc"), col("doc").as("lbl"))
-      .localCheckpoint()
+    var labels = cut(edges.select(col("u").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("lbl")))
     def checksum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
@@ -69,17 +80,15 @@ object CorpusOps extends QueryPack {
         .select(edges("v").as("doc"), col("lbl"))
       // materialize BEFORE the self-join below — otherwise both join sides
       // recompute the whole union+aggregate and the round costs double
-      val stepped = labels.union(prop)
-        .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+      val stepped = cut(labels.union(prop)
+        .groupBy(col("doc")).agg(min(col("lbl")).as("lbl")))
       // pointer jump: lbl(v) := lbl(lbl(v)); lbl(x) <= x invariantly, so the
       // jumped label can only improve and stays within the component. The
       // lookup side re-aliases to fresh attributes — a raw self-join of the
       // same plan collides on attribute ids.
       val lookup = stepped.select(col("doc").as("p_doc"), col("lbl").as("p_lbl"))
-      val next = stepped.join(lookup, col("lbl") === col("p_doc"))
-        .select(col("doc"), col("p_lbl").as("lbl"))
-        .localCheckpoint()
+      val next = cut(stepped.join(lookup, col("lbl") === col("p_doc"))
+        .select(col("doc"), col("p_lbl").as("lbl")))
       val cur = checksum(next)
       done = cur.compareTo(prev) == 0
       prev = cur
@@ -263,31 +272,55 @@ object CorpusOps extends QueryPack {
 
   // ---- D15: token-budget corpus packing (distributed prefix scan) -----------
 
+  /** RECURSIVE distributed prefix sum: adds an inclusive running total
+    * `cum` of `valueCol` in `orderCol` order. Each level scans blocks of
+    * `fanout` order-units with a PARTITIONED window, then recurses on the
+    * one-row-per-block totals; only at `depth` 1 does a global window run,
+    * over rows the upper levels have already reduced by fanout^(depth-1).
+    * No window at any level ever sees more than one block's rows — or, at
+    * the base, more than (corpus / fanout^(depth-1)) rows — in a single
+    * partition: depth 2 @ fanout 100 covers 10^4-row test corpora, depth 3
+    * @ fanout 10^5 covers 10^15 docs. The join fanning offsets back is
+    * hint-free: AQE broadcasts small levels, shuffles big ones. */
+  private[queries] def prefixSum(df: DataFrame, orderCol: String,
+                                 valueCol: String, fanout: Long,
+                                 depth: Int): DataFrame = {
+    require(depth >= 1, "prefixSum depth must be >= 1")
+    if (depth == 1) {
+      val w = Window.orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("cum", sum(col(valueCol)).over(w))
+    } else {
+      // depth-suffixed temp names: the recursive call's block column must
+      // not collide with this level's (its orderCol IS this level's _blk)
+      val blk = s"_blk$depth"
+      val blocked = df.withColumn(blk, expr(s"`$orderCol` div $fanout"))
+      val wIn = Window.partitionBy(col(blk)).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inBlock = blocked.withColumn("_cum_in", sum(col(valueCol)).over(wIn))
+      val totals = blocked.groupBy(col(blk))
+        .agg(sum(col(valueCol)).as("_btot"))
+      val offsets = prefixSum(totals, blk, "_btot", fanout, depth - 1)
+        .select(col(blk), (col("cum") - col("_btot")).as("_off"))
+      inBlock.join(offsets, Seq(blk))
+        .withColumn("cum", col("_cum_in") + col("_off"))
+        .drop(blk, "_cum_in", "_off")
+    }
+  }
+
   /** Contiguous sharding by cumulative token budget (4096 tokens/shard):
-    * shard(doc) = floor(tokens-before-doc / budget) in doc_id order. The
-    * cumulative sum is the two-level scan described in the header: blocks of
-    * 100 doc_ids scan in parallel, the global window only orders the
-    * per-block totals (one row per block), and offsets broadcast back. */
+    * shard(doc) = floor(tokens-before-doc / budget) in doc_id order, via the
+    * recursive [[prefixSum]] at depth 3 — two partitioned levels reduce the
+    * corpus by fanout^2 before the single global window runs, so no window
+    * ever orders more than corpus/10^4 rows in one partition (raise fanout
+    * with the corpus for deeper headroom; results are scan-shape invariant). */
   private val d15 = GQuery(
     "d15_pack_token_budget",
     (s, dir) => {
       val tok = t(s, dir, "documents").select(
         col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"),
-        expr("doc_id div 100").as("block"))
-      val wIn = Window.partitionBy(col("block")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val inBlock = tok.withColumn("cum_in", sum(col("n_tok")).over(wIn))
-      val wOff = Window.orderBy(col("block"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = inBlock.groupBy(col("block")).agg(sum(col("n_tok")).as("btot"))
-        .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
-        .select(col("block"), col("off"))
-      // no broadcast hint: offsets is n/blockSize rows — tiny at any tested
-      // scale (AQE broadcasts it), but letting the planner size it keeps the
-      // query correct even when block counts grow past the broadcast budget
-      inBlock.join(offsets, Seq("block"))
-        .withColumn("cum", col("cum_in") + col("off"))
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      prefixSum(tok, "doc_id", "n_tok", fanout = 100L, depth = 3)
         .withColumn("shard", expr("(cum - n_tok) div 4096"))
         .groupBy(col("shard"))
         .agg(
@@ -308,7 +341,7 @@ object CorpusOps extends QueryPack {
            |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
            |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
            |FROM sh GROUP BY shard""".stripMargin),
-    doc = "Token-budget packing: contiguous 4096-token shards via a two-level prefix scan.")
+    doc = "Token-budget packing: contiguous 4096-token shards via a recursive depth-3 prefix scan.")
 
   // ---- D17: bigram language-model log-probability (perplexity-style filter) --
 

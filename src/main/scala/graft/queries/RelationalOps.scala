@@ -612,10 +612,132 @@ object RelationalOps extends QueryPack {
            |ORDER BY revenue DESC, n_name""".stripMargin),
     doc = "TPC-H Q5 shape: 6-way join, cascading broadcasts, local-supplier constraint (Q5).")
 
+  // ---- Q1: TPC-H-Q1-shaped pricing summary ---------------------------------
+  // The agg-heavy single-scan shape: one pass over the fact table, partial
+  // (map-side) aggregation does nearly all the work, the shuffle carries six
+  // accumulator columns per (returnflag, linestatus) group — a handful of
+  // rows at ANY corpus size. Every sum accumulates in DECIMAL so the result
+  // is order-insensitive; averages divide two exact values in double (one
+  // IEEE op — bit-identical across engines).
+  private val q1 = GQuery(
+    "q1_pricing_summary",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") <= lit("1998-09-02"))
+      val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,6)")
+      val charge = (col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * (lit(1) + col("l_tax"))).cast("decimal(28,8)")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("dq"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("dbase"),
+          sum(disc).as("ddisc"),
+          sum(charge).as("dcharge"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("dq").cast("double").as("sum_qty"),
+          col("dbase").cast("double").as("sum_base_price"),
+          round(col("ddisc").cast("double"), 4).as("sum_disc_price"),
+          round(col("dcharge").cast("double"), 4).as("sum_charge"),
+          (col("dq").cast("double") / col("count_order")).as("avg_qty"),
+          (col("dbase").cast("double") / col("count_order")).as("avg_price"),
+          col("count_order"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4)
+           |    AS sum_disc_price,
+           |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))) AS DOUBLE), 4)
+           |    AS sum_charge,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           |  count(*) AS count_order
+           |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+           |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+    doc = "TPC-H Q1 shape: agg-heavy single scan, partial aggs do the work, decimal-exact sums (Q1).")
+
+  // ---- Q9: TPC-H-Q9-shaped profit rollup -----------------------------------
+  // Multi-join with an EXPRESSION grouping key (year(o_orderdate)): part
+  // (selective LIKE filter, broadcast) and supplier->nation (broadcast
+  // cascade) hang off the lineitem spine; orders joins on the fact key to
+  // supply the year. The corpus has no partsupp table, so the cost leg of
+  // the TPC-H profit formula uses p_retailprice (same expression shape:
+  // revenue minus a price*quantity product, accumulated in DECIMAL).
+  private val q9 = GQuery(
+    "q9_product_profit",
+    (s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_name").like("%widget%"))
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val amount = (col("l_extendedprice") * (lit(1) - col("l_discount"))
+        - col("p_retailprice") * lit(0.8) * col("l_quantity")).cast("decimal(28,6)")
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate").cast("date")).as("o_year"))
+        .agg(sum(amount).cast("double").as("amount"))
+        .select(col("nation"), col("o_year"),
+          round(col("amount"), 4).as("amount"))
+    },
+    Some("""SELECT n_name AS nation, year(CAST(o_orderdate AS DATE)) AS o_year,
+           |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+           |    - p_retailprice * 0.8 * l_quantity AS DECIMAL(28,6))) AS DOUBLE), 4) AS amount
+           |FROM lineitem
+           |JOIN part ON l_partkey = p_partkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN orders ON l_orderkey = o_orderkey
+           |WHERE p_name LIKE '%widget%'
+           |GROUP BY 1, 2""".stripMargin),
+    doc = "TPC-H Q9 shape: 5-way join, selective LIKE dim filter, expression grouping key (Q9).")
+
+  // ---- Q18: TPC-H-Q18-shaped large-volume customers ------------------------
+  // The group-having + join shape: an aggregate over the fact table feeds a
+  // SEMI join back against the same fact's order spine. The big-order key
+  // set is aggregation output (small), so AQE broadcasts it; the outer
+  // re-aggregation groups by the order's natural key. l_quantity sums in
+  // DECIMAL on both passes.
+  private val q18 = GQuery(
+    "q18_large_volume_customer",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+        .filter(col("qty") > 300)
+        .select(col("l_orderkey").as("big_okey"))
+      val o = t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
+      val c = t(s, dir, "customer")
+      o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           |  o_totalprice,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE o_orderkey IN (
+           |  SELECT l_orderkey FROM lineitem
+           |  GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+           |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+           |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin),
+    doc = "TPC-H Q18 shape: group-having key set semi-joined back, re-aggregated, top-100 (Q18).")
+
   /** Exposed for plan-shape tests. */
   private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame =
     x2.run(s, dir)
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, j7, x1, x2, x3, x4, q3, q5)
+    Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, j7,
+      x1, x2, x3, x4, q1, q3, q5, q9, q18)
 }

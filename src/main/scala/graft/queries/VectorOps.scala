@@ -133,7 +133,7 @@ object VectorOps extends QueryPack {
         .select(col("qid"), col("nid"), col("sim"), col("rn"))
     },
     None,
-    doc = "Sign-LSH bucketed ANN (24x6 bands); scores only bucket mates (similarity #2).")
+    doc = "Sign-LSH bucketed ANN (30 bands x 5 bits); scores only bucket mates (similarity #2).")
 
   // ---- E3: per-label centroids (IVF coarse quantizer building block) --------------
   private val e3 = GQuery(
@@ -155,30 +155,36 @@ object VectorOps extends QueryPack {
   // per-label means (e3). Queries score all centroids (tiny), pick nprobe=2
   // cells, and scan only those cells' vectors — the classic IVF recall/cost
   // trade, expressed as joins the optimizer can distribute.
+  /** IVF probe over any (vec_id, label, v) frame where `label` is the coarse
+    * cell: rank per-cell mean centroids per query (tiny, broadcast), scan the
+    * top-`nprobe` cells' members, exact-score within. Shared by e4 (given
+    * labels as cells) and e8 (k-means cells) — the coarse quantizer is
+    * pluggable, the probe machinery identical. */
+  private[queries] def ivfProbe(emb: DataFrame, nprobe: Int): DataFrame = {
+    val cent = emb.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("label"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine("qv", "cv"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("label"))
+    val cand = broadcast(probes)
+      .join(emb.select(col("vec_id").as("nid"), col("label"), col("v").as("nv")), Seq("label"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(cosine("qv", "nv"), 6))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    cand.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 10)
+      .select(col("qid"), col("nid"), col("sim"), col("rn"))
+  }
+
   private val e4 = GQuery(
     "e4_ann_ivf_probe",
-    (s, dir) => {
-      val emb = embDouble(s, dir)
-      val cent = emb.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("c"))
-        .groupBy(col("label"))
-        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("label"))
-      val probes = q.crossJoin(broadcast(cent))
-        .withColumn("csim", cosine("qv", "cv"))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= 2)
-        .select(col("qid"), col("qv"), col("label"))
-      val cand = broadcast(probes)
-        .join(emb.select(col("vec_id").as("nid"), col("label"), col("v").as("nv")), Seq("label"))
-        .filter(col("qid") =!= col("nid"))
-        .withColumn("sim", round(cosine("qv", "nv"), 6))
-      val wTop = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-      cand.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 10)
-        .select(col("qid"), col("nid"), col("sim"), col("rn"))
-    },
+    (s, dir) => ivfProbe(embDouble(s, dir), nprobe = 2),
     Some("""WITH e AS (
            |  SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
            |         generate_subscripts(embedding, 1) AS i
@@ -213,30 +219,39 @@ object VectorOps extends QueryPack {
     doc = "IVF: rank centroids, probe 2 cells, exact-score within cells (similarity #4).")
 
   // ---- E5: k-means coarse quantizer ---------------------------------------------
-  // Lloyd's k-means in cosine geometry, fully declarative: deterministic seed
-  // init (lowest vec_ids), then `iters` rounds of
-  //   assign:    n x k fan-out via the constant-key broadcast hash join
-  //              (k is coarse-quantizer-small), argmax cosine by window;
-  //   recompute: posexplode + per-(cell, dim) mean + array rebuild.
+  // Lloyd's k-means in cosine geometry via DRIVER-COLLECTED centroids (the
+  // MLlib pattern): each round collects k cells x d dims of doubles —
+  // planning-scale metadata, NOT a data-path collect — and the assign step
+  // becomes a MAP-ONLY argmax over that literal centroid matrix. Per round:
+  //   assign:    one narrow codegen'd pass — transform over the literal
+  //              centroids with the fused graft_cosine kernel, array_max
+  //              picks (best sim, lowest cell). No n x k join fan-out, no
+  //              per-vector window, no shuffle at all.
+  //   recompute: posexplode + per-(cell, dim) mean + array rebuild (the one
+  //              shuffle a round genuinely needs), then collect.
+  // Collecting the centroids each round also truncates the logical plan —
+  // round r+1 references only literals, so iters=10+ cannot nest plans the
+  // way the former dataflow-only loop did (no localCheckpoint needed).
   // Data-adaptive cells replace the given labels as the coarse quantizer for
-  // the IVF/ball-pruning operators (e4/d9 accept any cell column) — tighter
-  // radii mean more pruning. At k ~ 10^4 the assign step would instead
-  // broadcast collected centroids per round (the MLlib pattern: k*d doubles
-  // of planning-scale metadata); the dataflow form keeps small-k fully lazy.
+  // the IVF/ball-pruning operators (e4/e8/d9 accept any cell column) —
+  // tighter radii mean more pruning.
+
+  /** Map-only nearest-centroid assign against a collected centroid matrix.
+    * Tie-break matches the former window form: highest sim, then lowest cell
+    * (array_max is lexicographic on (sim, -cell)). */
+  private def assignToCells(emb: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val centLit = typedLit(cents)
+    val scored = transform(centLit, c => struct(
+      call_function("graft_cosine", col("v"), c.getField("_2")).as("s"),
+      (-c.getField("_1")).as("nc")))
+    emb.withColumn("_pick", array_max(scored))
+      .select(col("vec_id"), (-col("_pick.nc")).cast("int").as("cell"), col("v"))
+  }
 
   /** (vec_id, label, v) -> (vec_id, label := cell id, v). */
   private[queries] def kmeansCells(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    def assign(cent: DataFrame): DataFrame = {
-      val meta = cent.select(col("cell"), col("cv"),
-        pmod(col("cell"), lit(1)).cast("int").as("kk"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
-      emb.withColumn("kk", pmod(col("vec_id"), lit(1)).cast("int"))
-        .join(broadcast(meta), Seq("kk"))
-        .withColumn("csim", cosine("v", "cv"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cell"), col("v"))
-    }
+    def collectCents(df: DataFrame): Seq[(Int, Seq[Double])] =
+      df.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
     def recompute(assigned: DataFrame): DataFrame =
       assigned.select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("c"))
@@ -245,11 +260,13 @@ object VectorOps extends QueryPack {
     // hash-spread deterministic init: k seeds picked by vec_id hash order —
     // reproducible like lowest-ids, but spread across the corpus instead of
     // clumped in whatever region low ids happen to share
-    val init = emb.orderBy(expr("xxhash64(vec_id)"), col("vec_id")).limit(k)
-      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
-    var cent = init
-    (0 until iters).foreach(_ => cent = recompute(assign(cent)))
-    assign(cent).select(col("vec_id"), col("cell").as("label"), col("v"))
+    var cents = collectCents(
+      emb.orderBy(expr("xxhash64(vec_id)"), col("vec_id")).limit(k)
+        .select(col("vec_id").cast("int").as("cell"), col("v").as("cv")))
+    (0 until iters).foreach { _ =>
+      cents = collectCents(recompute(assignToCells(emb, cents)))
+    }
+    assignToCells(emb, cents).select(col("vec_id"), col("cell").as("label"), col("v"))
   }
 
   private val e5 = GQuery(
@@ -263,6 +280,20 @@ object VectorOps extends QueryPack {
     },
     None,
     doc = "k-means coarse quantizer (k=8, 3 Lloyd rounds) + cell cohesion stats (similarity #5).")
+
+  // ---- E8: the composed IVF stack — probe over k-means cells ---------------
+  // e4 proves the probe machinery over GIVEN labels; e5 proves the k-means
+  // coarse quantizer; e8 is the composition a real deployment runs: train
+  // data-adaptive cells, then IVF-probe them. No oracle (cells are
+  // k-means-derived, not expressible in DuckDB); the gate is a measured
+  // recall@10 >= floor vs e1's exact top-10 in SimilaritySpec, same posture
+  // as e2. At corpus scale this is THE serving path: map-only assigns,
+  // broadcast centroid ranking, per-cell scans.
+  private val e8 = GQuery(
+    "e8_ann_ivf_kmeans",
+    (s, dir) => ivfProbe(kmeansCells(embDouble(s, dir), k = 8, iters = 3), nprobe = 2),
+    None,
+    doc = "IVF probe over trained k-means cells — the composed coarse-quantizer stack (similarity #8).")
 
   // ---- D9: embedding-cosine near-dup pairs ------------------------------------------
   // Exact threshold join WITHOUT an all-pairs nested loop. Candidates come
@@ -460,5 +491,5 @@ object VectorOps extends QueryPack {
            |WHERE rn <= 10""".stripMargin),
     doc = "Int8 scalar-quantized cosine top-10: 4x memory cut, integer-exact compare (ANN #7).")
 
-  override val all: Seq[GQuery] = Seq(e1, e2, e3, e4, e5, e6, e7, d9)
+  override val all: Seq[GQuery] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, d9)
 }

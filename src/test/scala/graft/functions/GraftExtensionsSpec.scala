@@ -14,7 +14,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite {
 
   test("spark.sql.extensions alone installs functions, rewrite rule, and strategy") {
-    // a dedicated session: extensions only apply at session construction
+    // Extensions only apply at session CONSTRUCTION, and getOrCreate()
+    // returns any already-active session — so clear the active/default
+    // sessions first to force a genuine construction (sharing the JVM's
+    // SparkContext if one is alive), and restore them after instead of
+    // stop()ing a context other suites may share.
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
@@ -63,6 +71,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val asof = org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(spark, node)
       assert(asof.queryExecution.executedPlan.toString.contains("AsOfJoin"))
       assert(asof.head().getDouble(3) === 0.25)
-    } finally spark.stop()
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
   }
 }

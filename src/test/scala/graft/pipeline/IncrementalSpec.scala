@@ -68,6 +68,39 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scd2Apply drops equal-ts boundary rows (documented strict-slice contract)") {
+    // A batch row whose ts EQUALS the open interval's valid_from violates
+    // the strict-slice precondition: the rebuild orders it after the change
+    // point via the tie-break and emits an interval; apply drops it as a
+    // late arrival. Pin the documented apply behavior so the divergence is
+    // explicit, not accidental.
+    val s = spark
+    import s.implicits._
+    val log = Seq((1L, "a", 10L, 0L)).toDF("k", "attr", "ts", "seq")
+    val h0 = Incremental.scd2Rebuild(log, Seq("k"), "attr", "ts", "seq")
+    // equal-ts row with a later tie-break and a different attr
+    val batch = Seq((1L, "b", 10L, 1L)).toDF("k", "attr", "ts", "seq")
+    val applied = Incremental.scd2Apply(h0, batch, Seq("k"), "attr", "ts", "seq")
+      .select(col("k"), col("attr"), col("valid_from"), col("valid_to"))
+    // apply: unchanged history (row dropped as late)
+    assert(canon(applied) === canon(h0
+      .select(col("k"), col("attr"), col("valid_from"), col("valid_to"))))
+    // rebuild over the combined log: the same row becomes a change point —
+    // the two paths legitimately diverge here, which is why the contract
+    // requires strict slices
+    val rebuilt = Incremental.scd2Rebuild(log.unionByName(batch),
+      Seq("k"), "attr", "ts", "seq")
+    assert(rebuilt.count() === 2L)
+    // and a strictly-later ts converges again
+    val strictBatch = Seq((1L, "b", 11L, 1L)).toDF("k", "attr", "ts", "seq")
+    val appliedStrict = Incremental.scd2Apply(h0, strictBatch, Seq("k"), "attr", "ts", "seq")
+      .select(col("k"), col("attr"), col("valid_from"), col("valid_to"))
+    val rebuiltStrict = Incremental.scd2Rebuild(log.unionByName(strictBatch),
+      Seq("k"), "attr", "ts", "seq")
+      .select(col("k"), col("attr"), col("valid_from"), col("valid_to"))
+    assert(canon(appliedStrict) === canon(rebuiltStrict))
+  }
+
   test("scd2 intervals chain contiguously with exactly one open per key") {
     val log = randomLog(99, 500, 10)
     val h = Incremental.scd2Rebuild(log, Seq("k"), "attr", "ts", "seq")

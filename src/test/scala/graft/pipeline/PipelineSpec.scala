@@ -299,6 +299,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("mart_sgp_factors"))
   }
 
+  test("versioned catalog: two pipeline runs leave two readable versions of a mart") {
+    val vroot = Files.createTempDirectory("graft-vcat").toString
+    Pipeline.runVersioned(spark, root, vroot)
+    Pipeline.runVersioned(spark, root, vroot)
+    val martDir = s"$vroot/main/mart_preseason_overall_rankings_oc"
+    val vs = VersionedTable.versions(martDir)
+    assert(vs == Seq(0L, 1L), s"two runs must leave v=0 and v=1, got $vs")
+    val v0 = VersionedTable.read(spark, martDir, Some(0L))
+    val v1 = VersionedTable.read(spark, martDir, Some(1L))
+    assert(v0.count() > 0 && v0.count() === v1.count(),
+      "same inputs: both versions readable with identical row counts")
+    // the catalog name points at the NEWEST version
+    val cat = spark.table("main.mart_preseason_overall_rankings_oc")
+    assert(cat.count() === v1.count())
+    assert(cat.inputFiles.forall(_.contains("v=1")),
+      s"catalog table must read v=1, reads: ${cat.inputFiles.take(3).mkString(",")}")
+    // vacuum retires v=0; v=1 survives
+    assert(VersionedTable.vacuum(martDir, keep = 1) == Seq(0L))
+    assert(VersionedTable.versions(martDir) == Seq(1L))
+  }
+
   test("fused mode produces the same mart as materialized mode") {
     // fused: no per-model parquet breaks — Catalyst optimizes across the DAG.
     // Values may differ in low-order bits (double sums accumulate in a

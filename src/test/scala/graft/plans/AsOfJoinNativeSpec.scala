@@ -91,6 +91,72 @@ class AsOfJoinNativeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"both sides must co-partition on the key:\n$p")
   }
 
+  test("native as-of == composed on STRING keys (buffer-backed key retention)") {
+    // String keys evaluate to UTF8Strings aliasing the sorted child's reused
+    // row buffer; an uncopied matchKey would silently track the current row,
+    // the key-change reset would never fire, and a key group with no visible
+    // right rows would inherit the previous group's payload. In-memory sort
+    // pages happen to keep old bytes stable, so force the sorter to SPILL —
+    // the spill reader deserializes every record into one reused byte array,
+    // which is exactly the reuse discipline a 100 TB sort exhibits.
+    val s = spark
+    import s.implicits._
+    val conf = org.apache.spark.SparkEnv.get.conf
+    val spillKey = "spark.shuffle.spill.numElementsForceSpillThreshold"
+    val prevSpill = conf.getOption(spillKey)
+    conf.set(spillKey, "32") // SortExec reads this at sorter-creation time
+    try {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val n = 400
+      val left = (0 until n).map { i =>
+        (f"key_${rnd.nextInt(12)}%04d", rnd.nextInt(40).toLong, i.toLong)
+      }.toDF("k", "ts", "id")
+      // right only covers even keys: odd key groups must all be null
+      val right = (0 until n).map { i =>
+        (f"key_${rnd.nextInt(6) * 2}%04d", rnd.nextInt(40).toLong,
+          (n + i).toLong, rnd.nextDouble())
+      }.toDF("k", "ts", "id", "payload_v")
+      val native = AsOf.join(left, right, key = "k", leftTs = "ts",
+          rightTs = "ts", payload = Seq("payload_v"), tieBreak = "id")
+        .select(col("k"), col("ts"), col("id"), col("payload_v"))
+      def canonS(df: DataFrame): Set[(String, Long, Long, Option[Double])] =
+        df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k"))
+        .orderBy(col("ts"), col("id"), col("_is_left"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tl = left.withColumn("_is_left", lit(1))
+        .withColumn("payload_v", lit(null).cast("double"))
+      val tr = right.withColumn("_is_left", lit(0))
+      val ref = tl.unionByName(tr)
+        .withColumn("pv", last(when(col("_is_left") === 0, col("payload_v")),
+          ignoreNulls = true).over(w))
+        .filter(col("_is_left") === 1)
+        .select(col("k"), col("ts"), col("id"), col("pv").as("payload_v"))
+      val nat = canonS(native)
+      assert(nat === canonS(ref), s"seed=$seed")
+      // sanity: the fixture genuinely exercises both leak-sensitive cases
+      assert(nat.exists(_._4.isEmpty) && nat.exists(_._4.nonEmpty), s"seed=$seed")
+    }
+    } finally prevSpill match {
+      case Some(v) => conf.set(spillKey, v)
+      case None => conf.remove(spillKey)
+    }
+  }
+
+  test("cross-side key type drift fails at plan-build time") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 5L, 1L)).toDF("k", "ts", "id")
+    val right = Seq((1, 3L, 10L, 0.5)).toDF("k", "ts", "id", "payload_v") // k: INT
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(left, right, "k", "ts", "ts", Seq("payload_v"), "id")
+    }
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
   test("unmatched keys and too-early left rows carry null payload") {
     val s = spark
     import s.implicits._

@@ -116,6 +116,43 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got(2L)._2 - half) < 1e-9, s"doc 2 logprob: ${got(2L)}")
   }
 
+  test("prefixSum: every depth agrees with the driver-side running sum, gappy ids included") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(17)
+    // sparse, gappy order keys: blocks are uneven on purpose
+    val rows = (0 until 3000).map(i => (i.toLong * 7 + rnd.nextInt(5), rnd.nextInt(50).toLong))
+      .distinctBy(_._1).sortBy(_._1)
+    val df = rows.toDF("id", "x")
+    val expect = rows.scanLeft((0L, 0L)) { case ((_, acc), (id, x)) => (id, acc + x) }
+      .drop(1).toMap
+    for (depth <- 1 to 3) {
+      val got = CorpusOps.prefixSum(df, "id", "x", fanout = 10L, depth = depth)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === expect, s"depth=$depth")
+    }
+  }
+
+  test("d12 components survive a reliable checkpoint dir (spark.graft.checkpointDir)") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val jp = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("u", "v")
+      val edges = jp.union(jp.select(col("v"), col("u")))
+      val got = CorpusOps.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"reliable checkpoint must write files under $dir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+    }
+  }
+
   test("d15 two-level prefix scan equals the naive global cumulative sum") {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val tok = docs.select(col("doc_id"),

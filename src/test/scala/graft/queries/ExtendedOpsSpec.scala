@@ -71,6 +71,25 @@ class ExtendedOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.count() === 0)
   }
 
+  test("f5: from_json and json_tuple extractors agree on every event row") {
+    // The registry query (f5) extracts with from_json only; this is the
+    // separate hard check that the typed path and the string-path generator
+    // never diverge — including on null: both must yield null for
+    // missing/malformed k, and equal ints elsewhere.
+    val both = graft.core.Tables.load(spark, dir, "events")
+      .select(
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k1"),
+        json_tuple(col("props"), "k").as("k2s"))
+      .withColumn("k2", col("k2s").cast("int"))
+    val disagree = both.filter(
+      !(col("k1") <=> col("k2"))).count()
+    assert(disagree === 0L)
+    // and the fixture genuinely exercises the extractors
+    assert(both.filter(col("k1").isNotNull).count() > 0)
+  }
+
   test("d20: ratios bounded and consistent with token counts") {
     val bad = run("d20_repetition_ratio")
       .filter(col("distinct_ratio") > 1.0 || col("distinct_ratio") <= 0.0 ||

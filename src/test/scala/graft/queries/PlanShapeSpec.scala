@@ -79,6 +79,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "e1_ann_bruteforce_topk",  // 10-query probe side broadcast (exactness baseline)
       "e7_ann_int8_quantized",   // same 10-query probe side, quantized scoring
       "e4_ann_ivf_probe",        // K-row centroid table broadcast
+      "e8_ann_ivf_kmeans",       // same K-row centroid broadcast, k-means cells
       "u3_union_append_scalar",  // appends a 1-row aggregate
       "a5_groupmin_scalar_max",  // 1-row scalar max attach (replacement-level pattern)
       "d11_sketch_stats",        // joins two 1-row sketch aggregates
@@ -117,6 +118,33 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "query should run under adaptive execution")
     assert(p.contains("AQEShuffleRead coalesced") || p.contains("coalesced"),
       s"tiny shuffle should coalesce at runtime:\n${p.take(800)}")
+  }
+
+  test("q1: shipdate filter pushed to the scan; partial+final aggregate split") {
+    val p = plan("q1_pricing_summary")
+    val scanLine = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("l_shipdate"),
+      s"shipdate range must reach the parquet scan:\n$scanLine")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "map-side partial aggregation must precede the shuffle")
+    assert(p.contains("hashpartitioning(l_returnflag"),
+      "one shuffle keyed by the group columns")
+  }
+
+  test("q9: part LIKE filter pushes down, all three dims broadcast, orders joins on the fact key") {
+    val p = plan("q9_product_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"part/supplier/nation must all broadcast:\n${p.take(1500)}")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("p_name"), s"LIKE prefilter must reach the part scan:\n$pushed")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final aggregate")
+  }
+
+  test("q18: having key set feeds a LEFT SEMI join, aggregates keep the partial split") {
+    val p = plan("q18_large_volume_customer")
+    assert(p.contains("LeftSemi"), s"big-order key set must semi-join orders:\n${p.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "both aggregation passes must split partial+final")
   }
 
   test("x1: salted join spreads the 3 hot keys over composite keys") {
