@@ -671,6 +671,90 @@ object TextOps extends QueryPack {
            |  FROM documents) f""".stripMargin),
     doc = "Logistic quality-classifier inference: codegen'd per-row w*x+b -> sigmoid (text #11).")
 
+  // ---- D25: sequence-length histogram (batch-packing planner input) --------
+  // Training batches pack sequences into power-of-2 length buckets; the
+  // bucket histogram is what a packing planner sizes batches from. The bin
+  // is INTEGER-exact on both engines — length of the base-2 string rather
+  // than floor(log2(n)), whose float rounding can flip at exact powers of
+  // two. One narrow scan + a tiny hash aggregate: trivially 100 TB-shaped.
+  private val d25 = GQuery(
+    "d25_length_histogram",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(size(words(col("text"))).cast("long").as("n_tok"))
+        .select(expr("length(bin(n_tok))").as("len_bin"), col("n_tok"))
+        .groupBy(col("len_bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+          min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok")),
+    Some("""SELECT length(bin(n_tok)) AS len_bin, count(*) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           |  min(n_tok) AS min_tok, max(n_tok) AS max_tok
+           |FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           |      FROM documents) f
+           |GROUP BY 1""".stripMargin),
+    doc = "Power-of-2 sequence-length histogram for batch packing, integer-exact bins (text #12).")
+
+  // ---- D26: shingle novelty — per-doc fraction of first-seen n-grams --------
+  // The diversity face of dedup: how much of each document's shingle set is
+  // NEW to the corpus (first occurrence by doc_id order)? Low-novelty docs
+  // are near-dups or boilerplate even when no single pair crosses the d2
+  // threshold. No global window: first-occurrence is min(doc_id) per shingle
+  // (hash agg), novelty a ratio of two per-doc integers. The engine works on
+  // the word-hash shingle combine (d2's measured idiom); the oracle on the
+  // literal shingle strings — same universe.
+  private val d26 = GQuery(
+    "d26_shingle_novelty",
+    (s, dir) => {
+      val sh = hashedShingles(t(s, dir, "documents"))
+      val first = sh.groupBy(col("hv")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, Seq("hv"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_shingles").cast("double"))
+    },
+    Some(s"""WITH $shingleSqlCte,
+            |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            |first AS (SELECT shingle, min(doc_id) AS fd FROM ex GROUP BY shingle)
+            |SELECT doc_id, count(*) AS n_shingles,
+            |  CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+            |  CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+            |    / count(*) AS novelty
+            |FROM ex JOIN first USING (shingle)
+            |GROUP BY doc_id""".stripMargin),
+    doc = "Per-doc first-occurrence shingle fraction — corpus novelty/boilerplate signal (text #13).")
+
+  // ---- D27: cross-source contamination matrix -------------------------------
+  // How much n-gram material do source pairs share? The between-subcorpora
+  // face of d19's decontamination: a high shared-shingle count between two
+  // sources means one is leaking into the other (mirrors, scrapes of the
+  // same site, benchmark contamination). Engine shape: distinct (source,
+  // shingle-hash) pairs — at most |sources| rows per shingle — inverted-
+  // index self-join on the hash, aggregate to the |sources|^2/2 matrix. The
+  // shuffle carries (source, hash) longs only; output is metadata-scale.
+  private val d27 = GQuery(
+    "d27_source_overlap",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ex = hashedShingles(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("hv")).distinct()
+      val a = ex.select(col("source").as("src_a"), col("hv"))
+      val b = ex.select(col("source").as("src_b"), col("hv"))
+      a.join(b, Seq("hv")).filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("shared_shingles"))
+    },
+    Some(s"""WITH $shingleSqlCte,
+            |ex AS (SELECT DISTINCT d.source, t.shingle
+            |       FROM sh JOIN documents d USING (doc_id),
+            |            unnest(sh.s) AS t(shingle))
+            |SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_shingles
+            |FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.source < b.source
+            |GROUP BY 1, 2""".stripMargin),
+    doc = "Shared-shingle counts per source pair — cross-source leakage matrix (text #14).")
+
   override val all: Seq[GQuery] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26, d27)
 }

@@ -96,6 +96,34 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(offenders.isEmpty, s"non-hash join shapes: ${offenders.mkString(", ")}")
   }
 
+  test("window hygiene sweep: no single-partition window over corpus-proportional input") {
+    // A Window with an empty partitionSpec funnels its whole input through
+    // ONE task — the d15-round-2 scale trap. Sweep every registry plan's
+    // optimized logical tree; the only sanctioned global windows are over
+    // provably bounded inputs:
+    //   w4/o1-style: beneath a Limit, or fed by a TakeOrdered (bounded rows);
+    //   d15: the recursive prefix scan's base level — input already reduced
+    //        by fanout^2 (one row per 10^4 docs), and the recursion depth is
+    //        the dial if that ever grows;
+    //   scalar attaches: windows over 1-row aggregates.
+    val boundedGlobal = Set(
+      "w4_global_rownumber",      // TakeOrdered bounds the window input
+      "o1_orderby_limit",         // global sort+limit shape, bounded output
+      "w3_topk_cascade",          // cascaded pools, each pool limit-bounded
+      "d15_pack_token_budget")    // prefix-scan base level: corpus/fanout^2 rows
+    val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      spark.catalog.clearCache()
+      val hasGlobalWindow = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      if (hasGlobalWindow && !boundedGlobal(name)) Seq(name) else Nil
+    }
+    assert(offenders.isEmpty,
+      s"unbounded single-partition windows in: ${offenders.mkString(", ")}")
+  }
+
   test("x3: year filter becomes a partition filter — non-matching files never scanned") {
     val p = plan("x3_partition_pruned_scan")
     assert(p.contains("o_year"), "partition column must appear in the plan")
