@@ -480,6 +480,31 @@ object AggWindowOps extends QueryPack {
            |FROM events GROUP BY 1, 2""".stripMargin),
     doc = "5-minute tumbling window aggregate; same plan drives streaming (§2.9).")
 
+  // ---- ST2: stream-static enrichment (batch twin) ---------------------------
+  // The feature-table pattern: live events join a batch-computed per-user
+  // profile. Same `EventStream.enrichedEvents` plan runs on a stream
+  // (EventStreamSpec proves it, null pass-through included); here the batch
+  // twin is oracle-checked. The profile broadcasts — each micro-batch is an
+  // executor-local hash lookup, no stream shuffle, no join state.
+  private val st2 = GQuery(
+    "st2_stream_static_enrichment",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val prof = graft.streaming.EventStream.userProfile(ev)
+      graft.streaming.EventStream.enrichedEvents(ev, prof)
+        .select(col("event_id"), col("user_id"), col("n_events"),
+          round(col("lifetime_value"), 4).as("lifetime_value"),
+          unix_timestamp(col("last_seen")).as("last_seen_s"))
+    },
+    Some("""WITH prof AS (
+           |  SELECT user_id, count(*) AS n_events,
+           |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS lifetime_value,
+           |    CAST(floor(epoch(max(ts))) AS BIGINT) AS last_seen_s
+           |  FROM events GROUP BY user_id)
+           |SELECT e.event_id, e.user_id, p.n_events, p.lifetime_value, p.last_seen_s
+           |FROM events e LEFT JOIN prof p USING (user_id)""".stripMargin),
+    doc = "Stream-static feature-table enrichment, batch twin oracle-checked (§2.9).")
+
   // ---- A12: typed top-k Aggregator (§2.10 UDAF surface) ---------------------
   // Per-flag top-3 line items by price through graft.functions.TopKAggregator:
   // the buffer holds k entries, partials reduce map-side, merge combines two
@@ -708,5 +733,5 @@ object AggWindowOps extends QueryPack {
 
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14,
-      w1, w2, w3, w4, w5, w6, o1, u1, u2, u3, u4, u5, f1, f2, f3, f4, f5, st1)
+      w1, w2, w3, w4, w5, w6, o1, u1, u2, u3, u4, u5, f1, f2, f3, f4, f5, st1, st2)
 }

@@ -733,11 +733,37 @@ object RelationalOps extends QueryPack {
            |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin),
     doc = "TPC-H Q18 shape: group-having key set semi-joined back, re-aggregated, top-100 (Q18).")
 
+  // ---- Q2: TPC-H-Q2-shaped correlated min subquery --------------------------
+  // The correlated-scalar-subquery shape ("rows equal to their group's
+  // minimum"), written AS the correlated SQL — Catalyst's
+  // RewriteCorrelatedScalarSubquery must decorrelate it into a per-brand
+  // min aggregate joined back (asserted in PlanShapeSpec). Executing the
+  // subquery per row would be O(n^2); the decorrelated plan is one
+  // aggregate + one equi-join, which is why the optimizer owning this
+  // rewrite matters at scale. Equality compares STORED doubles (min is
+  // selection, not arithmetic) so the match is exact on both engines.
+  private val q2 = GQuery(
+    "q2_min_per_group",
+    (s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part_v")
+      s.sql("""SELECT p.p_brand, p.p_partkey, p.p_retailprice
+              |FROM part_v p
+              |WHERE p.p_retailprice = (SELECT min(p2.p_retailprice)
+              |                         FROM part_v p2
+              |                         WHERE p2.p_brand = p.p_brand)""".stripMargin)
+    },
+    Some("""SELECT p.p_brand, p.p_partkey, p.p_retailprice
+           |FROM part p
+           |WHERE p.p_retailprice = (SELECT min(p2.p_retailprice)
+           |                         FROM part p2
+           |                         WHERE p2.p_brand = p.p_brand)""".stripMargin),
+    doc = "TPC-H Q2 shape: correlated min subquery, decorrelated to aggregate + join (Q2).")
+
   /** Exposed for plan-shape tests. */
   private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame =
     x2.run(s, dir)
 
   override val all: Seq[GQuery] =
     Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, j7,
-      x1, x2, x3, x4, q1, q3, q5, q9, q18)
+      x1, x2, x3, x4, q1, q2, q3, q5, q9, q18)
 }

@@ -89,6 +89,27 @@ object EventStream {
   def attributedClicksOuter(events: DataFrame, stream: Boolean = true): DataFrame =
     attributedClicks(events, stream, joinType = "left_outer")
 
+  // ---- stream-static enrichment ----------------------------------------------
+
+  /** Stream-static join: enrich each live event with a BATCH-computed
+    * per-user profile (the feature-table pattern — profiles refresh on a
+    * batch cadence, the stream reads the latest). Stream-static joins need
+    * no watermark on the static side and keep no join state: each
+    * micro-batch plans a fresh join against the static frame, and a small
+    * profile table broadcasts (executor-local hash lookup, no shuffle of
+    * the stream). Left join so never-seen users pass through with null
+    * features rather than vanishing from the stream. */
+  def enrichedEvents(events: DataFrame, profile: DataFrame): DataFrame =
+    events.join(broadcast(profile), Seq("user_id"), "left")
+
+  /** The batch side of [[enrichedEvents]]: per-user lifetime aggregates from
+    * the events history — the simplest real feature table. */
+  def userProfile(history: DataFrame): DataFrame =
+    history.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("lifetime_value"),
+        max(col("ts")).as("last_seen"))
+
   // ---- streaming exact dedup (the streaming face of d1) ----------------------
 
   /** Key-based exact dedup with WATERMARK-BOUNDED state:

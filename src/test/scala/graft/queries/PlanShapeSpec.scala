@@ -175,6 +175,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "both aggregation passes must split partial+final")
   }
 
+  test("q2: correlated min subquery decorrelates to an aggregate joined back") {
+    val df = graft.SparkEntry.queries("q2_min_per_group")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // RewriteCorrelatedScalarSubquery must have turned the per-row subquery
+    // into a per-brand aggregate + join — a surviving correlated scalar
+    // subquery would execute once per row, the O(n^2) trap
+    assert(!opt.contains("scalar-subquery"),
+      s"correlated subquery must decorrelate:\n${opt.take(1200)}")
+    assert(opt.contains("Aggregate") && opt.contains("Join"),
+      s"decorrelated plan is aggregate + join:\n${opt.take(1200)}")
+  }
+
   test("x1: salted join spreads the 3 hot keys over composite keys") {
     val p = plan("x1_skew_salted_join")
     assert(p.contains("l_returnflag") && p.contains("salt"),

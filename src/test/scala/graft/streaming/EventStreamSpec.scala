@@ -67,6 +67,37 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed file drops must aggregate identically to the batch read")
   }
 
+  test("stream-static enrichment equals the batch join; unseen users pass through null") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // profile from a batch history covering users 0 and 1 only; the stream
+    // also carries user 2, which must survive with null features
+    val history = (0 until 20).map(i => ev(i, i, i % 2, "view", i * 2.0)).toDF()
+    val profile = EventStream.userProfile(history)
+    val input = MemoryStream[EventStream.Event]
+    val live = (100 until 130).map(i => ev(i, i - 100, i % 3, "click", 1.0))
+    input.addData(live)
+    val q = EventStream.enrichedEvents(input.toDF(), profile).writeStream
+      .format("memory").queryName("enriched_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enriched_stream")
+      .select("event_id", "user_id", "n_events", "lifetime_value")
+    val batch = EventStream.enrichedEvents(live.toDF(), profile)
+      .select("event_id", "user_id", "n_events", "lifetime_value")
+    assert(streamed.count() === 30L)
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0,
+      "stream-static join must equal the batch join")
+    // user 2 has no profile: null features, rows NOT dropped
+    val u2 = streamed.filter(col("user_id") === 2)
+    assert(u2.count() === 10L && u2.filter(col("n_events").isNull).count() === 10L,
+      "unseen users must pass through with null features")
+  }
+
   test("stream-stream interval join equals the batch plan on the same data") {
     val sp = spark
     import sp.implicits._
