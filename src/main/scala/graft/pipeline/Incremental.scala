@@ -72,6 +72,27 @@ object Incremental {
       .select((keys.map(col) ++ Seq(col(attr), col("valid_from"), col("valid_to"))): _*)
   }
 
+  /** dbt snapshot `invalidate_hard_deletes`: keys with an open interval that
+    * are ABSENT from the latest full key snapshot are considered deleted —
+    * their open interval closes at `deleteTs`. Keys still present (and all
+    * already-closed intervals) pass through untouched. One anti join + one
+    * semi join against the (deduplicated) present-key set: at 100 TB both
+    * are key-only hash joins, never row-multiplying.
+    */
+  def scd2CloseDeleted(history: DataFrame, present: DataFrame,
+                       keys: Seq[String],
+                       deleteTs: org.apache.spark.sql.Column): DataFrame = {
+    val keyCols = keys.map(col)
+    val presentKeys = present.select(keyCols: _*).distinct()
+    val open = history.filter(col("valid_to").isNull)
+    val deleted = open.join(presentKeys, keys, "left_anti")
+      .withColumn("valid_to", deleteTs.cast(open.schema("valid_from").dataType))
+    val surviving = open.join(presentKeys, keys, "left_semi")
+    history.filter(col("valid_to").isNotNull)
+      .unionByName(deleted)
+      .unionByName(surviving)
+  }
+
   /** One incremental snapshot step: fold a new batch of changes into an
     * existing SCD2 `history` (same schema as [[scd2Rebuild]] output).
     * Batch rows at or before a key's open `valid_from` are late arrivals for

@@ -466,6 +466,42 @@ object AggWindowOps extends QueryPack {
            |GROUP BY srcnum""".stripMargin),
     doc = "Derived-column CTE + uncorrelated scalar subquery (§3.3).")
 
+  // ---- F6: extended string-function battery ---------------------------------
+  // The second tranche of §2.8's scalar surface: padding, character
+  // translation, reversal, repetition, position search, token slicing, and
+  // char-qualified trim — each pinned against DuckDB's independent
+  // implementation. All pure per-row projections, codegen'd, shuffle-free.
+  private val f6 = GQuery(
+    "f6_string_functions_extended",
+    (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("lp"),
+        rpad(col("p_brand"), 12, "-").as("rp"),
+        translate(col("p_type"), "aeiou", "AEIOU").as("tr"),
+        reverse(col("p_name")).as("rev"),
+        repeat(col("p_brand"), 2).as("rep"),
+        ascii(col("p_name")).cast("int").as("first_char"),
+        instr(col("p_name"), "o").cast("long").as("pos_o"),
+        expr("split_part(p_name, ' ', 1)").as("first_word"),
+        expr("left(p_name, 4)").as("l4"),
+        expr("right(p_name, 3)").as("r3"),
+        expr("trim(BOTH '*' FROM lpad(p_brand, 12, '*'))").as("untrimmed")),
+    Some("""SELECT p_partkey,
+           |  lpad(p_brand, 12, '*') AS lp,
+           |  rpad(p_brand, 12, '-') AS rp,
+           |  translate(p_type, 'aeiou', 'AEIOU') AS tr,
+           |  reverse(p_name) AS rev,
+           |  repeat(p_brand, 2) AS rep,
+           |  CAST(ascii(p_name) AS INT) AS first_char,
+           |  CAST(instr(p_name, 'o') AS BIGINT) AS pos_o,
+           |  split_part(p_name, ' ', 1) AS first_word,
+           |  left(p_name, 4) AS l4,
+           |  right(p_name, 3) AS r3,
+           |  trim(BOTH '*' FROM lpad(p_brand, 12, '*')) AS untrimmed
+           |FROM part""".stripMargin),
+    doc = "Extended string battery: pad/translate/reverse/repeat/instr/split_part/left/right/char-trim (F6/§2.8).")
+
   // ---- ST1: tumbling-window aggregate (batch twin of the streaming path) ---------------------------
   private val st1 = GQuery(
     "st1_tumbling_window_agg",
@@ -556,6 +592,37 @@ object AggWindowOps extends QueryPack {
            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin),
     doc = "ROLLUP subtotal hierarchy: all grains in one Expand+aggregate pass (A13).")
+
+  // ---- A15: GROUPING SETS + grouping_id -------------------------------------
+  // The general form a13's ROLLUP is a special case of: an explicit grain
+  // list including the two single-column marginals ROLLUP cannot express
+  // together. Still ONE Expand feeding one hash aggregate — N grains never
+  // cost N scans. grouping() disambiguates a rolled-up NULL from a data
+  // NULL structurally (a13 used a string sentinel; this is the principled
+  // spelling). SQL-authored: the grouping-sets surface is part of the SQL
+  // dialect a migrating user brings along.
+  private val a15 = GQuery(
+    "a15_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+              |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+              |  count(*) AS n,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              |FROM orders_v
+              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+              |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+           |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           |  count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+           |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin),
+    doc = "GROUPING SETS with grouping() flags: explicit grain list, one Expand pass (A15).")
 
   // ---- W5: window frames — lag/lead + bounded moving aggregate --------------
   // Per-customer order history: previous/next order price and a 3-order
@@ -732,6 +799,6 @@ object AggWindowOps extends QueryPack {
     doc = "INTERSECT / EXCEPT planned as hash semi/anti joins over distinct rows (U5/§2.7).")
 
   override val all: Seq[GQuery] =
-    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14,
-      w1, w2, w3, w4, w5, w6, o1, u1, u2, u3, u4, u5, f1, f2, f3, f4, f5, st1, st2)
+    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15,
+      w1, w2, w3, w4, w5, w6, o1, u1, u2, u3, u4, u5, f1, f2, f3, f4, f5, f6, st1, st2)
 }

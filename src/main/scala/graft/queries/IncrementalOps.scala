@@ -89,6 +89,47 @@ object IncrementalOps extends QueryPack {
     Some(scd2OracleSql),
     doc = "SCD2 incremental fold over 3 batches, oracle-checked against the full rebuild (I3).")
 
+  // ---- I4: SCD2 hard-delete detection (dbt invalidate_hard_deletes) --------
+  // The missing quadrant of the snapshot semantics: i2/i3 only ever SEE
+  // changes — a key that stops arriving keeps an open interval forever.
+  // Here the pre-cutoff history meets the post-cutoff key snapshot: users
+  // with no post-cutoff events are hard-deleted, their open interval closes
+  // at the cutoff. Key-only anti/semi joins — no row multiplication.
+  private val i4 = GQuery(
+    "i4_scd2_hard_deletes",
+    (s, dir) => {
+      val all = ev(s, dir)
+      val cutoff = lit("2024-01-21").cast("timestamp")
+      val hist = Incremental.scd2Rebuild(all.filter(col("ts") < cutoff),
+        Seq("user_id"), "event_type", "ts", "event_id")
+      val present = all.filter(col("ts") >= cutoff).select(col("user_id"))
+      Incremental.scd2CloseDeleted(hist, present, Seq("user_id"), cutoff)
+        .select(col("user_id"), col("event_type"),
+          sec(col("valid_from")).as("valid_from_sec"),
+          sec(col("valid_to")).as("valid_to_sec"))
+    },
+    Some("""WITH c AS (
+           |  SELECT user_id, event_type, ts, event_id,
+           |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |  FROM events WHERE ts < TIMESTAMP '2024-01-21'),
+           |chg AS (SELECT user_id, event_type, ts, event_id FROM c
+           |        WHERE prev IS NULL OR prev <> event_type),
+           |hist AS (
+           |  SELECT user_id, event_type,
+           |    CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_sec,
+           |    CAST(floor(epoch(lead(ts) OVER (
+           |      PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS valid_to_sec
+           |  FROM chg),
+           |pres AS (SELECT DISTINCT user_id FROM events
+           |         WHERE ts >= TIMESTAMP '2024-01-21')
+           |SELECT user_id, event_type, valid_from_sec,
+           |  CASE WHEN valid_to_sec IS NULL
+           |        AND user_id NOT IN (SELECT user_id FROM pres)
+           |       THEN CAST(floor(epoch(TIMESTAMP '2024-01-21')) AS BIGINT)
+           |       ELSE valid_to_sec END AS valid_to_sec
+           |FROM hist""".stripMargin),
+    doc = "SCD2 hard-delete detection: vanished keys close at the snapshot cutoff (I4).")
+
   private lazy val scd2OracleSql =
     """WITH c AS (
       |  SELECT user_id, event_type, ts, event_id,
@@ -102,5 +143,5 @@ object IncrementalOps extends QueryPack {
       |    PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS valid_to_sec
       |FROM chg""".stripMargin
 
-  override val all: Seq[GQuery] = Seq(i1, i2, i3)
+  override val all: Seq[GQuery] = Seq(i1, i2, i3, i4)
 }

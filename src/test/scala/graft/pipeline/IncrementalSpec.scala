@@ -101,6 +101,25 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(appliedStrict) === canon(rebuiltStrict))
   }
 
+  test("scd2CloseDeleted closes only vanished keys' open intervals") {
+    val s = spark
+    import s.implicits._
+    // key 1: open interval, still present -> stays open
+    // key 2: open interval, absent       -> closes at deleteTs
+    // key 3: already closed, absent      -> untouched
+    val log = Seq((1L, "a", 10L, 0L), (2L, "b", 10L, 1L),
+      (3L, "c", 5L, 2L), (3L, "d", 8L, 3L)).toDF("k", "attr", "ts", "seq")
+    val hist = Incremental.scd2Rebuild(log, Seq("k"), "attr", "ts", "seq")
+    val present = Seq(Tuple1(1L), Tuple1(99L)).toDF("k")
+    val out = Incremental.scd2CloseDeleted(hist, present, Seq("k"), lit(42L))
+      .select(col("k"), col("attr"), col("valid_from"), col("valid_to"))
+    assert(canon(out) === Set(
+      (1L, "a", 10L, None),        // present: open survives
+      (2L, "b", 10L, Some(42L)),   // deleted: closed at deleteTs
+      (3L, "c", 5L, Some(8L)),     // closed history untouched
+      (3L, "d", 8L, Some(42L))))   // key 3's OPEN interval also closes
+  }
+
   test("scd2 intervals chain contiguously with exactly one open per key") {
     val log = randomLog(99, 500, 10)
     val h = Incremental.scd2Rebuild(log, Seq("k"), "attr", "ts", "seq")
