@@ -86,6 +86,13 @@ case class AsOfJoinExec(
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  // The exec is a per-partition zip: rows keep the left child's physical
+  // placement, so advertise it — a downstream aggregate/join on the key
+  // reuses the exchange instead of re-shuffling (asserted in
+  // AsOfJoinNativeSpec).
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)

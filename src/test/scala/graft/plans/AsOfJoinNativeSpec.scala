@@ -157,6 +157,36 @@ class AsOfJoinNativeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("type mismatch"))
   }
 
+  test("downstream aggregation on the key reuses the as-of join's partitioning") {
+    // outputPartitioning advertises the left child's placement; a groupBy on
+    // the same key must NOT insert a second exchange above the join — at
+    // scale that second shuffle would double the operator's cost for the
+    // commonest consumer (per-key aggregation of the enriched rows).
+    val (left, right) = fixture(13, 300, 6)
+    val joined = AsOf.join(left, right, key = "k", leftTs = "ts", rightTs = "ts",
+      payload = Seq("payload_v"), tieBreak = "id")
+    val agg = joined.groupBy(col("k")).agg(sum(col("payload_v")).as("s"))
+    agg.collect()
+    // AQE plan strings repeat the tree under "== Initial Plan ==" — only the
+    // final section reflects what actually ran
+    val full = agg.queryExecution.executedPlan.toString
+    val p = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    val exchanges = "Exchange hashpartitioning\\(k".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"one exchange per join child at most — no re-shuffle above the join:\n$p")
+    // the aggregate must sit on the join's partitioning: no exchange between
+    // the final HashAggregate and AsOfJoin
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("AsOfJoin")
+    assert(aggIdx >= 0 && joinIdx > aggIdx,
+      "final aggregate above the join in the plan string")
+    assert(!p.substring(aggIdx, joinIdx).contains("Exchange"),
+      s"no exchange between aggregate and as-of join:\n${p.substring(aggIdx, joinIdx)}")
+  }
+
   test("unmatched keys and too-early left rows carry null payload") {
     val s = spark
     import s.implicits._
