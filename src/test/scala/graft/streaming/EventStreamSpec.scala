@@ -98,6 +98,43 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "unseen users must pass through with null features")
   }
 
+  test("Misra-Gries UDAF runs as a streaming aggregation (complete mode)") {
+    // The typed Aggregator surface (§2.10) must compose with the streaming
+    // runtime (§2.9): the sketch's partial buffers become streaming state,
+    // merged across micro-batches. Complete mode re-emits the global sketch;
+    // the final emission must satisfy the same MG guarantee as the batch run.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    // skewed types: 'hot' dominates, long tail of t<i>
+    val events = (0 until 300).map(i =>
+      ev(i, i % 50, i % 7, if (i % 3 != 2) "hot" else s"t${i % 20}", 1.0))
+    input.addData(events)
+    val sketch = graft.functions.FreqSketchAggregator.freqSketch(5)
+    val q = input.toDF()
+      .groupBy()
+      .agg(sketch(col("event_type")).as("mg"), count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val row = spark.table("mg_stream").head()
+    val est = row.getMap[String, Long](0)
+    val n = row.getLong(1)
+    assert(n === 300L)
+    // MG guarantee: true count <= estimate + n/(k+1); 'hot' has 200 > n/6
+    val trueCounts = events.groupBy(_.event_type).view.mapValues(_.size.toLong).toMap
+    assert(est.contains("hot"), s"dominant key must survive the sketch: $est")
+    est.foreach { case (key, e) =>
+      val t = trueCounts.getOrElse(key, 0L)
+      assert(e <= t && t <= e + n / 6,
+        s"MG bound violated for $key: est=$e true=$t")
+    }
+  }
+
   test("stream-stream interval join equals the batch plan on the same data") {
     val sp = spark
     import sp.implicits._
