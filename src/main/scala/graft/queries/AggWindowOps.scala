@@ -182,11 +182,18 @@ object AggWindowOps extends QueryPack {
   // Reference: models/main/mart_sgp_percentiles.sql:16-32
   private val a8 = GQuery(
     "a8_percentile_signflip",
+    // p80/p90 share ONE percentile buffer via the array form — each
+    // percentile(...) aggregate otherwise buffers the whole group's values
+    // separately (3x the state at any scale); the sign-flipped p20 needs its
+    // own buffer because its input column differs (the P12 idiom).
     (s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
-        round(expr("percentile(l_extendedprice, 0.8)"), 4).as("p80"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("-percentile(-l_extendedprice, 0.8)"), 4).as("p20_flip")),
+        expr("percentile(l_extendedprice, array(0.8, 0.9))").as("ps"),
+        round(expr("-percentile(-l_extendedprice, 0.8)"), 4).as("p20_flip"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p80"),
+          round(element_at(col("ps"), 2), 4).as("p90"),
+          col("p20_flip")),
     Some("""SELECT l_returnflag,
            |  round(quantile_cont(l_extendedprice, 0.8), 4) AS p80,
            |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
