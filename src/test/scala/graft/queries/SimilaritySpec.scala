@@ -161,6 +161,23 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     cells.unpersist()
   }
 
+  test("e8: raising nprobe raises recall — the IVF quality dial works (sf0.01)") {
+    val exact = graft.SparkEntry.queries("e1_ann_bruteforce_topk")(spark, sf01)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cells = VectorOps.kmeansCells(embDouble(sf01), k = 8, iters = 3).cache()
+    def recallAt(nprobe: Int): Double = {
+      val approx = VectorOps.ivfProbe(cells, nprobe)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val r2 = recallAt(2)
+    val r4 = recallAt(4)
+    cells.unpersist()
+    info(f"e8 recall@10: nprobe=2 -> $r2%.3f, nprobe=4 -> $r4%.3f")
+    assert(r4 > r2, f"more probed cells must not lose neighbors: $r4%.3f <= $r2%.3f")
+    assert(r4 >= 0.6, f"nprobe=4 of 8 cells should pass 0.6: $r4%.3f")
+  }
+
   test("e5: 10 Lloyd rounds stay map-only — no plan nesting, no window/join in assign") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(31)
