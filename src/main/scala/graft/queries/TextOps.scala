@@ -755,6 +755,45 @@ object TextOps extends QueryPack {
             |GROUP BY 1, 2""".stripMargin),
     doc = "Shared-shingle counts per source pair — cross-source leakage matrix (text #14).")
 
+  // ---- D28: overlapping document chunking -----------------------------------
+  // The standard pre-tokenization chunker: fixed-length word windows with a
+  // stride overlap (64/48 here — 16 words of context bleed between
+  // neighbors), the shape every training-data and retrieval pipeline cuts
+  // long documents into. Pure per-row explode of a bounded sequence — no
+  // shuffle at all; chunk identity travels as an md5 digest so the oracle
+  // compares content, not just counts. Output rows ~ corpus tokens / stride.
+  private val d28 = GQuery(
+    "d28_doc_chunking",
+    (s, dir) => {
+      val ChunkLen = 64
+      val Stride = 48
+      t(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .withColumn("n", size(col("w")))
+        .withColumn("nc", when(col("n") <= ChunkLen, lit(1))
+          .otherwise(expr(s"(n - $ChunkLen + ${Stride - 1}) div $Stride + 1")))
+        .select(col("doc_id"), col("w"), col("n"),
+          explode(expr("sequence(0, nc - 1)")).as("i"))
+        .select(col("doc_id"),
+          col("i").cast("int").as("chunk_no"),
+          (col("i") * Stride + 1).cast("long").as("start_word"),
+          expr(s"slice(w, i * $Stride + 1, least($ChunkLen, n - i * $Stride))").as("cw"))
+        .select(col("doc_id"), col("chunk_no"), col("start_word"),
+          size(col("cw")).as("chunk_words"),
+          md5(concat_ws(" ", col("cw")).cast("binary")).as("chunk_digest"))
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+           |         len(string_split(text, ' ')) AS n FROM documents),
+           |c AS (SELECT doc_id, w, n,
+           |        CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS nc FROM d),
+           |ex AS (SELECT doc_id, w, n, unnest(range(0, nc)) AS i FROM c)
+           |SELECT doc_id, CAST(i AS INT) AS chunk_no,
+           |  CAST(i * 48 + 1 AS BIGINT) AS start_word,
+           |  CAST(len(w[(i*48+1):least(i*48+64, n)]) AS INT) AS chunk_words,
+           |  md5(array_to_string(w[(i*48+1):least(i*48+64, n)], ' ')) AS chunk_digest
+           |FROM ex""".stripMargin),
+    doc = "Overlapping 64/48 word-window chunking with content digests (text #15).")
+
   override val all: Seq[GQuery] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26, d27)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26, d27, d28)
 }
