@@ -762,26 +762,28 @@ object TextOps extends QueryPack {
   // long documents into. Pure per-row explode of a bounded sequence — no
   // shuffle at all; chunk identity travels as an md5 digest so the oracle
   // compares content, not just counts. Output rows ~ corpus tokens / stride.
+  /** (doc_id, chunk_no, start_word, chunk_words, chunk_digest) — shared by
+    * d28 (the chunk stream) and d29 (chunk-level dedup). */
+  private[queries] def docChunks(docs: DataFrame,
+                                 chunkLen: Int = 64, stride: Int = 48): DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+      .withColumn("nc", when(col("n") <= chunkLen, lit(1))
+        .otherwise(expr(s"(n - $chunkLen + ${stride - 1}) div $stride + 1")))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(expr("sequence(0, nc - 1)")).as("i"))
+      .select(col("doc_id"),
+        col("i").cast("int").as("chunk_no"),
+        (col("i") * stride + 1).cast("long").as("start_word"),
+        expr(s"slice(w, i * $stride + 1, least($chunkLen, n - i * $stride))").as("cw"))
+      .select(col("doc_id"), col("chunk_no"), col("start_word"),
+        size(col("cw")).as("chunk_words"),
+        md5(concat_ws(" ", col("cw")).cast("binary")).as("chunk_digest"))
+
   private val d28 = GQuery(
     "d28_doc_chunking",
-    (s, dir) => {
-      val ChunkLen = 64
-      val Stride = 48
-      t(s, dir, "documents")
-        .select(col("doc_id"), words(col("text")).as("w"))
-        .withColumn("n", size(col("w")))
-        .withColumn("nc", when(col("n") <= ChunkLen, lit(1))
-          .otherwise(expr(s"(n - $ChunkLen + ${Stride - 1}) div $Stride + 1")))
-        .select(col("doc_id"), col("w"), col("n"),
-          explode(expr("sequence(0, nc - 1)")).as("i"))
-        .select(col("doc_id"),
-          col("i").cast("int").as("chunk_no"),
-          (col("i") * Stride + 1).cast("long").as("start_word"),
-          expr(s"slice(w, i * $Stride + 1, least($ChunkLen, n - i * $Stride))").as("cw"))
-        .select(col("doc_id"), col("chunk_no"), col("start_word"),
-          size(col("cw")).as("chunk_words"),
-          md5(concat_ws(" ", col("cw")).cast("binary")).as("chunk_digest"))
-    },
+    (s, dir) => docChunks(t(s, dir, "documents")),
     Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
            |         len(string_split(text, ' ')) AS n FROM documents),
            |c AS (SELECT doc_id, w, n,
@@ -794,6 +796,36 @@ object TextOps extends QueryPack {
            |FROM ex""".stripMargin),
     doc = "Overlapping 64/48 word-window chunking with content digests (text #15).")
 
+  // ---- D29: chunk-level exact dedup ------------------------------------------
+  // d1 finds whole-document duplicates; boilerplate (headers, footers,
+  // license blocks) repeats at CHUNK granularity inside otherwise-unique
+  // docs and survives doc-level dedup. Group d28's digests: any digest seen
+  // more than once is repeated material — the hash-aggregate face of what
+  // suffix-array dedup does exactly. Output is the repeated-chunk table a
+  // removal pass would anti-join against.
+  private val d29 = GQuery(
+    "d29_chunk_dedup",
+    (s, dir) =>
+      docChunks(t(s, dir, "documents"))
+        .groupBy(col("chunk_digest"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_occurrences") > 1),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+           |         len(string_split(text, ' ')) AS n FROM documents),
+           |c AS (SELECT doc_id, w, n,
+           |        CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS nc FROM d),
+           |ex AS (SELECT doc_id, w, n, unnest(range(0, nc)) AS i FROM c),
+           |ch AS (SELECT doc_id,
+           |         md5(array_to_string(w[(i*48+1):least(i*48+64, n)], ' ')) AS chunk_digest
+           |       FROM ex)
+           |SELECT chunk_digest, count(*) AS n_occurrences,
+           |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+           |FROM ch GROUP BY chunk_digest HAVING count(*) > 1""".stripMargin),
+    doc = "Chunk-granularity exact dedup: repeated 64-word windows across the corpus (text #16).")
+
   override val all: Seq[GQuery] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26, d27, d28)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26,
+      d27, d28, d29)
 }

@@ -295,6 +295,51 @@ object VectorOps extends QueryPack {
     None,
     doc = "IVF probe over trained k-means cells — the composed coarse-quantizer stack (similarity #8).")
 
+  // ---- E9: truncated-dimension ANN (Matryoshka-style prefix search) ---------
+  // Score on only the first 16 of 64 dims: 4x less arithmetic and candidate
+  // memory per comparison — the dimension-truncation dial (MRL-trained
+  // embeddings front-load information exactly so this works; on these
+  // synthetic vectors it measures the floor). Map-only slice + the same
+  // exact top-k machinery as e1; DuckDB oracle truncates by subscript, so
+  // the whole reduced-cost path is hash-checked, and SimilaritySpec gates
+  // its recall against the full-dimension e1 top-10.
+  private val e9 = GQuery(
+    "e9_ann_truncated_dims",
+    (s, dir) => {
+      val emb = embDouble(s, dir).withColumn("v16", expr("slice(v, 1, 16)"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v16").as("qv"))
+      val c = emb.select(col("vec_id").as("nid"), col("v16").as("nv"))
+      val sims = c.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("sim", round(cosine("qv", "nv"), 6))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("qid"), col("nid"), col("sim"), col("rn"))
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+           |         generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings),
+           |e16 AS (SELECT * FROM e WHERE i <= 16),
+           |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e16 GROUP BY vec_id),
+           |q AS (SELECT * FROM e16 WHERE vec_id < 10),
+           |dots AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS nid, sum(q.x * c.x) AS dp
+           |  FROM q JOIN e16 c ON q.i = c.i AND q.vec_id != c.vec_id
+           |  GROUP BY 1, 2),
+           |sims AS (
+           |  SELECT qid, nid, round(dp / (nq.nrm * nc.nrm), 6) AS sim
+           |  FROM dots
+           |  JOIN norms nq ON qid = nq.vec_id
+           |  JOIN norms nc ON nid = nc.vec_id)
+           |SELECT qid, nid, sim, rn FROM (
+           |  SELECT qid, nid, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+           |  FROM sims) sub
+           |WHERE rn <= 10""".stripMargin),
+    doc = "Prefix-dimension (16/64) exact top-10: the truncation cost/recall dial (ANN #9).")
+
   // ---- D9: embedding-cosine near-dup pairs ------------------------------------------
   // Exact threshold join WITHOUT an all-pairs nested loop. Candidates come
   // from metric ball pruning over coarse cells (the label column is the
@@ -491,5 +536,5 @@ object VectorOps extends QueryPack {
            |WHERE rn <= 10""".stripMargin),
     doc = "Int8 scalar-quantized cosine top-10: 4x memory cut, integer-exact compare (ANN #7).")
 
-  override val all: Seq[GQuery] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, d9)
+  override val all: Seq[GQuery] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, d9)
 }

@@ -281,6 +281,15 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       f"trained cells must beat geometry-blind labels: e8 $e8r%.3f <= e4 $e4r%.3f")
   }
 
+  test("e9: 16-of-64-dim truncation recall@10 vs full-dimension e1 (sf0.01)") {
+    // these synthetic embeddings spread information uniformly across dims, so
+    // 16/64 truncation measures the FLOOR of the truncation dial (MRL-trained
+    // embeddings front-load and would sit far higher); the gate guards the
+    // machinery, the info() line records the measurement
+    val recall = recallVsExact("e9_ann_truncated_dims", sf01)
+    assert(recall >= 0.15, f"truncation floor: $recall%.3f < 0.15")
+  }
+
   // ---- e7 ----------------------------------------------------------------
 
   test("e7: int8-quantized ordering keeps recall@10 >= 0.9 vs e1's float-exact top-10 (sf0.01)") {
