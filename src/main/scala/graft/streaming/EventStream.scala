@@ -95,12 +95,20 @@ object EventStream {
     * per-user profile (the feature-table pattern — profiles refresh on a
     * batch cadence, the stream reads the latest). Stream-static joins need
     * no watermark on the static side and keep no join state: each
-    * micro-batch plans a fresh join against the static frame, and a small
-    * profile table broadcasts (executor-local hash lookup, no shuffle of
-    * the stream). Left join so never-seen users pass through with null
-    * features rather than vanishing from the stream. */
-  def enrichedEvents(events: DataFrame, profile: DataFrame): DataFrame =
-    events.join(broadcast(profile), Seq("user_id"), "left")
+    * micro-batch plans a fresh join against the static frame. Left join so
+    * never-seen users pass through with null features rather than vanishing
+    * from the stream.
+    *
+    * `broadcastProfile` is the scale dial: true (default) pins the
+    * executor-local hash-lookup plan for profiles known to fit in memory —
+    * the common serving case; set false for corpus-scale profiles, where a
+    * forced broadcast would OOM and the planner must pick a shuffled join
+    * of each micro-batch instead. */
+  def enrichedEvents(events: DataFrame, profile: DataFrame,
+                     broadcastProfile: Boolean = true): DataFrame = {
+    val p = if (broadcastProfile) broadcast(profile) else profile
+    events.join(p, Seq("user_id"), "left")
+  }
 
   /** The batch side of [[enrichedEvents]]: per-user lifetime aggregates from
     * the events history — the simplest real feature table. */
