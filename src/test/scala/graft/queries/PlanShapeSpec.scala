@@ -78,6 +78,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "j6_cross_join_constants", // 1-row constants relation, by design
       "e1_ann_bruteforce_topk",  // 10-query probe side broadcast (exactness baseline)
       "e7_ann_int8_quantized",   // same 10-query probe side, quantized scoring
+      "e9_ann_truncated_dims",   // same 10-query probe side, prefix dims
       "e4_ann_ivf_probe",        // K-row centroid table broadcast
       "e8_ann_ivf_kmeans",       // same K-row centroid broadcast, k-means cells
       "u3_union_append_scalar",  // appends a 1-row aggregate
