@@ -805,7 +805,64 @@ object AggWindowOps extends QueryPack {
            |GROUP BY bucket""".stripMargin),
     doc = "INTERSECT / EXCEPT planned as hash semi/anti joins over distinct rows (U5/§2.7).")
 
+  // ---- U6: UNION DISTINCT ---------------------------------------------------
+  // Completes the set-operation family (u1 ALL, u5 INTERSECT/EXCEPT): the
+  // deduplicating union plans as union + one hash-distinct aggregate — one
+  // shuffle on the full row, which is why UNION ALL + explicit grouping is
+  // usually preferred at scale and the planner must NOT be given DISTINCT
+  // semantics it doesn't need.
+  private val u6 = GQuery(
+    "u6_union_distinct",
+    (s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val high = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("custkey"))
+      urgent.union(high).distinct()
+        .agg(count(lit(1)).as("n_distinct_cust"),
+          sum(col("custkey")).as("key_sum"))
+    },
+    Some("""SELECT count(*) AS n_distinct_cust, CAST(sum(custkey) AS BIGINT) AS key_sum
+           |FROM (SELECT o_custkey AS custkey FROM orders
+           |      WHERE o_orderpriority = '1-URGENT'
+           |      UNION
+           |      SELECT o_custkey FROM orders WHERE o_totalprice > 300000) u""".stripMargin),
+    doc = "UNION DISTINCT: union + one hash-distinct aggregate (U6/§2.7).")
+
+  // ---- O4: keyset + offset pagination ---------------------------------------
+  // The serving pagination shapes: OFFSET/FETCH (page 3 of the ranked
+  // customers) next to the keyset form (WHERE key > last_seen LIMIT n) that
+  // a 100 TB serving layer should actually use — OFFSET must still sort and
+  // skip all preceding rows on every page, keyset seeks straight to the
+  // boundary and the predicate pushes into the scan.
+  private val o4 = GQuery(
+    "o4_pagination",
+    (s, dir) => {
+      val ranked = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val page3 = ranked.offset(40).limit(20)
+        .select(lit("offset").as("method"), col("c_custkey"), col("c_acctbal"))
+      val keyset = t(s, dir, "customer")
+        .filter(col("c_custkey") > 1000)
+        .orderBy(col("c_custkey"))
+        .limit(20)
+        .select(lit("keyset").as("method"), col("c_custkey"), col("c_acctbal"))
+      page3.unionByName(keyset)
+    },
+    Some("""SELECT 'offset' AS method, c_custkey, c_acctbal FROM (
+           |  SELECT c_custkey, c_acctbal FROM customer
+           |  ORDER BY c_acctbal DESC, c_custkey LIMIT 20 OFFSET 40) a
+           |UNION ALL
+           |SELECT 'keyset', c_custkey, c_acctbal FROM (
+           |  SELECT c_custkey, c_acctbal FROM customer
+           |  WHERE c_custkey > 1000 ORDER BY c_custkey LIMIT 20) b""".stripMargin),
+    doc = "OFFSET/FETCH page next to the keyset-seek page a scale serving layer uses (O4/§2.6).")
+
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15,
-      w1, w2, w3, w4, w5, w6, o1, u1, u2, u3, u4, u5, f1, f2, f3, f4, f5, f6, st1, st2)
+      w1, w2, w3, w4, w5, w6, o1, o4, u1, u2, u3, u4, u5, u6,
+      f1, f2, f3, f4, f5, f6, st1, st2)
 }
