@@ -212,5 +212,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
     ext.injectOptimizerRule(_ => RewriteVectorFolds)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)
   }
 }

@@ -227,5 +227,34 @@ object TemporalOps extends QueryPack {
            |FROM enriched WHERE event_type = 'click'""".stripMargin),
     doc = "As-of join via custom LogicalPlan/Strategy/SparkPlan: co-partitioned sorted merge (temporal #4).")
 
-  override val all: Seq[GQuery] = Seq(t1, t2, t3, t4)
+  // ---- T5: band join via the native operator ---------------------------------
+  // Same semantics and oracle as t2, executed by graft.plans.BandJoin — a
+  // custom LogicalPlan/Strategy/SparkPlan that co-partitions both sides on
+  // the key, sorts by (key, ts), and sweeps the late side holding only the
+  // in-band early rows in a deque. vs the bucketed compose: no 2x early-side
+  // explode, no post-filter, one shuffle per side at its own size; state is
+  // bounded by rows-per-band, not partition size. Differentially tested
+  // against the composed form in BandJoinNativeSpec.
+  private val t5 = GQuery(
+    "t5_band_join_native",
+    (s, dir) => {
+      val ev = micros(s, dir).select(col("event_id"), col("user_id"), col("us"))
+      val early = ev.select(col("user_id"),
+        col("event_id").as("early_id"), col("us").as("early_us"))
+      val late = ev.select(col("user_id"),
+        col("event_id").as("late_id"), col("us").as("late_us"))
+      graft.plans.Band.join(early, late, key = "user_id",
+          earlyTs = "early_us", lateTs = "late_us", range = RangeUs)
+        .select(col("user_id"), col("early_id"), col("late_id"),
+          (col("late_us") - col("early_us")).as("gap_us"))
+    },
+    Some(s"""SELECT a.user_id, a.event_id AS early_id, b.event_id AS late_id,
+            |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+            |FROM events a JOIN events b
+            |ON a.user_id = b.user_id
+            |AND epoch_us(b.ts) > epoch_us(a.ts)
+            |AND epoch_us(b.ts) <= epoch_us(a.ts) + $RangeUs""".stripMargin),
+    doc = "Band join via custom LogicalPlan/Strategy/SparkPlan: in-band deque sweep (temporal #5).")
+
+  override val all: Seq[GQuery] = Seq(t1, t2, t3, t4, t5)
 }

@@ -1,0 +1,127 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import scala.util.Random
+
+/** The native band join (BandJoin -> BandJoinStrategy -> BandJoinExec)
+  * against the composed bucket-probe form (TemporalOps.rangeJoin shape):
+  *   - identical pair sets on randomized fixtures with heavy ts ties, keys
+  *     missing from either side, and band-boundary hits (late - early ==
+  *     range exactly);
+  *   - identical under FORCED SPILL (the reused-row-buffer discipline the
+  *     deque must survive — buffered rows are copies);
+  *   - the physical plan contains BandJoinExec with co-partitioned sorted
+  *     children and NO explode (the compose's 2x probe is gone);
+  *   - plan-build-time validation of key/ts types.
+  */
+class BandJoinNativeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Random (key, id, ts) frame: few keys, dense ts collisions, so bands
+    * hold many rows and boundary cases occur often. */
+  private def fixture(seed: Long, n: Int, nKeys: Int, tsRange: Int): DataFrame = {
+    val rnd = new Random(seed)
+    val s = spark
+    import s.implicits._
+    (0 until n).map { i =>
+      (rnd.nextInt(nKeys).toLong, i.toLong, rnd.nextInt(tsRange).toLong)
+    }.toDF("k", "id", "ts")
+  }
+
+  /** The composed reference: bucket width == range, early probes 2 buckets. */
+  private def composed(ev: DataFrame, range: Long): DataFrame = {
+    val early = ev.select(col("k"), col("id").as("early_id"), col("ts").as("early_ts"))
+      .withColumn("_jb", explode(array(
+        expr(s"early_ts div $range"), expr(s"early_ts div $range + 1"))))
+    val late = ev.select(col("k"), col("id").as("late_id"), col("ts").as("late_ts"))
+      .withColumn("_jb", expr(s"late_ts div $range"))
+    early.join(late, Seq("k", "_jb"))
+      .filter(col("late_ts") > col("early_ts") &&
+        col("late_ts") <= col("early_ts") + range)
+      .select(col("k"), col("early_id"), col("late_id"))
+  }
+
+  private def native(ev: DataFrame, range: Long): DataFrame = {
+    val early = ev.select(col("k"), col("id").as("early_id"), col("ts").as("early_ts"))
+    val late = ev.select(col("k"), col("id").as("late_id"), col("ts").as("late_ts"))
+    Band.join(early, late, key = "k", earlyTs = "early_ts", lateTs = "late_ts",
+        range = range)
+      .select(col("k"), col("early_id"), col("late_id"))
+  }
+
+  private def canon(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("native band join == composed bucket-probe on randomized tie-heavy fixtures") {
+    for (seed <- 1 to 4) {
+      val ev = fixture(seed, 400, 6, 60)
+      val got = canon(native(ev, 7))
+      assert(got === canon(composed(ev, 7)), s"seed=$seed")
+      assert(got.nonEmpty, s"seed=$seed: fixture should produce pairs")
+    }
+  }
+
+  test("native band join matches under forced spill (copied deque rows)") {
+    val conf = org.apache.spark.SparkEnv.get.conf
+    val spillKey = "spark.shuffle.spill.numElementsForceSpillThreshold"
+    val prev = conf.getOption(spillKey)
+    conf.set(spillKey, "32")
+    try {
+      val ev = fixture(9, 600, 4, 50)
+      assert(canon(native(ev, 9)) === canon(composed(ev, 9)))
+    } finally prev match {
+      case Some(v) => conf.set(spillKey, v)
+      case None => conf.remove(spillKey)
+    }
+  }
+
+  test("band boundary: exactly-range gaps join, zero and over-range gaps do not") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, 1L, 100L), (1L, 2L, 100L), (1L, 3L, 105L), (1L, 4L, 106L))
+      .toDF("k", "id", "ts")
+    val got = canon(native(ev, 5))
+    // (1,3): gap 5 == range joins; (1,4): gap 6 does not; (2,3)/(2,4) same;
+    // (1,2): gap 0 never joins; (3,4): gap 1 joins
+    assert(got === Set((1L, 1L, 3L), (1L, 2L, 3L), (1L, 3L, 4L)))
+  }
+
+  test("strategy plans BandJoinExec, co-partitioned and explode-free") {
+    val ev = fixture(11, 100, 3, 40)
+    val df = native(ev, 7)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BandJoin"), s"strategy must fire:\n$p")
+    assert(!p.contains("Explode") && !p.contains("Generate"),
+      s"no bucket-probe explode in the native plan:\n$p")
+    assert(p.contains("hashpartitioning(k"),
+      s"both sides must co-partition on the key:\n$p")
+  }
+
+  test("ts type validation fails at plan-build time") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, 1L, 1.5)).toDF("k", "id", "ts") // DOUBLE ts
+    val early = ev.select(col("k"), col("id").as("early_id"), col("ts").as("early_ts"))
+    val late = ev.select(col("k"), col("id").as("late_id"), col("ts").as("late_ts"))
+    val e = intercept[IllegalArgumentException] {
+      Band.join(early, late, "k", "early_ts", "late_ts", 5L)
+    }
+    assert(e.getMessage.contains("LONG"))
+  }
+}
