@@ -93,6 +93,10 @@ case class AsOfJoinExec(
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
     left.outputPartitioning
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
@@ -103,6 +107,7 @@ case class AsOfJoinExec(
     val leftOut = left.output
     val rightOut = right.output
     val fullOut = output
+    val numOutputRows = longMetric("numOutputRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyE = BindReferences.bindReference(lk, leftOut)
@@ -181,6 +186,7 @@ case class AsOfJoinExec(
             val p = if (matchRow != null && lTsV != null) matchRow else nullPayload
             joined(lRow, p)
           }
+          numOutputRows += 1
           resultProj(joined)
         }
       }

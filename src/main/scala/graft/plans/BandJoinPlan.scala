@@ -71,6 +71,15 @@ case class BandJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.filterNot(a => rightKey.semanticEquals(a))
 
+  // numOutputRows sums across tasks; maxBandRows is a size metric (the UI
+  // reports min/med/max of the per-task values), each task's value being
+  // the largest deque this task ever held — the operator's memory ceiling.
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "maxBandRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createSizeMetric(sparkContext, "max buffered in-band rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
 
@@ -92,6 +101,8 @@ case class BandJoinExec(
     val leftOut = left.output
     val rightOut = right.output
     val fullOut = output
+    val numOutputRows = longMetric("numOutputRows")
+    val maxBandRows = longMetric("maxBandRows")
 
     left.execute().zipPartitions(right.execute()) { (eIter, lIter) =>
       val eKeyE = BindReferences.bindReference(lk, leftOut)
@@ -162,6 +173,7 @@ case class BandJoinExec(
               // evict early rows that fell out of the band
               while (buf.nonEmpty && buf.head._1 < lTsV - band) buf.removeHead()
               if (buf.nonEmpty) {
+                if (buf.length > maxBandRows.value) maxBandRows.set(buf.length)
                 emitIdx = 0
                 emitEnd = buf.length
                 return true
@@ -177,6 +189,7 @@ case class BandJoinExec(
           if (emitIdx >= emitEnd && !fill()) throw new NoSuchElementException
           val e = buf(emitIdx)._2
           emitIdx += 1
+          numOutputRows += 1
           resultProj(joined(e, lRow))
         }
       }

@@ -113,6 +113,28 @@ class BandJoinNativeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"both sides must co-partition on the key:\n$p")
   }
 
+  test("SQL metrics report output rows and the deque's memory ceiling") {
+    val ev = fixture(21, 200, 3, 30)
+    val df = native(ev, 6)
+    val expected = df.count()
+    df.collect()
+    // collectFirst alone won't cross AQE node boundaries — descend manually
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[BandJoinExec] = p match {
+      case b: BandJoinExec => Some(b)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        find(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(q.plan)
+      case other => other.children.iterator.flatMap(find(_).iterator).nextOption()
+    }
+    val exec = find(df.queryExecution.executedPlan)
+      .getOrElse(fail("BandJoinExec not in executed plan"))
+    assert(exec.metrics("numOutputRows").value === expected,
+      "numOutputRows must equal the result size")
+    val ceiling = exec.metrics("maxBandRows").value
+    assert(ceiling > 0 && ceiling <= 200,
+      s"per-task band ceiling must be positive and bounded: $ceiling")
+  }
+
   test("ts type validation fails at plan-build time") {
     val s = spark
     import s.implicits._
