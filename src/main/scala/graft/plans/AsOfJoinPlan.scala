@@ -40,7 +40,8 @@ case class AsOfJoin(
     rightTs: Expression,
     leftTie: Expression,
     rightTie: Expression,
-    payload: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute],
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
 
@@ -52,8 +53,8 @@ case class AsOfJoin(
 /** Plans [[AsOfJoin]] into [[AsOfJoinExec]]; everything else falls through. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, ltb, rtb, payload) =>
-      AsOfJoinExec(lk, rk, lts, rts, ltb, rtb, payload,
+    case AsOfJoin(l, r, lk, rk, lts, rts, ltb, rtb, payload, tol) =>
+      AsOfJoinExec(lk, rk, lts, rts, ltb, rtb, payload, tol,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -67,6 +68,7 @@ case class AsOfJoinExec(
     leftTie: Expression,
     rightTie: Expression,
     payload: Seq[Attribute],
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -107,6 +109,7 @@ case class AsOfJoinExec(
     val leftOut = left.output
     val rightOut = right.output
     val fullOut = output
+    val tol = tolerance
     val numOutputRows = longMetric("numOutputRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -133,6 +136,7 @@ case class AsOfJoinExec(
         // payload of the last visible right row, for the current left key
         private var matchKey: Any = _
         private var matchRow: InternalRow = _
+        private var matchTs: Long = 0L // only read when tolerance is set
 
         private def advanceRight(): Unit = {
           rValid = rIter.hasNext
@@ -177,13 +181,21 @@ case class AsOfJoinExec(
                   val tc = tsOrd.compare(rTsV, lTsV)
                   val visible = tc < 0 ||
                     (tc == 0 && tieOrd.compare(rTbV, lTbV) <= 0)
-                  if (visible) { matchRow = payloadProj(rRow).copy(); advanceRight() }
-                  else continue = false
+                  if (visible) {
+                    matchRow = payloadProj(rRow).copy()
+                    if (tol.isDefined) matchTs = rTsV.asInstanceOf[Long]
+                    advanceRight()
+                  } else continue = false
                 }
               }
               if (!rValid) continue = false
             }
-            val p = if (matchRow != null && lTsV != null) matchRow else nullPayload
+            // merge_asof-style tolerance: a match older than `tol` time units
+            // (same unit as the LONG ts columns) yields the null payload
+            val inTol = tol.isEmpty ||
+              (lTsV != null && lTsV.asInstanceOf[Long] - matchTs <= tol.get)
+            val p = if (matchRow != null && lTsV != null && inTol) matchRow
+                    else nullPayload
             joined(lRow, p)
           }
           numOutputRows += 1

@@ -187,6 +187,36 @@ class AsOfJoinNativeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no exchange between aggregate and as-of join:\n${p.substring(aggIdx, joinIdx)}")
   }
 
+  test("tolerance nulls out stale matches (merge_asof semantics)") {
+    // expected = the untolerated join carrying the match's own ts as an
+    // extra payload column, with payloads older than `tol` nulled manually
+    val tolVal = 5L
+    for (seed <- 1 to 3) {
+      val (left, right0) = fixture(seed + 40, 400, 6)
+      val right = right0.withColumn("rts", col("ts"))
+      val tolerated = AsOf.join(left, right, key = "k", leftTs = "ts",
+          rightTs = "ts", payload = Seq("payload_v"), tieBreak = "id",
+          tolerance = Some(tolVal))
+        .select(col("k"), col("ts"), col("id"), col("payload_v"))
+      val open = AsOf.join(left, right, key = "k", leftTs = "ts",
+          rightTs = "ts", payload = Seq("payload_v", "rts"), tieBreak = "id")
+        .select(col("k"), col("ts"), col("id"),
+          when(col("ts") - col("rts") <= tolVal, col("payload_v")).as("payload_v"))
+      val got = canon(tolerated)
+      assert(got === canon(open), s"seed=$seed")
+      // the fixture must exercise both stale-nulled and fresh-kept matches
+      assert(got.exists(_._4.isEmpty) && got.exists(_._4.nonEmpty), s"seed=$seed")
+    }
+    // negative tolerance and non-long ts rejected at build time
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 5L, 1L)).toDF("k", "ts", "id")
+    val r = Seq((1L, 3L, 2L, 0.1)).toDF("k", "ts", "id", "payload_v")
+    assert(intercept[IllegalArgumentException] {
+      AsOf.join(l, r, "k", "ts", "ts", Seq("payload_v"), "id", Some(-1L))
+    }.getMessage.contains("non-negative"))
+  }
+
   test("unmatched keys and too-early left rows carry null payload") {
     val s = spark
     import s.implicits._
