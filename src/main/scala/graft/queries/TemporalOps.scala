@@ -256,5 +256,46 @@ object TemporalOps extends QueryPack {
             |AND epoch_us(b.ts) <= epoch_us(a.ts) + $RangeUs""".stripMargin),
     doc = "Band join via custom LogicalPlan/Strategy/SparkPlan: in-band deque sweep (temporal #5).")
 
-  override val all: Seq[GQuery] = Seq(t1, t2, t3, t4, t5)
+  // ---- T6: as-of join with freshness tolerance -------------------------------
+  // t4's native operator with merge_asof's tolerance knob: the latest prior
+  // view, but only when at most 10 minutes old — stale context nulls out.
+  // The oracle carries the match's own timestamp and applies the same
+  // freshness rule independently.
+  private val ToleranceUs = 600L * 1000 * 1000
+
+  private val t6 = GQuery(
+    "t6_asof_tolerance",
+    (s, dir) => {
+      val ev = micros(s, dir).filter(col("event_type").isin("click", "view"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("us").as("view_us"), col("value").as("view_value"))
+      graft.plans.AsOf.join(clicks, views, key = "user_id",
+          leftTs = "us", rightTs = "us",
+          payload = Seq("view_us", "view_value"), tieBreak = "event_id",
+          tolerance = Some(ToleranceUs))
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("us").as("click_us"), col("view_us"), col("view_value"))
+    },
+    Some(s"""WITH ev AS (
+            |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
+            |  FROM events WHERE event_type IN ('click', 'view')),
+            |enriched AS (
+            |  SELECT event_id, user_id, event_type, us,
+            |    last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+            |      OVER (PARTITION BY user_id ORDER BY us, event_id
+            |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_us,
+            |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+            |      OVER (PARTITION BY user_id ORDER BY us, event_id
+            |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_value
+            |  FROM ev)
+            |SELECT event_id AS click_id, user_id, us AS click_us,
+            |  CASE WHEN us - view_us <= $ToleranceUs THEN view_us END AS view_us,
+            |  CASE WHEN us - view_us <= $ToleranceUs THEN view_value END AS view_value
+            |FROM enriched WHERE event_type = 'click'""".stripMargin),
+    doc = "Native as-of with merge_asof tolerance: stale matches null out (temporal #6).")
+
+  override val all: Seq[GQuery] = Seq(t1, t2, t3, t4, t5, t6)
 }
