@@ -509,6 +509,39 @@ object AggWindowOps extends QueryPack {
            |FROM part""".stripMargin),
     doc = "Extended string battery: pad/translate/reverse/repeat/instr/split_part/left/right/char-trim (F6/§2.8).")
 
+  // ---- F7: array-function battery -------------------------------------------
+  // The array surface the vector/text operators build on, pinned directly:
+  // set ops (intersect/except, both sorted before compare — element order of
+  // set results is engine-specific), dedup, slicing, flattening, membership,
+  // and position (both engines return 0 for absent, not NULL). All per-row
+  // projections over the document word array — codegen'd, shuffle-free.
+  private val f7 = GQuery(
+    "f7_array_functions",
+    (s, dir) => {
+      val w = split(col("text"), " ")
+      val stop = array(lit("the"), lit("a"), lit("of"), lit("and"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        sort_array(array_intersect(array_distinct(w), stop)).as("stop_hits"),
+        size(array_distinct(w)).as("n_uniq"),
+        slice(w, 2, 3).as("w2_4"),
+        sort_array(array_except(stop, w)).as("stop_missing"),
+        array_contains(w, "the").as("has_the"),
+        array_position(w, "the").cast("long").as("the_pos"),
+        flatten(array(slice(w, 1, 2), slice(w, 3, 2))).as("first4"))
+    },
+    Some("""SELECT doc_id,
+           |  list_sort(list_intersect(list_distinct(w), ['the','a','of','and'])) AS stop_hits,
+           |  CAST(len(list_distinct(w)) AS INT) AS n_uniq,
+           |  w[2:4] AS w2_4,
+           |  list_sort(list_filter(['the','a','of','and'],
+           |                        x -> NOT list_contains(w, x))) AS stop_missing,
+           |  list_contains(w, 'the') AS has_the,
+           |  CAST(list_position(w, 'the') AS BIGINT) AS the_pos,
+           |  flatten([w[1:2], w[3:4]]) AS first4
+           |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d""".stripMargin),
+    doc = "Array battery: set ops, dedup, slice, flatten, membership, position (F7/§2.8).")
+
   // ---- ST1: tumbling-window aggregate (batch twin of the streaming path) ---------------------------
   private val st1 = GQuery(
     "st1_tumbling_window_agg",
@@ -864,5 +897,5 @@ object AggWindowOps extends QueryPack {
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15,
       w1, w2, w3, w4, w5, w6, o1, o4, u1, u2, u3, u4, u5, u6,
-      f1, f2, f3, f4, f5, f6, st1, st2)
+      f1, f2, f3, f4, f5, f6, f7, st1, st2)
 }
