@@ -509,6 +509,34 @@ object AggWindowOps extends QueryPack {
            |FROM part""".stripMargin),
     doc = "Extended string battery: pad/translate/reverse/repeat/instr/split_part/left/right/char-trim (F6/§2.8).")
 
+  // ---- A16: conditional + argmax aggregate battery ---------------------------
+  // count_if / bool_and / bool_or / max_by / min_by — the conditional face
+  // of the aggregate surface. The argmax orderers are the UNIQUE o_orderkey,
+  // so ties cannot make the picked row engine-dependent (max_by on a
+  // non-unique orderer is nondeterministic on both engines and would be a
+  // flaky oracle). One partial+final hash aggregate, same shuffle as a1.
+  private val a16 = GQuery(
+    "a16_conditional_argmax_agg",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count_if(col("o_totalprice") > 200000).as("n_big"),
+          expr("bool_and(o_totalprice > 0)").as("all_positive"),
+          expr("bool_or(o_orderstatus = 'F')").as("any_finished"),
+          max_by(col("o_orderdate"), col("o_orderkey")).as("date_of_max_key"),
+          min_by(col("o_orderdate"), col("o_orderkey")).as("date_of_min_key"),
+          count(lit(1)).as("n")),
+    Some("""SELECT o_orderpriority,
+           |  count_if(o_totalprice > 200000) AS n_big,
+           |  bool_and(o_totalprice > 0) AS all_positive,
+           |  bool_or(o_orderstatus = 'F') AS any_finished,
+           |  arg_max(o_orderdate, o_orderkey) AS date_of_max_key,
+           |  arg_min(o_orderdate, o_orderkey) AS date_of_min_key,
+           |  count(*) AS n
+           |FROM orders GROUP BY o_orderpriority""".stripMargin),
+    doc = "count_if / bool_and / bool_or / max_by / min_by with unique orderers (A16).")
+
   // ---- F7: array-function battery -------------------------------------------
   // The array surface the vector/text operators build on, pinned directly:
   // set ops (intersect/except, both sorted before compare — element order of
@@ -895,7 +923,7 @@ object AggWindowOps extends QueryPack {
     doc = "OFFSET/FETCH page next to the keyset-seek page a scale serving layer uses (O4/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15,
+    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16,
       w1, w2, w3, w4, w5, w6, o1, o4, u1, u2, u3, u4, u5, u6,
       f1, f2, f3, f4, f5, f6, f7, st1, st2)
 }
