@@ -509,6 +509,43 @@ object AggWindowOps extends QueryPack {
            |FROM part""".stripMargin),
     doc = "Extended string battery: pad/translate/reverse/repeat/instr/split_part/left/right/char-trim (F6/§2.8).")
 
+  // ---- U7: INTERSECT ALL / EXCEPT ALL (bag semantics) ------------------------
+  // u5 pinned the SET forms; the ALL forms keep multiplicities — Spark plans
+  // them by tagging rows with per-side counts and replicating min/diff
+  // counts (one aggregate, no row-number windows). Multiplicity matters when
+  // the rows ARE the data (duplicate orders across two extracts).
+  private val u7 = GQuery(
+    "u7_intersect_except_all",
+    (s, dir) => {
+      // two overlapping extracts with genuine duplicate rows: priority class
+      // per order status, restricted to two disjoint-ish date windows
+      val a = t(s, dir, "orders").filter(col("o_orderdate") < "1997-01-01")
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+      val b = t(s, dir, "orders").filter(col("o_orderdate") >= "1996-01-01")
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+      val both = a.intersectAll(b)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val onlyA = a.exceptAll(b)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      both.unionByName(onlyA)
+    },
+    Some("""WITH a AS (SELECT o_orderstatus, o_orderpriority FROM orders
+           |           WHERE o_orderdate < '1997-01-01'),
+           |b AS (SELECT o_orderstatus, o_orderpriority FROM orders
+           |      WHERE o_orderdate >= '1996-01-01'),
+           |i AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           |        'intersect_all' AS op
+           |      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) x
+           |      GROUP BY 1, 2),
+           |e AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           |        'except_all' AS op
+           |      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) y
+           |      GROUP BY 1, 2)
+           |SELECT * FROM i UNION ALL SELECT * FROM e""".stripMargin),
+    doc = "INTERSECT ALL / EXCEPT ALL: multiplicity-preserving set ops (U7/§2.7).")
+
   // ---- A16: conditional + argmax aggregate battery ---------------------------
   // count_if / bool_and / bool_or / max_by / min_by — the conditional face
   // of the aggregate surface. The argmax orderers are the UNIQUE o_orderkey,
@@ -924,6 +961,6 @@ object AggWindowOps extends QueryPack {
 
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16,
-      w1, w2, w3, w4, w5, w6, o1, o4, u1, u2, u3, u4, u5, u6,
+      w1, w2, w3, w4, w5, w6, o1, o4, u1, u2, u3, u4, u5, u6, u7,
       f1, f2, f3, f4, f5, f6, f7, st1, st2)
 }

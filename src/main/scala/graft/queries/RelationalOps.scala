@@ -529,6 +529,33 @@ object RelationalOps extends QueryPack {
            |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment""".stripMargin),
     doc = "LeftSemi/LeftAnti joins — EXISTS / NOT EXISTS without row multiplication (J7).")
 
+  // ---- J8: full outer join ---------------------------------------------------
+  // Per-nation customer counts FULL OUTER per-nation supplier counts: nations
+  // with only one side present survive with nulls on the other — the
+  // reconciliation shape (which entities exist here but not there?). Both
+  // inputs are aggregates (bounded), the join is a hash join on the key;
+  // coalesce canonicalizes the key from whichever side is non-null.
+  private val j8 = GQuery(
+    "j8_full_outer_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk2"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("nk") === col("nk2"), "full_outer")
+        .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    },
+    Some("""SELECT coalesce(c.nk, s.nk2) AS nationkey,
+           |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+           |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+           |      FROM customer GROUP BY 1) c
+           |FULL OUTER JOIN (SELECT s_nationkey AS nk2, count(*) AS n_supp
+           |                 FROM supplier GROUP BY 1) s
+           |ON c.nk = s.nk2""".stripMargin),
+    doc = "FULL OUTER reconciliation: one-sided keys survive with nulls (J8).")
+
   // ---- Q3: TPC-H-Q3-shaped headline query --------------------------------------
   // Multi-join + filtered scan + agg + top-K: the canonical OLAP shape the
   // marts are made of. Dates filter pushes to both scans; customer broadcasts;
@@ -764,6 +791,6 @@ object RelationalOps extends QueryPack {
     x2.run(s, dir)
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, j7,
+    Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, j7, j8,
       x1, x2, x3, x4, q1, q2, q3, q5, q9, q18)
 }
