@@ -509,6 +509,31 @@ object AggWindowOps extends QueryPack {
            |FROM part""".stripMargin),
     doc = "Extended string battery: pad/translate/reverse/repeat/instr/split_part/left/right/char-trim (F6/§2.8).")
 
+  // ---- F9: conditional scalar battery ----------------------------------------
+  // greatest/least, nullif + coalesce chains, and the if/CASE ternary — the
+  // remaining null-plumbing scalars. Per-row, codegen'd; the engine's if()
+  // is the oracle's CASE (same three-valued logic).
+  private val f9 = GQuery(
+    "f9_conditional_scalars",
+    (s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_class"),
+        expr("if(l_quantity > 25, 'big', 'small')").as("size_class"),
+        when(col("l_discount") > 0, col("l_extendedprice") * col("l_discount"))
+          .otherwise(lit(0.0)).as("discount_amt")),
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  greatest(l_tax, l_discount) AS max_rate,
+           |  least(l_tax, l_discount) AS min_rate,
+           |  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_class,
+           |  CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS size_class,
+           |  CASE WHEN l_discount > 0 THEN l_extendedprice * l_discount
+           |       ELSE 0.0 END AS discount_amt
+           |FROM lineitem""".stripMargin),
+    doc = "greatest/least, nullif+coalesce, ternary if — null-plumbing scalars (F9/§2.8).")
+
   // ---- U7: INTERSECT ALL / EXCEPT ALL (bag semantics) ------------------------
   // u5 pinned the SET forms; the ALL forms keep multiplicities — Spark plans
   // them by tagging rows with per-side counts and replicating min/diff
@@ -962,5 +987,5 @@ object AggWindowOps extends QueryPack {
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16,
       w1, w2, w3, w4, w5, w6, o1, o4, u1, u2, u3, u4, u5, u6, u7,
-      f1, f2, f3, f4, f5, f6, f7, st1, st2)
+      f1, f2, f3, f4, f5, f6, f7, f9, st1, st2)
 }

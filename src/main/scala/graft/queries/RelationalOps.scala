@@ -556,6 +556,35 @@ object RelationalOps extends QueryPack {
            |ON c.nk = s.nk2""".stripMargin),
     doc = "FULL OUTER reconciliation: one-sided keys survive with nulls (J8).")
 
+  // ---- J9: null-safe equality join -------------------------------------------
+  // `<=>` (IS NOT DISTINCT FROM): null keys MATCH EACH OTHER instead of
+  // silently dropping — the semantic a plain equi-join gets wrong when the
+  // key is derived and legitimately null (here: order status with the open
+  // status nulled out). Spark still plans this as a hash join (null-safe
+  // keys hash like values); the oracle uses the standard SQL spelling.
+  private val j9 = GQuery(
+    "j9_nullsafe_join",
+    (s, dir) => {
+      val byStatus = t(s, dir, "orders")
+        .groupBy(nullif(col("o_orderstatus"), lit("O")).as("sk"))
+        .agg(count(lit(1)).as("n_orders"))
+      val byStatus2 = t(s, dir, "orders")
+        .groupBy(nullif(col("o_orderstatus"), lit("O")).as("sk2"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      byStatus.join(byStatus2, col("sk") <=> col("sk2"))
+        .select(coalesce(col("sk"), lit("OPEN")).as("status_class"),
+          col("n_orders"), round(col("total"), 2).as("total"))
+    },
+    Some("""SELECT coalesce(a.sk, 'OPEN') AS status_class, a.n_orders,
+           |  round(b.total, 2) AS total
+           |FROM (SELECT nullif(o_orderstatus, 'O') AS sk, count(*) AS n_orders
+           |      FROM orders GROUP BY 1) a
+           |JOIN (SELECT nullif(o_orderstatus, 'O') AS sk2,
+           |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |      FROM orders GROUP BY 1) b
+           |ON a.sk IS NOT DISTINCT FROM b.sk2""".stripMargin),
+    doc = "Null-safe equality join: null keys match instead of dropping (J9).")
+
   // ---- Q3: TPC-H-Q3-shaped headline query --------------------------------------
   // Multi-join + filtered scan + agg + top-K: the canonical OLAP shape the
   // marts are made of. Dates filter pushes to both scans; customer broadcasts;
@@ -791,6 +820,7 @@ object RelationalOps extends QueryPack {
     x2.run(s, dir)
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11, j1, j2, j3, j4, j5, j6, j7, j8,
+    Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11,
+      j1, j2, j3, j4, j5, j6, j7, j8, j9,
       x1, x2, x3, x4, q1, q2, q3, q5, q9, q18)
 }
