@@ -9,45 +9,100 @@ import org.apache.spark.sql.SparkSession
   * self-defends. Failures are recorded as negative durations (-1.0) and
   * listed in a `failed` field so a broken query can never masquerade as a
   * fast one.
+  *
+  * Regression detector: medians are compared against the previous round's
+  * committed snapshot (`bench_out.json`, overridable via
+  * SPARK_GRAFT_BENCH_PREV). Any query whose median moved more than 2x in
+  * either direction AND by more than an absolute floor (0.5 s — sub-second
+  * queries double on pure scheduler jitter) is re-measured with `ExtraReps`
+  * additional samples and its median recomputed over ALL samples before the
+  * snapshot is recorded. Round 3 committed a 16.8x phantom on j6 and a 2.1x
+  * on i3 that a quiet re-run contradicted; this pass adjudicates such
+  * contention artifacts in-process. Re-adjudicated queries are listed in the
+  * `reruns` field so a surviving >2x move is a vetted signal, not a sample.
   */
 object Bench {
   private val Reps = 3
+  private val ExtraReps = 4
+  private val RerunRatio = 2.0
+  private val RerunFloorSec = 0.5
+
+  private def sample(spark: SparkSession, sfDir: String, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      reps: Int): Seq[Double] =
+    (1 to reps).flatMap { _ =>
+      val t0 = System.nanoTime()
+      // noop sink evaluates EVERY output column — count() would let
+      // Catalyst prune computed columns and under-measure the real work
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      // queries may cache intermediates; drop them so reps measure the
+      // full pipeline and later queries aren't slowed by eviction thrash
+      spark.catalog.clearCache()
+      if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+    }
+
+  private def median(xs: Seq[Double]): Double =
+    if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+
+  /** Previous round's per-query medians from its bench_out.json line.
+    * Jackson ships in Spark's classpath; absence/corruption of the file just
+    * disables the detector (first round, or a fresh checkout). */
+  private def loadPrev(path: String): Map[String, Double] =
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+      val qs = root.get("queries")
+      if (qs == null) Map.empty
+      else {
+        val it = qs.properties().iterator()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0) }
+        b.result()
+      }
+    } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench_out.json")
+    val prev = loadPrev(prevPath)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val samples = (1 to Reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        // noop sink evaluates EVERY output column — count() would let
-        // Catalyst prune computed columns and under-measure the real work
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-        // queries may cache intermediates; drop them so reps measure the
-        // full pipeline and later queries aren't slowed by eviction thrash
-        spark.catalog.clearCache()
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }
-      val median =
-        if (samples.isEmpty) -1.0
-        else samples.sorted.apply(samples.size / 2)
-      name -> median
+
+    val firstPass = SparkEntry.queries.map { case (name, fn) =>
+      name -> sample(spark, sfDir, name, fn, Reps)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val adjudicated = firstPass.map { case (name, samples) =>
+      val med = median(samples)
+      val suspicious = med >= 0 && prev.get(name).exists { p =>
+        p > 0 && (med.max(p) / med.min(p) > RerunRatio) &&
+          (med - p).abs > RerunFloorSec
+      }
+      if (!suspicious) (name, med, false)
+      else {
+        System.err.println(f"[bench] $name moved >${RerunRatio}%.0fx vs $prevPath " +
+          f"(${prev(name)}%.2f -> $med%.2f s); re-measuring with $ExtraReps extra reps")
+        val all = samples ++ sample(spark, sfDir, name, SparkEntry.queries(name), ExtraReps)
+        (name, median(all), true)
+      }
+    }
+
+    val qs = adjudicated.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = adjudicated.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$Reps,"sf":"$sfDir"}"""
+    val reruns = adjudicated.collect { case (k, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = adjudicated.collect { case (_, v, _) if v >= 0 => v }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reruns":$reruns,"reps":$Reps,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line to a file: the driver captures only the
     // stdout TAIL, which has truncated past rounds' per-query entries —

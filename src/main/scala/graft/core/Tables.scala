@@ -28,4 +28,25 @@ object Tables {
   /** Register every corpus table as a temp view (used by SQL-form queries). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Run SQL against DataFrames registered under session-unique temp view
+    * names, then drop the views. `spark.sql` analyzes eagerly, so the returned
+    * DataFrame's plan no longer references the catalog entries — dropping them
+    * immediately keeps registry query builders side-effect-free (no fixed-name
+    * view collisions across concurrent builds or multi-dir sessions).
+    *
+    * `sqlFor` receives the logical-name → unique-name map and must splice the
+    * unique names into the query text.
+    */
+  def sqlOn(spark: SparkSession, views: (String, DataFrame)*)(
+      sqlFor: Map[String, String] => String): DataFrame = {
+    val unique = views.map { case (n, _) =>
+      n -> s"${n}_g${viewSeq.incrementAndGet()}"
+    }.toMap
+    views.foreach { case (n, df) => df.createOrReplaceTempView(unique(n)) }
+    try spark.sql(sqlFor(unique))
+    finally unique.values.foreach(v => spark.catalog.dropTempView(v))
+  }
 }

@@ -87,9 +87,14 @@ case class BandJoinExec(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
 
-  // Rows stream out in the right (late) child's order and placement.
+  // Rows stream out in the right (late) child's order and placement. Both
+  // children are co-partitioned under zipPartitions, so either side's
+  // partitioning is true — but only leftKey survives in the output (rightKey
+  // is dropped, USING-style), so advertising the left partitioning is the one
+  // a downstream groupBy/join on the key can actually reuse without a
+  // re-shuffle (mirrors AsOfJoinExec).
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering(1)
-  override def outputPartitioning: Partitioning = right.outputPartitioning
+  override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     require(leftTs.dataType == LongType && rightTs.dataType == LongType,
@@ -117,6 +122,7 @@ case class BandJoinExec(
         private var eRow: InternalRow = _
         private var eKeyV: Any = _
         private var eTsV: Long = 0L
+        private var eTsNull = false
         private var eValid = false
         advanceEarly()
 
@@ -137,7 +143,10 @@ case class BandJoinExec(
             eRow = eIter.next()
             eKeyV = eKeyE.eval(eRow)
             val t = eTsE.eval(eRow)
-            eTsV = if (t == null) Long.MinValue else t.asInstanceOf[Long]
+            // explicit null flag, not an in-band sentinel: ts == Long.MinValue
+            // is a legitimate value and must still join
+            eTsNull = t == null
+            eTsV = if (eTsNull) 0L else t.asInstanceOf[Long]
           }
         }
 
@@ -163,15 +172,26 @@ case class BandJoinExec(
                   val kc = keyOrd.compare(eKeyV, lKeyV)
                   if (kc < 0) advanceEarly() // keys the late side has passed
                   else if (kc > 0) continue = false
+                  else if (eTsNull) advanceEarly() // null ts never matches
                   else if (eTsV < lTsV) {
-                    if (eTsV > Long.MinValue) buf.append((eTsV, eRow.copy()))
+                    buf.append((eTsV, eRow.copy()))
                     advanceEarly()
                   } else continue = false
                 }
                 if (!eValid) continue = false
               }
-              // evict early rows that fell out of the band
-              while (buf.nonEmpty && buf.head._1 < lTsV - band) buf.removeHead()
+              // evict early rows that fell out of the band. Buffered rows
+              // always have eTs < lTsV, so the true gap is positive; if the
+              // Long subtraction wraps the gap exceeded Long range and is
+              // certainly > band. (`lTsV - band` would itself underflow for
+              // timestamps near Long.MinValue.)
+              var evicting = true
+              while (evicting && buf.nonEmpty) {
+                val eTs = buf.head._1
+                val gap = lTsV - eTs
+                val wrapped = ((lTsV ^ eTs) & (lTsV ^ gap)) < 0
+                if (wrapped || gap > band) buf.removeHead() else evicting = false
+              }
               if (buf.nonEmpty) {
                 if (buf.length > maxBandRows.value) maxBandRows.set(buf.length)
                 emitIdx = 0

@@ -167,11 +167,10 @@ object AggWindowOps extends QueryPack {
   // Reference: models/source/*:19-21; app/app.py:886
   private val a7 = GQuery(
     "a7_scalar_subquery",
-    (s, dir) => {
-      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
-      s.sql("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
-              |FROM orders
-              |WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)""".stripMargin)
+    (s, dir) => Tables.sqlOn(s, "orders" -> Tables.load(s, dir, "orders")) { v =>
+      s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+         |FROM ${v("orders")}
+         |WHERE o_orderdate = (SELECT max(o_orderdate) FROM ${v("orders")})""".stripMargin
     },
     Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
            |FROM orders
@@ -452,16 +451,15 @@ object AggWindowOps extends QueryPack {
   // Reference: app/app.py:868-887
   private val f3 = GQuery(
     "f3_cte_scalar_subquery",
-    (s, dir) => {
-      Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
-      s.sql("""WITH parts AS (
-              |  SELECT doc_id, source,
-              |    CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS srcnum, n_chars
-              |  FROM documents)
-              |SELECT srcnum, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
-              |FROM parts
-              |WHERE srcnum = (SELECT max(srcnum) FROM parts WHERE srcnum < 15)
-              |GROUP BY srcnum""".stripMargin)
+    (s, dir) => Tables.sqlOn(s, "documents" -> Tables.load(s, dir, "documents")) { v =>
+      s"""WITH parts AS (
+         |  SELECT doc_id, source,
+         |    CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS srcnum, n_chars
+         |  FROM ${v("documents")})
+         |SELECT srcnum, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM parts
+         |WHERE srcnum = (SELECT max(srcnum) FROM parts WHERE srcnum < 15)
+         |GROUP BY srcnum""".stripMargin
     },
     Some("""WITH parts AS (
            |  SELECT doc_id, source,
@@ -590,7 +588,7 @@ object AggWindowOps extends QueryPack {
           min_by(col("o_orderdate"), col("o_orderkey")).as("date_of_min_key"),
           count(lit(1)).as("n")),
     Some("""SELECT o_orderpriority,
-           |  count_if(o_totalprice > 200000) AS n_big,
+           |  CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
            |  bool_and(o_totalprice > 0) AS all_positive,
            |  bool_or(o_orderstatus = 'F') AS any_finished,
            |  arg_max(o_orderdate, o_orderkey) AS date_of_max_key,
@@ -605,6 +603,9 @@ object AggWindowOps extends QueryPack {
   // set results is engine-specific), dedup, slicing, flattening, membership,
   // and position (both engines return 0 for absent, not NULL). All per-row
   // projections over the document word array — codegen'd, shuffle-free.
+  // Array outputs are serialized with array_join/array_to_string '|' so every
+  // output column is a hashable scalar for the harness (raw array cells are
+  // unhashable on the compare side).
   private val f7 = GQuery(
     "f7_array_functions",
     (s, dir) => {
@@ -612,23 +613,27 @@ object AggWindowOps extends QueryPack {
       val stop = array(lit("the"), lit("a"), lit("of"), lit("and"))
       t(s, dir, "documents").select(
         col("doc_id"),
-        sort_array(array_intersect(array_distinct(w), stop)).as("stop_hits"),
+        array_join(sort_array(array_intersect(array_distinct(w), stop)), "|")
+          .as("stop_hits"),
         size(array_distinct(w)).as("n_uniq"),
-        slice(w, 2, 3).as("w2_4"),
-        sort_array(array_except(stop, w)).as("stop_missing"),
+        array_join(slice(w, 2, 3), "|").as("w2_4"),
+        array_join(sort_array(array_except(stop, w)), "|").as("stop_missing"),
         array_contains(w, "the").as("has_the"),
         array_position(w, "the").cast("long").as("the_pos"),
-        flatten(array(slice(w, 1, 2), slice(w, 3, 2))).as("first4"))
+        array_join(flatten(array(slice(w, 1, 2), slice(w, 3, 2))), "|")
+          .as("first4"))
     },
     Some("""SELECT doc_id,
-           |  list_sort(list_intersect(list_distinct(w), ['the','a','of','and'])) AS stop_hits,
+           |  coalesce(array_to_string(list_sort(list_intersect(list_distinct(w),
+           |                                     ['the','a','of','and'])),
+           |                           '|'), '') AS stop_hits,
            |  CAST(len(list_distinct(w)) AS INT) AS n_uniq,
-           |  w[2:4] AS w2_4,
-           |  list_sort(list_filter(['the','a','of','and'],
-           |                        x -> NOT list_contains(w, x))) AS stop_missing,
+           |  coalesce(array_to_string(w[2:4], '|'), '') AS w2_4,
+           |  coalesce(array_to_string(list_sort(list_filter(['the','a','of','and'],
+           |      x -> NOT list_contains(w, x))), '|'), '') AS stop_missing,
            |  list_contains(w, 'the') AS has_the,
            |  CAST(list_position(w, 'the') AS BIGINT) AS the_pos,
-           |  flatten([w[1:2], w[3:4]]) AS first4
+           |  coalesce(array_to_string(flatten([w[1:2], w[3:4]]), '|'), '') AS first4
            |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d""".stripMargin),
     doc = "Array battery: set ops, dedup, slice, flatten, membership, position (F7/§2.8).")
 
@@ -733,16 +738,15 @@ object AggWindowOps extends QueryPack {
   // dialect a migrating user brings along.
   private val a15 = GQuery(
     "a15_grouping_sets",
-    (s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("orders_v")
-      s.sql("""SELECT o_orderstatus, o_orderpriority,
-              |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
-              |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
-              |  count(*) AS n,
-              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-              |FROM orders_v
-              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-              |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    (s, dir) => Tables.sqlOn(s, "orders" -> t(s, dir, "orders")) { v =>
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+         |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM ${v("orders")}
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin
     },
     Some("""SELECT o_orderstatus, o_orderpriority,
            |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
@@ -845,7 +849,7 @@ object AggWindowOps extends QueryPack {
     Some("""SELECT event_type, count(*) AS n, min(k) AS k_min, max(k) AS k_max,
            |  CAST(sum(k) AS BIGINT) AS k_sum
            |FROM (SELECT event_type,
-           |        CAST(json_extract_string(props, '$.k') AS INT) AS k
+           |        TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
            |      FROM events) j
            |WHERE k IS NOT NULL
            |GROUP BY event_type""".stripMargin),

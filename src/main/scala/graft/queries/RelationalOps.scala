@@ -800,13 +800,12 @@ object RelationalOps extends QueryPack {
   // selection, not arithmetic) so the match is exact on both engines.
   private val q2 = GQuery(
     "q2_min_per_group",
-    (s, dir) => {
-      t(s, dir, "part").createOrReplaceTempView("part_v")
-      s.sql("""SELECT p.p_brand, p.p_partkey, p.p_retailprice
-              |FROM part_v p
-              |WHERE p.p_retailprice = (SELECT min(p2.p_retailprice)
-              |                         FROM part_v p2
-              |                         WHERE p2.p_brand = p.p_brand)""".stripMargin)
+    (s, dir) => Tables.sqlOn(s, "part" -> t(s, dir, "part")) { v =>
+      s"""SELECT p.p_brand, p.p_partkey, p.p_retailprice
+         |FROM ${v("part")} p
+         |WHERE p.p_retailprice = (SELECT min(p2.p_retailprice)
+         |                         FROM ${v("part")} p2
+         |                         WHERE p2.p_brand = p.p_brand)""".stripMargin
     },
     Some("""SELECT p.p_brand, p.p_partkey, p.p_retailprice
            |FROM part p
@@ -815,6 +814,91 @@ object RelationalOps extends QueryPack {
            |                         WHERE p2.p_brand = p.p_brand)""".stripMargin),
     doc = "TPC-H Q2 shape: correlated min subquery, decorrelated to aggregate + join (Q2).")
 
+  // ---- Q17: TPC-H-Q17-shaped correlated-aggregate filter --------------------
+  // "Lines below 20% of their part's average quantity" — the correlated
+  // AGGREGATE subquery shape (q2 covers correlated-min; this is the
+  // correlated-avg-with-arithmetic form). Catalyst's
+  // RewriteCorrelatedScalarSubquery must decorrelate it into one per-part
+  // aggregate joined back (asserted in PlanShapeSpec) — per-row execution
+  // would rescan lineitem once per outer row. The threshold is computed as
+  // exact-DECIMAL sum / count so the filter boundary is bit-identical on
+  // both engines (avg() of doubles is accumulation-order-dependent); the
+  // final sum is DECIMAL for the same reason. The corpus has no
+  // p_container, so the selective dim predicate uses brand + size.
+  private val q17 = GQuery(
+    "q17_small_quantity_revenue",
+    (s, dir) => Tables.sqlOn(s,
+      "lineitem" -> t(s, dir, "lineitem"), "part" -> t(s, dir, "part")) { v =>
+      s"""SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         |            AS DOUBLE) AS avg_yearly,
+         |       count(*) AS n_lines
+         |FROM ${v("lineitem")} JOIN ${v("part")} ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#4' AND p_size < 25
+         |  AND l_quantity < (SELECT 0.2 * CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+         |                                      AS DOUBLE) / count(*)
+         |                    FROM ${v("lineitem")} l2
+         |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+    },
+    Some("""SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           |            AS DOUBLE) AS avg_yearly,
+           |       count(*) AS n_lines
+           |FROM lineitem JOIN part ON p_partkey = l_partkey
+           |WHERE p_brand = 'Brand#4' AND p_size < 25
+           |  AND l_quantity < (SELECT 0.2 * CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+           |                                      AS DOUBLE) / count(*)
+           |                    FROM lineitem l2
+           |                    WHERE l2.l_partkey = p_partkey)""".stripMargin),
+    doc = "TPC-H Q17 shape: correlated avg-quantity filter, decorrelated to one aggregate + join (Q17).")
+
+  // ---- Q21: TPC-H-Q21-shaped multi-EXISTS / NOT-EXISTS ----------------------
+  // "Suppliers whose line was the ONLY late one on a multi-supplier order" —
+  // one EXISTS and one NOT EXISTS against the same fact table, both
+  // correlated on the outer order key (the NOT EXISTS also carries the outer
+  // o_orderdate into its predicate). Catalyst plans these as one left-semi
+  // and one left-anti join over lineitem (asserted in PlanShapeSpec) — the
+  // per-row nested-loop reading would rescan lineitem twice per outer row.
+  // The corpus has no l_receiptdate/l_commitdate, so "late" is
+  // shipdate > orderdate + 60 days.
+  private val q21 = GQuery(
+    "q21_waiting_supplier",
+    (s, dir) => Tables.sqlOn(s,
+      "lineitem" -> t(s, dir, "lineitem"), "orders" -> t(s, dir, "orders"),
+      "supplier" -> t(s, dir, "supplier"), "nation" -> t(s, dir, "nation")) { v =>
+      s"""SELECT s_name, count(*) AS numwait
+         |FROM ${v("supplier")}
+         |JOIN ${v("lineitem")} l1 ON s_suppkey = l1.l_suppkey
+         |JOIN ${v("orders")} ON o_orderkey = l1.l_orderkey
+         |JOIN ${v("nation")} ON s_nationkey = n_nationkey
+         |WHERE o_orderstatus = 'F'
+         |  AND l1.l_shipdate > date_add(CAST(o_orderdate AS DATE), 60)
+         |  AND EXISTS (SELECT 1 FROM ${v("lineitem")} l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM ${v("lineitem")} l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND l3.l_shipdate > date_add(CAST(o_orderdate AS DATE), 60))
+         |  AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+         |GROUP BY s_name""".stripMargin
+    },
+    Some("""SELECT s_name, count(*) AS numwait
+           |FROM supplier
+           |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+           |JOIN orders ON o_orderkey = l1.l_orderkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |WHERE o_orderstatus = 'F'
+           |  AND l1.l_shipdate > CAST(o_orderdate AS DATE) + 60
+           |  AND EXISTS (SELECT 1 FROM lineitem l2
+           |              WHERE l2.l_orderkey = l1.l_orderkey
+           |                AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+           |                  WHERE l3.l_orderkey = l1.l_orderkey
+           |                    AND l3.l_suppkey <> l1.l_suppkey
+           |                    AND l3.l_shipdate > CAST(o_orderdate AS DATE) + 60)
+           |  AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+           |GROUP BY s_name""".stripMargin),
+    doc = "TPC-H Q21 shape: EXISTS + NOT-EXISTS planned as semi/anti joins, no per-row rescan (Q21).")
+
   /** Exposed for plan-shape tests. */
   private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame =
     x2.run(s, dir)
@@ -822,5 +906,5 @@ object RelationalOps extends QueryPack {
   override val all: Seq[GQuery] =
     Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11,
       j1, j2, j3, j4, j5, j6, j7, j8, j9,
-      x1, x2, x3, x4, q1, q2, q3, q5, q9, q18)
+      x1, x2, x3, x4, q1, q2, q3, q5, q9, q17, q18, q21)
 }

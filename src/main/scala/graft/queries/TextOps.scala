@@ -296,7 +296,7 @@ object TextOps extends QueryPack {
 
   /** The multi-probed (doc_id, sim, u, key, is_exact) bucket-entry frame
     * shared by [[hammingPairs]] and [[oversizedBucketStats]]. */
-  private def bucketEntries(sims: DataFrame): DataFrame =
+  private[queries] def bucketEntries(sims: DataFrame): DataFrame =
     sims.select(col("doc_id"), col("sim"), explode(expr(
       s"""flatten(transform(sequence(0, ${SuperChunks - 1}), u ->
          |  transform(sequence(-1, ${SuperBits - 1}), b ->

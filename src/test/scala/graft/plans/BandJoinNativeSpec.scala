@@ -135,6 +135,42 @@ class BandJoinNativeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-task band ceiling must be positive and bounded: $ceiling")
   }
 
+  test("downstream aggregation on the key reuses the band join's partitioning") {
+    // outputPartitioning advertises the LEFT child's placement (rightKey is
+    // dropped from the output, so only the left partitioning is reusable); a
+    // groupBy on the surviving key must NOT insert an exchange above the join.
+    val ev = fixture(31, 300, 5, 40)
+    val joined = native(ev, 7)
+    val agg = joined.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    agg.collect()
+    val full = agg.queryExecution.executedPlan.toString
+    val p = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    val exchanges = "Exchange hashpartitioning\\(k".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"one exchange per join child at most — no re-shuffle above the join:\n$p")
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("BandJoin")
+    assert(aggIdx >= 0 && joinIdx > aggIdx,
+      "final aggregate above the join in the plan string")
+    assert(!p.substring(aggIdx, joinIdx).contains("Exchange"),
+      s"no exchange between aggregate and band join:\n${p.substring(aggIdx, joinIdx)}")
+  }
+
+  test("ts == Long.MinValue is a legitimate value, not a null sentinel") {
+    // regression: the early-side null-ts flag must be a separate boolean —
+    // an in-band MinValue sentinel would silently drop this row's pairs
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, 1L, Long.MinValue), (1L, 2L, Long.MinValue + 3))
+      .toDF("k", "id", "ts")
+    val got = canon(native(ev, 5))
+    assert(got === Set((1L, 1L, 2L)),
+      "an early row at Long.MinValue inside the band must join")
+  }
+
   test("ts type validation fails at plan-build time") {
     val s = spark
     import s.implicits._

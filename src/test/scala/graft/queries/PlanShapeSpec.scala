@@ -188,6 +188,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"decorrelated plan is aggregate + join:\n${opt.take(1200)}")
   }
 
+  test("q17: correlated avg-quantity subquery decorrelates to one aggregate + join") {
+    val df = graft.SparkEntry.queries("q17_small_quantity_revenue")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery"),
+      s"correlated aggregate subquery must decorrelate:\n${opt.take(1200)}")
+    // the per-part threshold is ONE aggregate over lineitem joined back —
+    // not a per-row rescan; lineitem appears exactly twice (outer + agg leg)
+    assert(opt.contains("Aggregate") && opt.contains("Join"),
+      s"decorrelated plan is aggregate + join:\n${opt.take(1200)}")
+    // path-based scans print as `Relation [cols...] parquet` with no table
+    // name — identify the two lineitem legs by their column signature
+    val scans = "Relation \\[[^\\]]*l_quantity".r.findAllIn(opt).size
+    assert(scans == 2, s"lineitem scanned twice (outer + decorrelated agg), got $scans:\n${opt.take(1500)}")
+  }
+
+  test("q21: EXISTS / NOT-EXISTS plan as semi and anti joins, no per-row rescan") {
+    val df = graft.SparkEntry.queries("q21_waiting_supplier")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("exists-subquery") && !opt.contains("ExistenceJoin"),
+      s"EXISTS predicates must rewrite to joins:\n${opt.take(1200)}")
+    assert(opt.contains("LeftSemi"), s"EXISTS becomes a left-semi join:\n${opt.take(1200)}")
+    assert(opt.contains("LeftAnti"), s"NOT EXISTS becomes a left-anti join:\n${opt.take(1200)}")
+  }
+
   test("x1: salted join spreads the 3 hot keys over composite keys") {
     val p = plan("x1_skew_salted_join")
     assert(p.contains("l_returnflag") && p.contains("salt"),
