@@ -284,20 +284,39 @@ object TextOps extends QueryPack {
     * [[oversizedBucketStats]] reports what a run dropped. */
   private[queries] val BucketCap = 10000
 
-  /** (buckets over cap, entries inside them) — the drop a capped run logs. */
+  /** (capped units, doc-entries inside them) — the drop a capped run logs,
+    * summed over BOTH drop paths of [[hammingPairs]]: signature buckets
+    * holding more than `cap` distinct signatures, and same-signature doc
+    * groups larger than `cap`. */
   def oversizedBucketStats(sims: DataFrame, cap: Int): (Long, Long) = {
-    val sizes = bucketEntries(sims)
-      .groupBy(col("u"), col("key")).agg(count(lit(1)).as("n"))
+    val groups = sigGroups(sims)
+    val hotBuckets = sigBucketEntries(groups)
+      .groupBy(col("u"), col("key"))
+      .agg(count(lit(1)).as("n"), sum(size(col("docs"))).as("nd"))
       .filter(col("n") > cap)
-      .agg(count(lit(1)).as("buckets"),
+      .agg(coalesce(count(lit(1)), lit(0L)).as("units"),
+        coalesce(sum(col("nd")), lit(0L)).as("entries")).head()
+    val hotGroups = groups.select(size(col("docs")).as("n"))
+      .filter(col("n") > cap)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("units"),
         coalesce(sum(col("n")), lit(0L)).as("entries")).head()
-    (sizes.getLong(0), sizes.getLong(1))
+    (hotBuckets.getLong(0) + hotGroups.getLong(0),
+      hotBuckets.getLong(1) + hotGroups.getLong(1))
   }
 
-  /** The multi-probed (doc_id, sim, u, key, is_exact) bucket-entry frame
-    * shared by [[hammingPairs]] and [[oversizedBucketStats]]. */
-  private[queries] def bucketEntries(sims: DataFrame): DataFrame =
-    sims.select(col("doc_id"), col("sim"), explode(expr(
+  /** Distinct signatures with their (sorted) member doc lists — the unit the
+    * banded join operates on. Docs sharing a signature (exact-dup boilerplate
+    * is common in web corpora) collapse to ONE banding/verify participant. */
+  private[queries] def sigGroups(sims: DataFrame): DataFrame =
+    sims.groupBy(col("sim"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+
+  /** The multi-probed per-SIGNATURE (sim, docs, u, key, is_exact) bucket-entry
+    * frame shared by [[hammingPairs]] and [[oversizedBucketStats]]. 63 entries
+    * per distinct signature: 3 super-chunks x (exact value + 20 one-bit
+    * probe flips). */
+  private[queries] def sigBucketEntries(groups: DataFrame): DataFrame =
+    groups.select(col("sim"), col("docs"), explode(expr(
       s"""flatten(transform(sequence(0, ${SuperChunks - 1}), u ->
          |  transform(sequence(-1, ${SuperBits - 1}), b ->
          |    struct(u as u,
@@ -305,33 +324,67 @@ object TextOps extends QueryPack {
          |           ELSE (shiftright(sim, u * $SuperBits) & $ChunkMask)
          |                ^ shiftleft(cast(1 as bigint), b) END as key,
          |      b = -1 as is_exact))))""".stripMargin)).as("x"))
-      .select(col("doc_id"), col("sim"),
+      .select(col("sim"), col("docs"),
         col("x.u").as("u"), col("x.key").as("key"), col("x.is_exact").as("is_exact"))
 
   /** Exact hamming <= maxDist pairs over (doc_id, sim) signatures via the
-    * two-level banded bucket join. Single pass: probe and exact entries live
-    * in one exploded frame (tagged `is_exact`), bucket-grouped, pairs emitted
-    * probe x exact inside each bucket — no self-join, so the signature
-    * pipeline executes exactly once. Buckets beyond `cap` entries are
-    * dropped (see [[BucketCap]]). */
+    * two-level banded bucket join, operating on DISTINCT SIGNATURES:
+    *
+    *   1. docs collapse into signature groups ([[sigGroups]]) — exact-dup
+    *      boilerplate (sf0.1: 5000 docs -> 3812 signatures) never enters the
+    *      banding; same-signature pairs emit directly at dist 0,
+    *      output-sized, from groups of <= `cap` docs.
+    *   2. signature pairs band over (chunk, key) buckets with multi-probe;
+    *      the hamming verify runs INSIDE the pair lambda so the dedup
+    *      shuffle carries only true near-dup signature pairs, and each
+    *      surviving pair expands to its doc cross-product (output-sized).
+    *
+    * Grouping by signature cuts the banding-verify work from sum(bucket²)
+    * over doc entries to sum over signature entries — 67M -> 15M candidate
+    * slots on the sf0.1 corpus (the r3 d4 profile ask) — and the win GROWS
+    * with corpus self-similarity, exactly when the old form degraded.
+    * Buckets holding more than `cap` signatures and same-signature groups
+    * larger than `cap` docs are dropped (see [[BucketCap]],
+    * [[oversizedBucketStats]]). */
   private[queries] def hammingPairs(sims: DataFrame, maxDist: Int,
       cap: Int = BucketCap): DataFrame = {
     require(maxDist < 2 * SuperChunks,
       s"pigeonhole banding needs maxDist < ${2 * SuperChunks}")
-    // b = -1 is the exact entry; b in [0, 20) are the single-bit probe flips
-    bucketEntries(sims).groupBy(col("u"), col("key"))
-      .agg(sort_array(collect_list(
-        struct(col("doc_id"), col("sim"), col("is_exact")))).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= cap)
+    val groups = sigGroups(sims)
+    // same-signature pairs: all (i < j) combos of the sorted doc list
+    val intra = groups
+      .filter(size(col("docs")).between(2, cap))
       .select(explode(expr(
-        """flatten(transform(filter(ds, e -> e.is_exact), e ->
-          |  transform(filter(ds, p -> p.doc_id < e.doc_id), p ->
-          |    struct(p.doc_id as doc_a, e.doc_id as doc_b,
-          |           bit_count(p.sim ^ e.sim) as dist))))""".stripMargin)).as("c"))
+        """flatten(transform(docs, (a, i) ->
+          |  transform(slice(docs, 1, i), b ->
+          |    struct(b as doc_a, a as doc_b))))""".stripMargin)).as("c"))
       .select(col("c.doc_a").as("doc_a"), col("c.doc_b").as("doc_b"),
-        col("c.dist").as("dist"))
+        lit(0).as("dist"))
+    // cross-signature pairs: banded buckets of signatures, then the n² pair
+    // verify as TWO codegen'd explodes (exact entries x all entries) with the
+    // hamming test as a codegen'd filter directly behind the generator —
+    // per-slot cost is generated code, not an interpreted nested lambda
+    // (which measured ~210 ns/slot and dominated the query; the 15M
+    // candidate slots are the irreducible banding-verify work, interpreting
+    // them was not). Only surviving signature pairs — a few thousand —
+    // reach the doc cross-product lambda and the dedup shuffle.
+    // b = -1 is the exact entry; b in [0, 20) are the single-bit probe flips
+    val cross = sigBucketEntries(groups).groupBy(col("u"), col("key"))
+      .agg(collect_list(
+        struct(col("sim"), col("docs"), col("is_exact"))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= cap)
+      .select(col("ds"), explode(expr("filter(ds, x -> x.is_exact)")).as("e"))
+      .select(explode(col("ds")).as("p"), col("e"))
+      .filter(expr(s"p.sim < e.sim AND bit_count(p.sim ^ e.sim) <= $maxDist"))
+      .select(explode(expr(
+        """flatten(transform(p.docs, a ->
+          |  transform(e.docs, b ->
+          |    struct(least(a, b) as doc_a, greatest(a, b) as doc_b))))""".stripMargin)).as("c"),
+        expr(s"bit_count(p.sim ^ e.sim)").as("dist"))
+      .select(col("c.doc_a").as("doc_a"), col("c.doc_b").as("doc_b"),
+        col("dist"))
       .distinct()
-      .filter(col("dist") <= maxDist)
+    intra.union(cross)
   }
 
   private val d4 = GQuery(

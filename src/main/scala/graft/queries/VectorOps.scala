@@ -33,6 +33,14 @@ object VectorOps extends QueryPack {
       asDouble(col("embedding")).as("v"))
   }
 
+  /** Multi-seed gate hooks (SimilaritySpec): the e8 pipeline with a chosen
+    * Lloyd init seed, split so the spec can measure recall per seed. */
+  private[queries] def kmeansCellsForTest(s: SparkSession, dir: String,
+      k: Int, iters: Int, initSeed: Long): DataFrame =
+    kmeansCells(embDouble(s, dir), k, iters, initSeed)
+  private[queries] def ivfProbeForTest(cells: DataFrame, nprobe: Int): DataFrame =
+    ivfProbe(cells, nprobe)
+
   // ---- E1: brute-force cosine top-k (the exactness baseline) --------------------
   private val e1 = GQuery(
     "e1_ann_bruteforce_topk",
@@ -248,8 +256,12 @@ object VectorOps extends QueryPack {
       .select(col("vec_id"), (-col("_pick.nc")).cast("int").as("cell"), col("v"))
   }
 
-  /** (vec_id, label, v) -> (vec_id, label := cell id, v). */
-  private[queries] def kmeansCells(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** (vec_id, label, v) -> (vec_id, label := cell id, v). `initSeed` shifts
+    * which k vectors seed Lloyd's rounds (0 = the registry default) — the
+    * multi-seed recall gate in SimilaritySpec measures how sensitive the
+    * trained cells are to initialization. */
+  private[queries] def kmeansCells(emb: DataFrame, k: Int, iters: Int,
+      initSeed: Long = 0L): DataFrame = {
     def collectCents(df: DataFrame): Seq[(Int, Seq[Double])] =
       df.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
     def recompute(assigned: DataFrame): DataFrame =
@@ -261,7 +273,7 @@ object VectorOps extends QueryPack {
     // reproducible like lowest-ids, but spread across the corpus instead of
     // clumped in whatever region low ids happen to share
     var cents = collectCents(
-      emb.orderBy(expr("xxhash64(vec_id)"), col("vec_id")).limit(k)
+      emb.orderBy(expr(s"xxhash64(vec_id + $initSeed)"), col("vec_id")).limit(k)
         .select(col("vec_id").cast("int").as("cell"), col("v").as("cv")))
     (0 until iters).foreach { _ =>
       cents = collectCents(recompute(assignToCells(emb, cents)))

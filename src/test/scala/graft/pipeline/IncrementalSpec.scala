@@ -46,7 +46,7 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
       if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
 
-  test("fold of scd2Apply batches == scd2Rebuild on the full log (randomized)") {
+  test("fold of scd2Apply batches == scd2Rebuild on the full log (randomized)", graft.Slow) {
     for (seed <- 1 to 5) {
       val log = randomLog(seed, 400, 12).cache()
       val full = Incremental.scd2Rebuild(log, Seq("k"), "attr", "ts", "seq")

@@ -243,7 +243,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("p3")._2 > 0.5)
   }
 
-  test("structural invariants hold across randomized fixture seeds") {
+  test("structural invariants hold across randomized fixture seeds", graft.Slow) {
     // the fixed-seed tests above pin hand-computed values; this pins the
     // STRUCTURE — budget conservation, contiguous value-sorted ranks — on
     // perturbed inputs, so the invariants can't be artifacts of one corpus
@@ -267,7 +267,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("catalog materialization lands every model in its layer database (S7)") {
+  test("catalog materialization lands every model in its layer database (S7)", graft.Slow) {
     // dbt_project.yml:38-51: source/stage/main schemas. Explicit LOCATIONs so
     // the test never writes under the repo's cwd warehouse.
     val wh = Files.createTempDirectory("graft-cat").toString
@@ -299,7 +299,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("mart_sgp_factors"))
   }
 
-  test("versioned catalog: two pipeline runs leave two readable versions of a mart") {
+  test("versioned catalog: two pipeline runs leave two readable versions of a mart", graft.Slow) {
     val vroot = Files.createTempDirectory("graft-vcat").toString
     Pipeline.runVersioned(spark, root, vroot)
     Pipeline.runVersioned(spark, root, vroot)
@@ -320,7 +320,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VersionedTable.versions(martDir) == Seq(1L))
   }
 
-  test("fused mode produces the same mart as materialized mode") {
+  test("fused mode produces the same mart as materialized mode", graft.Slow) {
     // fused: no per-model parquet breaks — Catalyst optimizes across the DAG.
     // Values may differ in low-order bits (double sums accumulate in a
     // different partition order), so compare with tolerance, ranks exactly.

@@ -49,7 +49,7 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Seq(29L, 30L, 31L, 32L).forall(got(_) == 29L), s"star must collapse to 29: $got")
   }
 
-  test("connected components match a union-find oracle on random graphs") {
+  test("connected components match a union-find oracle on random graphs", graft.Slow) {
     // 8 seeded random graphs, each checked against a plain driver-side
     // union-find — the distributed fixpoint must agree exactly on every node
     (1 to 8).foreach { seed =>

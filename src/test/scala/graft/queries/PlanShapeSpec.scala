@@ -68,7 +68,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"join inputs must be exchange-free (bucketing co-locates):\n${p.take(1500)}")
   }
 
-  test("plan hygiene sweep: no cartesian/nested-loop joins outside constant attaches") {
+  test("plan hygiene sweep: no cartesian/nested-loop joins outside constant attaches", graft.Slow) {
     // The only sanctioned nested-loop shapes are deliberate broadcast
     // attaches of metadata-scale relations (1-row constants, the 10-query
     // probe side, K centroids). Everything else must plan as hash/merge
@@ -97,7 +97,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(offenders.isEmpty, s"non-hash join shapes: ${offenders.mkString(", ")}")
   }
 
-  test("window hygiene sweep: no single-partition window over corpus-proportional input") {
+  test("window hygiene sweep: no single-partition window over corpus-proportional input", graft.Slow) {
     // A Window with an empty partitionSpec funnels its whole input through
     // ONE task — the d15-round-2 scale trap. Sweep every registry plan's
     // optimized logical tree; the only sanctioned global windows are over

@@ -36,7 +36,7 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- d9 ----------------------------------------------------------------
 
-  test("d9: ball-pruned pair join == all-pairs brute force (sf0.001 + sf0.01)") {
+  test("d9: ball-pruned pair join == all-pairs brute force (sf0.001 + sf0.01)", graft.Slow) {
     for (dir <- Seq(sf001, sf01)) {
       val emb = embDouble(dir)
       val pruned = VectorOps.cosineNearDupPairs(emb, 0.4)
@@ -125,15 +125,16 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val (nOver, _) = TextOps.oversizedBucketStats(
       TextOps.simhashSigs(spark, sf01), TextOps.BucketCap)
     assert(nOver === 0, "no driver-corpus bucket may reach the cap")
-    // degenerate corpus: every doc shares one signature -> one mega-bucket
-    // per chunk; a cap of 10 drops them all and the pair join yields nothing
-    // instead of exploding quadratically
+    // degenerate corpus: every doc shares one signature -> one same-signature
+    // group of 200 docs; a cap of 10 drops it (and the cross path sees a
+    // single signature, so no bucket ever pairs) — the join yields nothing
+    // instead of emitting the quadratic 19 900-pair blob
     val degenerate = (0 until 200).map(i => (i.toLong, 12345L)).toDF("doc_id", "sim")
     val (nHot, entries) = TextOps.oversizedBucketStats(degenerate, 10)
-    assert(nHot >= 3 && entries >= 600L,
-      s"the shared-signature buckets must trip the cap, got ($nHot, $entries)")
+    assert(nHot >= 1 && entries >= 200L,
+      s"the shared-signature group must trip the cap, got ($nHot, $entries)")
     assert(TextOps.hammingPairs(degenerate, 5, cap = 10).count() === 0,
-      "capped buckets must be dropped, not exploded")
+      "capped groups must be dropped, not exploded")
   }
 
   // ---- e5 k-means --------------------------------------------------------
@@ -161,7 +162,7 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     cells.unpersist()
   }
 
-  test("e8: raising nprobe raises recall — the IVF quality dial works (sf0.01)") {
+  test("e8: raising nprobe raises recall — the IVF quality dial works (sf0.01)", graft.Slow) {
     val exact = graft.SparkEntry.queries("e1_ann_bruteforce_topk")(spark, sf01)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val cells = VectorOps.kmeansCells(embDouble(sf01), k = 8, iters = 3).cache()
@@ -255,7 +256,7 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     recall
   }
 
-  test("e2: recall@10 >= 0.85 against e1's exact top-10 (sf0.01)") {
+  test("e2: recall@10 >= 0.85 against e1's exact top-10 (sf0.01)", graft.Slow) {
     // the 30x5 banding math claims ~0.9 per-neighbor recall at this corpus's
     // sim range; a floor of 0.85 is tight enough to catch a real regression
     val recall = recallVsExact("e2_ann_lsh_bucketed", sf01)
@@ -264,21 +265,37 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- e4 / e8 IVF recall ------------------------------------------------
 
-  test("e4/e8: IVF recall@10 vs e1 — trained k-means cells beat given labels (sf0.01)") {
-    // Measured on this corpus: e4 (given labels as cells) ~ 0.28 — barely
+  test("e4/e8: IVF recall@10 vs e1 — trained k-means cells beat given labels (sf0.01)", graft.Slow) {
+    // Measured on this corpus: e4 (given labels as cells) = 0.28 — barely
     // above the nprobe/k = 2/8 = 0.25 chance level, because the synthetic
-    // labels are nearly independent of cosine geometry. e8 (e5's k-means
-    // cells through the same probe) ~ 0.46 — data-adaptive cells almost
-    // double recall at identical probe cost, which is exactly why a real
-    // deployment trains its coarse quantizer. Floors sit under the measured
-    // values to catch machinery regressions; the ORDERING assertion is the
-    // substantive gate.
+    // labels are nearly independent of cosine geometry. e4 is fully
+    // deterministic (no trained state), so its floor sits 0.03 under the
+    // exact measured value. e8 (k-means cells through the same probe) is
+    // measured across THREE Lloyd init seeds below — the floor binds the
+    // MINIMUM, so an init-lottery win can't mask a machinery regression and
+    // the floor sits within 0.15 of every measurement (r3 verdict ask).
     val e4r = recallVsExact("e4_ann_ivf_probe", sf01)
-    val e8r = recallVsExact("e8_ann_ivf_kmeans", sf01)
-    assert(e4r >= 0.2, f"e4 probe-machinery floor: $e4r%.3f < 0.2")
-    assert(e8r >= 0.4, f"e8 trained-cell floor: $e8r%.3f < 0.4")
-    assert(e8r > e4r,
-      f"trained cells must beat geometry-blind labels: e8 $e8r%.3f <= e4 $e4r%.3f")
+    assert(e4r >= 0.25, f"e4 probe-machinery floor: $e4r%.3f < 0.25")
+
+    val exact = graft.SparkEntry.queries("e1_ann_bruteforce_topk")(spark, sf01)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e8rs = (0L to 2L).map { seed =>
+      val cells = VectorOps.kmeansCellsForTest(spark, sf01, k = 8, iters = 3, initSeed = seed)
+      val approx = VectorOps.ivfProbeForTest(cells, nprobe = 2)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val r = (exact intersect approx).size.toDouble / exact.size
+      info(f"e8 recall@10 (init seed $seed) = $r%.3f")
+      r
+    }
+    // measured (deterministic per seed, sf0.01): seed 0 = 0.460, seed 1 =
+    // 0.630, seed 2 = 0.480 — floor 0.42 sits 0.04 under the worst seed
+    // (within the 0.15-of-measured band the r3 verdict asked for), so a real
+    // regression in the quantizer or probe machinery trips it while an init
+    // re-roll cannot
+    val e8min = e8rs.min
+    assert(e8min >= 0.42, f"e8 trained-cell floor (min over 3 init seeds): $e8min%.3f < 0.42")
+    assert(e8min > e4r,
+      f"trained cells must beat geometry-blind labels at EVERY init: e8min $e8min%.3f <= e4 $e4r%.3f")
   }
 
   test("e9: 16-of-64-dim truncation recall@10 vs full-dimension e1 (sf0.01)") {

@@ -167,7 +167,7 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch, "stream-stream join must equal the batch twin")
   }
 
-  test("left-outer stream-stream join emits unmatched clicks after the watermark") {
+  test("left-outer stream-stream join emits unmatched clicks after the watermark", graft.Slow) {
     val sp = spark
     import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
