@@ -899,6 +899,73 @@ object RelationalOps extends QueryPack {
            |GROUP BY s_name""".stripMargin),
     doc = "TPC-H Q21 shape: EXISTS + NOT-EXISTS planned as semi/anti joins, no per-row rescan (Q21).")
 
+  // ---- Q20: TPC-H-Q20-shaped nested IN + correlated HAVING ------------------
+  // "Suppliers who dominate a part's supply" — an IN whose subquery is a
+  // grouped aggregate with a CORRELATED scalar aggregate inside HAVING (the
+  // deepest decorrelation shape in the TPC-H family: Catalyst must rewrite
+  // the inner correlated sum to a per-part aggregate joined into the HAVING
+  // filter, then the IN to a left-semi join — two rewrites stacked; asserted
+  // in PlanShapeSpec). Quantity sums compare as exact DECIMALs on both
+  // engines. The corpus has no partsupp, so "availability" is the part's
+  // total shipped quantity and the threshold is a 15% share.
+  private val q20 = GQuery(
+    "q20_dominant_supplier",
+    (s, dir) => Tables.sqlOn(s,
+      "lineitem" -> t(s, dir, "lineitem"), "supplier" -> t(s, dir, "supplier")) { v =>
+      s"""SELECT s_suppkey, s_name, s_acctbal
+         |FROM ${v("supplier")}
+         |WHERE s_suppkey IN (
+         |  SELECT l1.l_suppkey FROM ${v("lineitem")} l1
+         |  GROUP BY l1.l_suppkey, l1.l_partkey
+         |  HAVING sum(CAST(l1.l_quantity AS DECIMAL(18,2))) >
+         |         0.15 * (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+         |                 FROM ${v("lineitem")} l2
+         |                 WHERE l2.l_partkey = l1.l_partkey))""".stripMargin
+    },
+    Some("""SELECT s_suppkey, s_name, s_acctbal
+           |FROM supplier
+           |WHERE s_suppkey IN (
+           |  SELECT l1.l_suppkey FROM lineitem l1
+           |  GROUP BY l1.l_suppkey, l1.l_partkey
+           |  HAVING sum(CAST(l1.l_quantity AS DECIMAL(18,2))) >
+           |         0.15 * (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+           |                 FROM lineitem l2
+           |                 WHERE l2.l_partkey = l1.l_partkey))""".stripMargin),
+    doc = "TPC-H Q20 shape: IN over a grouped aggregate with correlated HAVING, fully decorrelated (Q20).")
+
+  // ---- Q22: TPC-H-Q22-shaped anti-join + scalar threshold -------------------
+  // "High-balance customers with no big orders": an uncorrelated scalar
+  // subquery (the balance threshold — computed as exact-DECIMAL sum / count
+  // so the filter boundary is bit-identical, the q17 discipline) AND a
+  // NOT EXISTS against a FILTERED orders subset, planned as a left-anti
+  // join whose right side prunes to (o_custkey) after the o_totalprice
+  // pushdown. The segment re-aggregation mirrors Q22's per-country-code
+  // grouping on the available column.
+  private val q22 = GQuery(
+    "q22_inactive_high_balance",
+    (s, dir) => Tables.sqlOn(s,
+      "customer" -> t(s, dir, "customer"), "orders" -> t(s, dir, "orders")) { v =>
+      s"""SELECT c_mktsegment, count(*) AS numcust,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         |FROM ${v("customer")}
+         |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         |                          / count(*)
+         |                   FROM ${v("customer")} WHERE c_acctbal > 0)
+         |  AND NOT EXISTS (SELECT 1 FROM ${v("orders")}
+         |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+         |GROUP BY c_mktsegment""".stripMargin
+    },
+    Some("""SELECT c_mktsegment, count(*) AS numcust,
+           |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+           |FROM customer
+           |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           |                          / count(*)
+           |                   FROM customer WHERE c_acctbal > 0)
+           |  AND NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+           |GROUP BY c_mktsegment""".stripMargin),
+    doc = "TPC-H Q22 shape: scalar threshold + anti-join against filtered orders (Q22).")
+
   /** Exposed for plan-shape tests. */
   private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame =
     x2.run(s, dir)
@@ -906,5 +973,5 @@ object RelationalOps extends QueryPack {
   override val all: Seq[GQuery] =
     Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11,
       j1, j2, j3, j4, j5, j6, j7, j8, j9,
-      x1, x2, x3, x4, q1, q2, q3, q5, q9, q17, q18, q21)
+      x1, x2, x3, x4, q1, q2, q3, q5, q9, q17, q18, q20, q21, q22)
 }

@@ -878,7 +878,90 @@ object TextOps extends QueryPack {
            |FROM ch GROUP BY chunk_digest HAVING count(*) > 1""".stripMargin),
     doc = "Chunk-granularity exact dedup: repeated 64-word windows across the corpus (text #16).")
 
+  // ---- D30: BM25 retrieval scoring ------------------------------------------
+  // Okapi BM25 (k1 = 1.2, b = 0.75, Lucene's +1-inside-the-ln idf) for a fixed
+  // query-term set over the corpus — the lexical face of the retrieval stack
+  // (e1-e9 are the dense face). Everything is built from integer-exact corpus
+  // stats (tf, df, doc length, corpus size), so the only float divergence
+  // surface is ln/divide on identical inputs; per-term scores are rounded to
+  // 9 decimals and summed in DECIMAL so the per-doc total is accumulation-
+  // order-proof. Stats attach via 1-row/3-row broadcasts; the term filter
+  // prunes the exploded token stream before any shuffle; top-20 lands via
+  // TakeOrdered, never a global window.
+  private val Bm25Terms = Seq("dup", "spark", "query")
+  private val d30 = GQuery(
+    "d30_bm25_scoring",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("len", size(col("w")))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("len").cast("long")).as("sum_len"))
+      val tf = docs.select(col("doc_id"), col("len"), explode(col("w")).as("tok"))
+        .filter(col("tok").isin(Bm25Terms: _*))
+        .groupBy(col("doc_id"), col("len"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(stats))
+        .withColumn("tscore", expr(
+          """round(ln((cast(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+            |  * (tf * 2.2)
+            |  / (tf + 1.2 * (0.25 + 0.75 * (len / (cast(sum_len AS DOUBLE) / n_docs)))),
+            |  9)""".stripMargin).cast("decimal(18,9)"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("tscore")).cast("double"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |docs AS (SELECT doc_id, CAST(len(w) AS INT) AS len, w FROM d),
+           |stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM docs),
+           |tf AS (SELECT doc_id, len, tok, count(*) AS tf
+           |       FROM (SELECT doc_id, len, unnest(w) AS tok FROM docs) x
+           |       WHERE tok IN ('dup', 'spark', 'query')
+           |       GROUP BY 1, 2, 3),
+           |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+           |scored AS (
+           |  SELECT doc_id,
+           |    CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+           |      * (tf * 2.2)
+           |      / (tf + 1.2 * (0.25 + 0.75 * (len / (CAST(sum_len AS DOUBLE) / n_docs)))),
+           |      9) AS DECIMAL(18,9)) AS tscore
+           |  FROM tf JOIN dfreq USING (tok) CROSS JOIN stats)
+           |SELECT doc_id, round(CAST(sum(tscore) AS DOUBLE), 6) AS score
+           |FROM scored GROUP BY doc_id
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+    doc = "Okapi BM25 top-20 for a fixed term set — lexical retrieval from integer-exact stats (text #17).")
+
+  // ---- D31: weighted sampling without replacement ---------------------------
+  // Efraimidis-Spirakis A-ES: sample k docs with probability proportional to a
+  // weight (n_chars — token-budget-proportional corpus sampling) by ranking on
+  // u^(1/w) with u uniform per doc, equivalently ln(u)/w (one ln, monotone).
+  // u is a DETERMINISTIC md5-derived uniform — the sample is reproducible
+  // across runs and engines, which is what a training-data pipeline wants from
+  // its sampling step (and what makes an exact oracle possible). The rank is
+  // a map-only projection + TakeOrdered(k): no shuffle beyond the top-k
+  // reduction, no global window, scales to any corpus.
+  private val d31 = GQuery(
+    "d31_weighted_sample",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("skey", expr(
+          """round(ln(cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10)
+            |           AS DOUBLE) / 1152921504606846976.0D)
+            |      / n_chars, 9)""".stripMargin))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(50),
+    Some("""SELECT doc_id, n_chars,
+           |  round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
+           |           / 1152921504606846976.0)
+           |        / n_chars, 9) AS skey
+           |FROM documents
+           |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin),
+    doc = "A-ES weighted sampling: deterministic-hash u, rank ln(u)/weight, top-k (text #18).")
+
   override val all: Seq[GQuery] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26,
-      d27, d28, d29)
+      d27, d28, d29, d30, d31)
 }

@@ -85,7 +85,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a5_groupmin_scalar_max",  // 1-row scalar max attach (replacement-level pattern)
       "d11_sketch_stats",        // joins two 1-row sketch aggregates
       "d21_mean_idf",            // 1-row corpus-count attach for ln(N/df)
-      "d22_source_mix_weights")  // 1-row total + 1-row normalizer attaches
+      "d22_source_mix_weights",  // 1-row total + 1-row normalizer attaches
+      "d30_bm25_scoring")        // 1-row (n_docs, sum_len) corpus-stats attach
     val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       spark.catalog.clearCache()
@@ -210,6 +211,33 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"EXISTS predicates must rewrite to joins:\n${opt.take(1200)}")
     assert(opt.contains("LeftSemi"), s"EXISTS becomes a left-semi join:\n${opt.take(1200)}")
     assert(opt.contains("LeftAnti"), s"NOT EXISTS becomes a left-anti join:\n${opt.take(1200)}")
+  }
+
+  test("q20: correlated HAVING + IN decorrelate to stacked aggregate and semi joins") {
+    val df = graft.SparkEntry.queries("q20_dominant_supplier")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery") && !opt.contains("in-subquery"),
+      s"both subquery layers must rewrite to joins:\n${opt.take(1200)}")
+    assert(opt.contains("LeftSemi"), s"IN becomes a left-semi join:\n${opt.take(1200)}")
+    // the correlated per-part sum is ONE aggregate over lineitem joined back:
+    // lineitem appears exactly twice (grouped outer + decorrelated agg leg)
+    val scans = "Relation \\[[^\\]]*l_quantity".r.findAllIn(opt).size
+    assert(scans == 2, s"lineitem scanned twice, not per-row, got $scans")
+  }
+
+  test("q22: NOT EXISTS anti-joins a filtered, pruned orders side") {
+    val df = graft.SparkEntry.queries("q22_inactive_high_balance")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftAnti"), s"NOT EXISTS becomes a left-anti join:\n${opt.take(1200)}")
+    assert(!opt.contains("exists-subquery"),
+      s"no surviving exists subquery:\n${opt.take(1200)}")
+    // the totalprice filter must sit on the orders leg (pushdown), and the
+    // anti-join side must prune to the join key + filter column only
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val ordersSchema = p.linesIterator
+      .filter(_.contains("ReadSchema")).find(_.contains("o_custkey")).getOrElse("")
+    assert(!ordersSchema.contains("o_orderdate") && !ordersSchema.contains("o_orderpriority"),
+      s"anti-join side must prune unused orders columns: $ordersSchema")
   }
 
   test("x1: salted join spreads the 3 hot keys over composite keys") {
