@@ -251,5 +251,81 @@ object MediaOps extends QueryPack {
            |FROM px GROUP BY kind""".stripMargin),
     doc = "Real javax.imageio PNG decode, closed-form pixel oracle (multimodal #3).")
 
-  override val all: Seq[GQuery] = Seq(m1, m2, m3)
+  /** Exact P x P average-pool over the decoded raster: block (bx, by) spans
+    * x in [bx*w/P, (bx+1)*w/P) (integer bounds, non-empty while w, h >= P)
+    * and its value is the FLOOR mean of the block's samples — all-integer
+    * math, so a closed-form oracle can reproduce it analytically.
+    * (Graphics2D.drawImage interpolation is implementation-defined and could
+    * never be oracle-checked; this is the resize kernel spelled exactly.) */
+  def poolGrid(payload: Array[Byte], p: Int): Array[Long] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val raster = img.getRaster
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Long](p * p)
+    var b = 0
+    while (b < p * p) {
+      val bx = b % p; val by = b / p
+      val x0 = bx * w / p; val x1 = (bx + 1) * w / p
+      val y0 = by * h / p; val y1 = (by + 1) * h / p
+      var s = 0L
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) { s += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      out(b) = s / ((x1 - x0).toLong * (y1 - y0))
+      b += 1
+    }
+    out
+  }
+
+  /** m4: decode + RESIZE through the batched codec path — each synthetic PNG
+    * decodes on the executor and average-pools to a 4x4 thumbnail with exact
+    * integer math ([[poolGrid]]); the output row carries the thumbnail's
+    * digest and floor-mean so the oracle (which evaluates the same pooling
+    * analytically from the closed-form pixels) hash-checks the entire
+    * decode-and-downsample kernel per image. The thumbnail serializes to a
+    * '|'-joined string — scalar outputs only. */
+  private val m4 = GQuery(
+    "m4_media_resize_pool",
+    (s, dir) => {
+      import s.implicits._
+      val P = 4
+      t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          (pmod(col("doc_id"), lit(24)) + 8).cast("int").as("w"),
+          (pmod(col("doc_id"), lit(16)) + 8).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+        .mapPartitions(_.map { case (id, w, h) =>
+          val pooled = poolGrid(syntheticPng(id, w, h), P)
+          (id, pooled.mkString("|"), pooled.sum)
+        })
+        .toDF("media_id", "thumb", "thumb_sum")
+        .select(col("media_id"), md5(col("thumb").cast("binary")).as("thumb_digest"),
+          col("thumb_sum"))
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id,
+           |    CAST(doc_id % 24 + 8 AS BIGINT) AS w,
+           |    CAST(doc_id % 16 + 8 AS BIGINT) AS h
+           |  FROM documents),
+           |pooled AS (
+           |  SELECT doc_id,
+           |    list_transform(range(0, 16), b ->
+           |      list_sum(list_transform(range(b % 4 * w // 4, (b % 4 + 1) * w // 4), x ->
+           |        list_sum(list_transform(range(b // 4 * h // 4, (b // 4 + 1) * h // 4), y ->
+           |          (doc_id * 31 + 7 * x + 13 * y) % 256))))
+           |      // (((b % 4 + 1) * w // 4 - b % 4 * w // 4)
+           |         * ((b // 4 + 1) * h // 4 - b // 4 * h // 4))) AS t
+           |  FROM m)
+           |SELECT doc_id AS media_id,
+           |  md5(array_to_string(t, '|')) AS thumb_digest,
+           |  CAST(list_sum(t) AS BIGINT) AS thumb_sum
+           |FROM pooled""".stripMargin),
+    doc = "Real decode + exact average-pool 4x4 resize, per-image hash-checked (multimodal #4).")
+
+  override val all: Seq[GQuery] = Seq(m1, m2, m3, m4)
 }

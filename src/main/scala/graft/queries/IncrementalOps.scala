@@ -130,6 +130,33 @@ object IncrementalOps extends QueryPack {
            |FROM hist""".stripMargin),
     doc = "SCD2 hard-delete detection: vanished keys close at the snapshot cutoff (I4).")
 
+  // ---- I5: CDC apply — last-writer-wins with tombstones + column patches ----
+  // The Debezium-shaped quadrant the merge family still lacked: the event
+  // log read as a CDC feed where 'error' is a DELETE tombstone and each
+  // other op patches ONE column of the user's row (click/view/purchase →
+  // their latest value). Final state = per-key latest-op-wins: keys whose
+  // LAST op is a tombstone vanish; surviving rows carry each column's most
+  // recent patch — max_by under a FILTER, one hash aggregate, no window
+  // sort, no join. (ts alone is the orderer: (user_id, ts) is unique in the
+  // corpus at every SF — the DuckDB side's arg_max can't take a composite
+  // orderer, so the tie-break-free contract is load-bearing and pinned by
+  // the oracle comparing equal.)
+  private val i5 = GQuery(
+    "i5_cdc_apply",
+    (s, dir) =>
+      graft.streaming.EventStream.cdcState(ev(s, dir))
+        .filter(col("last_op") =!= "error"),
+    Some("""SELECT user_id,
+           |  arg_max(event_type, ts) AS last_op,
+           |  arg_max(value, ts) FILTER (event_type = 'click') AS click_value,
+           |  arg_max(value, ts) FILTER (event_type = 'view') AS view_value,
+           |  arg_max(value, ts) FILTER (event_type = 'purchase') AS purchase_value,
+           |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts_sec,
+           |  count(*) AS n_ops
+           |FROM events GROUP BY user_id
+           |HAVING arg_max(event_type, ts) <> 'error'""".stripMargin),
+    doc = "CDC apply: latest-op-wins with tombstones and per-column patches, one aggregate (I5).")
+
   private lazy val scd2OracleSql =
     """WITH c AS (
       |  SELECT user_id, event_type, ts, event_id,
@@ -143,5 +170,5 @@ object IncrementalOps extends QueryPack {
       |    PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS valid_to_sec
       |FROM chg""".stripMargin
 
-  override val all: Seq[GQuery] = Seq(i1, i2, i3, i4)
+  override val all: Seq[GQuery] = Seq(i1, i2, i3, i4, i5)
 }

@@ -297,5 +297,84 @@ object TemporalOps extends QueryPack {
             |FROM enriched WHERE event_type = 'click'""".stripMargin),
     doc = "Native as-of with merge_asof tolerance: stale matches null out (temporal #6).")
 
-  override val all: Seq[GQuery] = Seq(t1, t2, t3, t4, t5, t6)
+  // ---- T7: interval-overlap join ---------------------------------------------
+  // The interval-intersection primitive (t2/t5 are point-vs-band; this is
+  // interval-vs-interval): per-(user, event_type) sessions, then every pair
+  // of DIFFERENT-type sessions of the same user that overlap in time — "align
+  // the user's purchase sessions with their browse sessions". Naive spelling
+  // is a range-condition self-join Spark would nested-loop per user; here
+  // both sides explode their bucket span (bucket width = the 30-min gap, so
+  // a session covers O(duration/gap) buckets ~ a small constant) and join on
+  // the EQUI key (user, bucket). Each overlapping pair meets in possibly
+  // many buckets but is emitted in exactly ONE — the bucket containing the
+  // later start (greatest(a_start, b_start), which lies inside both
+  // intervals) — so no distinct pass is needed. All interval math is exact
+  // micros longs.
+  /** Generic interval-overlap join: all (a, b) row pairs sharing `key` whose
+    * half-open intervals [aStart, aEnd) and [bStart, bEnd) intersect. Both
+    * sides explode their bucket span (`bucketWidth` buckets of the
+    * timestamp domain — size it near the typical interval length so the
+    * explode factor stays O(1)) and hash-join on (key, bucket); a pair that
+    * shares several buckets is emitted in exactly ONE — the bucket holding
+    * the later start, which lies inside both intervals — so no dedup pass
+    * runs. Column names across `a` and `b` must be disjoint except `key`. */
+  private[graft] def overlapJoin(a: DataFrame, b: DataFrame, key: String,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      bucketWidth: Long): DataFrame = {
+    val ax = a.withColumn("_jb",
+      explode(expr(s"sequence($aStart div $bucketWidth, ($aEnd - 1) div $bucketWidth)")))
+    val bx = b.withColumn("_jb",
+      explode(expr(s"sequence($bStart div $bucketWidth, ($bEnd - 1) div $bucketWidth)")))
+    ax.join(bx, Seq(key, "_jb"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("_jb") === expr(s"greatest($aStart, $bStart) div $bucketWidth"))
+      .drop("_jb")
+  }
+
+  private val t7 = GQuery(
+    "t7_interval_overlap_join",
+    (s, dir) => {
+      val sess = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"),
+          session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(session_window.start)").as("s_us"),
+          expr("unix_micros(session_window.end)").as("e_us"))
+      val a = sess.select(col("user_id"), col("event_type").as("type_a"),
+        col("s_us").as("a_start"), col("e_us").as("a_end"))
+      val b = sess.select(col("user_id"), col("event_type").as("type_b"),
+        col("s_us").as("b_start"), col("e_us").as("b_end"))
+      overlapJoin(a, b, "user_id", "a_start", "a_end", "b_start", "b_end",
+          bucketWidth = SessionGapUs)
+        .filter(col("type_a") < col("type_b"))
+        .select(col("user_id"), col("type_a"), col("type_b"),
+          col("a_start"), col("b_start"),
+          (least(col("a_end"), col("b_end"))
+            - greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+    },
+    Some(s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+            |flagged AS (
+            |  SELECT user_id, event_type, us,
+            |    CASE WHEN lag(us) OVER w IS NULL
+            |           OR us - lag(us) OVER w > $SessionGapUs THEN 1 ELSE 0 END AS new_sess
+            |  FROM ev
+            |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us)),
+            |islands AS (
+            |  SELECT user_id, event_type, us,
+            |    sum(new_sess) OVER (PARTITION BY user_id, event_type ORDER BY us
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+            |  FROM flagged),
+            |sess AS (SELECT user_id, event_type, min(us) AS s_us,
+            |           max(us) + $SessionGapUs AS e_us
+            |         FROM islands GROUP BY user_id, event_type, sess_id)
+            |SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+            |  a.s_us AS a_start, b.s_us AS b_start,
+            |  least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS overlap_us
+            |FROM sess a JOIN sess b
+            |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+            |  AND a.s_us < b.e_us AND b.s_us < a.e_us""".stripMargin),
+    doc = "Interval-overlap join: cross-type session pairs via bucketed equi-join, emit-once (temporal #7).")
+
+  override val all: Seq[GQuery] = Seq(t1, t2, t3, t4, t5, t6, t7)
 }

@@ -307,6 +307,100 @@ object VectorOps extends QueryPack {
     None,
     doc = "IVF probe over trained k-means cells — the composed coarse-quantizer stack (similarity #8).")
 
+  // ---- E10: product quantization + ADC scoring ------------------------------
+  // The memory-compression quadrant of the serving stack (e4/e8 cover cell
+  // pruning, e7 scalar quantization, e9 dimension truncation): each vector
+  // compresses to M=4 one-byte codes (one per 16-dim subspace, K=16-centroid
+  // L2-trained codebooks — 4 bytes/vector vs 512), and queries score
+  // candidates via Asymmetric Distance Computation — per (query, subspace,
+  // centroid) partial dots computed ONCE (a 10 x 4 x 16 = 640-row broadcast
+  // table), then each candidate's approximate cosine is the sum of 4 table
+  // lookups through a hash join + hash aggregate. |x| is approximated by the
+  // reconstruction norm sqrt(sum |c_m|^2). No exact re-rank on purpose: the
+  // measured recall@10 vs e1 (SimilaritySpec, floor + info line) is the
+  // honest cost of 128x compression on these uniform synthetic vectors.
+
+  /** L2 Lloyd rounds on a (vec_id, v) frame via driver-collected centroid
+    * literals (the e5 pattern, L2 geometry): assign = map-only argmin of
+    * squared distance — argmax of 2*dot(v,c) - |c|^2 — recompute = per-cell
+    * mean. Returns the trained (cell, centroid) list: k * dim doubles. */
+  private def pqTrain(sub: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    def collectCents(df: DataFrame): Seq[(Int, Seq[Double])] =
+      df.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    def assignL2(df: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      val centLit = typedLit(cents.map { case (c, v) => (c, v, v.map(x => x * x).sum) })
+      val scored = transform(centLit, c => struct(
+        (lit(2.0) * call_function("graft_dot", col("v"), c.getField("_2"))
+          - c.getField("_3")).as("s"),
+        (-c.getField("_1")).as("nc")))
+      df.withColumn("_pick", array_max(scored))
+        .select(col("vec_id"), (-col("_pick.nc")).cast("int").as("cell"), col("v"))
+    }
+    var cents = collectCents(
+      sub.orderBy(expr("xxhash64(vec_id)"), col("vec_id")).limit(k)
+        .select(col("vec_id").cast("int").as("cell"), col("v").as("cv")))
+    (0 until iters).foreach { _ =>
+      cents = collectCents(assignL2(sub, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("c"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)").as("cv")))
+    }
+    cents
+  }
+
+  /** Codes frame (nid, m, cell) for one subspace. */
+  private def pqAssign(sub: DataFrame, m: Int, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val centLit = typedLit(cents.map { case (c, v) => (c, v, v.map(x => x * x).sum) })
+    val scored = transform(centLit, c => struct(
+      (lit(2.0) * call_function("graft_dot", col("v"), c.getField("_2"))
+        - c.getField("_3")).as("s"),
+      (-c.getField("_1")).as("nc")))
+    sub.withColumn("_pick", array_max(scored))
+      .select(col("vec_id").as("nid"), lit(m).as("m"),
+        (-col("_pick.nc")).cast("int").as("cell"))
+  }
+
+  private val PqM = 4
+  private val PqSub = 16
+  private val PqK = 16
+
+  private val e10 = GQuery(
+    "e10_ann_pq_adc",
+    (s, dir) => {
+      import s.implicits._
+      val emb = embDouble(s, dir)
+      val subs = (0 until PqM).map(m =>
+        m -> emb.select(col("vec_id"), expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("v")))
+      val books = subs.map { case (m, df) => m -> pqTrain(df, PqK, iters = 2) }
+      val codes = subs.zip(books).map { case ((m, df), (_, cents)) =>
+        pqAssign(df, m, cents)
+      }.reduce(_ union _)
+      val centDf = books.flatMap { case (m, cents) =>
+        cents.map { case (c, v) => (m, c, v) }
+      }.toDF("m", "cell", "cv")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      // ADC tables: per (qid, m, cell) partial dot + centroid norm piece
+      val cdots = q.crossJoin(broadcast(centDf))
+        .select(col("qid"), col("m"), col("cell"),
+          call_function("graft_dot",
+            expr(s"slice(qv, m * $PqSub + 1, $PqSub)"), col("cv")).as("pdot"),
+          call_function("graft_dot", col("cv"), col("cv")).as("cn2"),
+          call_function("graft_dot", col("qv"), col("qv")).as("qn2"))
+      val scored = codes.join(broadcast(cdots), Seq("m", "cell"))
+        .filter(col("qid") =!= col("nid"))
+        .groupBy(col("qid"), col("nid"))
+        .agg((sum(col("pdot"))
+          / (sqrt(max(col("qn2"))) * sqrt(sum(col("cn2"))))).as("sim_approx"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim_approx").desc, col("nid"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("qid"), col("nid"),
+          round(col("sim_approx"), 6).as("sim_approx"), col("rn"))
+    },
+    None,
+    doc = "Product quantization (4x16-dim, 16-centroid L2 codebooks) + ADC top-10 (similarity #10).")
+
   // ---- E9: truncated-dimension ANN (Matryoshka-style prefix search) ---------
   // Score on only the first 16 of 64 dims: 4x less arithmetic and candidate
   // memory per comparison — the dimension-truncation dial (MRL-trained
@@ -548,5 +642,5 @@ object VectorOps extends QueryPack {
            |WHERE rn <= 10""".stripMargin),
     doc = "Int8 scalar-quantized cosine top-10: 4x memory cut, integer-exact compare (ANN #7).")
 
-  override val all: Seq[GQuery] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, d9)
+  override val all: Seq[GQuery] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, d9)
 }

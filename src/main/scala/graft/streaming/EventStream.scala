@@ -118,6 +118,26 @@ object EventStream {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("lifetime_value"),
         max(col("ts")).as("last_seen"))
 
+  // ---- CDC apply (shared by i5 and its streaming face) -----------------------
+
+  /** Last-writer-wins CDC state from an event log read as a change feed:
+    * 'error' is a DELETE tombstone, each other op patches its column with
+    * the latest value (max_by under a FILTER). One hash aggregate — the SAME
+    * plan runs as a streaming aggregation in update/complete mode, where
+    * Spark keeps the per-key max_by accumulators as store state and each
+    * micro-batch folds in (EventStreamSpec proves stream == batch).
+    * Registry face: i5_cdc_apply (DuckDB-oracle-checked). */
+  def cdcState(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        expr("max_by(event_type, ts)").as("last_op"),
+        expr("max_by(value, ts) FILTER (WHERE event_type = 'click')").as("click_value"),
+        expr("max_by(value, ts) FILTER (WHERE event_type = 'view')").as("view_value"),
+        expr("max_by(value, ts) FILTER (WHERE event_type = 'purchase')").as("purchase_value"),
+        unix_timestamp(max(col("ts"))).as("last_ts_sec"),
+        count(lit(1)).as("n_ops"))
+
   // ---- streaming exact dedup (the streaming face of d1) ----------------------
 
   /** Key-based exact dedup with WATERMARK-BOUNDED state:

@@ -298,6 +298,17 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       f"trained cells must beat geometry-blind labels at EVERY init: e8min $e8min%.3f <= e4 $e4r%.3f")
   }
 
+  test("e10: PQ+ADC recall@10 vs e1, and beats chance (sf0.01)", graft.Slow) {
+    // 4x16-dim, 16-centroid codebooks = 128x compression on vectors that
+    // spread information uniformly (the PQ-hostile floor case, like e9's
+    // truncation measurement). Measured (deterministic): 0.170. The floor
+    // guards the machinery within the 0.15-of-measured band: chance level
+    // for top-10 of ~2000 candidates is ~0.005, so 0.1 is still two orders
+    // above broken-code territory.
+    val recall = recallVsExact("e10_ann_pq_adc", sf01)
+    assert(recall >= 0.1, f"PQ+ADC machinery floor: $recall%.3f < 0.1")
+  }
+
   test("e9: 16-of-64-dim truncation recall@10 vs full-dimension e1 (sf0.01)") {
     // these synthetic embeddings spread information uniformly across dims, so
     // 16/64 truncation measures the FLOOR of the truncation dial (MRL-trained

@@ -38,6 +38,33 @@ class TemporalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(100L -> 1.5, 101L -> 2.5, 102L -> -1.0, 103L -> -1.0), s"got $got")
   }
 
+  test("overlapJoin == brute-force non-equi join on random intervals, emit-once") {
+    val sp = spark
+    import sp.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // intervals spanning 0..20 buckets of width 10, lengths 1..35 (1 to 4
+      // buckets), heavy key collisions so pairs abound; ids disambiguate
+      val rows = (0 until 120).map { i =>
+        val s0 = rnd.nextInt(200).toLong
+        (rnd.nextInt(5).toLong, i.toLong, s0, s0 + 1 + rnd.nextInt(35))
+      }
+      val a = rows.toDF("k", "a_id", "a_s", "a_e")
+      val b = rows.toDF("k", "b_id", "b_s", "b_e")
+      val got = TemporalOps.overlapJoin(a, b, "k", "a_s", "a_e", "b_s", "b_e", 10L)
+        .filter($"a_id" < $"b_id")
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+      // emit-once: no duplicates even for pairs sharing several buckets
+      assert(got.size == got.toSet.size, s"seed=$seed: duplicate emits")
+      val brute = (for {
+        (ka, ia, sa, ea) <- rows; (kb, ib, sb, eb) <- rows
+        if ka == kb && ia < ib && sa < eb && sb < ea
+      } yield (ia, ib)).toSet
+      assert(got.toSet == brute, s"seed=$seed: overlap sets differ")
+      assert(brute.nonEmpty, s"seed=$seed: fixture should produce overlaps")
+    }
+  }
+
   test("rangeJoin finds exactly the in-range pairs, including across buckets") {
     val sp = spark
     import sp.implicits._

@@ -50,6 +50,36 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streaming (AvailableNow) result must equal the batch plan result")
   }
 
+  test("streaming CDC apply equals the batch state after every micro-batch drains") {
+    // the i5 aggregation runs as a streaming aggregation in complete mode:
+    // per-key max_by accumulators live in the state store and each
+    // micro-batch folds in — the streaming face of the CDC apply. Ops
+    // arrive across THREE batches with interleaved patches and tombstones;
+    // the final table must equal the batch plan over the union of all ops.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val types = Seq("click", "view", "purchase", "error", "signup")
+    val events = (0 until 60).map(i => ev(i, i, i % 5, types(i % types.length), i * 2.5))
+    // queue all data BEFORE start: AvailableNow terminates once drained
+    events.grouped(20).foreach(batch => input.addData(batch))
+
+    val q = EventStream.cdcState(input.toDF())
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("cdc_stream")
+    val batch = EventStream.cdcState(events.toDF())
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0,
+      "streaming CDC state must equal the batch aggregation over the full log")
+  }
+
   test("file-source streaming ingest of parquet drops equals the batch read") {
     // stage the events table as a "file drop" directory, stream it in
     val dir = java.nio.file.Files.createTempDirectory("graft-drops").toString
