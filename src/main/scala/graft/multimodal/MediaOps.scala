@@ -327,5 +327,75 @@ object MediaOps extends QueryPack {
            |FROM pooled""".stripMargin),
     doc = "Real decode + exact average-pool 4x4 resize, per-image hash-checked (multimodal #4).")
 
-  override val all: Seq[GQuery] = Seq(m1, m2, m3, m4)
+  /** Deterministic s16le PCM payload: sample(i) = (id*31 + 7i) mod 65536
+    * - 32768 — a closed form the oracle evaluates analytically. Encoded as
+    * real little-endian 16-bit bytes so the decode path below exercises
+    * genuine binary parsing, not a pass-through. */
+  def syntheticPcm(id: Long, nSamples: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(nSamples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((((id * 31 + 7L * i) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Decode s16le bytes and emit per-256-sample-frame features: energy
+    * (exact integer sum of squares) and the zero-crossing count — the two
+    * standard cheap audio signals (VAD gating, silence trim). All-integer
+    * math end to end, so the DuckDB oracle reproduces it from the closed
+    * form without any audio library. */
+  def pcmFrameFeatures(id: Long, payload: Array[Byte], frameLen: Int): Seq[(Long, Int, Long, Int)] = {
+    val sb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    val nFrames = sb.limit() / frameLen
+    (0 until nFrames).map { f =>
+      var energy = 0L; var cross = 0; var i = 0
+      var prev: Short = 0
+      while (i < frameLen) {
+        val s = sb.get(f * frameLen + i)
+        energy += s.toLong * s
+        if (i > 0 && ((prev < 0) != (s < 0))) cross += 1
+        prev = s
+        i += 1
+      }
+      (id, f, energy, cross)
+    }
+  }
+
+  /** m5: the audio face of the multimodal family (m2 frames video, m3/m4
+    * decode images): synthesize a REAL s16le byte payload per doc on the
+    * executor, decode it back through ByteBuffer parsing, and window into
+    * 256-sample frames with energy + zero-crossing features. Partition-
+    * batched flatMap — payload bytes never leave executors, output is
+    * frames-per-doc rows (bounded: doc_id%6+2 frames). */
+  private val m5 = GQuery(
+    "m5_audio_frame_energy",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), (pmod(col("doc_id"), lit(6)) + 2).cast("int").as("n_frames"))
+        .as[(Long, Int)]
+        .mapPartitions(_.flatMap { case (id, nf) =>
+          pcmFrameFeatures(id, syntheticPcm(id, nf * 256), frameLen = 256)
+        })
+        .toDF("media_id", "frame_no", "energy", "n_cross")
+    },
+    Some("""WITH m AS (SELECT doc_id, CAST(doc_id % 6 + 2 AS INT) AS n_frames
+           |           FROM documents),
+           |f AS (SELECT doc_id, unnest(range(0, n_frames)) AS frame_no FROM m),
+           |s AS (SELECT doc_id, frame_no,
+           |        list_transform(range(0, 256), i ->
+           |          (doc_id * 31 + 7 * (frame_no * 256 + i)) % 65536 - 32768) AS sm
+           |      FROM f)
+           |SELECT doc_id AS media_id, CAST(frame_no AS INT) AS frame_no,
+           |  CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) AS energy,
+           |  CAST(len(list_filter(range(1, 256), i ->
+           |    (sm[i] < 0) <> (sm[i + 1] < 0))) AS INT) AS n_cross
+           |FROM s""".stripMargin),
+    doc = "s16le PCM decode + per-256-sample-frame energy / zero crossings, integer-exact (multimodal #5).")
+
+  override val all: Seq[GQuery] = Seq(m1, m2, m3, m4, m5)
 }

@@ -988,8 +988,84 @@ object AggWindowOps extends QueryPack {
            |  WHERE c_custkey > 1000 ORDER BY c_custkey LIMIT 20) b""".stripMargin),
     doc = "OFFSET/FETCH page next to the keyset-seek page a scale serving layer uses (O4/§2.6).")
 
+  // ---- W7: RANGE-framed windows (value-range frames) ------------------------
+  // The frame family w5's ROWS frames don't cover: RANGE frames bound by the
+  // ORDER-BY VALUE (here epoch micros), the "sliding one-hour window per
+  // event" shape. Two direction variants: a trailing 1-hour frame and a
+  // forward 15-minute frame. RANGE frames are tie-safe by construction
+  // (peers with equal order value share a frame, so tie order can't change
+  // the result); counts are exact ints and the sum accumulates in DECIMAL —
+  // order-proof compare. Partitioned by user_id: bounded state per key.
+  private val w7 = GQuery(
+    "w7_range_frames",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"), col("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      val hourBack = w.rangeBetween(-3600000000L, 0L)
+      val qtrFwd = w.rangeBetween(0L, 900000000L)
+      ev.select(
+        col("event_id"), col("user_id"), col("us"),
+        count(lit(1)).over(hourBack).as("n_trailing_1h"),
+        sum(col("value").cast("decimal(18,4)")).over(hourBack)
+          .cast("double").as("sum_trailing_1h"),
+        count(lit(1)).over(qtrFwd).as("n_forward_15m"))
+    },
+    Some("""SELECT event_id, user_id, epoch_us(ts) AS us,
+           |  count(*) OVER (w RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+           |    AS n_trailing_1h,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4)))
+           |       OVER (w RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+           |       AS DOUBLE) AS sum_trailing_1h,
+           |  count(*) OVER (w RANGE BETWEEN CURRENT ROW AND 900000000 FOLLOWING)
+           |    AS n_forward_15m
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))""".stripMargin),
+    doc = "RANGE-framed windows: trailing 1 h + forward 15 min value frames, tie-safe (W7/§2.5).")
+
+  // ---- F10: bitwise + integer-math battery ----------------------------------
+  // The remaining exact-scalar surface: bitwise and/or/xor/shifts/popcount
+  // and the signed-integer helpers (abs, sign, C-style % vs non-negative
+  // pmod). All integer-exact — no float surface at all — and per-row
+  // codegen'd projections. DuckDB lacks pmod, so the oracle spells the
+  // ((a % b) + b) % b identity the function abbreviates; sign/bit_count
+  // return widths differ per engine, pinned by explicit casts on both sides.
+  private val f10 = GQuery(
+    "f10_bitwise_math",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("centered", col("o_orderkey") - 30000L)
+        .select(
+          col("o_orderkey"),
+          expr("o_orderkey & 255").as("band"),
+          expr("o_orderkey | 4096").as("bor"),
+          expr("o_orderkey ^ o_custkey").as("bxor"),
+          expr("~o_orderkey").as("bnot"),
+          shiftleft(col("o_orderkey"), 3).as("shl3"),
+          shiftright(col("o_orderkey"), 2).as("shr2"),
+          bit_count(col("o_orderkey")).cast("int").as("popcount"),
+          abs(col("centered")).as("abs_c"),
+          signum(col("centered")).cast("int").as("sign_c"),
+          (col("centered") % 7L).as("rem7"),
+          pmod(col("centered"), lit(7L)).as("pmod7")),
+    Some("""SELECT o_orderkey,
+           |  o_orderkey & 255 AS band,
+           |  o_orderkey | 4096 AS bor,
+           |  xor(o_orderkey, o_custkey) AS bxor,
+           |  ~o_orderkey AS bnot,
+           |  o_orderkey << 3 AS shl3,
+           |  o_orderkey >> 2 AS shr2,
+           |  CAST(bit_count(o_orderkey) AS INT) AS popcount,
+           |  abs(o_orderkey - 30000) AS abs_c,
+           |  CAST(sign(o_orderkey - 30000) AS INT) AS sign_c,
+           |  (o_orderkey - 30000) % 7 AS rem7,
+           |  (((o_orderkey - 30000) % 7) + 7) % 7 AS pmod7
+           |FROM orders""".stripMargin),
+    doc = "Bitwise and/or/xor/not/shift/popcount + abs/sign/%/pmod, integer-exact (F10/§2.8).")
+
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16,
-      w1, w2, w3, w4, w5, w6, o1, o4, u1, u2, u3, u4, u5, u6, u7,
-      f1, f2, f3, f4, f5, f6, f7, f9, st1, st2)
+      w1, w2, w3, w4, w5, w6, w7, o1, o4, u1, u2, u3, u4, u5, u6, u7,
+      f1, f2, f3, f4, f5, f6, f7, f9, f10, st1, st2)
 }

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, QueryPack, Tables}
+
+/** Iterative graph analytics beyond the connected-components resolver
+  * (`CorpusOps.connectedComponents`): PageRank as a reusable distributed
+  * power iteration.
+  *
+  * Scale notes (100 TB posture):
+  *   - Each iteration is one shuffle-join of the edge list with the rank
+  *     table on `src` plus one hash aggregate on `dst` — the canonical
+  *     distributed PageRank data flow. Both sides partition on their keys;
+  *     no driver-side graph state, no collect (the single vertex-count
+  *     scalar rides a 1-row broadcast attach).
+  *   - Out-degrees are joined into the edge list ONCE before iterating, so
+  *     the per-iteration work is exactly join + agg, not three joins.
+  *   - Iterations are bounded (the registry face unrolls 3); lineage stays
+  *     O(iters) and each round's shuffle reuses the same (src) hash
+  *     partitioning, so AQE can reuse exchanges across rounds.
+  *
+  * Determinism (the DuckDB-oracle contract): ranks are SCALED FIXED-POINT
+  * BIGINTs (1.0 == `Scale`), every division is integer floor division and
+  * every sum is an integer sum — order-insensitive, so the distributed
+  * aggregation is bit-identical to the oracle's unrolled-CTE evaluation no
+  * matter how partitions interleave. (Float PageRank would hash-mismatch on
+  * summation order alone; the fixed-point spec IS the operator contract.)
+  * Dangling vertices (no out-edges) leak their mass per the simple textbook
+  * variant — fine for ranking, stated here so the oracle matches by
+  * construction.
+  */
+object GraphOps extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** 1.0 in fixed-point rank units. */
+  val Scale = 1000000000000L
+
+  /** Distributed fixed-point PageRank with damping 0.85.
+    *
+    * `edges` must carry BIGINT-compatible (`src`, `dst`) columns, self-loops
+    * and duplicates already resolved by the caller (the registry face feeds
+    * DISTINCT non-loop edges). Returns (node, rank_fp) where rank_fp is the
+    * damping-0.85 rank after `iters` power iterations, scaled by [[Scale]].
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesW = edges.join(deg, "src") // once, outside the loop
+    // n_nodes and the teleport term are scalars: 1-row broadcast attaches
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    val init = nodes.crossJoin(nRow)
+      .select(col("node"), expr(s"$Scale div n_nodes").as("r"),
+        expr(s"(15L * ($Scale div n_nodes)) div 100").as("b"))
+    (1 to iters).foldLeft(init) { (ranks, _) =>
+      val contrib = edgesW
+        .join(ranks.select(col("node"), col("r")), col("src") === col("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (col("b") + expr("(85L * coalesce(s, 0L)) div 100")).as("r"),
+          col("b"))
+    }.select(col("node"), col("r").as("rank_fp"))
+  }
+
+  // ---- G1: PageRank over the event-transition graph -------------------------
+  // Vertices are the props.k values (the feed's item space); a directed edge
+  // (a -> b) exists when any user's event on item a is immediately followed
+  // by one on item b (per-user ts, event_id order — a user-partitioned
+  // window, never global). 3 unrolled iterations; the DuckDB oracle spells
+  // the identical fixed-point arithmetic as chained CTEs, so the result is
+  // hash-exact.
+  private val g1 = GQuery(
+    "g1_pagerank",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = ev
+        .withColumn("nk", lead(col("k"), 1).over(w))
+        .filter(col("nk").isNotNull && col("nk") =!= col("k"))
+        .select(col("k").cast("long").as("src"), col("nk").cast("long").as("dst"))
+        .distinct()
+      pageRank(edges, iters = 3)
+        .select(col("node").as("k"), col("rank_fp"))
+    },
+    Some(s"""WITH ev AS (
+            |  SELECT user_id, ts, event_id,
+            |    CAST(json_extract_string(props, '$$.k') AS INT) AS k
+            |  FROM events),
+            |seq AS (
+            |  SELECT k, lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
+            |  FROM ev),
+            |edges AS (
+            |  SELECT DISTINCT CAST(k AS BIGINT) AS src, CAST(nk AS BIGINT) AS dst
+            |  FROM seq WHERE nk IS NOT NULL AND nk <> k),
+            |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+            |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+            |n AS (SELECT count(*) AS n_nodes FROM nodes),
+            |r0 AS (SELECT node, $Scale // n_nodes AS r,
+            |         (15 * ($Scale // n_nodes)) // 100 AS b
+            |       FROM nodes CROSS JOIN n),
+            |r1 AS (
+            |  SELECT r0.node, r0.b + (85 * coalesce(c.s, 0)) // 100 AS r, r0.b
+            |  FROM r0 LEFT JOIN (
+            |    SELECT e.dst, sum(r0.r // deg.outdeg) AS s
+            |    FROM edges e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+            |    GROUP BY e.dst) c ON c.dst = r0.node),
+            |r2 AS (
+            |  SELECT r1.node, r1.b + (85 * coalesce(c.s, 0)) // 100 AS r, r1.b
+            |  FROM r1 LEFT JOIN (
+            |    SELECT e.dst, sum(r1.r // deg.outdeg) AS s
+            |    FROM edges e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+            |    GROUP BY e.dst) c ON c.dst = r1.node),
+            |r3 AS (
+            |  SELECT r2.node, r2.b + (85 * coalesce(c.s, 0)) // 100 AS r
+            |  FROM r2 LEFT JOIN (
+            |    SELECT e.dst, sum(r2.r // deg.outdeg) AS s
+            |    FROM edges e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
+            |    GROUP BY e.dst) c ON c.dst = r2.node)
+            |SELECT node AS k, r AS rank_fp FROM r3""".stripMargin),
+    doc = "PageRank (damping 0.85, 3 iterations) over per-user item transitions, fixed-point exact (graph #1).")
+
+  override val all: Seq[GQuery] = Seq(g1)
+}

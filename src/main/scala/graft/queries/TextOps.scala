@@ -961,7 +961,76 @@ object TextOps extends QueryPack {
            |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin),
     doc = "A-ES weighted sampling: deterministic-hash u, rank ln(u)/weight, top-k (text #18).")
 
+  // ---- D32: PII redaction ---------------------------------------------------
+  // The scrubbing pass every training-data pipeline runs before anything else:
+  // emails, URLs and phone numbers replaced by typed placeholder tokens, with
+  // per-document match counts kept as audit columns. Map-only per-row regex —
+  // no shuffle, codegen'd regexp_replace/regexp_count kernels, scales as a
+  // pure scan at any corpus size. Patterns stay in the Java-regex/RE2 common
+  // subset so the DuckDB oracle runs the IDENTICAL expressions. The driver
+  // corpus is PII-free word salad, so the query plants deterministic PII
+  // derived from doc_id (the m3/m4 synthetic-payload pattern: fake data, REAL
+  // kernel) and the oracle recomputes redaction byte-for-byte: placement,
+  // repeat counts, and digests all hash-checked.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val UrlRe = "https?://[a-z0-9./_-]+"
+  private val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** Scrub emails, then URLs, then phone numbers (email first: its pattern
+    * is the most specific; none of the three can match a placeholder). */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      PhoneRe, "<PHONE>")
+
+  private val d32 = GQuery(
+    "d32_pii_redaction",
+    (s, dir) => {
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"), concat(
+          col("text"),
+          expr("repeat(concat(' contact user', cast(doc_id AS string), " +
+            "'@mail.example.com'), cast(1 + doc_id % 3 AS int))"),
+          expr("concat(' or +1-555-', lpad(cast(doc_id % 10000 AS string), 4, '0'))"),
+          expr("concat(' via https://site', cast(doc_id % 7 AS string), " +
+            "'.example.com/p/', cast(doc_id AS string))")).as("txt"))
+      planted.select(
+        col("doc_id"),
+        regexp_count(col("txt"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("txt"), lit(UrlRe)).as("n_urls"),
+        regexp_count(col("txt"), lit(PhoneRe)).as("n_phones"),
+        length(redactPii(col("txt"))).as("redacted_len"),
+        md5(redactPii(col("txt")).cast("binary")).as("redacted_digest"))
+    },
+    Some(s"""WITH planted AS (
+            |  SELECT doc_id,
+            |    text
+            |      || repeat(' contact user' || CAST(doc_id AS VARCHAR)
+            |           || '@mail.example.com', CAST(1 + doc_id % 3 AS INT))
+            |      || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            |      || ' via https://site' || CAST(doc_id % 7 AS VARCHAR)
+            |           || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS txt
+            |  FROM documents),
+            |red AS (
+            |  SELECT doc_id, txt,
+            |    regexp_replace(
+            |      regexp_replace(
+            |        regexp_replace(txt, '$EmailRe', '<EMAIL>', 'g'),
+            |        '$UrlRe', '<URL>', 'g'),
+            |      '$PhoneRe', '<PHONE>', 'g') AS r
+            |  FROM planted)
+            |SELECT doc_id,
+            |  CAST(len(regexp_extract_all(txt, '$EmailRe')) AS INT) AS n_emails,
+            |  CAST(len(regexp_extract_all(txt, '$UrlRe')) AS INT) AS n_urls,
+            |  CAST(len(regexp_extract_all(txt, '$PhoneRe')) AS INT) AS n_phones,
+            |  CAST(len(r) AS INT) AS redacted_len,
+            |  md5(r) AS redacted_digest
+            |FROM red""".stripMargin),
+    doc = "PII redaction: email/URL/phone scrub with audit counts, digest-exact (text #19).")
+
   override val all: Seq[GQuery] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26,
-      d27, d28, d29, d30, d31)
+      d27, d28, d29, d30, d31, d32)
 }

@@ -121,4 +121,25 @@ class ExtendedOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.getAs[Double]("mix_weight") <= top.getAs[Double]("p") + 1e-9)
     assert(bot.getAs[Double]("mix_weight") >= bot.getAs[Double]("p") - 1e-9)
   }
+
+  test("d32: redactPii scrubs all three PII kinds, placeholders never re-match") {
+    val sp = spark
+    import sp.implicits._
+    val got = Seq(
+      "mail a.b+c@x-y.co and d@e.io twice",        // two emails, one with +/-/.
+      "link http://a.b/c?q=1 then https://d.e/f",  // ? stops the first URL match
+      "call +1-555-0000 or +44-208-1234 now",      // 1- and 2-digit country codes
+      "plain text with no pii at all",
+      "user@host.com https://u.v/w +1-555-9999")   // all three in one row
+      .toDF("t").select(TextOps.redactPii(col("t")).as("r")).as[String].collect()
+    assert(got(0) == "mail <EMAIL> and <EMAIL> twice")
+    assert(got(1) == "link <URL>?q=1 then <URL>")
+    assert(got(2) == "call <PHONE> or <PHONE> now")
+    assert(got(3) == "plain text with no pii at all")
+    assert(got(4) == "<EMAIL> <URL> <PHONE>")
+    // idempotence: placeholders survive a second pass untouched
+    val twice = Seq(got(4)).toDF("t")
+      .select(TextOps.redactPii(col("t")).as("r")).as[String].head()
+    assert(twice == got(4), "redaction must be idempotent")
+  }
 }

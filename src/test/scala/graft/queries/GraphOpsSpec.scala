@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Differential check of the distributed fixed-point PageRank against a
+  * sequential in-memory evaluation of the same spec.
+  */
+class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Sequential reference: the identical fixed-point arithmetic, one node at
+    * a time — no Spark, no ordering sensitivity (integer sums commute). */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val inEdges = edges.groupBy(_._2)
+    val n = nodes.size.toLong
+    val init = GraphOps.Scale / n
+    val base = (15L * init) / 100L
+    var r = nodes.map(_ -> init).toMap
+    (1 to iters).foreach { _ =>
+      r = nodes.map { v =>
+        val s = inEdges.getOrElse(v, Nil).map { case (u, _) => r(u) / outdeg(u) }.sum
+        v -> (base + (85L * s) / 100L)
+      }.toMap
+    }
+    r
+  }
+
+  test("pageRank == sequential fixed-point reference on random graphs") {
+    val sp = spark
+    import sp.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // ~60 nodes, ~300 distinct edges, self-loops excluded; includes
+      // dangling nodes (appear only as dst) and sources (only as src)
+      val edges = (0 until 400).map { _ =>
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      val got = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 3)
+        .as[(Long, Long)].collect().toMap
+      val want = refPageRank(edges, iters = 3)
+      assert(got == want, s"seed=$seed: distributed != sequential reference")
+      // mass sanity: total rank stays within (teleport-only, full) bounds
+      val total = got.values.sum
+      assert(total > 0L && total <= GraphOps.Scale,
+        s"seed=$seed: total rank $total outside (0, Scale]")
+    }
+  }
+
+  test("pageRank concentrates rank on a sink hub (directional sanity)") {
+    val sp = spark
+    import sp.implicits._
+    // star: every spoke points at the hub; hub points at node 1 only
+    val edges = (1L to 9L).map(i => (i, 0L)) :+ ((0L, 1L))
+    val r = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r(0L) > r(2L) * 3, s"hub should dominate spokes: $r")
+    assert(r(1L) > r(2L), s"hub's sole successor outranks plain spokes: $r")
+  }
+}

@@ -87,7 +87,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "d21_mean_idf",            // 1-row corpus-count attach for ln(N/df)
       "d22_source_mix_weights",  // 1-row total + 1-row normalizer attaches
       "d30_bm25_scoring",        // 1-row (n_docs, sum_len) corpus-stats attach
-      "e10_ann_pq_adc")          // 10-query probe x 64-row codebook ADC table
+      "e10_ann_pq_adc",          // 10-query probe x 64-row codebook ADC table
+      "g1_pagerank")             // 1-row n_nodes broadcast attach (init + teleport term)
     val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       spark.catalog.clearCache()
