@@ -146,4 +146,33 @@ object Incremental {
 
     closed.unionByName(stillOpen).unionByName(newRows)
   }
+
+  /** Mergeable per-key aggregate state — the ADDITIVE quadrant of
+    * incremental materialization (`upsert`/`scd2*` maintain ROWS; this
+    * maintains AGGREGATES, the "incremental rollup model" every dbt
+    * deployment keeps next to its merge models). [[aggState]] computes a
+    * batch's partial state; [[mergeAggState]] folds two states by pure
+    * algebra (sum/sum/max/min/max) — associative and commutative, so ANY
+    * batch arrival order converges to the full-log aggregate, and no fold
+    * ever rescans history. Sums accumulate in DECIMAL so folded and
+    * one-shot results are bit-identical (the i3 discipline, for state).
+    */
+  def aggState(batch: DataFrame, keys: Seq[String],
+               valueCol: String, tsCol: String): DataFrame =
+    batch.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol).cast("decimal(18,4)")).as("total"),
+      max(col(valueCol)).as("max_v"),
+      min(col(valueCol)).as("min_v"),
+      max(col(tsCol)).as("last_ts"))
+
+  /** Fold two [[aggState]] frames; output schema matches its input, so
+    * folds chain indefinitely. */
+  def mergeAggState(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b).groupBy(keys.map(col): _*).agg(
+      sum(col("n")).as("n"),
+      sum(col("total")).cast("decimal(18,4)").as("total"),
+      max(col("max_v")).as("max_v"),
+      min(col("min_v")).as("min_v"),
+      max(col("last_ts")).as("last_ts"))
 }

@@ -157,6 +157,40 @@ object IncrementalOps extends QueryPack {
            |HAVING arg_max(event_type, ts) <> 'error'""".stripMargin),
     doc = "CDC apply: latest-op-wins with tombstones and per-column patches, one aggregate (I5).")
 
+  // ---- I6: incremental aggregate maintenance -------------------------------
+  // The additive-state quadrant: i1/i3 maintain ROWS, i6 maintains per-key
+  // AGGREGATES by folding mergeable partial states (sum/count/max/min are
+  // associative+commutative, avg derives at read time — the same algebra
+  // a streaming state store or an OLAP rollup cube relies on). Three
+  // disjoint slices fold through mergeAggState; the oracle aggregates the
+  // full log in one shot — equality proves the fold rescans nothing and
+  // converges independent of arrival order.
+  private val i6 = GQuery(
+    "i6_incremental_agg",
+    (s, dir) => {
+      val all = ev(s, dir)
+      val c1 = lit("2024-01-11").cast("timestamp")
+      val c2 = lit("2024-01-21").cast("timestamp")
+      val st = Seq(
+        all.filter(col("ts") < c1),
+        all.filter(col("ts") >= c1 && col("ts") < c2),
+        all.filter(col("ts") >= c2))
+        .map(b => Incremental.aggState(b, Seq("user_id"), "value", "ts"))
+        .reduce(Incremental.mergeAggState(_, _, Seq("user_id")))
+      st.select(col("user_id"), col("n"),
+        col("total").cast("double").as("total"),
+        col("max_v"), col("min_v"),
+        sec(col("last_ts")).as("last_ts_sec"),
+        (col("total").cast("double") / col("n")).as("avg_v"))
+    },
+    Some("""SELECT user_id, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  max(value) AS max_v, min(value) AS min_v,
+           |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts_sec,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_v
+           |FROM events GROUP BY user_id""".stripMargin),
+    doc = "Incremental aggregate maintenance: mergeable partial states folded over 3 batches == one-shot aggregate (I6).")
+
   private lazy val scd2OracleSql =
     """WITH c AS (
       |  SELECT user_id, event_type, ts, event_id,
@@ -170,5 +204,5 @@ object IncrementalOps extends QueryPack {
       |    PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS valid_to_sec
       |FROM chg""".stripMargin
 
-  override val all: Seq[GQuery] = Seq(i1, i2, i3, i4, i5)
+  override val all: Seq[GQuery] = Seq(i1, i2, i3, i4, i5, i6)
 }

@@ -966,6 +966,162 @@ object RelationalOps extends QueryPack {
            |GROUP BY c_mktsegment""".stripMargin),
     doc = "TPC-H Q22 shape: scalar threshold + anti-join against filtered orders (Q22).")
 
+  // ---- Q4: TPC-H-Q4-shaped order-priority checking --------------------------
+  // A year of orders counted per priority, kept only when EXISTS a late line
+  // — the simplest correlated-EXISTS member of the family (q21 stacks two,
+  // q22 negates one). Catalyst plans the EXISTS as ONE left-semi join of
+  // orders against lineitem (asserted in PlanShapeSpec); the correlated
+  // o_orderdate in the inner predicate rides the join condition, not a
+  // rescan. The corpus has no l_commitdate/l_receiptdate, so "late" is
+  // shipdate > orderdate + 60 days (the q21 convention).
+  private val q4 = GQuery(
+    "q4_priority_checking",
+    (s, dir) => Tables.sqlOn(s,
+      "orders" -> t(s, dir, "orders"), "lineitem" -> t(s, dir, "lineitem")) { v =>
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM ${v("orders")}
+         |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+         |  AND EXISTS (SELECT 1 FROM ${v("lineitem")}
+         |              WHERE l_orderkey = o_orderkey
+         |                AND l_shipdate > date_add(CAST(o_orderdate AS DATE), 60))
+         |GROUP BY o_orderpriority""".stripMargin
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+           |FROM orders
+           |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+           |  AND EXISTS (SELECT 1 FROM lineitem
+           |              WHERE l_orderkey = o_orderkey
+           |                AND l_shipdate > CAST(o_orderdate AS DATE) + 60)
+           |GROUP BY o_orderpriority""".stripMargin),
+    doc = "TPC-H Q4 shape: correlated EXISTS planned as one semi join, priority rollup (Q4).")
+
+  // ---- Q12: TPC-H-Q12-shaped shipping-priority split ------------------------
+  // Fact-dim join + dual conditional counts: how many high- vs low-priority
+  // orders shipped per line class in the window. The CASE inputs are 0/1
+  // ints so the sums are exact; the shipdate window prunes the fact scan
+  // before the join. (The corpus has no l_shipmode; l_returnflag is the
+  // 2-ish-valued line classifier standing in for it.)
+  private val q12 = GQuery(
+    "q12_shipping_priority_split",
+    (s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+    },
+    Some("""SELECT l_returnflag,
+           |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |           THEN 1 ELSE 0 END) AS high_line_count,
+           |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           |           THEN 1 ELSE 0 END) AS low_line_count
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+           |GROUP BY l_returnflag""".stripMargin),
+    doc = "TPC-H Q12 shape: windowed fact-dim join with dual conditional counts (Q12).")
+
+  // ---- Q14: TPC-H-Q14-shaped promo revenue share ----------------------------
+  // One month of revenue, split by a dim attribute into a percentage — the
+  // conditional-aggregate-over-join shape with a single final division.
+  // Both sums accumulate in DECIMAL; the one double division happens on the
+  // two exact totals, so the share is bit-identical across engines.
+  private val q14 = GQuery(
+    "q14_promo_revenue",
+    (s, dir) => {
+      val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,6)")
+      val zero = lit(0).cast("decimal(28,6)")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1997-03-01" && col("l_shipdate") < "1997-04-01")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", disc).otherwise(zero)).as("dp"),
+          sum(disc).as("dt"), count(lit(1)).as("n_lines"))
+        .select(
+          round(lit(100.0) * col("dp").cast("double") / col("dt").cast("double"), 6)
+            .as("promo_share_pct"),
+          round(col("dt").cast("double"), 4).as("total_revenue"),
+          col("n_lines"))
+    },
+    Some("""SELECT
+           |  round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+           |          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+           |          ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+           |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE),
+           |    6) AS promo_share_pct,
+           |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE),
+           |    4) AS total_revenue,
+           |  count(*) AS n_lines
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE l_shipdate >= '1997-03-01' AND l_shipdate < '1997-04-01'""".stripMargin),
+    doc = "TPC-H Q14 shape: conditional decimal revenue split to a percentage (Q14).")
+
+  // ---- Q16: TPC-H-Q16-shaped supplier diversity count -----------------------
+  // Distinct-supplier counts per (brand, type, size) bucket, excluding
+  // suppliers matched by a subquery — the exclusion spells NOT EXISTS (not
+  // NOT IN) so Catalyst plans a hash LEFT ANTI join rather than a
+  // null-aware nested loop; the distinct count rides the same Expand
+  // machinery as a14. Size IN-list and brand filter push to the part scan.
+  private val q16 = GQuery(
+    "q16_supplier_diversity",
+    (s, dir) => Tables.sqlOn(s,
+      "lineitem" -> t(s, dir, "lineitem"), "part" -> t(s, dir, "part"),
+      "supplier" -> t(s, dir, "supplier")) { v =>
+      s"""SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         |FROM ${v("lineitem")} JOIN ${v("part")} ON p_partkey = l_partkey
+         |WHERE p_brand <> 'Brand#1'
+         |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+         |  AND NOT EXISTS (SELECT 1 FROM ${v("supplier")}
+         |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+         |GROUP BY p_brand, p_type, p_size""".stripMargin
+    },
+    Some("""SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+           |FROM lineitem JOIN part ON p_partkey = l_partkey
+           |WHERE p_brand <> 'Brand#1'
+           |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+           |  AND NOT EXISTS (SELECT 1 FROM supplier
+           |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+           |GROUP BY p_brand, p_type, p_size""".stripMargin),
+    doc = "TPC-H Q16 shape: exclusion anti join + distinct-count rollup per part bucket (Q16).")
+
+  // ---- Q19: TPC-H-Q19-shaped disjunctive range predicate --------------------
+  // The OR-of-ANDs join predicate: three (brand, size-range, quantity-range)
+  // arms over the fact-dim join. Each arm mixes columns from BOTH sides, so
+  // nothing pushes below the join wholesale — the plan evidence is that the
+  // join itself stays a broadcast HASH join on p_partkey with the
+  // disjunction evaluated as a post-join filter (no nested loop; asserted
+  // in PlanShapeSpec). Revenue in DECIMAL.
+  private val q19 = GQuery(
+    "q19_disjunctive_ranges",
+    (s, dir) => {
+      val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,6)")
+      val arm1 = col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(5, 15)
+      val arm2 = col("p_brand") === "Brand#9" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(15, 30)
+      val arm3 = col("p_brand") === "Brand#15" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(25, 40)
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(arm1 || arm2 || arm3)
+        .agg(round(sum(disc).cast("double"), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""SELECT
+           |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+           |             AS DOUBLE), 4) AS revenue,
+           |  count(*) AS n_lines
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           |       AND l_quantity BETWEEN 5 AND 15)
+           |   OR (p_brand = 'Brand#9' AND p_size BETWEEN 10 AND 30
+           |       AND l_quantity BETWEEN 15 AND 30)
+           |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
+           |       AND l_quantity BETWEEN 25 AND 40)""".stripMargin),
+    doc = "TPC-H Q19 shape: OR-of-ANDs cross-side predicate on a hash join, decimal revenue (Q19).")
+
   /** Exposed for plan-shape tests. */
   private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame =
     x2.run(s, dir)
@@ -973,5 +1129,6 @@ object RelationalOps extends QueryPack {
   override val all: Seq[GQuery] =
     Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11,
       j1, j2, j3, j4, j5, j6, j7, j8, j9,
-      x1, x2, x3, x4, q1, q2, q3, q5, q9, q17, q18, q20, q21, q22)
+      x1, x2, x3, x4, q1, q2, q3, q4, q5, q9, q12, q14, q16, q17, q18,
+      q19, q20, q21, q22)
 }

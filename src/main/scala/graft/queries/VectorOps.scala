@@ -401,6 +401,78 @@ object VectorOps extends QueryPack {
     None,
     doc = "Product quantization (4x16-dim, 16-centroid L2 codebooks) + ADC top-10 (similarity #10).")
 
+  // ---- E11: the full serving stack — IVF prune + PQ ADC + exact rerank ------
+  // The composition a production vector store actually runs (FAISS's
+  // IVF-PQ,re-rank): the trained coarse quantizer prunes to nprobe cells
+  // (e5/e8 machinery), PQ ADC scores ONLY the surviving candidates from
+  // 4-byte codes (e10 machinery), and the top `rerankDepth` ADC candidates
+  // get ONE exact full-vector pass. Each stage cuts what the next touches:
+  // at corpus scale, exact scoring reads ~rerankDepth rows per query instead
+  // of the corpus, and the memory-resident structure is codes (4 B/vector),
+  // not vectors (512 B). Recall is gated vs e1 in SimilaritySpec — the
+  // rerank recovers most of what raw ADC top-10 (e10's honest 128x-
+  // compression floor) gives up.
+  private val e11 = GQuery(
+    "e11_ann_ivf_pq_rerank",
+    (s, dir) => {
+      import s.implicits._
+      val emb = embDouble(s, dir)
+      val nprobe = 4
+      val rerankDepth = 150
+      // coarse: trained cells + per-cell centroids, queries pick nprobe cells
+      val cells = kmeansCells(emb, k = 8, iters = 3)
+      val cent = cells.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("label"))
+      val probes = q.crossJoin(broadcast(cent))
+        .withColumn("csim", cosine("qv", "cv"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= nprobe)
+        .select(col("qid"), col("label"))
+      val cand = broadcast(probes)
+        .join(cells.select(col("vec_id").as("nid"), col("label")), Seq("label"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"))
+      // PQ: codebooks + 4-byte codes over the corpus, ADC tables per query
+      val subs = (0 until PqM).map(m =>
+        m -> emb.select(col("vec_id"), expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("v")))
+      val books = subs.map { case (m, df) => m -> pqTrain(df, PqK, iters = 2) }
+      val codes = subs.zip(books).map { case ((m, df), (_, cents)) =>
+        pqAssign(df, m, cents)
+      }.reduce(_ union _)
+      val centDf = books.flatMap { case (m, cents) =>
+        cents.map { case (c, v) => (m, c, v) }
+      }.toDF("m", "cell", "cv")
+      val cdots = q.crossJoin(broadcast(centDf))
+        .select(col("qid"), col("m"), col("cell"),
+          call_function("graft_dot",
+            expr(s"slice(qv, m * $PqSub + 1, $PqSub)"), col("cv")).as("pdot"),
+          call_function("graft_dot", col("cv"), col("cv")).as("cn2"))
+      // ADC over IVF survivors only, keep rerankDepth per query
+      val adc = cand.join(codes, Seq("nid"))
+        .join(broadcast(cdots), Seq("qid", "m", "cell"))
+        .groupBy(col("qid"), col("nid"))
+        .agg((sum(col("pdot")) / sqrt(sum(col("cn2")))).as("adc_score"))
+      val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc_score").desc, col("nid"))
+      val shortlist = adc.withColumn("arn", row_number().over(wAdc))
+        .filter(col("arn") <= rerankDepth)
+        .select(col("qid"), col("nid"))
+      // exact rerank: one full-vector pass over <= rerankDepth rows/query
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      shortlist
+        .join(emb.select(col("vec_id").as("nid"), col("v").as("nv")), Seq("nid"))
+        .join(broadcast(q), Seq("qid"))
+        .withColumn("sim", round(cosine("qv", "nv"), 6))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 10)
+        .select(col("qid"), col("nid"), col("sim"), col("rn"))
+    },
+    None,
+    doc = "IVF prune + PQ ADC shortlist + exact top-100 rerank — the composed serving stack (similarity #11).")
+
   // ---- E9: truncated-dimension ANN (Matryoshka-style prefix search) ---------
   // Score on only the first 16 of 64 dims: 4x less arithmetic and candidate
   // memory per comparison — the dimension-truncation dial (MRL-trained
@@ -642,5 +714,5 @@ object VectorOps extends QueryPack {
            |WHERE rn <= 10""".stripMargin),
     doc = "Int8 scalar-quantized cosine top-10: 4x memory cut, integer-exact compare (ANN #7).")
 
-  override val all: Seq[GQuery] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, d9)
+  override val all: Seq[GQuery] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, d9)
 }

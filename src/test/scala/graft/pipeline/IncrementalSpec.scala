@@ -157,4 +157,22 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val replay = Incremental.upsert(merged, batch, Seq("k"), "ts", "seq")
     assert(c(replay) === c(merged), "replaying the same batch must be idempotent")
   }
+
+  test("aggState folds converge to the one-shot aggregate in ANY arrival order") {
+    // the i6 contract: mergeAggState is associative+commutative, so every
+    // permutation of batch arrival produces the identical state
+    val log = randomLog(11, 400, 12)
+      .withColumn("value", (col("seq") % 17 * 1.25) - 3.0)
+    def state(df: DataFrame) = Incremental.aggState(df, Seq("k"), "value", "ts")
+    val batches = Seq(
+      log.filter(col("ts") < 15),
+      log.filter(col("ts") >= 15 && col("ts") < 35),
+      log.filter(col("ts") >= 35)).map(state)
+    def c(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val oneShot = c(state(log))
+    for (perm <- batches.permutations) {
+      val folded = perm.reduce(Incremental.mergeAggState(_, _, Seq("k")))
+      assert(c(folded) === oneShot, "fold order must not change the state")
+    }
+  }
 }

@@ -88,7 +88,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "d22_source_mix_weights",  // 1-row total + 1-row normalizer attaches
       "d30_bm25_scoring",        // 1-row (n_docs, sum_len) corpus-stats attach
       "e10_ann_pq_adc",          // 10-query probe x 64-row codebook ADC table
-      "g1_pagerank")             // 1-row n_nodes broadcast attach (init + teleport term)
+      "g1_pagerank",             // 1-row n_nodes broadcast attach (init + teleport term)
+      "e11_ann_ivf_pq_rerank")   // 10-query probe x 8-cell centroid + 64-row codebook attaches
     val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       spark.catalog.clearCache()
@@ -240,6 +241,44 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(_.contains("ReadSchema")).find(_.contains("o_custkey")).getOrElse("")
     assert(!ordersSchema.contains("o_orderdate") && !ordersSchema.contains("o_orderpriority"),
       s"anti-join side must prune unused orders columns: $ordersSchema")
+  }
+
+  test("q4: single correlated EXISTS becomes one semi join over lineitem") {
+    val df = graft.SparkEntry.queries("q4_priority_checking")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"), s"EXISTS becomes a left-semi join:\n${opt.take(1200)}")
+    assert(!opt.contains("exists-subquery") && !opt.contains("ExistenceJoin"),
+      s"no surviving subquery predicate:\n${opt.take(1200)}")
+    // lineitem feeds exactly one (semi-join) leg — never a per-outer-row scan
+    val scans = "Relation \\[[^\\]]*l_shipdate".r.findAllIn(opt).size
+    assert(scans == 1, s"lineitem scanned once for the semi join, got $scans")
+  }
+
+  test("q16: NOT EXISTS exclusion is a hash anti join, never null-aware BNLJ") {
+    val df = graft.SparkEntry.queries("q16_supplier_diversity")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftAnti"), s"exclusion plans as left-anti:\n${opt.take(1200)}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"anti join must be hash, not nested loop:\n${p.take(1200)}")
+    assert(p.contains("Expand") || p.contains("distinct"),
+      s"distinct supplier count rides the Expand aggregate:\n${p.take(800)}")
+  }
+
+  test("q19: OR-of-ANDs predicate keeps the hash join; part filters still push") {
+    val df = graft.SparkEntry.queries("q19_disjunctive_ranges")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"cross-side disjunction must not force a nested loop:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no nested-loop fallback:\n${p.take(1200)}")
+    // Catalyst extracts the single-side residue of the disjunction for BOTH
+    // sides: the (brand AND size-range) arms push into the part scan and the
+    // quantity-range arms into the lineitem scan
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      s"extracted brand/size disjunction should reach the part scan:\n${p.take(2500)}")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,5.0)"),
+      s"extracted quantity disjunction should reach the lineitem scan:\n${p.take(2500)}")
   }
 
   test("x1: salted join spreads the 3 hot keys over composite keys") {

@@ -309,6 +309,16 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.1, f"PQ+ADC machinery floor: $recall%.3f < 0.1")
   }
 
+  test("e11: IVF+PQ+rerank recall@10 vs e1 — rerank must beat raw ADC (sf0.01)", graft.Slow) {
+    // the composed serving stack: recall is bounded above by IVF candidate
+    // coverage (nprobe=4 of 8 cells) and recovered within it by the exact
+    // top-150 rerank. Measured (deterministic): 0.660; floor at
+    // measured-minus-margin. Must decisively beat e10's raw-ADC top-10
+    // (~0.17) — that margin IS the point of the rerank stage.
+    val recall = recallVsExact("e11_ann_ivf_pq_rerank", sf01)
+    assert(recall >= 0.55, f"IVF+PQ+rerank floor: $recall%.3f < 0.55")
+  }
+
   test("e9: 16-of-64-dim truncation recall@10 vs full-dimension e1 (sf0.01)") {
     // these synthetic embeddings spread information uniformly across dims, so
     // 16/64 truncation measures the FLOOR of the truncation dial (MRL-trained
