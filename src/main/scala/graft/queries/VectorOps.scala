@@ -471,7 +471,7 @@ object VectorOps extends QueryPack {
         .select(col("qid"), col("nid"), col("sim"), col("rn"))
     },
     None,
-    doc = "IVF prune + PQ ADC shortlist + exact top-100 rerank — the composed serving stack (similarity #11).")
+    doc = "IVF prune + PQ ADC shortlist + exact top-150 rerank — the composed serving stack (similarity #11).")
 
   // ---- E9: truncated-dimension ANN (Matryoshka-style prefix search) ---------
   // Score on only the first 16 of 64 dims: 4x less arithmetic and candidate
