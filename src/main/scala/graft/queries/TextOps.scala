@@ -1030,7 +1030,66 @@ object TextOps extends QueryPack {
             |FROM red""".stripMargin),
     doc = "PII redaction: email/URL/phone scrub with audit counts, digest-exact (text #19).")
 
+  // ---- D33: blocked fuzzy matching (Pass-Join segment pigeonhole) -----------
+  // Entity resolution's core primitive: match corrupted strings to their
+  // originals within edit distance k WITHOUT the all-pairs scan. The
+  // pigeonhole scheme (Pass-Join): split each original into k+1 = 2 exact
+  // segments — a single edit damages at most one, so the OTHER matches
+  // exactly, at a position shifted by at most 1 in the corrupted string.
+  // Each corrupted string therefore probes 2 segment keys; candidates come
+  // from an EQUI-join on (segment#, text), and only candidates pay the
+  // levenshtein verify — the d4 banding design applied to edit distance.
+  // Strings are md5-derived (the planted-PII pattern: the corpus's own
+  // c_name is constant-prefixed and near-uniform, which defeats ANY
+  // realistic blocking demo; fake data, REAL kernel) and the corruption
+  // deletes one deterministic char. The DuckDB oracle brute-forces ALL
+  // pairs — hash equality PROVES the blocking lost no match.
+  private val d33 = GQuery(
+    "d33_fuzzy_match_blocked",
+    (s, dir) => {
+      val orig = t(s, dir, "customer")
+        .select(col("c_custkey").as("okey"),
+          md5(col("c_custkey").cast("string").cast("binary")).as("oname"))
+      val corr = t(s, dir, "customer")
+        .select(col("c_custkey").as("ckey"),
+          md5(col("c_custkey").cast("string").cast("binary")).as("full"),
+          (pmod(col("c_custkey"), lit(32)) + 1).cast("int").as("p"))
+        .select(col("ckey"),
+          concat(expr("substring(full, 1, p - 1)"),
+            expr("substring(full, p + 1, 32)")).as("cname"))
+      val segs = orig.select(col("okey"), col("oname"),
+          explode(array(
+            struct(lit(1).as("seg"), expr("substring(oname, 1, 16)").as("k")),
+            struct(lit(2).as("seg"), expr("substring(oname, 17, 16)").as("k")))).as("sk"))
+        .select(col("okey"), col("oname"), col("sk.seg").as("seg"), col("sk.k").as("k"))
+      val probes = corr.select(col("ckey"), col("cname"),
+          explode(array(
+            struct(lit(1).as("seg"), expr("substring(cname, 1, 16)").as("k")),
+            struct(lit(2).as("seg"), expr("substring(cname, 16, 16)").as("k")))).as("sk"))
+        .select(col("ckey"), col("cname"), col("sk.seg").as("seg"), col("sk.k").as("k"))
+      probes.join(segs, Seq("seg", "k"))
+        .select(col("ckey"), col("okey"), col("cname"), col("oname")).distinct()
+        .withColumn("dist", levenshtein(col("cname"), col("oname")))
+        .filter(col("dist") <= 1)
+        .select(col("ckey"), col("okey"), col("dist"))
+    },
+    Some("""WITH orig AS (
+           |  SELECT c_custkey AS okey, md5(CAST(c_custkey AS VARCHAR)) AS oname
+           |  FROM customer),
+           |corr AS (
+           |  SELECT c_custkey AS ckey,
+           |    substr(md5(CAST(c_custkey AS VARCHAR)), 1,
+           |           CAST(c_custkey % 32 AS INT))
+           |      || substr(md5(CAST(c_custkey AS VARCHAR)),
+           |           CAST(c_custkey % 32 AS INT) + 2) AS cname
+           |  FROM customer)
+           |SELECT c.ckey, o.okey,
+           |  CAST(levenshtein(c.cname, o.oname) AS INT) AS dist
+           |FROM corr c, orig o
+           |WHERE levenshtein(c.cname, o.oname) <= 1""".stripMargin),
+    doc = "Blocked fuzzy match: Pass-Join segment pigeonhole + levenshtein verify; oracle brute-forces all pairs, equality proves blocking lossless (text #20).")
+
   override val all: Seq[GQuery] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26,
-      d27, d28, d29, d30, d31, d32)
+      d27, d28, d29, d30, d31, d32, d33)
 }
