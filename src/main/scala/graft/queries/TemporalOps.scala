@@ -376,5 +376,61 @@ object TemporalOps extends QueryPack {
             |  AND a.s_us < b.e_us AND b.s_us < a.e_us""".stripMargin),
     doc = "Interval-overlap join: cross-type session pairs via bucketed equi-join, emit-once (temporal #7).")
 
-  override val all: Seq[GQuery] = Seq(t1, t2, t3, t4, t5, t6, t7)
+  // ---- T8: point-in-time multi-feature join ---------------------------------
+  // The feature-store read that generates training data without leakage:
+  // for every label event (purchase), attach each feature table's latest
+  // prior-or-equal state — here TWO feature streams (clicks, views) chained
+  // through the as-of operator, plus the staleness of the click feature
+  // (the quantity a feature-freshness SLO monitors). Chaining as-ofs is the
+  // point: each join is one key-partitioned sort-window pass, so F feature
+  // tables cost F passes, never a per-row lookup — and nothing after the
+  // event's own timestamp can leak in by construction.
+  private val t8 = GQuery(
+    "t8_pit_feature_join",
+    (s, dir) => {
+      val ev = micros(s, dir)
+        .filter(col("event_type").isin("purchase", "click", "view"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("us").as("click_us"), col("value").as("click_value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("us").as("view_us"), col("value").as("view_value"))
+      val withClick = asofJoin(purchases, clicks, key = "user_id",
+        leftTs = "us", rightTs = "us",
+        payload = Seq("click_us", "click_value"), tieBreak = "event_id")
+      asofJoin(withClick, views, key = "user_id",
+          leftTs = "us", rightTs = "us",
+          payload = Seq("view_us", "view_value"), tieBreak = "event_id")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("us").as("purchase_us"),
+          col("click_us"), col("click_value"),
+          col("view_us"), col("view_value"),
+          (col("us") - col("click_us")).as("click_staleness_us"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
+           |  FROM events WHERE event_type IN ('purchase', 'click', 'view')),
+           |enriched AS (
+           |  SELECT event_id, user_id, event_type, us,
+           |    last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+           |      OVER w AS click_us,
+           |    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+           |      OVER w AS click_value,
+           |    last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+           |      OVER w AS view_us,
+           |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+           |      OVER w AS view_value
+           |  FROM ev
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           |SELECT event_id AS purchase_id, user_id, us AS purchase_us,
+           |  click_us, click_value, view_us, view_value,
+           |  us - click_us AS click_staleness_us
+           |FROM enriched WHERE event_type = 'purchase'""".stripMargin),
+    doc = "Point-in-time feature join: two as-of feature streams chained onto the label spine, leak-free with staleness (temporal #8).")
+
+  override val all: Seq[GQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8)
 }

@@ -320,65 +320,72 @@ object VectorOps extends QueryPack {
   // measured recall@10 vs e1 (SimilaritySpec, floor + info line) is the
   // honest cost of 128x compression on these uniform synthetic vectors.
 
-  /** L2 Lloyd rounds on a (vec_id, v) frame via driver-collected centroid
-    * literals (the e5 pattern, L2 geometry): assign = map-only argmin of
-    * squared distance — argmax of 2*dot(v,c) - |c|^2 — recompute = per-cell
-    * mean. Returns the trained (cell, centroid) list: k * dim doubles. */
-  private def pqTrain(sub: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
-    def collectCents(df: DataFrame): Seq[(Int, Seq[Double])] =
-      df.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-    def assignL2(df: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
-      val centLit = typedLit(cents.map { case (c, v) => (c, v, v.map(x => x * x).sum) })
-      val scored = transform(centLit, c => struct(
-        (lit(2.0) * call_function("graft_dot", col("v"), c.getField("_2"))
-          - c.getField("_3")).as("s"),
-        (-c.getField("_1")).as("nc")))
-      df.withColumn("_pick", array_max(scored))
-        .select(col("vec_id"), (-col("_pick.nc")).cast("int").as("cell"), col("v"))
+  private val PqM = 4
+  private val PqSub = 16
+  private val PqK = 16
+
+  /** (vec_id, m, v): every vector exploded into its M subspace slices — the
+    * frame ALL subspaces train and assign on in one pass. */
+  private def pqSubspaces(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), explode(array((0 until PqM).map(m =>
+      struct(lit(m).as("m"),
+        expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("v"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.v").as("v"))
+
+  /** Map-only nearest-centroid assign for EVERY subspace at once: the
+    * per-subspace codebooks ride one map literal keyed by `m`; argmin of L2
+    * distance == argmax of 2*dot(v,c) - |c|^2. Output (vec_id, m, cell). */
+  private def pqAssignAll(subAll: DataFrame,
+      cents: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val byM = cents.groupBy(_._1).map { case (m, cs) =>
+      m -> cs.map { case (_, c, v) => (c, v, v.map(x => x * x).sum) }.toSeq
     }
+    val centMap = typedLit(byM)
+    val scored = transform(element_at(centMap, col("m")), c => struct(
+      (lit(2.0) * call_function("graft_dot", col("v"), c.getField("_2"))
+        - c.getField("_3")).as("s"),
+      (-c.getField("_1")).as("nc")))
+    subAll.withColumn("_pick", array_max(scored))
+      .select(col("vec_id"), col("m"),
+        (-col("_pick.nc")).cast("int").as("cell"), col("v"))
+  }
+
+  /** L2 Lloyd rounds for ALL M codebooks in one dataflow (the e5
+    * driver-collected-centroid pattern): each iteration is ONE scan of the
+    * exploded subspace frame — assign via the map literal, recompute as a
+    * per-(m, cell, dim) mean — instead of M per-subspace scans. Collected
+    * state is M*K centroids of PqSub doubles: planning-scale. Returns
+    * (m, cell, centroid) rows. */
+  private def pqTrainAll(subAll: DataFrame, k: Int, iters: Int): Seq[(Int, Int, Seq[Double])] = {
+    def collectCents(df: DataFrame): Seq[(Int, Int, Seq[Double])] =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    // deterministic init: the SAME k hash-spread vec_ids seed every subspace
     var cents = collectCents(
-      sub.orderBy(expr("xxhash64(vec_id)"), col("vec_id")).limit(k)
-        .select(col("vec_id").cast("int").as("cell"), col("v").as("cv")))
+      subAll.join(broadcast(
+          subAll.select(col("vec_id")).distinct()
+            .orderBy(expr("xxhash64(vec_id)"), col("vec_id")).limit(k)),
+          Seq("vec_id"))
+        .select(col("m"), col("vec_id").cast("int").as("cell"), col("v").as("cv")))
     (0 until iters).foreach { _ =>
-      cents = collectCents(assignL2(sub, cents)
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("c"))
-        .groupBy(col("cell"))
+      cents = collectCents(pqAssignAll(subAll, cents)
+        .select(col("m"), col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("m"), col("cell"), col("dim")).agg(avg(col("x")).as("c"))
+        .groupBy(col("m"), col("cell"))
         .agg(expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)").as("cv")))
     }
     cents
   }
-
-  /** Codes frame (nid, m, cell) for one subspace. */
-  private def pqAssign(sub: DataFrame, m: Int, cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    val centLit = typedLit(cents.map { case (c, v) => (c, v, v.map(x => x * x).sum) })
-    val scored = transform(centLit, c => struct(
-      (lit(2.0) * call_function("graft_dot", col("v"), c.getField("_2"))
-        - c.getField("_3")).as("s"),
-      (-c.getField("_1")).as("nc")))
-    sub.withColumn("_pick", array_max(scored))
-      .select(col("vec_id").as("nid"), lit(m).as("m"),
-        (-col("_pick.nc")).cast("int").as("cell"))
-  }
-
-  private val PqM = 4
-  private val PqSub = 16
-  private val PqK = 16
 
   private val e10 = GQuery(
     "e10_ann_pq_adc",
     (s, dir) => {
       import s.implicits._
       val emb = embDouble(s, dir)
-      val subs = (0 until PqM).map(m =>
-        m -> emb.select(col("vec_id"), expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("v")))
-      val books = subs.map { case (m, df) => m -> pqTrain(df, PqK, iters = 2) }
-      val codes = subs.zip(books).map { case ((m, df), (_, cents)) =>
-        pqAssign(df, m, cents)
-      }.reduce(_ union _)
-      val centDf = books.flatMap { case (m, cents) =>
-        cents.map { case (c, v) => (m, c, v) }
-      }.toDF("m", "cell", "cv")
+      val subAll = pqSubspaces(emb)
+      val books = pqTrainAll(subAll, PqK, iters = 2)
+      val codes = pqAssignAll(subAll, books)
+        .select(col("vec_id").as("nid"), col("m"), col("cell"))
+      val centDf = books.toDF("m", "cell", "cv")
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       // ADC tables: per (qid, m, cell) partial dot + centroid norm piece
@@ -437,16 +444,13 @@ object VectorOps extends QueryPack {
         .join(cells.select(col("vec_id").as("nid"), col("label")), Seq("label"))
         .filter(col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"))
-      // PQ: codebooks + 4-byte codes over the corpus, ADC tables per query
-      val subs = (0 until PqM).map(m =>
-        m -> emb.select(col("vec_id"), expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("v")))
-      val books = subs.map { case (m, df) => m -> pqTrain(df, PqK, iters = 2) }
-      val codes = subs.zip(books).map { case ((m, df), (_, cents)) =>
-        pqAssign(df, m, cents)
-      }.reduce(_ union _)
-      val centDf = books.flatMap { case (m, cents) =>
-        cents.map { case (c, v) => (m, c, v) }
-      }.toDF("m", "cell", "cv")
+      // PQ: codebooks + 4-byte codes over the corpus (one exploded-subspace
+      // pass trains all M codebooks), ADC tables per query
+      val subAll = pqSubspaces(emb)
+      val books = pqTrainAll(subAll, PqK, iters = 2)
+      val codes = pqAssignAll(subAll, books)
+        .select(col("vec_id").as("nid"), col("m"), col("cell"))
+      val centDf = books.toDF("m", "cell", "cv")
       val cdots = q.crossJoin(broadcast(centDf))
         .select(col("qid"), col("m"), col("cell"),
           call_function("graft_dot",
