@@ -127,5 +127,80 @@ object GraphOps extends QueryPack {
             |SELECT node AS k, r AS rank_fp FROM r3""".stripMargin),
     doc = "PageRank (damping 0.85, 3 iterations) over per-user item transitions, fixed-point exact (graph #1).")
 
-  override val all: Seq[GQuery] = Seq(g1)
+  /** Per-node triangle participation counts over an undirected edge list
+    * (`a` < `b`, deduplicated, no self-loops).
+    *
+    * Degree-based orientation — each edge points from its (degree, id)-lower
+    * endpoint to the higher — bounds every vertex's ORIENTED out-degree by
+    * O(sqrt(m)) regardless of hubs (the arboricity argument), so the wedge
+    * join fans out at most sum(outdeg^2) = O(m^1.5) candidates. Orienting by
+    * id alone would let one low-id hub generate a quadratic wedge set; this
+    * is the difference between a plan that survives a social-graph corpus
+    * and one that dies on its first celebrity vertex. Each triangle is
+    * counted exactly once, at its orientation apex; all joins are plain
+    * equi-joins (wedge build on the apex, closure probe on the third edge).
+    */
+  def triangleCounts(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("v"))
+    val e1 = oriented.select(col("u"), col("v").as("x"))
+    val e2 = oriented.select(col("u"), col("v").as("y"))
+    val wedges = e1.join(e2, Seq("u")).filter(col("x") < col("y"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y"))
+        .union(oriented.select(col("v").as("x"), col("u").as("y"))),
+      Seq("x", "y"))
+    tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  // ---- G2: triangle counting over the event-transition graph ----------------
+  // Same vertex/edge universe as g1, undirected. The oracle enumerates
+  // triangles the OTHER way (sorted-triple three-way join, x < y < z) — two
+  // different algorithms agreeing on every per-node count is the gate.
+  private val g2 = GQuery(
+    "g2_triangle_count",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val und = ev
+        .withColumn("nk", lead(col("k"), 1).over(w))
+        .filter(col("nk").isNotNull && col("nk") =!= col("k"))
+        .select(least(col("k"), col("nk")).cast("long").as("a"),
+          greatest(col("k"), col("nk")).cast("long").as("b"))
+        .distinct()
+      triangleCounts(und)
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, ts, event_id,
+           |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+           |  FROM events),
+           |seq AS (
+           |  SELECT k, lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
+           |  FROM ev),
+           |und AS (
+           |  SELECT DISTINCT CAST(least(k, nk) AS BIGINT) AS a,
+           |                  CAST(greatest(k, nk) AS BIGINT) AS b
+           |  FROM seq WHERE nk IS NOT NULL AND nk <> k),
+           |tri AS (
+           |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |  FROM und e1
+           |  JOIN und e2 ON e2.a = e1.b
+           |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+           |SELECT node, count(*) AS n_triangles
+           |FROM (SELECT unnest([x, y, z]) AS node FROM tri) u
+           |GROUP BY node""".stripMargin),
+    doc = "Per-node triangle counts: degree-oriented wedge join vs the oracle's sorted-triple join (graph #2).")
+
+  override val all: Seq[GQuery] = Seq(g1, g2)
 }

@@ -61,6 +61,19 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("triangleCounts: K4 + star + bridge counted exactly, star contributes none") {
+    val sp = spark
+    import sp.implicits._
+    // K4 on {0,1,2,3}: C(4,3) = 4 triangles, each node in exactly 3.
+    // Star hub 10 -> {11..15}: no triangles. Bridge 3-10 closes nothing.
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val star = (11L to 15L).map(s => (10L, s))
+    val und = (k4 ++ star :+ ((3L, 10L))).toDF("a", "b")
+    val got = GraphOps.triangleCounts(und)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"got $got")
+  }
+
   test("pageRank concentrates rank on a sink hub (directional sanity)") {
     val sp = spark
     import sp.implicits._
