@@ -15,13 +15,22 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects; read nanos as long and rebuild a (micros) timestamp — every
-    // consumer here works at >= second granularity so truncation is lossless.
+    // events.parquet's physical ts encoding varies by corpus generation:
+    // TIMESTAMP(NANOS) (unsupported by Spark's reader — read nanos as long,
+    // rebuild micros) or TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    // TIMESTAMP_NTZ). Normalize both to a session-UTC TIMESTAMP so every
+    // consumer (unix_micros included) sees one type; sessions here run in
+    // UTC, so the NTZ wall-clock reinterprets losslessly.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
     else df
   }
 
