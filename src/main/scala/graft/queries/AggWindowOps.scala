@@ -676,6 +676,33 @@ object AggWindowOps extends QueryPack {
            |FROM events e LEFT JOIN prof p USING (user_id)""".stripMargin),
     doc = "Stream-static feature-table enrichment, batch twin oracle-checked (§2.9).")
 
+  // ---- ST3: sliding-window aggregate (batch twin of the streaming path) -----
+  // Hopping 10-min/5-min windows: every event belongs to exactly TWO
+  // windows, which Spark produces with one Expand feeding the usual
+  // partial+final aggregate — the fan-out is the window count (2), never
+  // the data size. The oracle states the same two windows arithmetically:
+  // floor(ts/300)*300 and that minus 300. Sums accumulate in DECIMAL so
+  // the doubled rows still compare bit-exactly. The same transform
+  // (EventStream.slidingCounts) runs watermarked on a stream, where the
+  // per-(window,type) aggregate state is evicted as the watermark passes
+  // each window's end (EventStreamSpec proves stream == batch).
+  private val st3 = GQuery(
+    "st3_sliding_window_agg",
+    (s, dir) =>
+      graft.streaming.EventStream.slidingCounts(t(s, dir, "events"))
+        .select(unix_timestamp(col("win_start")).as("win_start"),
+          col("event_type"), col("n"), round(col("total"), 4).as("total")),
+    Some("""WITH hop AS (
+           |  SELECT unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+           |                 CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)])
+           |           AS win_start,
+           |         event_type, value
+           |  FROM events)
+           |SELECT win_start, event_type, count(*) AS n,
+           |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
+           |FROM hop GROUP BY 1, 2""".stripMargin),
+    doc = "Sliding 10m/5m window aggregate: Expand fan-out of 2, decimal-exact sums; streaming twin watermark-evicted (§2.9).")
+
   // ---- A12: typed top-k Aggregator (§2.10 UDAF surface) ---------------------
   // Per-flag top-3 line items by price through graft.functions.TopKAggregator:
   // the buffer holds k entries, partials reduce map-side, merge combines two
@@ -1067,5 +1094,5 @@ object AggWindowOps extends QueryPack {
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16,
       w1, w2, w3, w4, w5, w6, w7, o1, o4, u1, u2, u3, u4, u5, u6, u7,
-      f1, f2, f3, f4, f5, f6, f7, f9, f10, st1, st2)
+      f1, f2, f3, f4, f5, f6, f7, f9, f10, st1, st2, st3)
 }

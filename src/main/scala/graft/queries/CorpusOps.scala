@@ -477,5 +477,47 @@ object CorpusOps extends QueryPack {
             |GROUP BY test.doc_id""".stripMargin),
     doc = "Decontamination: test docs sharing capped 3-gram shingles with train docs.")
 
-  override val all: Seq[GQuery] = Seq(d12, d13, d14, d15, d16, d17, d18, d19)
+  // ---- D35: LM-perplexity quality gate --------------------------------------
+  // The KenLM-style fluency filter: score every document under the corpus
+  // bigram LM (d17's pipeline, reused verbatim), normalize to per-bigram
+  // average log-probability, and keep documents at or above the corpus
+  // mean — "reads like the corpus" as a filter. The mean is an exact
+  // DECIMAL sum / count (order-insensitive), attached as a 1-row broadcast
+  // (the sanctioned a5/d21 scalar pattern); the per-doc average is ONE
+  // IEEE division of two exact values, so the filter boundary is
+  // bit-identical across engines.
+  private val d35 = GQuery(
+    "d35_perplexity_gate",
+    (s, dir) => {
+      val scored = bigramLogProb(t(s, dir, "documents"))
+        .withColumn("avg_lp", col("logprob_sum") / col("n_bigrams"))
+      val thr = scored.agg(
+        (sum(col("avg_lp").cast("decimal(28,12)")).cast("double") / count(lit(1)))
+          .as("m"))
+      scored.crossJoin(broadcast(thr))
+        .filter(col("avg_lp") >= col("m"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_lp"), 6).as("avg_lp"))
+    },
+    Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |bgl AS (SELECT doc_id,
+           |  CASE WHEN len(w) >= 2 THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+           |       ELSE []::VARCHAR[] END AS l
+           |  FROM docs),
+           |bgw AS (SELECT doc_id, unnest(l) AS bg FROM bgl),
+           |bgp AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bgw),
+           |cbg AS (SELECT bg, count(*) AS c_bg FROM bgp GROUP BY bg),
+           |cpre AS (SELECT w1, count(*) AS c_pre FROM bgp GROUP BY w1),
+           |lp AS (SELECT doc_id, count(*) AS n_bigrams,
+           |  CAST(sum(CAST(ln(c_bg) - ln(c_pre) AS DECIMAL(28,12))) AS DOUBLE) AS lsum
+           |  FROM bgp JOIN cbg USING (bg) JOIN cpre USING (w1)
+           |  GROUP BY doc_id),
+           |sc AS (SELECT doc_id, n_bigrams, lsum / n_bigrams AS avg_lp FROM lp),
+           |thr AS (SELECT CAST(sum(CAST(avg_lp AS DECIMAL(28,12))) AS DOUBLE)
+           |               / count(*) AS m FROM sc)
+           |SELECT doc_id, n_bigrams, round(avg_lp, 6) AS avg_lp
+           |FROM sc, thr WHERE avg_lp >= m""".stripMargin),
+    doc = "Perplexity quality gate: per-doc avg bigram log-prob vs the corpus mean (quality filter #2).")
+
+  override val all: Seq[GQuery] = Seq(d12, d13, d14, d15, d16, d17, d18, d19, d35)
 }

@@ -204,5 +204,64 @@ object IncrementalOps extends QueryPack {
       |    PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS valid_to_sec
       |FROM chg""".stripMargin
 
-  override val all: Seq[GQuery] = Seq(i1, i2, i3, i4, i5, i6)
+  // ---- I7: snapshot diff (table change detection between two versions) -----
+  // The lakehouse "what changed between runs" audit: two keyed snapshots of
+  // the same state (per-user latest event, as of two cutoffs) FULL OUTER
+  // joined on the key, each row classified added / removed / changed /
+  // unchanged by comparing the value columns. One wide join keyed on the
+  // entity — no sort, no window — and the comparison is column equality,
+  // so the diff is exact. At scale both snapshot builds are the i1 upsert
+  // aggregate (max_by per key); the join is the only extra exchange, and
+  // partitions co-locate if the snapshots share a bucketing.
+  private val i7 = GQuery(
+    "i7_snapshot_diff",
+    (s, dir) => {
+      // total-order orderer both engines accept: zero-padded (ts_us, event_id)
+      // string — lexicographic equals numeric, and event_id breaks ts ties
+      val ord = "concat(lpad(cast(unix_micros(ts) as string), 20, '0'), " +
+        "lpad(cast(event_id as string), 12, '0'))"
+      def snap(cut: String) = ev(s, dir).filter(col("ts") < lit(cut).cast("timestamp"))
+        .groupBy(col("user_id"))
+        .agg(expr(s"max_by(event_type, $ord)").as("etype"),
+          expr(s"max_by(value, $ord)").as("val"),
+          sec(max(col("ts"))).as("ts_sec"))
+      val a = snap("2024-01-15").select(col("user_id"),
+        col("etype").as("a_etype"), col("val").as("a_val"), col("ts_sec").as("a_ts"))
+      val b = snap("2024-01-30").select(col("user_id"),
+        col("etype").as("b_etype"), col("val").as("b_val"), col("ts_sec").as("b_ts"))
+      a.join(b, Seq("user_id"), "full_outer")
+        .withColumn("change_type",
+          when(col("a_ts").isNull, "added")
+            .when(col("b_ts").isNull, "removed")
+            .when(col("a_etype") === col("b_etype") && col("a_val") === col("b_val")
+              && col("a_ts") === col("b_ts"), "unchanged")
+            .otherwise("changed"))
+        .select(col("user_id"), col("change_type"),
+          col("a_etype"), col("b_etype"), col("a_ts"), col("b_ts"))
+    },
+    Some("""WITH snap_a AS (
+           |  SELECT user_id, arg_max(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           |      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS a_etype,
+           |    arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           |      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS a_val,
+           |    CAST(floor(epoch(max(ts))) AS BIGINT) AS a_ts
+           |  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id),
+           |snap_b AS (
+           |  SELECT user_id, arg_max(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           |      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS b_etype,
+           |    arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           |      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS b_val,
+           |    CAST(floor(epoch(max(ts))) AS BIGINT) AS b_ts
+           |  FROM events WHERE ts < TIMESTAMP '2024-01-30' GROUP BY user_id)
+           |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           |  CASE WHEN a.a_ts IS NULL THEN 'added'
+           |       WHEN b.b_ts IS NULL THEN 'removed'
+           |       WHEN a.a_etype = b.b_etype AND a.a_val = b.b_val
+           |            AND a.a_ts = b.b_ts THEN 'unchanged'
+           |       ELSE 'changed' END AS change_type,
+           |  a.a_etype, b.b_etype, a.a_ts, b.b_ts
+           |FROM snap_a a FULL OUTER JOIN snap_b b ON a.user_id = b.user_id""".stripMargin),
+    doc = "Snapshot diff: two keyed versions full-outer joined, rows classified added/removed/changed (incremental #7).")
+
+  override val all: Seq[GQuery] = Seq(i1, i2, i3, i4, i5, i6, i7)
 }

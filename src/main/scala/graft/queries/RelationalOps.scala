@@ -1122,6 +1122,277 @@ object RelationalOps extends QueryPack {
            |       AND l_quantity BETWEEN 25 AND 40)""".stripMargin),
     doc = "TPC-H Q19 shape: OR-of-ANDs cross-side predicate on a hash join, decimal revenue (Q19).")
 
+  // ---- Q6: TPC-H-Q6-shaped forecasting revenue change -----------------------
+  // The purest scan-shape in the family: one fact table, three range
+  // predicates — ALL of which push to the parquet reader (asserted in
+  // PlanShapeSpec) — and a single global sum. At 100 TB this query is
+  // entirely I/O-bound on the pruned scan: the map-side partial aggregate
+  // reduces each partition to one accumulator row, so the single shuffle
+  // carries one row per task. Revenue accumulates in DECIMAL.
+  private val q6 = GQuery(
+    "q6_forecast_revenue",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(28,6)")).cast("double"), 4).as("revenue"),
+        count(lit(1)).as("n_lines")),
+    Some("""SELECT
+           |  round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
+           |             AS DOUBLE), 4) AS revenue,
+           |  count(*) AS n_lines
+           |FROM lineitem
+           |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+           |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+    doc = "TPC-H Q6 shape: fully-pushed range predicates, one global decimal sum (Q6).")
+
+  // ---- Q7: TPC-H-Q7-shaped volume shipping ----------------------------------
+  // Bilateral trade between two nations: the SAME dimension (nation) joins
+  // the fact spine TWICE under different roles (supplier side and customer
+  // side), and the pair predicate mixes both roles, so it can only apply
+  // after both attaches. Both nation attaches are explicit broadcasts —
+  // 25 rows each — so the fact never shuffles for them; the only shuffles
+  // are the orders/customer equi-joins and the final 3-key aggregate.
+  private val q7 = GQuery(
+    "q7_volume_shipping",
+    (s, dir) => {
+      val n1 = t(s, dir, "nation").select(
+        col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(
+        col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      val pairOk =
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1998-01-01")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter(pairOk)
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate").cast("date")).as("l_year"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")).cast("double"), 4).as("revenue"))
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           |  year(CAST(l_shipdate AS DATE)) AS l_year,
+           |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+           |             AS DOUBLE), 4) AS revenue
+           |FROM lineitem
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+           |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+           |GROUP BY 1, 2, 3""".stripMargin),
+    doc = "TPC-H Q7 shape: one dim joined twice under two roles, cross-role pair filter (Q7).")
+
+  // ---- Q8: TPC-H-Q8-shaped national market share -----------------------------
+  // A conditional share: one nation's slice of regional volume per year.
+  // The numerator is a CASE inside the same aggregate as the denominator —
+  // ONE pass, no self-join — and the single double division happens on two
+  // exact DECIMAL totals per year. Region restricts the CUSTOMER side
+  // (via its nation) while the CASE tests the SUPPLIER side's nation:
+  // the two roles ride separate broadcast attaches, as in q7.
+  private val q8 = GQuery(
+    "q8_market_share",
+    (s, dir) => {
+      val n1 = t(s, dir, "nation").select(
+        col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val custNationsInRegion = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("n2_key"))
+      val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,6)")
+      val zero = lit(0).cast("decimal(28,6)")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNationsInRegion), col("c_nationkey") === col("n2_key"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .groupBy(year(col("o_orderdate").cast("date")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(zero)).as("dn"),
+          sum(vol).as("dt"))
+        .select(col("o_year"),
+          round(col("dn").cast("double") / col("dt").cast("double"), 6)
+            .as("mkt_share"),
+          round(col("dt").cast("double"), 4).as("total_volume"))
+    },
+    Some("""SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+           |  round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+           |          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+           |          ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+           |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+           |           AS DOUBLE), 6) AS mkt_share,
+           |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+           |             AS DOUBLE), 4) AS total_volume
+           |FROM lineitem
+           |JOIN part ON l_partkey = p_partkey
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           |JOIN region ON n2.n_regionkey = r_regionkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+           |GROUP BY 1""".stripMargin),
+    doc = "TPC-H Q8 shape: conditional share in one aggregate pass, role-split nation dims (Q8).")
+
+  // ---- Q10: TPC-H-Q10-shaped returned-item ranking ---------------------------
+  // Who returned the most revenue in a quarter: fact filtered on returnflag,
+  // joined up the order->customer spine, aggregated per customer, top-20.
+  // The ranking is ORDER BY + LIMIT — TakeOrdered, never a global sort —
+  // with c_custkey as the deterministic tie-break. At scale the only wide
+  // exchanges are the orders join and the per-customer aggregate; nation is
+  // a 25-row broadcast.
+  private val q10 = GQuery(
+    "q10_returned_items",
+    (s, dir) => {
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= "1996-10-01" && col("o_orderdate") < "1997-01-01")
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"), col("c_mktsegment"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")).cast("double"), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+           |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+           |             AS DOUBLE), 4) AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |WHERE l_returnflag = 'R'
+           |  AND o_orderdate >= '1996-10-01' AND o_orderdate < '1997-01-01'
+           |GROUP BY 1, 2, 3, 4, 5
+           |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+    doc = "TPC-H Q10 shape: filtered fact rollup per customer, TakeOrdered top-20 (Q10).")
+
+  // ---- Q11: TPC-H-Q11-shaped important-stock scan ----------------------------
+  // Per-part value held by one nation's suppliers, kept only above a
+  // fraction of the nation's TOTAL value — a grouped aggregate filtered
+  // against an uncorrelated scalar aggregate over the SAME filtered join.
+  // The scalar side reduces to one row and broadcasts into the HAVING
+  // filter; nothing re-executes per group. Both sums are DECIMAL so the
+  // threshold comparison is exact. (No partsupp in the corpus: "value" is
+  // shipped extendedprice*quantity of the nation's suppliers.)
+  private val q11 = GQuery(
+    "q11_important_stock",
+    (s, dir) => Tables.sqlOn(s,
+      "lineitem" -> t(s, dir, "lineitem"), "supplier" -> t(s, dir, "supplier"),
+      "nation" -> t(s, dir, "nation")) { v =>
+      s"""SELECT l_partkey AS ps_partkey,
+         |  round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4)))
+         |             AS DOUBLE), 4) AS part_value
+         |FROM ${v("lineitem")}
+         |JOIN ${v("supplier")} ON l_suppkey = s_suppkey
+         |JOIN ${v("nation")} ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_3'
+         |GROUP BY l_partkey
+         |HAVING sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) >
+         |  (SELECT sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) * 0.001
+         |   FROM ${v("lineitem")}
+         |   JOIN ${v("supplier")} ON l_suppkey = s_suppkey
+         |   JOIN ${v("nation")} ON s_nationkey = n_nationkey
+         |   WHERE n_name = 'NATION_3')""".stripMargin
+    },
+    Some("""SELECT l_partkey AS ps_partkey,
+           |  round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4)))
+           |             AS DOUBLE), 4) AS part_value
+           |FROM lineitem
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |WHERE n_name = 'NATION_3'
+           |GROUP BY l_partkey
+           |HAVING sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) >
+           |  (SELECT sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) * 0.001
+           |   FROM lineitem
+           |   JOIN supplier ON l_suppkey = s_suppkey
+           |   JOIN nation ON s_nationkey = n_nationkey
+           |   WHERE n_name = 'NATION_3')""".stripMargin),
+    doc = "TPC-H Q11 shape: grouped aggregate gated by an uncorrelated scalar total (Q11).")
+
+  // ---- Q13: TPC-H-Q13-shaped customer order-count distribution ---------------
+  // A histogram of customers by how many qualifying orders they placed —
+  // LEFT OUTER join with the qualifier INSIDE the ON clause (so customers
+  // with zero qualifying orders survive with count 0), then TWO stacked
+  // aggregates: per-customer count, then count-of-counts. The second
+  // aggregate's input is one row per customer, so its shuffle is tiny;
+  // the first is the only wide exchange. (No o_comment in the corpus; the
+  // qualifier excludes URGENT orders instead.)
+  private val q13 = GQuery(
+    "q13_customer_distribution",
+    (s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    Some("""SELECT c_count, count(*) AS custdist
+           |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+           |      FROM customer
+           |      LEFT OUTER JOIN orders
+           |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           |      GROUP BY c_custkey) c_orders
+           |GROUP BY c_count""".stripMargin),
+    doc = "TPC-H Q13 shape: ON-clause-filtered left join under stacked aggregates (Q13).")
+
+  // ---- Q15: TPC-H-Q15-shaped top supplier ------------------------------------
+  // The argmax-over-an-aggregate shape: a quarter's revenue per supplier,
+  // then the supplier(s) whose revenue EQUALS the maximum. The max is a
+  // 1-row aggregate of the revenue view cross-attached by broadcast — the
+  // sanctioned j6 pattern — and the equality compares DECIMAL totals, so
+  // ties are exact, not epsilon. Spark evaluates the revenue subtree twice
+  // (once per branch); both are the same pruned scan + one aggregate, and
+  // neither is a global sort.
+  private val q15 = GQuery(
+    "q15_top_supplier",
+    (s, dir) => {
+      def revenue = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")).as("d_rev"))
+      val best = revenue.agg(max(col("d_rev")).as("d_max"))
+      revenue
+        .join(broadcast(best), col("d_rev") === col("d_max"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("d_rev").cast("double"), 4).as("total_revenue"))
+    },
+    Some("""WITH revenue AS (
+           |  SELECT l_suppkey,
+           |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS d_rev
+           |  FROM lineitem
+           |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+           |  GROUP BY l_suppkey)
+           |SELECT s_suppkey, s_name,
+           |  round(CAST(d_rev AS DOUBLE), 4) AS total_revenue
+           |FROM revenue
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE d_rev = (SELECT max(d_rev) FROM revenue)""".stripMargin),
+    doc = "TPC-H Q15 shape: per-supplier revenue view, exact-decimal argmax selection (Q15).")
+
   /** Exposed for plan-shape tests. */
   private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame =
     x2.run(s, dir)
@@ -1129,6 +1400,6 @@ object RelationalOps extends QueryPack {
   override val all: Seq[GQuery] =
     Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11,
       j1, j2, j3, j4, j5, j6, j7, j8, j9,
-      x1, x2, x3, x4, q1, q2, q3, q4, q5, q9, q12, q14, q16, q17, q18,
-      q19, q20, q21, q22)
+      x1, x2, x3, x4, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
+      q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }

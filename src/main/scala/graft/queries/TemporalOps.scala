@@ -432,5 +432,51 @@ object TemporalOps extends QueryPack {
            |FROM enriched WHERE event_type = 'purchase'""".stripMargin),
     doc = "Point-in-time feature join: two as-of feature streams chained onto the label spine, leak-free with staleness (temporal #8).")
 
-  override val all: Seq[GQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8)
+  // ---- T9: gap-fill / resample with last-observation-carried-forward --------
+  // The feature-store resample shape: a fixed hourly grid per entity, the
+  // sparse observations attached, and gaps filled with the most recent
+  // observed value (LOCF). The grid is entities × horizon — its size is
+  // independent of event count, and the explode is map-side (no shuffle to
+  // build it). LOCF is a running `last(ignoreNulls)` over a PER-ENTITY
+  // window ordered by the grid hour: state is one value per partition, and
+  // the partition is horizon-bounded (168 rows here) no matter how large
+  // the corpus grows. Hours before an entity's first observation stay null
+  // on both engines. The observed value is max() per hour — selection, not
+  // arithmetic — so fills compare bit-exactly.
+  private val t9 = GQuery(
+    "t9_gap_fill_locf",
+    (s, dir) => {
+      val ev = t(s, dir, "events").filter(col("ts") < "2024-01-08")
+      val hourSec = ((unix_timestamp(col("ts")) / 3600).cast("long") * 3600)
+      val obs = ev.groupBy(col("user_id"), hourSec.as("hour_sec"))
+        .agg(max(col("value")).as("v_obs"))
+      val grid = ev.select(col("user_id")).distinct()
+        .select(col("user_id"), explode(sequence(lit(0L), lit(167L))).as("h"))
+        .select(col("user_id"), (lit(1704067200L) + col("h") * 3600L).as("hour_sec"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour_sec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "hour_sec"), "left")
+        .withColumn("v_fill", last(col("v_obs"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("hour_sec"), col("v_fill"),
+          col("v_obs").isNotNull.cast("int").as("is_observed"))
+    },
+    Some("""WITH ev AS (SELECT * FROM events WHERE ts < '2024-01-08'),
+           |grid AS (
+           |  SELECT user_id, 1704067200 + 3600 * g.x AS hour_sec
+           |  FROM (SELECT DISTINCT user_id FROM ev)
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 167)) AS x) g),
+           |obs AS (
+           |  SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_sec,
+           |    max(value) AS v_obs
+           |  FROM ev GROUP BY 1, 2)
+           |SELECT g.user_id, g.hour_sec,
+           |  last_value(o.v_obs IGNORE NULLS) OVER (
+           |    PARTITION BY g.user_id ORDER BY g.hour_sec
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+           |  CAST(o.v_obs IS NOT NULL AS INT) AS is_observed
+           |FROM grid g LEFT JOIN obs o
+           |  ON g.user_id = o.user_id AND g.hour_sec = o.hour_sec""".stripMargin),
+    doc = "Hourly resample + LOCF gap-fill per entity: fixed grid, per-key bounded window (temporal #9).")
+
+  override val all: Seq[GQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9)
 }

@@ -1089,7 +1089,39 @@ object TextOps extends QueryPack {
            |WHERE levenshtein(c.cname, o.oname) <= 1""".stripMargin),
     doc = "Blocked fuzzy match: Pass-Join segment pigeonhole + levenshtein verify; oracle brute-forces all pairs, equality proves blocking lossless (text #20).")
 
+  // ---- D34: BPE merge statistics (adjacent-pair frequency counting) ---------
+  // The distributed kernel inside byte-pair-encoding tokenizer training:
+  // count every adjacent symbol pair across the corpus and surface the
+  // top candidates for the next merge. Pair extraction is a map-side
+  // explode (per word: len-1 pairs via transform over an index sequence —
+  // no shuffle until the count), the count is one hash aggregate with
+  // map-side partials, and the top-50 is TakeOrdered with a deterministic
+  // (count desc, pair) total order. A full BPE trainer loops this kernel,
+  // collecting ONE winning pair per round to the driver (bounded, the e5
+  // centroid discipline) and re-tokenizing map-side.
+  private val d34 = GQuery(
+    "d34_bpe_pair_stats",
+    (s, dir) => {
+      val w = col("w")
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(w) >= 2)
+        .select(explode(transform(sequence(lit(1), length(w) - 1),
+          i => w.substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(50)
+    },
+    Some("""WITH words AS (
+           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+           |pairs AS (
+           |  SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair
+           |  FROM words WHERE len(w) >= 2)
+           |SELECT pair, count(*) AS cnt FROM pairs
+           |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin),
+    doc = "BPE training kernel: corpus-wide adjacent-pair counts, top-50 merge candidates (tokenizer #1).")
+
   override val all: Seq[GQuery] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26,
-      d27, d28, d29, d30, d31, d32, d33)
+      d27, d28, d29, d30, d31, d32, d33, d34)
 }

@@ -718,5 +718,55 @@ object VectorOps extends QueryPack {
            |WHERE rn <= 10""".stripMargin),
     doc = "Int8 scalar-quantized cosine top-10: 4x memory cut, integer-exact compare (ANN #7).")
 
-  override val all: Seq[GQuery] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, d9)
+  // ---- E12: attribute-filtered similarity search ---------------------------
+  // The "filtered vector search" serving shape: top-k neighbors AMONG
+  // candidates matching a metadata predicate (here: a label class). The
+  // filter applies BEFORE scoring — a pre-filter, pushed into the candidate
+  // scan — so the distance kernel touches only qualifying vectors. The
+  // post-filter alternative (score everything, filter, hope k survive) both
+  // over-scans and under-returns when the predicate is selective; at
+  // corpus scale, pre-filtering composes with the IVF route (probe cells,
+  // then filter within) while keeping exactness here as the oracle-checked
+  // baseline.
+  private val e12 = GQuery(
+    "e12_ann_filtered",
+    (s, dir) => {
+      val emb = embDouble(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      // metadata pre-filter on the candidate side only — pushed to the scan
+      val c = emb.filter(col("label") % 2 === 0)
+        .select(col("vec_id").as("nid"), col("v").as("nv"))
+      val sims = c.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("sim", round(cosine("qv", "nv"), 6))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("qid"), col("nid"), col("sim"), col("rn"))
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+           |         generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings),
+           |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+           |q AS (SELECT * FROM e WHERE vec_id < 10),
+           |c AS (SELECT * FROM e WHERE label % 2 = 0),
+           |dots AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS nid, sum(q.x * c.x) AS dp
+           |  FROM q JOIN c ON q.i = c.i AND q.vec_id != c.vec_id
+           |  GROUP BY 1, 2),
+           |sims AS (
+           |  SELECT qid, nid, round(dp / (nq.nrm * nc.nrm), 6) AS sim
+           |  FROM dots
+           |  JOIN norms nq ON qid = nq.vec_id
+           |  JOIN norms nc ON nid = nc.vec_id)
+           |SELECT qid, nid, sim, rn FROM (
+           |  SELECT qid, nid, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+           |  FROM sims) sub
+           |WHERE rn <= 10""".stripMargin),
+    doc = "Filtered vector search: metadata pre-filter, then exact cosine top-10 (serving shape).")
+
+  override val all: Seq[GQuery] =
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, d9)
 }

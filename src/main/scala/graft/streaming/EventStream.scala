@@ -36,6 +36,21 @@ object EventStream {
         col("n"), col("total"))
   }
 
+  /** Sliding (hopping) windows: 10-minute windows every 5 minutes, so each
+    * event lands in exactly two windows. Spark plans this as one Expand
+    * (each row emitted once per containing window) feeding the SAME
+    * partial+final aggregate as the tumbling case — state per (window,
+    * type) key, watermark-evicted when streaming. Shared batch/stream
+    * transform, same discipline as [[windowedCounts]]. */
+  def slidingCounts(events: DataFrame, watermark: Boolean = false): DataFrame = {
+    val in = if (watermark) events.withWatermark("ts", "10 minutes") else events
+    in.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+  }
+
   /** File-source streaming ingest of an events directory (parquet drops),
     * mirroring the reference's manual-file-drop refresh as a live stream. */
   def fromFileSource(spark: SparkSession, dir: String): DataFrame =

@@ -89,7 +89,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "d30_bm25_scoring",        // 1-row (n_docs, sum_len) corpus-stats attach
       "e10_ann_pq_adc",          // 10-query probe x 64-row codebook ADC table
       "g1_pagerank",             // 1-row n_nodes broadcast attach (init + teleport term)
-      "e11_ann_ivf_pq_rerank")   // 10-query probe x 8-cell centroid + 64-row codebook attaches
+      "e11_ann_ivf_pq_rerank",   // 10-query probe x 8-cell centroid + 64-row codebook attaches
+      "e12_ann_filtered",        // 10-query probe side broadcast over the pre-filtered candidates
+      "d35_perplexity_gate")     // 1-row corpus-mean threshold attach
     val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       spark.catalog.clearCache()
@@ -279,6 +281,78 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"extracted brand/size disjunction should reach the part scan:\n${p.take(2500)}")
     assert(p.contains("GreaterThanOrEqual(l_quantity,5.0)"),
       s"extracted quantity disjunction should reach the lineitem scan:\n${p.take(2500)}")
+  }
+
+  test("q6: all three range predicates push to the lineitem scan; agg is partial+final") {
+    val df = graft.SparkEntry.queries("q6_forecast_revenue")(spark, sfDir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"),
+      s"all Q6 predicates must reach the parquet reader: $pushed")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "global sum must split into partial + final aggregates")
+    assert(!p.contains("Join"), "Q6 is a pure scan-aggregate — no join may appear")
+  }
+
+  test("q7: both nation roles broadcast; no nested-loop fallback for the pair filter") {
+    val df = graft.SparkEntry.queries("q7_volume_shipping")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"supplier + both nation roles must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the cross-role pair predicate must stay a post-join filter:\n${p.take(1500)}")
+  }
+
+  test("q8: share computes in ONE aggregate pass — lineitem scanned exactly once") {
+    val df = graft.SparkEntry.queries("q8_market_share")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    val factScans = "Relation \\[[^\\]]*l_extendedprice".r.findAllIn(opt).size
+    assert(factScans == 1,
+      s"numerator CASE must ride the denominator's aggregate, not a self-join; lineitem scans=$factScans")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all attaches are hash joins:\n${p.take(1200)}")
+  }
+
+  test("q10: top-20 is TakeOrdered, not a global sort; nation broadcasts") {
+    val df = graft.SparkEntry.queries("q10_returned_items")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ORDER BY + LIMIT must plan as TakeOrdered:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"), "nation dim must broadcast")
+  }
+
+  test("q11: HAVING threshold is ONE uncorrelated scalar, not a per-group rescan") {
+    val df = graft.SparkEntry.queries("q11_important_stock")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the scalar subquery must survive as a single uncorrelated subquery
+    // (executed once, broadcast into the filter) — never a join keyed per group
+    assert("scalar-subquery".r.findAllIn(opt).size == 1,
+      s"exactly one scalar subquery expected:\n${opt.take(1500)}")
+    assert(!opt.contains("l_partkey = l_partkey"),
+      "threshold must not correlate on the group key")
+  }
+
+  test("q13: ON-clause filter keeps the LEFT join; two stacked aggregates") {
+    val df = graft.SparkEntry.queries("q13_customer_distribution")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftOuter"),
+      s"zero-order customers must survive — join stays LEFT OUTER:\n${opt.take(1200)}")
+    val p = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "per-customer count then count-of-counts, each partial+final")
+  }
+
+  test("q15: argmax attach is a broadcast of the 1-row max — no global sort") {
+    val df = graft.SparkEntry.queries("q15_top_supplier")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"max(d_rev) must broadcast-attach to the revenue view:\n${p.take(1200)}")
+    assert(!p.toLowerCase.contains("sortmergejoin") && !p.contains("CartesianProduct"),
+      s"no wide join for a 1-row attach:\n${p.take(1200)}")
+    assert(!p.contains("GlobalLimit") || !p.contains("Sort "),
+      "selection is by equality to the max, not a sorted limit")
   }
 
   test("x1: salted join spreads the 3 hot keys over composite keys") {

@@ -50,6 +50,36 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streaming (AvailableNow) result must equal the batch plan result")
   }
 
+  test("streaming sliding-window agg equals the batch plan on the same data (st3 twin)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val events = (0 until 60).map(i =>
+      ev(i, i / 3, i % 4, if (i % 2 == 0) "click" else "view", i * 0.5))
+    input.addData(events)
+
+    val q = EventStream.slidingCounts(
+        input.toDF().withColumn("props", lit("{}")), watermark = true)
+      .writeStream.format("memory").queryName("slide_stream")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("slide_stream")
+      .select("win_start", "event_type", "n", "total")
+    val batch = EventStream.slidingCounts(
+      events.toDF().withColumn("props", lit("{}")))
+    assert(streamed.count() > 0)
+    // every event must appear in exactly two hop windows
+    val totalN = batch.agg(sum("n")).head.getLong(0)
+    assert(totalN == events.size * 2, s"hop fan-out must be 2: $totalN")
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0,
+      "streaming (AvailableNow) sliding agg must equal the batch plan result")
+  }
+
   test("streaming CDC apply equals the batch state after every micro-batch drains") {
     // the i5 aggregation runs as a streaming aggregation in complete mode:
     // per-key max_by accumulators live in the state store and each
