@@ -703,6 +703,32 @@ object AggWindowOps extends QueryPack {
            |FROM hop GROUP BY 1, 2""".stripMargin),
     doc = "Sliding 10m/5m window aggregate: Expand fan-out of 2, decimal-exact sums; streaming twin watermark-evicted (§2.9).")
 
+  // ---- ST4: keyed first-event dedup (batch face of streaming dedup) ---------
+  // Earliest event per (user, type) — the batch fixpoint of
+  // EventStream.dedupEvents on the same key, where the streaming runtime
+  // keeps one watermark-window of seen keys and drops later arrivals. The
+  // batch statement is a per-key ranking window (bounded partitions) with
+  // the (ts, event_id) total order; selection only, so values compare
+  // bit-exactly.
+  private val st4 = GQuery(
+    "st4_keyed_first_event",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("first_ts_sec"), col("value"))
+    },
+    Some("""SELECT user_id, event_type, event_id,
+           |  CAST(floor(epoch(ts)) AS BIGINT) AS first_ts_sec, value
+           |FROM (SELECT *, row_number() OVER (
+           |        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+           |      FROM events) r
+           |WHERE rn = 1""".stripMargin),
+    doc = "Keyed first-event dedup: batch fixpoint of the watermarked streaming dedup (§2.9).")
+
   // ---- A12: typed top-k Aggregator (§2.10 UDAF surface) ---------------------
   // Per-flag top-3 line items by price through graft.functions.TopKAggregator:
   // the buffer holds k entries, partials reduce map-side, merge combines two
@@ -1094,5 +1120,5 @@ object AggWindowOps extends QueryPack {
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16,
       w1, w2, w3, w4, w5, w6, w7, o1, o4, u1, u2, u3, u4, u5, u6, u7,
-      f1, f2, f3, f4, f5, f6, f7, f9, f10, st1, st2, st3)
+      f1, f2, f3, f4, f5, f6, f7, f9, f10, st1, st2, st3, st4)
 }

@@ -767,6 +767,53 @@ object VectorOps extends QueryPack {
            |WHERE rn <= 10""".stripMargin),
     doc = "Filtered vector search: metadata pre-filter, then exact cosine top-10 (serving shape).")
 
+  // ---- E13: hard-negative mining -------------------------------------------
+  // The contrastive-training data shape: for each query, the top-k most
+  // similar vectors of a DIFFERENT class — maximally confusing negatives.
+  // Unlike e12's static pre-filter, the predicate here is cross-side
+  // (candidate label != query label), so it can only apply after the
+  // attach — but the attach is the same broadcast of the tiny probe side,
+  // and the filter runs before the (dominant) scoring kernel. At corpus
+  // scale this rides the IVF route exactly like e12: probe cells, drop
+  // same-label candidates, score survivors.
+  private val e13 = GQuery(
+    "e13_hard_negatives",
+    (s, dir) => {
+      val emb = embDouble(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+      val c = emb.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+        col("v").as("nv"))
+      val sims = c.crossJoin(broadcast(q))
+        .filter(col("nlabel") =!= col("qlabel"))
+        .withColumn("sim", round(cosine("qv", "nv"), 6))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("qid"), col("nid"), col("nlabel"), col("sim"), col("rn"))
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+           |         generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings),
+           |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+           |lab AS (SELECT DISTINCT vec_id, label FROM embeddings),
+           |q AS (SELECT * FROM e WHERE vec_id < 10),
+           |dots AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS nid, sum(q.x * c.x) AS dp
+           |  FROM q JOIN e c ON q.i = c.i AND q.label != c.label
+           |  GROUP BY 1, 2),
+           |sims AS (
+           |  SELECT qid, nid, round(dp / (nq.nrm * nc.nrm), 6) AS sim
+           |  FROM dots
+           |  JOIN norms nq ON qid = nq.vec_id
+           |  JOIN norms nc ON nid = nc.vec_id)
+           |SELECT qid, nid, nlabel, sim, rn FROM (
+           |  SELECT qid, nid, l.label AS nlabel, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+           |  FROM sims JOIN lab l ON nid = l.vec_id) sub
+           |WHERE rn <= 10""".stripMargin),
+    doc = "Hard-negative mining: top-10 most similar wrong-class vectors per query (contrastive data).")
+
   override val all: Seq[GQuery] =
-    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, d9)
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, d9)
 }
