@@ -489,8 +489,13 @@ object CorpusOps extends QueryPack {
   private val d35 = GQuery(
     "d35_perplexity_gate",
     (s, dir) => {
+      // cache the PER-DOC scores (one row per document — orders of magnitude
+      // smaller than the corpus): the threshold pass and the filter pass
+      // both read it, and without the cache each would re-run the whole
+      // bigram pipeline
       val scored = bigramLogProb(t(s, dir, "documents"))
         .withColumn("avg_lp", col("logprob_sum") / col("n_bigrams"))
+        .cache()
       val thr = scored.agg(
         (sum(col("avg_lp").cast("decimal(28,12)")).cast("double") / count(lit(1)))
           .as("m"))
