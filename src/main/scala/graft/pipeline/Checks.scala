@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The dbt schema-test surface (`unique`, `not_null`, `accepted_values`,
+  * `relationships`) as composable DataFrame checks. The reference ships dbt,
+  * whose test framework compiles each declared test to a violation-counting
+  * query; the reference's own tree declares none (`tests/` is empty), but a
+  * user of dbt runs these four generics against any model — so the engine
+  * carries them as first-class operators.
+  *
+  * Each check returns the VIOLATION rows (debuggable), and [[summarize]]
+  * folds any set of checks into one (check, target, n_violations) frame —
+  * the `dbt test` result table. Scale posture: every check is a single
+  * aggregate or anti-join pass over the audited table — no windows, no
+  * self-joins; the summary union is metadata-sized (one row per check).
+  */
+object Checks {
+
+  /** Keys appearing more than once: groupBy + HAVING, one hash aggregate. */
+  def unique(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+
+  /** Rows where any of `cols` is null (with a reason column per violation). */
+  def notNull(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val anyNull = cols.map(col(_).isNull).reduce(_ || _)
+    val reasons = array(cols.map(c => when(col(c).isNull, lit(c))): _*)
+    df.filter(anyNull)
+      .withColumn("null_columns", array_compact(reasons))
+  }
+
+  /** Rows whose `column` value is outside the accepted set. */
+  def acceptedValues(df: DataFrame, column: String, allowed: Seq[String]): DataFrame =
+    df.filter(!col(column).isin(allowed: _*) || col(column).isNull)
+
+  /** Child rows whose `fk` has no match in `parent.pk` (referential
+    * integrity): a LEFT ANTI join on the key — null fks are not orphans,
+    * matching dbt's `relationships` semantics. */
+  def relationships(child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.filter(col(fk).isNotNull)
+      .join(parent.select(col(pk).as(fk)), Seq(fk), "left_anti")
+
+  /** Fold named checks into the `dbt test` result table: one row per check
+    * with its violation count. Each count is an independent 1-row aggregate;
+    * the union is check-count-sized. */
+  def summarize(checks: (String, String, DataFrame)*): DataFrame =
+    checks.map { case (name, target, violations) =>
+      violations.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check"), lit(target).as("target"),
+          col("n_violations"))
+    }.reduce(_ unionByName _)
+}

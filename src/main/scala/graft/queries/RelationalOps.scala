@@ -1393,6 +1393,63 @@ object RelationalOps extends QueryPack {
            |WHERE d_rev = (SELECT max(d_rev) FROM revenue)""".stripMargin),
     doc = "TPC-H Q15 shape: per-supplier revenue view, exact-decimal argmax selection (Q15).")
 
+  // ---- X5: schema-test constraint audit (the dbt test surface) --------------
+  // dbt's four generic tests (unique, not_null, accepted_values,
+  // relationships) compiled the way dbt compiles them — each a violation
+  // query — and folded into the one-row-per-check `dbt test` result table
+  // via [[graft.pipeline.Checks]]. Every check is one aggregate or one
+  // LEFT ANTI pass over its table; the union is check-count-sized. The
+  // lineitem.unique and orderstatus rows are DELIBERATE failures (a fact
+  // table's order key repeats per line; 'P' is outside the accepted set)
+  // so the counting path is exercised by nonzero counts, not just zeros.
+  private val x5 = GQuery(
+    "x5_constraint_audit",
+    (s, dir) => {
+      import graft.pipeline.Checks
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val cust = t(s, dir, "customer")
+      Checks.summarize(
+        ("unique", "orders.o_orderkey",
+          Checks.unique(orders, Seq("o_orderkey"))),
+        ("unique", "lineitem.l_orderkey",
+          Checks.unique(li, Seq("l_orderkey"))),
+        ("not_null", "customer.c_name+c_mktsegment",
+          Checks.notNull(cust, Seq("c_name", "c_mktsegment"))),
+        ("accepted_values", "orders.o_orderstatus",
+          Checks.acceptedValues(orders, "o_orderstatus", Seq("F", "O"))),
+        ("relationships", "orders.o_custkey->customer",
+          Checks.relationships(orders, "o_custkey", cust, "c_custkey")),
+        ("relationships", "lineitem.l_partkey->part",
+          Checks.relationships(li, "l_partkey", t(s, dir, "part"), "p_partkey")))
+    },
+    Some("""SELECT 'unique' AS check, 'orders.o_orderkey' AS target,
+           |  (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+           |    GROUP BY 1 HAVING count(*) > 1)) AS n_violations
+           |UNION ALL
+           |SELECT 'unique', 'lineitem.l_orderkey',
+           |  (SELECT count(*) FROM (SELECT l_orderkey FROM lineitem
+           |    GROUP BY 1 HAVING count(*) > 1))
+           |UNION ALL
+           |SELECT 'not_null', 'customer.c_name+c_mktsegment',
+           |  (SELECT count(*) FROM customer
+           |   WHERE c_name IS NULL OR c_mktsegment IS NULL)
+           |UNION ALL
+           |SELECT 'accepted_values', 'orders.o_orderstatus',
+           |  (SELECT count(*) FROM orders
+           |   WHERE o_orderstatus NOT IN ('F', 'O') OR o_orderstatus IS NULL)
+           |UNION ALL
+           |SELECT 'relationships', 'orders.o_custkey->customer',
+           |  (SELECT count(*) FROM orders o
+           |   WHERE o_custkey IS NOT NULL AND NOT EXISTS
+           |     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           |UNION ALL
+           |SELECT 'relationships', 'lineitem.l_partkey->part',
+           |  (SELECT count(*) FROM lineitem l
+           |   WHERE l_partkey IS NOT NULL AND NOT EXISTS
+           |     (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))""".stripMargin),
+    doc = "dbt test surface: unique/not_null/accepted_values/relationships folded into the result table (X5).")
+
   /** Exposed for plan-shape tests. */
   private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame =
     x2.run(s, dir)
@@ -1400,6 +1457,6 @@ object RelationalOps extends QueryPack {
   override val all: Seq[GQuery] =
     Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11,
       j1, j2, j3, j4, j5, j6, j7, j8, j9,
-      x1, x2, x3, x4, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
+      x1, x2, x3, x4, x5, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }

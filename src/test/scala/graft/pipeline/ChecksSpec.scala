@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The dbt schema-test generics over hand-built frames: each check must
+  * return the exact violation ROWS (the debuggable face), and the summary
+  * must fold to the `dbt test` result table. The x5 registry query
+  * oracle-checks the counting path against DuckDB on the corpus; this spec
+  * pins which rows violate.
+  */
+class ChecksSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sp = spark
+
+  test("unique surfaces duplicated keys with their multiplicity") {
+    val s = sp; import s.implicits._
+    val df = Seq((1, "a"), (2, "b"), (2, "c"), (3, "d"), (2, "e"))
+      .toDF("k", "v")
+    val dups = Checks.unique(df, Seq("k")).collect()
+    assert(dups.length == 1)
+    assert(dups.head.getInt(0) == 2 && dups.head.getLong(1) == 3L)
+  }
+
+  test("notNull returns violating rows with the null column names") {
+    val s = sp; import s.implicits._
+    val df = Seq((Some("x"), Some("y")), (None, Some("y")), (None, None))
+      .toDF("a", "b")
+    val bad = Checks.notNull(df, Seq("a", "b"))
+      .select("null_columns").as[Seq[String]].collect().map(_.toSet)
+    assert(bad.toSet == Set(Set("a"), Set("a", "b")))
+  }
+
+  test("acceptedValues flags out-of-set values AND nulls") {
+    val s = sp; import s.implicits._
+    val df = Seq(Some("F"), Some("O"), Some("P"), None).toDF("st")
+    val bad = Checks.acceptedValues(df, "st", Seq("F", "O"))
+      .select(coalesce(col("st"), lit("<null>"))).as[String].collect().toSet
+    assert(bad == Set("P", "<null>"))
+  }
+
+  test("relationships finds orphans; null fks are not orphans (dbt semantics)") {
+    val s = sp; import s.implicits._
+    val child = Seq(Some(1), Some(2), Some(9), None).toDF("fk")
+    val parent = Seq(1, 2, 3).toDF("pk")
+    val orphans = Checks.relationships(child, "fk", parent, "pk")
+      .as[Int].collect().toSeq
+    assert(orphans == Seq(9))
+  }
+
+  test("summarize folds checks into the dbt-test result table") {
+    val s = sp; import s.implicits._
+    val df = Seq((1, "a"), (2, "b"), (2, "c")).toDF("k", "v")
+    val res = Checks.summarize(
+        ("unique", "t.k", Checks.unique(df, Seq("k"))),
+        ("not_null", "t.v", Checks.notNull(df, Seq("v"))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(res == Set(("unique", "t.k", 1L), ("not_null", "t.v", 0L)))
+  }
+}
