@@ -49,6 +49,40 @@ object VersionedTable {
     next
   }
 
+  /** Data bytes of one version (sum of its parquet part files). */
+  def bytes(tableDir: String, version: Long): Long =
+    Option(new File(s"$tableDir/v=$version").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length).sum
+
+  /** Size-targeted compaction, optionally CLUSTERING the rewrite: file count
+    * is derived from the version's actual bytes / `targetBytes` (the
+    * bytes-over-128MB sizing a table service does), and when `clusterBy` is
+    * given the rewrite range-partitions + sorts on those columns — so each
+    * output file covers a narrow key range and parquet footer min/max
+    * statistics prune file-level reads for key predicates (the poor man's
+    * Z-order, exactly right for single-column locality). Returns the new
+    * version id. */
+  def compactBySize(spark: SparkSession, tableDir: String, targetBytes: Long,
+      clusterBy: Seq[String] = Nil): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no versions under $tableDir")
+    val total = bytes(tableDir, vs.max)
+    val nFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val next = vs.max + 1
+    val df = spark.read.parquet(s"$tableDir/v=${vs.max}")
+    val shaped =
+      if (clusterBy.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles,
+          clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(clusterBy.head,
+          clusterBy.tail: _*)
+    shaped.write.mode("overwrite").parquet(s"$tableDir/v=$next")
+    next
+  }
+
   /** Delete all but the newest `keep` versions; returns what was removed. */
   def vacuum(tableDir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, "must retain at least the newest version")

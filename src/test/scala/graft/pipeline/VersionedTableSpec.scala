@@ -61,6 +61,40 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet === before)
   }
 
+  test("size-targeted clustered compaction: file ranges disjoint, stats prune reads") {
+    val s = spark
+    import s.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("graft-vtc").toString
+    // fragmented AND key-interleaved: every file spans nearly the full key
+    // range, so footer min/max stats can prune nothing before clustering
+    (1L to 4000L).map(k => (k, s"p$k")).toDF("k", "v")
+      .repartition(16).write.parquet(s"$tbl/v=0")
+    val before = VersionedTable.read(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val totalBytes = VersionedTable.bytes(tbl, 0L)
+
+    val newV = VersionedTable.compactBySize(spark, tbl,
+      targetBytes = totalBytes / 4 + 1, clusterBy = Seq("k"))
+    val after = VersionedTable.read(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === before, "clustered compaction must not change a single row")
+
+    val files = new java.io.File(s"$tbl/v=$newV").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length <= 5, s"bytes/target sizing must bound files, got ${files.length}")
+    // each output file must cover a narrow, pairwise-disjoint key range —
+    // the property parquet footer min/max pruning needs
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("k")), max(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"file key ranges must not interleave: $hi vs $lo2")
+      case _ =>
+    }
+  }
+
   test("schema evolution: mergeSchema unions file schemas; old files read nulls") {
     // the lakehouse add-a-column path: a later batch lands with an extra
     // column and a widened reader sees the union schema — old rows surface
