@@ -729,6 +729,28 @@ object AggWindowOps extends QueryPack {
            |WHERE rn = 1""".stripMargin),
     doc = "Keyed first-event dedup: batch fixpoint of the watermarked streaming dedup (§2.9).")
 
+  // ---- ST5: stream-stream interval join (batch twin) -------------------------
+  // The attribution shape: each click pairs with the same user's views at
+  // most 10 minutes older. EventStreamSpec proves the SAME
+  // `attributedClicks` plan runs watermarked on two streams (state evicted
+  // once the click watermark passes a view's match horizon); here the
+  // batch face is oracle-checked, pinning the interval semantics
+  // (inclusive both ends, epoch-microsecond arithmetic).
+  private val st5 = GQuery(
+    "st5_interval_join_attribution",
+    (s, dir) =>
+      graft.streaming.EventStream.attributedClicks(
+        t(s, dir, "events"), stream = false),
+    Some("""SELECT c.event_id AS click_id, c.user_id,
+           |  epoch_us(c.ts) AS click_us,
+           |  v.event_id AS view_id, epoch_us(v.ts) AS view_us
+           |FROM events c JOIN events v
+           |  ON c.user_id = v.user_id
+           | AND c.event_type = 'click' AND v.event_type = 'view'
+           | AND epoch_us(v.ts) <= epoch_us(c.ts)
+           | AND epoch_us(v.ts) >= epoch_us(c.ts) - 600000000""".stripMargin),
+    doc = "Stream-stream interval join, batch twin: clicks x same-user views within 10 min (§2.9).")
+
   // ---- A12: typed top-k Aggregator (§2.10 UDAF surface) ---------------------
   // Per-flag top-3 line items by price through graft.functions.TopKAggregator:
   // the buffer holds k entries, partials reduce map-side, merge combines two
@@ -1120,5 +1142,5 @@ object AggWindowOps extends QueryPack {
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16,
       w1, w2, w3, w4, w5, w6, w7, o1, o4, u1, u2, u3, u4, u5, u6, u7,
-      f1, f2, f3, f4, f5, f6, f7, f9, f10, st1, st2, st3, st4)
+      f1, f2, f3, f4, f5, f6, f7, f9, f10, st1, st2, st3, st4, st5)
 }

@@ -356,6 +356,38 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "selection is by equality to the max, not a sorted limit")
   }
 
+  test("runtime bloom filter: selective dim filter injects a fact-side row filter") {
+    // At 100 TB the win is pruning fact rows BEFORE the join shuffle: with
+    // runtime bloom filters on, a selective dimension predicate plants a
+    // BloomFilterMightContain on the fact side of a shuffled join, so rows
+    // that cannot match never enter the exchange. Forced thresholds here
+    // because sf0.001 is below the default size gates; the assertion is the
+    // mechanism, which is size-invariant.
+    val prev = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100GB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 400000)
+      val joined = li.join(ord,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("BloomFilter"),
+        s"selective dim filter should plant a bloom filter on the fact side:\n${p.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("x1: salted join spreads the 3 hot keys over composite keys") {
     val p = plan("x1_skew_salted_join")
     assert(p.contains("l_returnflag") && p.contains("salt"),
