@@ -1106,6 +1106,36 @@ object AggWindowOps extends QueryPack {
   // codegen'd projections. DuckDB lacks pmod, so the oracle spells the
   // ((a % b) + b) % b identity the function abbreviates; sign/bit_count
   // return widths differ per engine, pinned by explicit casts on both sides.
+  // ---- F11: regular-expression battery (§2.8, Java/RE2 common subset) -------
+  // The regex faces corpus filtering leans on (extract / extract-all /
+  // boolean match / strip-and-count), pinned in the dialect subset where
+  // Java's engine (Spark) and RE2 (DuckDB) agree: character classes,
+  // word boundaries, anchors, bounded repetition — no backrefs, no
+  // lookaround (RE2 has neither). All map-side codegen'd expressions; the
+  // extract-all list is sliced to 5 then serialized (the f7 convention).
+  private val f11 = GQuery(
+    "f11_regexp_battery",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "\\b(s[a-z]+)", 1).as("first_s_word"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[aeiou]", ""))).as("n_vowels"),
+        col("text").rlike("table [a-z]+ [a-z]+ scan").cast("int").as("has_shape"),
+        array_join(slice(expr("regexp_extract_all(text, '\\\\b[a-z]*e\\\\b', 0)"),
+          1, 5), "|").as("e_words5"),
+        regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
+        regexp_extract(col("text"), "([a-z]+)$", 1).as("last_word")),
+    Some("""SELECT doc_id,
+           |  regexp_extract(text, '\b(s[a-z]+)', 1) AS first_s_word,
+           |  len(text) - len(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels,
+           |  CAST(regexp_matches(text, 'table [a-z]+ [a-z]+ scan') AS INT) AS has_shape,
+           |  coalesce(array_to_string(regexp_extract_all(text, '\b[a-z]*e\b')[1:5], '|'), '')
+           |    AS e_words5,
+           |  regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+           |  regexp_extract(text, '([a-z]+)$', 1) AS last_word
+           |FROM documents""".stripMargin),
+    doc = "Regex battery: extract/extract-all/match/strip in the Java-RE2 common subset (F11/§2.8).")
+
   private val f10 = GQuery(
     "f10_bitwise_math",
     (s, dir) =>
@@ -1142,5 +1172,5 @@ object AggWindowOps extends QueryPack {
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16,
       w1, w2, w3, w4, w5, w6, w7, o1, o4, u1, u2, u3, u4, u5, u6, u7,
-      f1, f2, f3, f4, f5, f6, f7, f9, f10, st1, st2, st3, st4, st5)
+      f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, st1, st2, st3, st4, st5)
 }

@@ -202,5 +202,74 @@ object GraphOps extends QueryPack {
            |GROUP BY node""".stripMargin),
     doc = "Per-node triangle counts: degree-oriented wedge join vs the oracle's sorted-triple join (graph #2).")
 
-  override val all: Seq[GQuery] = Seq(g1, g2)
+  // ---- G3: link prediction (common-neighbor Jaccard) ------------------------
+  // "Which non-edges look most like edges": for every node pair at
+  // distance 2, count common neighbors through a wedge join (the g2
+  // machinery), drop pairs that are ALREADY edges (left anti), and score
+  // Jaccard = common / (deg_a + deg_b - common). All counts are integers;
+  // the one double division per surviving pair is bit-identical across
+  // engines, so the ranking needs no rounding. At corpus scale the wedge
+  // join's fan-out is Σ deg(v)² — the hub-cap story from d2/d3 applies
+  // verbatim (cap or sample super-node neighbor lists); this graph's
+  // degrees are vocabulary-bounded so the face runs uncapped.
+  private val g3 = GQuery(
+    "g3_link_prediction",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val und = ev
+        .withColumn("nk", lead(col("k"), 1).over(w))
+        .filter(col("nk").isNotNull && col("nk") =!= col("k"))
+        .select(least(col("k"), col("nk")).cast("long").as("a"),
+          greatest(col("k"), col("nk")).cast("long").as("b"))
+        .distinct()
+      val nbr = und.select(col("a").as("node"), col("b").as("nb"))
+        .union(und.select(col("b").as("node"), col("a").as("nb")))
+      val deg = nbr.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val common = nbr.select(col("nb").as("via"), col("node").as("pa"))
+        .join(nbr.select(col("nb").as("via"), col("node").as("pb")), "via")
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("common"))
+      common
+        .join(und, col("pa") === col("a") && col("pb") === col("b"), "left_anti")
+        .join(deg.select(col("node").as("pa"), col("deg").as("da")), "pa")
+        .join(deg.select(col("node").as("pb"), col("deg").as("db")), "pb")
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("da") + col("db") - col("common")))
+        .orderBy(col("jaccard").desc, col("pa"), col("pb"))
+        .limit(20)
+        .select(col("pa"), col("pb"), col("common"), col("jaccard"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, ts, event_id,
+           |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+           |  FROM events),
+           |seq AS (
+           |  SELECT k, lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
+           |  FROM ev),
+           |und AS (
+           |  SELECT DISTINCT CAST(least(k, nk) AS BIGINT) AS a,
+           |                  CAST(greatest(k, nk) AS BIGINT) AS b
+           |  FROM seq WHERE nk IS NOT NULL AND nk <> k),
+           |nbr AS (SELECT a AS node, b AS nb FROM und
+           |        UNION ALL SELECT b, a FROM und),
+           |deg AS (SELECT node, count(*) AS deg FROM nbr GROUP BY node),
+           |common AS (
+           |  SELECT n1.node AS pa, n2.node AS pb, count(*) AS common
+           |  FROM nbr n1 JOIN nbr n2 ON n1.nb = n2.nb AND n1.node < n2.node
+           |  GROUP BY 1, 2),
+           |cand AS (
+           |  SELECT c.* FROM common c
+           |  WHERE NOT EXISTS (SELECT 1 FROM und
+           |                    WHERE und.a = c.pa AND und.b = c.pb))
+           |SELECT pa, pb, common,
+           |  CAST(common AS DOUBLE) / (d1.deg + d2.deg - common) AS jaccard
+           |FROM cand
+           |JOIN deg d1 ON d1.node = pa JOIN deg d2 ON d2.node = pb
+           |ORDER BY jaccard DESC, pa, pb LIMIT 20""".stripMargin),
+    doc = "Link prediction: common-neighbor Jaccard over distance-2 non-edges, top-20 (graph #3).")
+
+  override val all: Seq[GQuery] = Seq(g1, g2, g3)
 }
