@@ -184,6 +184,42 @@ object CorpusOps extends QueryPack {
             |GROUP BY lang""".stripMargin),
     doc = "Dedup applied: anti-join the drop list, per-language survivor stats.")
 
+  // ---- D36: dedup keep-best (quality-canonical representative) --------------
+  // d16 keeps each cluster's MINIMUM doc id — the arbitrary-but-stable
+  // policy. Production dedup keeps the BEST member (usually the longest /
+  // highest-quality), because boilerplate-trimmed fragments cluster with
+  // their fuller originals. Same component resolution, then a per-component
+  // ranking window (bounded: partitions are cluster-sized) ordered by
+  // (n_chars desc, doc) picks the representative; the aggregate emits one
+  // row per cluster with the kept member. The window formulation is shared
+  // with the oracle — DuckDB's arg_max can't take a composite orderer, and
+  // the ranking states the tie-break explicitly.
+  private val d36 = GQuery(
+    "d36_dedup_keep_best",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = Window.partitionBy(col("lbl"))
+        .orderBy(col("n_chars").desc, col("doc"))
+      dupComponents(docs)
+        .join(docs.select(col("doc_id").as("doc"), col("n_chars")), Seq("doc"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("lbl").as("component"))
+        .agg(count(lit(1)).as("csize"),
+          max(when(col("rn") === 1, col("doc"))).as("kept_doc"),
+          max(when(col("rn") === 1, col("n_chars"))).as("kept_chars"))
+    },
+    Some(s"""WITH RECURSIVE $componentsSqlCtes,
+            |scored AS (
+            |  SELECT c.lbl, c.doc, d.n_chars,
+            |    row_number() OVER (PARTITION BY c.lbl
+            |      ORDER BY d.n_chars DESC, c.doc) AS rn
+            |  FROM comp c JOIN documents d ON d.doc_id = c.doc)
+            |SELECT lbl AS component, count(*) AS csize,
+            |  max(CASE WHEN rn = 1 THEN doc END) AS kept_doc,
+            |  max(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars
+            |FROM scored GROUP BY lbl""".stripMargin),
+    doc = "Dedup keep-best: longest member represents each near-dup cluster (dedup policy #2).")
+
   // ---- D13: deterministic hash split (train/test) ---------------------------
 
   /** Salted-md5 bucket on doc_id: buckets 00..19 hex (26/256 ~ 10.2%) go to
@@ -524,5 +560,5 @@ object CorpusOps extends QueryPack {
            |FROM sc, thr WHERE avg_lp >= m""".stripMargin),
     doc = "Perplexity quality gate: per-doc avg bigram log-prob vs the corpus mean (quality filter #2).")
 
-  override val all: Seq[GQuery] = Seq(d12, d13, d14, d15, d16, d17, d18, d19, d35)
+  override val all: Seq[GQuery] = Seq(d12, d13, d14, d15, d16, d17, d18, d19, d35, d36)
 }
