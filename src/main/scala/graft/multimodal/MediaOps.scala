@@ -397,5 +397,52 @@ object MediaOps extends QueryPack {
            |FROM s""".stripMargin),
     doc = "s16le PCM decode + per-256-sample-frame energy / zero crossings, integer-exact (multimodal #5).")
 
-  override val all: Seq[GQuery] = Seq(m1, m2, m3, m4, m5)
+  // ---- m6: media dedup via perceptual thumbnail digest -----------------------
+  // The multimodal face of exact dedup: decode each image ON THE EXECUTOR,
+  // average-pool to a 4x4 thumbnail (the m4 kernel — a tiny perceptual
+  // hash), and hash-group the thumbnails: one row per distinct CONTENT with
+  // its copy count and canonical (minimum) id. Payload content is keyed by
+  // doc_id % 40 so real duplicate clusters exist; the pipeline is the d1
+  // hash-groupBy with a decode in front, which is exactly how image dedup
+  // runs at corpus scale (digest first, group on the 16-byte digest — raw
+  // pixels never shuffle). The oracle reproduces the pooled thumbnails
+  // analytically from the closed-form pixels.
+  private val m6 = GQuery(
+    "m6_media_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val P = 4
+      t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), pmod(col("doc_id"), lit(40)).as("cid"))
+        .select(col("media_id"), col("cid"),
+          (pmod(col("cid"), lit(24)) + 8).cast("int").as("w"),
+          (pmod(col("cid"), lit(16)) + 8).cast("int").as("h"))
+        .as[(Long, Long, Int, Int)]
+        .mapPartitions(_.map { case (id, cid, w, h) =>
+          (id, poolGrid(syntheticPng(cid, w, h), P).mkString("|"))
+        })
+        .toDF("media_id", "thumb")
+        .groupBy(md5(col("thumb").cast("binary")).as("content_digest"))
+        .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("canonical_id"))
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id, doc_id % 40 AS cid,
+           |    CAST(doc_id % 40 % 24 + 8 AS BIGINT) AS w,
+           |    CAST(doc_id % 40 % 16 + 8 AS BIGINT) AS h
+           |  FROM documents),
+           |pooled AS (
+           |  SELECT doc_id,
+           |    list_transform(range(0, 16), b ->
+           |      list_sum(list_transform(range(b % 4 * w // 4, (b % 4 + 1) * w // 4), x ->
+           |        list_sum(list_transform(range(b // 4 * h // 4, (b // 4 + 1) * h // 4), y ->
+           |          (cid * 31 + 7 * x + 13 * y) % 256))))
+           |      // (((b % 4 + 1) * w // 4 - b % 4 * w // 4)
+           |         * ((b // 4 + 1) * h // 4 - b // 4 * h // 4))) AS t
+           |  FROM m)
+           |SELECT md5(array_to_string(t, '|')) AS content_digest,
+           |  count(*) AS n_copies, min(doc_id) AS canonical_id
+           |FROM pooled GROUP BY 1""".stripMargin),
+    doc = "Media dedup: executor-side decode + 4x4 pool digest, hash-grouped copies (multimodal #6).")
+
+  override val all: Seq[GQuery] = Seq(m1, m2, m3, m4, m5, m6)
 }
