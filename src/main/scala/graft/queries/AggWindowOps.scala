@@ -1039,6 +1039,34 @@ object AggWindowOps extends QueryPack {
   // a 100 TB serving layer should actually use — OFFSET must still sort and
   // skip all preceding rows on every page, keyset seeks straight to the
   // boundary and the predicate pushes into the scan.
+  // ---- O5: explicit null-ordering (cross-engine trap pinned) -----------------
+  // Spark's default ASC places nulls FIRST; DuckDB's places them LAST — an
+  // ordering-dependent query silently returns different pages on the two
+  // engines unless the null position is spelled. Both branches here state
+  // it explicitly (asc_nulls_first / desc_nulls_last), each a TakeOrdered
+  // page (never a global sort), union-tagged so one result pins both
+  // variants. The null-bearing column is derived with nullif so the pin
+  // exercises real nulls against the corpus.
+  private val o5 = GQuery(
+    "o5_null_ordering",
+    (s, dir) => {
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        nullif(col("o_orderpriority"), lit("5-LOW")).as("p"))
+      val a = src.orderBy(col("p").asc_nulls_first, col("o_orderkey")).limit(25)
+        .select(lit("asc_nulls_first").as("variant"), col("o_orderkey"), col("p"))
+      val b = src.orderBy(col("p").desc_nulls_last, col("o_orderkey")).limit(25)
+        .select(lit("desc_nulls_last").as("variant"), col("o_orderkey"), col("p"))
+      a.unionByName(b)
+    },
+    Some("""SELECT 'asc_nulls_first' AS variant, o_orderkey, p FROM (
+           |  SELECT o_orderkey, nullif(o_orderpriority, '5-LOW') AS p FROM orders
+           |  ORDER BY p ASC NULLS FIRST, o_orderkey LIMIT 25) a
+           |UNION ALL
+           |SELECT 'desc_nulls_last', o_orderkey, p FROM (
+           |  SELECT o_orderkey, nullif(o_orderpriority, '5-LOW') AS p FROM orders
+           |  ORDER BY p DESC NULLS LAST, o_orderkey LIMIT 25) b""".stripMargin),
+    doc = "Explicit null ordering: asc-nulls-first / desc-nulls-last pages pinned across engines (O5).")
+
   private val o4 = GQuery(
     "o4_pagination",
     (s, dir) => {
@@ -1171,6 +1199,6 @@ object AggWindowOps extends QueryPack {
 
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16,
-      w1, w2, w3, w4, w5, w6, w7, o1, o4, u1, u2, u3, u4, u5, u6, u7,
+      w1, w2, w3, w4, w5, w6, w7, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7,
       f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, st1, st2, st3, st4, st5)
 }
