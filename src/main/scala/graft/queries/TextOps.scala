@@ -1089,6 +1089,57 @@ object TextOps extends QueryPack {
            |WHERE levenshtein(c.cname, o.oname) <= 1""".stripMargin),
     doc = "Blocked fuzzy match: Pass-Join segment pigeonhole + levenshtein verify; oracle brute-forces all pairs, equality proves blocking lossless (text #20).")
 
+  // ---- D37: boilerplate scrub (apply chunk-level dedup back to the text) -----
+  // The removal pass d29's repeated-chunk table exists for: tile every doc
+  // into NON-overlapping 32-word tiles (removal needs a partition of the
+  // text, unlike d28's overlapping windows), keep each distinct tile's
+  // globally FIRST occurrence (ordered by doc_id, tile_no — deterministic),
+  // drop every later occurrence, and reassemble the surviving text in tile
+  // order. The only wide operations are a hash-partitioned ranking window
+  // keyed by the tile digest (bounded by that digest's occurrence count —
+  // the d29 duplication profile, not the corpus) and the per-doc
+  // reassembly aggregate. Output carries the cleaned text as a digest so
+  // the whole reassembly is hash-pinned.
+  private val d37 = GQuery(
+    "d37_boilerplate_scrub",
+    (s, dir) => {
+      val w = split(col("text"), " ")
+      val tiles = t(s, dir, "documents")
+        .select(col("doc_id"), w.as("w"), size(w).as("n"))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0), (col("n") + 31).divide(32).cast("int") - 1))
+            .as("i"))
+        .select(col("doc_id"), col("i"),
+          array_join(slice(col("w"), col("i") * 32 + 1, lit(32)), " ").as("tile"))
+        .withColumn("digest", md5(col("tile")))
+      val rankW = Window.partitionBy(col("digest"))
+        .orderBy(col("doc_id"), col("i"))
+      tiles.withColumn("rn", row_number().over(rankW))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tiles"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("i"), col("tile"))))),
+            x => x.getField("tile")), " ")).as("cleaned_digest"))
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+           |         len(string_split(text, ' ')) AS n FROM documents),
+           |ex AS (SELECT doc_id, w, unnest(range(0, (n + 31) // 32)) AS i FROM d),
+           |tl AS (SELECT doc_id, CAST(i AS INT) AS i,
+           |         array_to_string(w[(i*32+1):(i*32+32)], ' ') AS tile
+           |       FROM ex),
+           |rk AS (SELECT doc_id, i, tile,
+           |         row_number() OVER (PARTITION BY md5(tile)
+           |           ORDER BY doc_id, i) AS rn
+           |       FROM tl)
+           |SELECT doc_id, count(*) AS n_tiles,
+           |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN tile END, ' ' ORDER BY i),
+           |               '')) AS cleaned_digest
+           |FROM rk GROUP BY doc_id""".stripMargin),
+    doc = "Boilerplate scrub: drop repeated 32-word tiles (global first occurrence wins), reassembled text hash-pinned (text #16).")
+
   // ---- D34: BPE merge statistics (adjacent-pair frequency counting) ---------
   // The distributed kernel inside byte-pair-encoding tokenizer training:
   // count every adjacent symbol pair across the corpus and surface the
@@ -1123,5 +1174,5 @@ object TextOps extends QueryPack {
 
   override val all: Seq[GQuery] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26,
-      d27, d28, d29, d30, d31, d32, d33, d34)
+      d27, d28, d29, d30, d31, d32, d33, d34, d37)
 }
