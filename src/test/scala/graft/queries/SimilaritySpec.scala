@@ -298,6 +298,26 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       f"trained cells must beat geometry-blind labels at EVERY init: e8min $e8min%.3f <= e4 $e4r%.3f")
   }
 
+  test("IVF index lifecycle: persisted cell assignments reload and probe identically", graft.Slow) {
+    // The build-once / serve-many contract: train the quantizer, PERSIST
+    // the cell-assignment table (the index), reload it cold, and the probe
+    // must return byte-identical results — proving the index carries ALL
+    // trained state (no hidden in-session dependence) and survives the
+    // parquet round trip. This is the index-maintenance story a serving
+    // deployment needs: rebuild on a cadence, version the table, reload
+    // from storage.
+    val tbl = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val cells = VectorOps.kmeansCellsForTest(spark, sf01, k = 8, iters = 3, initSeed = 1L)
+    cells.write.parquet(s"$tbl/v=0")
+    val reloaded = graft.pipeline.VersionedTable.read(spark, tbl)
+    val live = VectorOps.ivfProbeForTest(cells, nprobe = 2)
+      .collect().map(_.toString).sorted
+    val cold = VectorOps.ivfProbeForTest(reloaded, nprobe = 2)
+      .collect().map(_.toString).sorted
+    assert(live.sameElements(cold),
+      "probe over the reloaded index must equal the in-session index")
+  }
+
   test("e10: PQ+ADC recall@10 vs e1, and beats chance (sf0.01)", graft.Slow) {
     // 4x16-dim, 16-centroid codebooks = 128x compression on vectors that
     // spread information uniformly (the PQ-hostile floor case, like e9's
