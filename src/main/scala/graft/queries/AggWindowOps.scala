@@ -575,6 +575,53 @@ object AggWindowOps extends QueryPack {
   // so ties cannot make the picked row engine-dependent (max_by on a
   // non-unique orderer is nondeterministic on both engines and would be a
   // flaky oracle). One partial+final hash aggregate, same shuffle as a1.
+  // ---- A17: CUBE (completes the rollup / grouping-sets / cube trio) ----------
+  // All four grouping combinations in ONE pass over the fact table — the
+  // same Expand machinery as a13/a15, so the scan count stays 1 while the
+  // aggregate fans each row into its grouping sets. grouping() flags
+  // disambiguate "NULL because subtotal" from a genuinely null key, the
+  // correctness subtlety CUBE queries hinge on. Quantity sums in DECIMAL.
+  private val a17 = GQuery(
+    "a17_cube",
+    (s, dir) => t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |  count(*) AS n,
+           |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           |  CAST(grouping(l_linestatus) AS INT) AS g_status
+           |FROM lineitem
+           |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin),
+    doc = "CUBE: all grouping combinations in one Expand pass, grouping() flags pinned (A17).")
+
+  // ---- A18: native relational pivot ------------------------------------------
+  // The DataFrame-native `pivot` with an EXPLICIT value list — the explicit
+  // list is the scale contract: without it Spark first runs a distinct scan
+  // of the pivot column (an extra job + a driver-side value collect), with
+  // it the plan is one aggregate whose output columns are fixed at plan
+  // time. Oracle states the same table as conditional sums (the a4
+  // machinery), pinning that native pivot == CASE-WHEN pivot.
+  private val a18 = GQuery(
+    "a18_native_pivot",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p")),
+    Some("""SELECT o_orderpriority,
+           |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+           |FROM orders GROUP BY o_orderpriority""".stripMargin),
+    doc = "Native pivot with explicit value list (no distinct pre-scan), pinned against CASE-WHEN (A18).")
+
   private val a16 = GQuery(
     "a16_conditional_argmax_agg",
     (s, dir) =>
@@ -1198,7 +1245,7 @@ object AggWindowOps extends QueryPack {
     doc = "Bitwise and/or/xor/not/shift/popcount + abs/sign/%/pmod, integer-exact (F10/§2.8).")
 
   override val all: Seq[GQuery] =
-    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16,
+    Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16, a17, a18,
       w1, w2, w3, w4, w5, w6, w7, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7,
       f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, st1, st2, st3, st4, st5)
 }
