@@ -124,7 +124,7 @@ object GraphOps extends QueryPack {
             |    SELECT e.dst, sum(r2.r // deg.outdeg) AS s
             |    FROM edges e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
             |    GROUP BY e.dst) c ON c.dst = r2.node)
-            |SELECT node AS k, r AS rank_fp FROM r3""".stripMargin),
+            |SELECT node AS k, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin),
     doc = "PageRank (damping 0.85, 3 iterations) over per-user item transitions, fixed-point exact (graph #1).")
 
   /** Per-node triangle participation counts over an undirected edge list

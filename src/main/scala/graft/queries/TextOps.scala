@@ -1134,7 +1134,7 @@ object TextOps extends QueryPack {
            |           ORDER BY doc_id, i) AS rn
            |       FROM tl)
            |SELECT doc_id, count(*) AS n_tiles,
-           |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN tile END, ' ' ORDER BY i),
            |               '')) AS cleaned_digest
            |FROM rk GROUP BY doc_id""".stripMargin),

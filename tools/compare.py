@@ -34,6 +34,15 @@ def cmp_frames(a: pd.DataFrame, b: pd.DataFrame) -> str:
         return f"SCHEMA MISMATCH spark={sorted(a.columns)} oracle={sorted(b.columns)}"
     if len(a) != len(b):
         return f"ROWCOUNT MISMATCH spark={len(a)} oracle={len(b)}"
+    # the driver's hash is dtype-sensitive: a DuckDB HUGEINT sum arriving as
+    # float64 against Spark's int64 hashes differently even when every value
+    # matches (the a16 round-3 failure). Flag int-vs-float kind drift so the
+    # local gate catches it before the driver does.
+    for c in a.columns:
+        k1, k2 = a[c].dtype.kind, b[c].dtype.kind
+        if {k1, k2} == {"i", "f"}:
+            return (f"DTYPE KIND MISMATCH col={c} spark={a[c].dtype} "
+                    f"oracle={b[c].dtype} (CAST the oracle aggregate to BIGINT)")
     a, b = canon(a), canon(b)
     for c in a.columns:
         av, bv = a[c], b[c]
