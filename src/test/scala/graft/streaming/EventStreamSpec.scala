@@ -296,6 +296,42 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"merged table must hold the latest event per user, got $got")
   }
 
+  test("checkpoint restart: a resumed query processes only new data, state stays correct") {
+    // The durability contract a 100 TB deployment leans on: stop the
+    // query, keep the checkpoint, start a NEW query over the same source —
+    // the resumed run must skip everything already committed (batch ids
+    // continue, no re-merge of old slices) and fold only the new arrivals,
+    // leaving exactly the state a never-stopped run would have built.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val tbl = java.nio.file.Files.createTempDirectory("graft-restart-tbl").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-restart-cp").toString
+    input.addData(Seq(ev(20, 0, 1, "a", 1), ev(21, 1, 2, "a", 2)))
+    val run1 = EventStream.startUpsertToParquet(
+      input.toDF().withColumn("props", lit("{}")), tbl, cp)
+    run1.processAllAvailable(); run1.stop()
+    val versionsAfterRun1 = graft.pipeline.VersionedTable.versions(tbl)
+
+    // data arriving while the query is DOWN
+    input.addData(Seq(ev(22, 5, 1, "b", 3), ev(23, 6, 3, "a", 4)))
+    val run2 = EventStream.startUpsertToParquet(
+      input.toDF().withColumn("props", lit("{}")), tbl, cp)
+    run2.processAllAvailable(); run2.stop()
+
+    val newVersions = graft.pipeline.VersionedTable.versions(tbl)
+      .diff(versionsAfterRun1)
+    assert(newVersions.nonEmpty, "the resumed run must commit new versions")
+    assert(newVersions.forall(v => v > versionsAfterRun1.max),
+      s"batch ids must CONTINUE from the checkpoint, got $newVersions after $versionsAfterRun1")
+    val got = EventStream.latestVersion(spark, tbl)
+      .select("user_id", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((1L, 22L, "b"), (2L, 21L, "a"), (3L, 23L, "a")),
+      s"state after restart must equal the never-stopped run, got $got")
+  }
+
   test("streaming SCD2 sink: folded history equals the batch rebuild (i3 twin)") {
     val sp = spark
     import sp.implicits._
