@@ -43,6 +43,25 @@ object SourceReader {
       .na.fill("")
   }
 
+  /** JSON-lines feed with an explicit schema and PERMISSIVE corrupt-record
+    * capture: malformed lines land in `_corrupt_record` instead of killing
+    * the job (at corpus scale a feed ALWAYS contains some), valid rows
+    * parse typed. Schema is declared, never inferred — inference is a
+    * second full scan and locks in whatever the sample happened to contain.
+    * Composes with [[withPathMeta]] like the CSV path. */
+  def readJsonl(spark: SparkSession, root: String,
+      schema: StructType): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add(StructField("_corrupt_record", StringType, nullable = true))
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("recursiveFileLookup", "true")
+      .schema(withCorrupt)
+      .json(root)
+  }
+
   /** `input_file_name()` is URI-encoded (spaces → %20); the reference's
     * Athena `"$path"` carries the raw S3 key, so decode for parity — the
     * standings filename keys contain spaces (`'NFBC OC 2025 …'`). */
