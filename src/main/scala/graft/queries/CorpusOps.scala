@@ -220,6 +220,50 @@ object CorpusOps extends QueryPack {
             |FROM scored GROUP BY lbl""".stripMargin),
     doc = "Dedup keep-best: longest member represents each near-dup cluster (dedup policy #2).")
 
+  // ---- D38: domain-balancing resample (deterministic mixture control) -------
+  // The data-mixing step of corpus assembly: downsample over-represented
+  // sources toward equal mass per source. Per-source acceptance
+  // probability p = min(1, target/size) computes from two exact counts
+  // (ONE double division — bit-identical), the threshold is
+  // floor(p * 2^32) compared against a 32-bit hash-uniform of the doc id —
+  // so membership is a pure function of (doc_id, corpus composition):
+  // no RNG state, reproducible on any engine, and a doc's fate never
+  // changes when OTHER sources grow. Counts are metadata-sized broadcast
+  // attaches; the acceptance filter is map-side.
+  private val d38 = GQuery(
+    "d38_domain_resample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
+      val tgt = broadcast(bySrc.agg(
+        (sum(col("n_orig")).cast("double") / count(lit(1))).as("target")))
+      val withP = broadcast(bySrc.crossJoin(tgt)
+        .withColumn("p", least(lit(1.0), col("target") / col("n_orig")))
+        .withColumn("thresh", floor(col("p") * lit(4294967296.0)).cast("long"))
+        .select(col("source"), col("n_orig"), col("p"), col("thresh")))
+      val u = conv(substring(md5(concat(lit("graft-mix:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      docs.join(withP, Seq("source"))
+        .filter(u < col("thresh"))
+        .groupBy(col("source"))
+        .agg(max(col("n_orig")).as("n_orig"), count(lit(1)).as("n_kept"),
+          round(max(col("p")), 6).as("p"))
+    },
+    Some("""WITH bysrc AS (SELECT source, count(*) AS n_orig FROM documents GROUP BY source),
+           |tgt AS (SELECT CAST(sum(n_orig) AS DOUBLE) / count(*) AS target FROM bysrc),
+           |wp AS (SELECT source, n_orig,
+           |         least(1.0, target / n_orig) AS p,
+           |         CAST(floor(least(1.0, target / n_orig) * 4294967296.0) AS BIGINT)
+           |           AS thresh
+           |       FROM bysrc CROSS JOIN tgt)
+           |SELECT source, max(n_orig) AS n_orig, count(*) AS n_kept,
+           |  round(max(p), 6) AS p
+           |FROM documents JOIN wp USING (source)
+           |WHERE CAST(('0x' || substring(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           |           AS BIGINT) < thresh
+           |GROUP BY source""".stripMargin),
+    doc = "Domain-balancing resample: hash-threshold acceptance toward equal source mass (mixing #2).")
+
   // ---- D13: deterministic hash split (train/test) ---------------------------
 
   /** Salted-md5 bucket on doc_id: buckets 00..19 hex (26/256 ~ 10.2%) go to
@@ -560,5 +604,5 @@ object CorpusOps extends QueryPack {
            |FROM sc, thr WHERE avg_lp >= m""".stripMargin),
     doc = "Perplexity quality gate: per-doc avg bigram log-prob vs the corpus mean (quality filter #2).")
 
-  override val all: Seq[GQuery] = Seq(d12, d13, d14, d15, d16, d17, d18, d19, d35, d36)
+  override val all: Seq[GQuery] = Seq(d12, d13, d14, d15, d16, d17, d18, d19, d35, d36, d38)
 }

@@ -92,7 +92,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "e11_ann_ivf_pq_rerank",   // 10-query probe x 8-cell centroid + 64-row codebook attaches
       "e12_ann_filtered",        // 10-query probe side broadcast over the pre-filtered candidates
       "e13_hard_negatives",      // 10-query probe side broadcast, cross-side label filter
-      "d35_perplexity_gate")     // 1-row corpus-mean threshold attach
+      "d35_perplexity_gate",     // 1-row corpus-mean threshold attach
+      "d38_domain_resample")     // 1-row target-mass attach onto the per-source counts
     val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       spark.catalog.clearCache()
