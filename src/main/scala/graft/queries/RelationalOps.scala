@@ -562,6 +562,38 @@ object RelationalOps extends QueryPack {
   // key is derived and legitimately null (here: order status with the open
   // status nulled out). Spark still plans this as a hash join (null-safe
   // keys hash like values); the oracle uses the standard SQL spelling.
+  // ---- J10: NOT IN vs NOT EXISTS null semantics ------------------------------
+  // THE subquery trap: `x NOT IN (list containing NULL)` is never TRUE
+  // (three-valued logic — every comparison is at best UNKNOWN), while the
+  // NOT EXISTS spelling ignores the null row and returns real survivors.
+  // Both engines agree, and the pin keeps it that way: n_not_in counts 0,
+  // n_not_exists counts customers with no qualifying order. Spark plans
+  // the NOT IN as a null-aware anti join — the expensive plan q16
+  // deliberately avoids — so this row also documents WHY the engine
+  // prefers NOT EXISTS: same intent, hash anti join instead.
+  private val j10 = GQuery(
+    "j10_not_in_null_semantics",
+    (s, dir) => Tables.sqlOn(s,
+      "customer" -> t(s, dir, "customer"), "orders" -> t(s, dir, "orders")) { v =>
+      s"""SELECT
+         |  (SELECT count(*) FROM ${v("customer")}
+         |   WHERE c_custkey NOT IN
+         |     (SELECT nullif(o_custkey, 1) FROM ${v("orders")})) AS n_not_in,
+         |  (SELECT count(*) FROM ${v("customer")} c
+         |   WHERE NOT EXISTS (SELECT 1 FROM ${v("orders")} o
+         |                     WHERE nullif(o.o_custkey, 1) = c.c_custkey))
+         |    AS n_not_exists""".stripMargin
+    },
+    Some("""SELECT
+           |  (SELECT count(*) FROM customer
+           |   WHERE c_custkey NOT IN
+           |     (SELECT nullif(o_custkey, 1) FROM orders)) AS n_not_in,
+           |  (SELECT count(*) FROM customer c
+           |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+           |                     WHERE nullif(o.o_custkey, 1) = c.c_custkey))
+           |    AS n_not_exists""".stripMargin),
+    doc = "NOT IN vs NOT EXISTS under nulls: three-valued logic pinned, null-aware anti join documented (J10).")
+
   private val j9 = GQuery(
     "j9_nullsafe_join",
     (s, dir) => {
@@ -1456,7 +1488,7 @@ object RelationalOps extends QueryPack {
 
   override val all: Seq[GQuery] =
     Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11,
-      j1, j2, j3, j4, j5, j6, j7, j8, j9,
+      j1, j2, j3, j4, j5, j6, j7, j8, j9, j10,
       x1, x2, x3, x4, x5, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }
