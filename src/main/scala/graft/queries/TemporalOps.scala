@@ -478,5 +478,50 @@ object TemporalOps extends QueryPack {
            |  ON g.user_id = o.user_id AND g.hour_sec = o.hour_sec""".stripMargin),
     doc = "Hourly resample + LOCF gap-fill per entity: fixed grid, per-key bounded window (temporal #9).")
 
-  override val all: Seq[GQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9)
+  // ---- T10: calendar-dimension join (generated date spine) -------------------
+  // The dbt-utils date-spine pattern: GENERATE the calendar (no seed
+  // table), flag each day, and join facts onto it — the backbone of
+  // business-day and seasonality rollups. The spine is horizon-sized
+  // (366 rows here) and broadcast; day-of-week numbering is pinned
+  // explicitly (Spark's dayofweek is 1=Sunday, DuckDB's is 0=Sunday — the
+  // oracle adds 1) because silent calendar-convention drift is the classic
+  // cross-engine reporting bug. Weekend days carry zero orders in this
+  // corpus generator or not — either way both engines must agree
+  // per-dow, decimal-exact.
+  private val t10 = GQuery(
+    "t10_calendar_spine_join",
+    (s, dir) => {
+      val spine = s.range(1)
+        .select(explode(expr(
+          "sequence(to_date('1996-01-01'), to_date('1996-12-31'), interval 1 day)"))
+          .as("d"))
+        .select(col("d"), dayofweek(col("d")).as("dow"),
+          dayofweek(col("d")).isin(1, 7).cast("int").as("is_weekend"),
+          (last_day(col("d")) === col("d")).cast("int").as("is_month_end"))
+      val o = t(s, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      broadcast(spine).join(o, col("d") === col("od"), "left")
+        .groupBy(col("dow"), col("is_weekend"))
+        .agg(count(col("od")).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+          sum(col("is_month_end")).cast("long").as("n_month_end_days"))
+    },
+    Some("""WITH spine AS (
+           |  SELECT CAST(unnest(generate_series(DATE '1996-01-01', DATE '1996-12-31',
+           |                                     INTERVAL 1 DAY)) AS DATE) AS d),
+           |flags AS (
+           |  SELECT d, dayofweek(d) + 1 AS dow,
+           |    CAST(dayofweek(d) + 1 IN (1, 7) AS INT) AS is_weekend,
+           |    CAST(last_day(d) = d AS INT) AS is_month_end
+           |  FROM spine)
+           |SELECT dow, is_weekend, count(od) AS n_orders,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           |  CAST(sum(is_month_end) AS BIGINT) AS n_month_end_days
+           |FROM flags LEFT JOIN
+           |  (SELECT CAST(o_orderdate AS DATE) AS od, o_totalprice FROM orders) o
+           |  ON d = od
+           |GROUP BY dow, is_weekend""".stripMargin),
+    doc = "Generated date spine + fact join: calendar conventions pinned, horizon-sized broadcast (temporal #10).")
+
+  override val all: Seq[GQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10)
 }
