@@ -1211,6 +1211,32 @@ object AggWindowOps extends QueryPack {
            |FROM documents""".stripMargin),
     doc = "Regex battery: extract/extract-all/match/strip in the Java-RE2 common subset (F11/§2.8).")
 
+  // ---- F13: hash / codec battery (§2.8) --------------------------------------
+  // The digest-and-encoding plumbing every fingerprinting operator leans
+  // on (d1/d8/d13/d18/d31/d36/m6 all hash), pinned directly: md5,
+  // sha2-256, base64 round trip, hex. Cross-engine digest agreement is
+  // load-bearing — a one-byte encoding difference would silently fork
+  // every hash-partitioned sample and split assignment downstream.
+  private val f13 = GQuery(
+    "f13_hash_codec_battery",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(col("source").cast("binary")).as("h_md5"),
+        sha2(col("source").cast("binary"), 256).as("h_sha256"),
+        base64(col("source").cast("binary")).as("b64"),
+        unbase64(base64(col("source").cast("binary"))).cast("string")
+          .as("b64_roundtrip"),
+        lower(hex(col("source").cast("binary"))).as("hx")),
+    Some("""SELECT doc_id,
+           |  md5(source) AS h_md5,
+           |  sha256(source) AS h_sha256,
+           |  to_base64(CAST(source AS BLOB)) AS b64,
+           |  CAST(from_base64(to_base64(CAST(source AS BLOB))) AS VARCHAR)
+           |    AS b64_roundtrip,
+           |  lower(hex(CAST(source AS BLOB))) AS hx
+           |FROM documents""".stripMargin),
+    doc = "Hash/codec battery: md5, sha2-256, base64 round trip, hex — digest agreement pinned (F13/§2.8).")
+
   private val f10 = GQuery(
     "f10_bitwise_math",
     (s, dir) =>
@@ -1247,5 +1273,5 @@ object AggWindowOps extends QueryPack {
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16, a17, a18,
       w1, w2, w3, w4, w5, w6, w7, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7,
-      f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, st1, st2, st3, st4, st5)
+      f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, st1, st2, st3, st4, st5)
 }
