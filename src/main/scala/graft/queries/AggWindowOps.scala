@@ -885,6 +885,36 @@ object AggWindowOps extends QueryPack {
   // moving average / running total. Frames are ROWS-bounded with a
   // deterministic (date, key) order, so state per partition is O(frame), and
   // the running total accumulates in DECIMAL so the compare is order-proof.
+  // ---- W8: positional window values (first/nth/last + IGNORE NULLS) ----------
+  // The remaining positional-value face: first_value and nth_value under a
+  // running frame, and last_value IGNORE NULLS — the LOCF primitive t8/t9
+  // lean on, here pinned directly through the oracle on a null-bearing
+  // column (nullif-derived). Frames are explicit on both engines because
+  // the DEFAULT frame for value functions differs subtly across dialects;
+  // spelling it is the portability contract.
+  private val w8 = GQuery(
+    "w8_positional_window_values",
+    (s, dir) => {
+      val base = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        first(col("o_totalprice")).over(run).as("first_price"),
+        nth_value(col("o_totalprice"), 3).over(run).as("third_price"),
+        last(nullif(col("o_orderstatus"), lit("P")), ignoreNulls = true)
+          .over(run).as("last_settled_status"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+           |  first_value(o_totalprice) OVER w AS first_price,
+           |  nth_value(o_totalprice, 3) OVER w AS third_price,
+           |  last_value(nullif(o_orderstatus, 'P') IGNORE NULLS) OVER w
+           |    AS last_settled_status
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+    doc = "first_value / nth_value / last_value IGNORE NULLS under explicit frames (W8).")
+
   private val w5 = GQuery(
     "w5_window_frames",
     (s, dir) => {
@@ -1272,6 +1302,6 @@ object AggWindowOps extends QueryPack {
 
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16, a17, a18,
-      w1, w2, w3, w4, w5, w6, w7, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7,
+      w1, w2, w3, w4, w5, w6, w7, w8, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7,
       f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, st1, st2, st3, st4, st5)
 }
