@@ -209,6 +209,27 @@ object RelationalOps extends QueryPack {
 
   // ---- P11/A10: conditional null-out inside aggregate ------------------------
   // Reference: models/stage/projections/preseason/pitching/stg_proj_preseason_pitching_skills.sql:13-19
+  // ---- P13: error-safe expressions (try_* family) ----------------------------
+  // Corpus-scale jobs cannot die on one bad row: try_divide and try_cast
+  // turn would-be errors into nulls. DuckDB spells the same semantics
+  // differently (x / nullif(y, 0); TRY_CAST), so the oracle pins the
+  // EQUIVALENCE, not just the values: Spark's try_divide(a, b) must equal
+  // a / NULLIF(b, 0) row for row (one IEEE division when defined, NULL
+  // when not), and failed casts must be NULL, never exceptions, on both.
+  private val p13 = GQuery(
+    "p13_try_functions",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("try_divide(o_totalprice, o_custkey % 3)").as("safe_div"),
+        expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("good_cast")),
+    Some("""SELECT o_orderkey,
+           |  o_totalprice / nullif(o_custkey % 3, 0) AS safe_div,
+           |  TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+           |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS good_cast
+           |FROM orders""".stripMargin),
+    doc = "Error-safe expressions: try_divide / try_cast null out instead of failing the job (P13).")
+
   private val p11 = GQuery(
     "p11_conditional_agg",
     (s, dir) =>
@@ -1487,7 +1508,7 @@ object RelationalOps extends QueryPack {
     x2.run(s, dir)
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11,
+    Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11, p13,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10,
       x1, x2, x3, x4, x5, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
