@@ -1300,8 +1300,92 @@ object AggWindowOps extends QueryPack {
            |FROM orders""".stripMargin),
     doc = "Bitwise and/or/xor/not/shift/popcount + abs/sign/%/pmod, integer-exact (F10/§2.8).")
 
+  // ---- F14: higher-order lambda battery (§2.8) -------------------------------
+  // transform / filter / aggregate / zip_with / exists / forall — the lambda
+  // surface every vector and text kernel composes from (VectorOps' cosine is
+  // a fused form of exactly these), pinned directly against DuckDB's
+  // list_transform / list_filter / list_aggregate lambdas. All per-row,
+  // codegen'd, shuffle-free; the fold is an ascending-index sequential sum so
+  // both engines accumulate in one order. Array outputs are '|'-serialized
+  // (the f7 harness convention).
+  private val f14 = GQuery(
+    "f14_higher_order_lambdas",
+    (s, dir) => {
+      val w = split(col("text"), " ")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("total_chars"),
+        size(filter(w, x => length(x) > 3)).as("n_long"),
+        array_join(transform(w, x => length(x).cast("string")), "|").as("len_sig"),
+        array_join(zip_with(w, reverse(w), (a, b) => concat(a, lit("~"), b)), "|")
+          .as("pair_sig"),
+        exists(w, x => length(x) > 8).as("has_long"),
+        forall(w, x => length(x) < 20).as("all_short"))
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |SELECT doc_id,
+           |  CAST(list_aggregate(list_transform(w, x -> len(x)), 'sum') AS BIGINT)
+           |    AS total_chars,
+           |  CAST(len(list_filter(w, x -> len(x) > 3)) AS INT) AS n_long,
+           |  coalesce(array_to_string(list_transform(w, x -> CAST(len(x) AS VARCHAR)),
+           |    '|'), '') AS len_sig,
+           |  coalesce(array_to_string(list_transform(range(1, len(w) + 1),
+           |    i -> w[i] || '~' || w[len(w) + 1 - i]), '|'), '') AS pair_sig,
+           |  len(list_filter(w, x -> len(x) > 8)) > 0 AS has_long,
+           |  len(list_filter(w, x -> NOT (len(x) < 20))) = 0 AS all_short
+           |FROM d""".stripMargin),
+    doc = "Higher-order lambdas: transform/filter/aggregate/zip_with/exists/forall (F14/§2.8).")
+
+  // ---- F16: generator battery (explode / posexplode_outer / sequence) --------
+  // The lateral row-generating surface (§2.10's UDTF face): posexplode over a
+  // bounded prefix, posexplode_outer over a possibly-EMPTY filtered array
+  // (the outer variant must still emit one null row — the semantics that
+  // silently drops documents when gotten wrong), and sequence() fan-out whose
+  // cardinality is a per-row expression. Generators multiply rows by a
+  // bounded factor (<= 5 / <= corpus long-word count / <= 3) — never by data
+  // size, which is the scale contract for explode at 100 TB.
+  private val f16 = GQuery(
+    "f16_generator_battery",
+    (s, dir) => {
+      val d = t(s, dir, "documents").withColumn("w", split(col("text"), " "))
+      val head = d.select(col("doc_id"), lit("head").as("kind"),
+        posexplode(slice(col("w"), 1, 5)))
+        .toDF("doc_id", "kind", "pos", "word")
+      val longw = d
+        .withColumn("l", filter(col("w"), x => length(x) >= 15))
+        .select(col("doc_id"), lit("rare").as("kind"),
+          posexplode_outer(col("l")))
+        .toDF("doc_id", "kind", "pos", "word")
+      val seq = d.select(col("doc_id"), lit("seq").as("kind"),
+        posexplode(sequence(lit(1L), pmod(col("doc_id"), lit(3L)) + 1L)))
+        .toDF("doc_id", "kind", "pos", "word")
+        .withColumn("word", col("word").cast("string"))
+      head.unionAll(longw).unionAll(seq)
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |hd AS (
+           |  SELECT doc_id, 'head' AS kind, CAST(i - 1 AS INT) AS pos, w[i] AS word
+           |  FROM (SELECT doc_id, w,
+           |          unnest(range(1, least(len(w), 5) + 1)) AS i FROM d) x),
+           |lw AS (SELECT doc_id, list_filter(w, x -> len(x) >= 15) AS l FROM d),
+           |rare AS (
+           |  SELECT doc_id, 'rare' AS kind,
+           |    CASE WHEN len(l) = 0 THEN NULL ELSE CAST(i - 1 AS INT) END AS pos,
+           |    CASE WHEN len(l) = 0 THEN NULL ELSE l[i] END AS word
+           |  FROM (SELECT doc_id, l,
+           |          unnest(CASE WHEN len(l) = 0 THEN [1]
+           |                 ELSE range(1, len(l) + 1) END) AS i FROM lw) y),
+           |sq AS (
+           |  SELECT doc_id, 'seq' AS kind, CAST(i - 1 AS INT) AS pos,
+           |    CAST(i AS VARCHAR) AS word
+           |  FROM (SELECT doc_id,
+           |          unnest(range(1, (doc_id % 3) + 2)) AS i FROM d) z)
+           |SELECT * FROM hd UNION ALL SELECT * FROM rare UNION ALL SELECT * FROM sq""".stripMargin),
+    doc = "Generators: posexplode prefix, posexplode_outer empty-array null row, sequence fan-out (F16/§2.10).")
+
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16, a17, a18,
       w1, w2, w3, w4, w5, w6, w7, w8, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7,
-      f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, st1, st2, st3, st4, st5)
+      f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f16,
+      st1, st2, st3, st4, st5)
 }
