@@ -1383,9 +1383,54 @@ object AggWindowOps extends QueryPack {
            |SELECT * FROM hd UNION ALL SELECT * FROM rare UNION ALL SELECT * FROM sq""".stripMargin),
     doc = "Generators: posexplode prefix, posexplode_outer empty-array null row, sequence fan-out (F16/§2.10).")
 
+  // ---- F15: map-type battery (§2.8) ------------------------------------------
+  // MapType construction and access: map_from_arrays, map_keys/map_values
+  // (insertion-ordered, so the '|' signatures are deterministic), element_at
+  // for present AND absent keys (absent -> null, not error), map_concat of
+  // disjoint maps, transform_values / map_filter lambdas, map_contains_key.
+  // DuckDB states transform_values / map_filter results as plain scalar
+  // expressions (its MAP surface has no value-lambda twin), so the pin is
+  // against independently-stated expected values. Per-row, shuffle-free.
+  private val f15 = GQuery(
+    "f15_map_functions",
+    (s, dir) => {
+      val m = map_from_arrays(
+        array(lit("key"), lit("cust")),
+        array(col("o_orderkey"), col("o_custkey")))
+      val m2 = map_from_arrays(array(lit("extra")),
+        array(col("o_orderkey") + 1000000L))
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        array_join(map_keys(m), "|").as("keys_sig"),
+        array_join(transform(map_values(m), v => v.cast("string")), "|")
+          .as("vals_sig"),
+        element_at(m, "cust").as("cust_v"),
+        element_at(m, "absent").as("absent_v"),
+        size(map_concat(m, m2)).as("n_entries"),
+        element_at(transform_values(m, (k, v) => v * 2L), "key").as("key_doubled"),
+        size(map_filter(m, (k, v) => v % 2L === 0L)).as("n_even"),
+        map_contains_key(m, "extra").as("has_extra"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+           |  map(['key', 'cust'], [o_orderkey, o_custkey]) AS m FROM orders)
+           |SELECT o_orderkey,
+           |  array_to_string(map_keys(m), '|') AS keys_sig,
+           |  array_to_string(list_transform(map_values(m), v -> CAST(v AS VARCHAR)),
+           |    '|') AS vals_sig,
+           |  map_extract(m, 'cust')[1] AS cust_v,
+           |  CAST(NULL AS BIGINT) AS absent_v,
+           |  CAST(cardinality(map_concat(m,
+           |    map(['extra'], [o_orderkey + 1000000]))) AS INT) AS n_entries,
+           |  o_orderkey * 2 AS key_doubled,
+           |  CAST((CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) +
+           |       (CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) AS INT) AS n_even,
+           |  FALSE AS has_extra
+           |FROM o""".stripMargin),
+    doc = "Map battery: construct, ordered keys/values, absent-key null, concat, value lambdas (F15/§2.8).")
+
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16, a17, a18,
       w1, w2, w3, w4, w5, w6, w7, w8, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7,
-      f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f16,
+      f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16,
       st1, st2, st3, st4, st5)
 }

@@ -523,5 +523,39 @@ object TemporalOps extends QueryPack {
            |GROUP BY dow, is_weekend""".stripMargin),
     doc = "Generated date spine + fact join: calendar conventions pinned, horizon-sized broadcast (temporal #10).")
 
-  override val all: Seq[GQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10)
+  // ---- T11: named-timezone battery -------------------------------------------
+  // IANA-zone conversions pinned across engines: whole-hour offset with DST
+  // in effect (America/New_York, EST in the January corpus window),
+  // HALF-hour offset (Asia/Kolkata +5:30 — the case that breaks
+  // hour-arithmetic shortcuts), southern-hemisphere DST (Australia/Sydney
+  // AEDT +11), and a Kolkata wall-clock round trip back to the epoch —
+  // lossless because Kolkata has no DST, so no ambiguous local times exist
+  // (a Berlin round trip would be lossy one hour a year). The corpus window
+  // (January 2024) contains no transition, so every conversion is a pure
+  // per-row offset — map-only, codegen'd; the oracle drives DuckDB's ICU
+  // path via timezone('UTC', ts) -> instant -> timezone(zone, instant).
+  private val t11 = GQuery(
+    "t11_timezone_battery",
+    (s, dir) => t(s, dir, "events").select(
+      col("event_id"),
+      date_format(from_utc_timestamp(col("ts"), "America/New_York"),
+        "yyyy-MM-dd HH:mm:ss").as("ny_wall"),
+      hour(from_utc_timestamp(col("ts"), "Asia/Kolkata")).as("kolkata_hour"),
+      date_format(from_utc_timestamp(col("ts"), "Australia/Sydney"),
+        "yyyy-MM-dd").as("sydney_date"),
+      unix_timestamp(to_utc_timestamp(
+        from_utc_timestamp(col("ts"), "Asia/Kolkata"), "Asia/Kolkata"))
+        .as("roundtrip_s")),
+    Some("""SELECT event_id,
+           |  strftime(timezone('America/New_York', timezone('UTC', ts)),
+           |           '%Y-%m-%d %H:%M:%S') AS ny_wall,
+           |  CAST(extract(hour FROM timezone('Asia/Kolkata', timezone('UTC', ts)))
+           |    AS INT) AS kolkata_hour,
+           |  strftime(timezone('Australia/Sydney', timezone('UTC', ts)),
+           |           '%Y-%m-%d') AS sydney_date,
+           |  CAST(floor(epoch(ts)) AS BIGINT) AS roundtrip_s
+           |FROM events""".stripMargin),
+    doc = "IANA timezone battery: whole/half-hour offsets, southern DST, lossless round trip (temporal #11).")
+
+  override val all: Seq[GQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11)
 }
