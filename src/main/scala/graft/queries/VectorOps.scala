@@ -814,6 +814,47 @@ object VectorOps extends QueryPack {
            |WHERE rn <= 10""".stripMargin),
     doc = "Hard-negative mining: top-10 most similar wrong-class vectors per query (contrastive data).")
 
+  // ---- D39: semantic dedup (SemDeDup-style greedy near-dup drop) -------------
+  // The embedding-space dedup POLICY on top of d9's machinery: at a stricter
+  // threshold (0.6), drop every vector that has a smaller-id near-dup
+  // partner; the survivor set is what a SemDeDup pass keeps (Abbas et al.
+  // 2023 dedup within k-means clusters — here the exact ball-pruned pair
+  // join finds ALL qualifying pairs, so cluster-boundary misses don't
+  // exist). Greedy-by-id is deterministic and one anti-join; per-label
+  // output carries n_kept plus a kept-id checksum so the oracle hash pins
+  // exact survivor MEMBERSHIP, not just counts. Scale shape: pair join is
+  // d9's (sub-quadratic on clustered data), then one distinct + anti-join.
+  private val d39 = GQuery(
+    "d39_semantic_dedup",
+    (s, dir) => {
+      val emb = embDouble(s, dir)
+      val dropped = cosineNearDupPairs(emb, 0.6)
+        .select(col("vec_b").as("vec_id")).distinct()
+      val kept = emb.join(dropped, Seq("vec_id"), "left_anti")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("kept_id_sum"))
+      emb.groupBy(col("label")).agg(count(lit(1)).as("n_total"))
+        .join(kept, Seq("label"), "left")
+        .select(col("label"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+    },
+    Some(s"""WITH $pairSqlCtes,
+            |dropped AS (
+            |  SELECT DISTINCT vec_b AS vec_id FROM flt WHERE sim >= 0.6),
+            |kept AS (
+            |  SELECT label, count(*) AS n_kept,
+            |    CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
+            |  FROM embeddings
+            |  WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+            |  GROUP BY label)
+            |SELECT t.label, t.n_total,
+            |  coalesce(k.n_kept, 0) AS n_kept,
+            |  coalesce(k.kept_id_sum, 0) AS kept_id_sum
+            |FROM (SELECT label, count(*) AS n_total FROM embeddings GROUP BY label) t
+            |LEFT JOIN kept k ON t.label = k.label""".stripMargin),
+    doc = "Semantic dedup: greedy smaller-id-wins drop over exact near-dup pairs at 0.6 (dedup policy #3).")
+
   override val all: Seq[GQuery] =
-    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, d9)
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, d9, d39)
 }
