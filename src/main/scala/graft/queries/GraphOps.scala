@@ -271,5 +271,87 @@ object GraphOps extends QueryPack {
            |ORDER BY jaccard DESC, pa, pb LIMIT 20""".stripMargin),
     doc = "Link prediction: common-neighbor Jaccard over distance-2 non-edges, top-20 (graph #3).")
 
-  override val all: Seq[GQuery] = Seq(g1, g2, g3)
+  /** Deterministic synchronous label propagation over an undirected edge
+    * list (`a` < `b`, deduplicated): every node starts as its own label;
+    * each round, every node adopts the label most frequent among its
+    * neighbors, ties broken by SMALLEST label. Synchronous update + total
+    * tie order makes the fixpoint path deterministic (async LPA is not),
+    * which is what lets a DuckDB oracle replay it. Each round is one
+    * neighbor-label equi-join + one hash aggregate + one per-node window
+    * (state bounded by the node's distinct neighbor labels) — the same
+    * join/agg shuffle shape as a [[pageRank]] round, lineage O(iters). */
+  def labelPropagation(und: DataFrame, iters: Int): DataFrame = {
+    val adj = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b").as("v"), col("a").as("n")))
+    val init = adj.select(col("v").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    (1 to iters).foldLeft(init) { (lbls, _) =>
+      val counts = adj
+        .join(lbls.select(col("node").as("n"), col("lbl")), "n")
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("lbl"))
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("v").as("node"), col("lbl"))
+    }
+  }
+
+  // ---- G4: label-propagation communities -------------------------------------
+  // Community detection over the g1/g2 item-transition graph: 2 synchronous
+  // LPA rounds, then community sizes joined back so the output pins both
+  // the per-node assignment and the community structure. The oracle unrolls
+  // the identical rounds as CTEs (the g1 discipline) — integer counts and a
+  // total tie order mean no floats anywhere.
+  private val g4 = GQuery(
+    "g4_label_propagation",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val und = ev
+        .withColumn("nk", lead(col("k"), 1).over(w))
+        .filter(col("nk").isNotNull && col("nk") =!= col("k"))
+        .select(least(col("k"), col("nk")).cast("long").as("a"),
+          greatest(col("k"), col("nk")).cast("long").as("b"))
+        .distinct()
+      val assign = labelPropagation(und, iters = 2)
+      val sizes = assign.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+      assign.join(sizes, "lbl")
+        .select(col("node"), col("lbl").as("community"), col("community_size"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, ts, event_id,
+           |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+           |  FROM events),
+           |seq AS (
+           |  SELECT k, lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
+           |  FROM ev),
+           |und AS (
+           |  SELECT DISTINCT CAST(least(k, nk) AS BIGINT) AS a,
+           |                  CAST(greatest(k, nk) AS BIGINT) AS b
+           |  FROM seq WHERE nk IS NOT NULL AND nk <> k),
+           |adj AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b, a FROM und),
+           |l0 AS (SELECT DISTINCT v AS node, v AS lbl FROM adj),
+           |i1 AS (
+           |  SELECT v AS node, lbl FROM (
+           |    SELECT adj.v, l.lbl, count(*) AS c,
+           |      row_number() OVER (PARTITION BY adj.v
+           |                         ORDER BY count(*) DESC, l.lbl) AS rn
+           |    FROM adj JOIN l0 l ON adj.n = l.node
+           |    GROUP BY adj.v, l.lbl) x
+           |  WHERE rn = 1),
+           |i2 AS (
+           |  SELECT v AS node, lbl FROM (
+           |    SELECT adj.v, l.lbl, count(*) AS c,
+           |      row_number() OVER (PARTITION BY adj.v
+           |                         ORDER BY count(*) DESC, l.lbl) AS rn
+           |    FROM adj JOIN i1 l ON adj.n = l.node
+           |    GROUP BY adj.v, l.lbl) x
+           |  WHERE rn = 1),
+           |sizes AS (SELECT lbl, count(*) AS community_size FROM i2 GROUP BY lbl)
+           |SELECT node, i2.lbl AS community, community_size
+           |FROM i2 JOIN sizes ON i2.lbl = sizes.lbl""".stripMargin),
+    doc = "Label-propagation communities: 2 deterministic synchronous rounds, smallest-label ties (graph #4).")
+
+  override val all: Seq[GQuery] = Seq(g1, g2, g3, g4)
 }
