@@ -855,6 +855,91 @@ object VectorOps extends QueryPack {
             |LEFT JOIN kept k ON t.label = k.label""".stripMargin),
     doc = "Semantic dedup: greedy smaller-id-wins drop over exact near-dup pairs at 0.6 (dedup policy #3).")
 
+  /** MMR (maximal marginal relevance) greedy re-ranking over a bounded
+    * shortlist: pick argmax of lambda*rel - (1-lambda)*max_sim_to_picked,
+    * k rounds, ties by smallest nid. State is (queries x shortlist) rows —
+    * bounded by the SHORTLIST size, never the corpus — and each round is
+    * one per-query window argmax + one broadcast pick-join, so the loop
+    * costs k small stages regardless of data scale. Deterministic: total
+    * tie order + synchronous rounds (SimilaritySpec replays the greedy
+    * selection independently and asserts identical picks). */
+  private[queries] def mmrSelect(cand: DataFrame, candPairs: DataFrame,
+      k: Int, lambda: Double): DataFrame = {
+    // cand: (qid, nid, rel, v); candPairs: (qid, nid, mid, psim)
+    // Each round references the prior state TWICE (pick argmax + update
+    // join); an eager localCheckpoint per round keeps the plan linear in k
+    // instead of doubling every round (state is queries x shortlist rows —
+    // tiny by construction, so materializing it is free).
+    // maxsim is NULL until the first picked-pair sim arrives (the empty-set
+    // diversity term is 0 in the score, but the running max must start from
+    // the first REAL sim — seeding with 0.0 would clip negative cosines and
+    // diverge from the textbook max over the picked set).
+    val init = cand.select(col("qid"), col("nid"), col("rel"))
+      .withColumn("maxsim", lit(null).cast("double"))
+      .withColumn("rank", lit(null).cast("int"))
+      .localCheckpoint()
+    (1 to k).foldLeft(init) { (state, r) =>
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("mmr").desc, col("pnid"))
+      val picks = state.filter(col("rank").isNull)
+        .select(col("qid"), col("nid").as("pnid"),
+          (lit(lambda) * col("rel")
+            - lit(1 - lambda) * coalesce(col("maxsim"), lit(0.0))).as("mmr"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("pnid"))
+      state.join(broadcast(picks), Seq("qid"), "left")
+        .join(candPairs.select(col("qid"), col("nid"), col("mid").as("pnid"),
+          col("psim")), Seq("qid", "nid", "pnid"), "left")
+        .select(col("qid"), col("nid"), col("rel"),
+          when(col("rank").isNull && col("nid") =!= col("pnid"),
+            when(col("maxsim").isNull, col("psim"))
+              .otherwise(greatest(col("maxsim"), col("psim"))))
+            .otherwise(col("maxsim")).as("maxsim"),
+          when(col("rank").isNull && col("nid") === col("pnid"), lit(r))
+            .otherwise(col("rank")).as("rank"))
+        .localCheckpoint()
+    }.filter(col("rank").isNotNull)
+      .select(col("qid"), col("rank"), col("nid"), round(col("rel"), 6).as("rel"))
+  }
+
+  // ---- E14: MMR-diversified top-k (serving-side diversification) -------------
+  // The retrieval-serving step after ANN: from each query's exact top-30
+  // shortlist, select 10 by maximal marginal relevance (lambda=0.7) so
+  // near-duplicate candidates don't crowd the slate — the standard
+  // Carbonell-Goldstein re-ranker LLM retrieval stacks run on every
+  // request. Shortlist build is e1's machinery; candidate-pair sims are a
+  // per-query 30x30 block (shortlist-bounded, never corpus-bounded). No
+  // SQL oracle — the greedy argmax recursion isn't ANSI-expressible — the
+  // gate is SimilaritySpec's independent driver-side replay of the exact
+  // selection plus slate-invariant checks.
+  private val e14 = GQuery(
+    "e14_mmr_diversified_topk",
+    (s, dir) => {
+      val (cand, candPairs) = mmrInputs(s, dir)
+      mmrSelect(cand, candPairs, k = 10, lambda = 0.7)
+    },
+    None,
+    doc = "MMR diversified top-10 from exact top-30 shortlists, lambda=0.7, replay-gated (similarity #14).")
+
+  /** e14's shortlist + in-shortlist pair sims (shared with the spec gate). */
+  private[queries] def mmrInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = embDouble(s, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    val cand = emb.select(col("vec_id").as("nid"), col("v").as("nv"))
+      .crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine("qv", "nv"))
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 30)
+      .select(col("qid"), col("nid"), col("sim").as("rel"), col("nv").as("v"))
+    val candPairs = cand.select(col("qid"), col("nid"), col("v"))
+      .join(cand.select(col("qid"), col("nid").as("mid"), col("v").as("mv")), Seq("qid"))
+      .filter(col("nid") =!= col("mid"))
+      .select(col("qid"), col("nid"), col("mid"), cosine("v", "mv").as("psim"))
+    (cand, candPairs)
+  }
+
   override val all: Seq[GQuery] =
-    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, d9, d39)
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, d9, d39)
 }

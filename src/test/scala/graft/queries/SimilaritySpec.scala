@@ -361,4 +361,48 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"e7 recall@10 = $recall%.3f over ${exact.size} exact pairs")
     assert(recall >= 0.9, f"int8 quantization recall floor: $recall%.3f < 0.9")
   }
+
+  // ---- e14 ---------------------------------------------------------------
+
+  test("e14: distributed MMR selection == independent greedy replay (sf0.01)", graft.Slow) {
+    // The gate for the oracle-less query: collect the SAME shortlist +
+    // pair-sim inputs the query consumes, replay the Carbonell-Goldstein
+    // greedy argmax in plain Scala (argmax of lambda*rel-(1-lambda)*maxsim,
+    // smallest-nid ties), and demand pick-for-pick equality — an
+    // independent reimplementation of the recursion, not a re-run.
+    val lambda = 0.7
+    val (cand, candPairs) = VectorOps.mmrInputs(spark, sf01)
+    val rel = cand.select("qid", "nid", "rel").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(r => r.getLong(1) -> r.getDouble(2)).toMap }
+    val psim = candPairs.select("qid", "nid", "mid", "psim").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap }
+    val expected = rel.flatMap { case (q, rels) =>
+      val picked = scala.collection.mutable.ArrayBuffer[Long]()
+      (1 to 10).flatMap { rank =>
+        val remaining = rels.keySet -- picked
+        if (remaining.isEmpty) None
+        else {
+          val pick = remaining.minBy { n =>
+            val ms = if (picked.isEmpty) 0.0
+              else picked.map(p => psim(q)((n, p))).max
+            (-(lambda * rels(n) - (1 - lambda) * ms), n)
+          }
+          picked += pick
+          Some((q, rank, pick))
+        }
+      }
+    }.toSet
+    val got = graft.SparkEntry.queries("e14_mmr_diversified_topk")(spark, sf01)
+      .select("qid", "rank", "nid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expected, "distributed MMR must equal the greedy replay")
+    assert(got.size == 100, s"10 queries x 10 picks expected, got ${got.size}")
+    // slate invariant: the rank-1 pick is each query's relevance argmax
+    val top1 = rel.map { case (q, rels) =>
+      (q, 1, rels.toSeq.minBy { case (n, r) => (-r, n) }._1) }.toSet
+    assert(top1.subsetOf(got), "rank-1 must be the pure-relevance argmax")
+  }
 }
