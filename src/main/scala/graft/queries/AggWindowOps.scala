@@ -1383,6 +1383,64 @@ object AggWindowOps extends QueryPack {
            |SELECT * FROM hd UNION ALL SELECT * FROM rare UNION ALL SELECT * FROM sq""".stripMargin),
     doc = "Generators: posexplode prefix, posexplode_outer empty-array null row, sequence fan-out (F16/§2.10).")
 
+  // ---- U8: union resolved by NAME, not position ------------------------------
+  // unionByName is the schema-evolution-safe union: branches whose column
+  // ORDER differs align correctly (a positional union would silently pair
+  // key with price — u1's footgun), and allowMissingColumns null-pads a
+  // branch missing a column entirely (the late-added-field case). The
+  // oracle states the aligned union explicitly, so the pin is that name
+  // resolution produced exactly the explicit alignment.
+  private val u8 = GQuery(
+    "u8_union_by_name",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+          col("o_totalprice").as("price"))
+      val b = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_totalprice").as("price"), col("o_orderkey").as("k"),
+          col("o_orderpriority").as("pri"))
+      val c = o.filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"))
+      a.unionByName(b).unionByName(c, allowMissingColumns = true)
+    },
+    Some("""SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS price
+           |FROM orders WHERE o_orderstatus = 'F'
+           |UNION ALL
+           |SELECT o_orderkey, o_orderpriority, o_totalprice
+           |FROM orders WHERE o_orderstatus = 'O'
+           |UNION ALL
+           |SELECT o_orderkey, o_orderpriority, CAST(NULL AS DOUBLE)
+           |FROM orders WHERE o_orderstatus = 'P'""".stripMargin),
+    doc = "unionByName: order-shuffled branches align by name, missing columns null-pad (U8/§2.7).")
+
+  // ---- W9: running DISTINCT aggregation over a window ------------------------
+  // Distinct-within-window has no direct Spark aggregate; the idiomatic
+  // form is collect_set().over(running frame) + size/array_join — per-row
+  // state bounded by the DISTINCT cardinality of the column (event types
+  // here), NOT the frame length, so a year-long user history costs the
+  // same state as a day. DuckDB states the same thing natively
+  // (count(DISTINCT) OVER, list() OVER), pinning the running set content
+  // row-for-row via the sorted signature.
+  private val w9 = GQuery(
+    "w9_windowed_distinct",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        size(collect_set(col("event_type")).over(w)).as("n_types_seen"),
+        array_join(array_sort(collect_set(col("event_type")).over(w)), "|")
+          .as("types_sig"))
+    },
+    Some("""SELECT event_id, user_id,
+           |  CAST(count(DISTINCT event_type) OVER w AS INT) AS n_types_seen,
+           |  array_to_string(list_sort(list_distinct(list(event_type) OVER w)), '|')
+           |    AS types_sig
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           |             ROWS UNBOUNDED PRECEDING)""".stripMargin),
+    doc = "Running windowed DISTINCT: collect_set state bounded by cardinality, not frame length (W9/§2.5).")
+
   // ---- F15: map-type battery (§2.8) ------------------------------------------
   // MapType construction and access: map_from_arrays, map_keys/map_values
   // (insertion-ordered, so the '|' signatures are deterministic), element_at
@@ -1430,7 +1488,7 @@ object AggWindowOps extends QueryPack {
 
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16, a17, a18,
-      w1, w2, w3, w4, w5, w6, w7, w8, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7,
+      w1, w2, w3, w4, w5, w6, w7, w8, w9, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7, u8,
       f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16,
       st1, st2, st3, st4, st5)
 }
