@@ -281,8 +281,13 @@ object GraphOps extends QueryPack {
     * (state bounded by the node's distinct neighbor labels) — the same
     * join/agg shuffle shape as a [[pageRank]] round, lineage O(iters). */
   def labelPropagation(und: DataFrame, iters: Int): DataFrame = {
+    // materialize the (vocabulary-bounded) adjacency once — every round and
+    // the init reference it, and without the cut each reference re-derives
+    // the full upstream edge pipeline (the connectedComponents persist
+    // discipline)
     val adj = und.select(col("a").as("v"), col("b").as("n"))
       .union(und.select(col("b").as("v"), col("a").as("n")))
+      .localCheckpoint()
     val init = adj.select(col("v").as("node")).distinct()
       .withColumn("lbl", col("node"))
     (1 to iters).foldLeft(init) { (lbls, _) =>

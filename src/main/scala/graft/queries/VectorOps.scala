@@ -916,7 +916,11 @@ object VectorOps extends QueryPack {
     "e14_mmr_diversified_topk",
     (s, dir) => {
       val (cand, candPairs) = mmrInputs(s, dir)
-      mmrSelect(cand, candPairs, k = 10, lambda = 0.7)
+      // cut both inputs once: every greedy round joins candPairs, and
+      // without the cut each of the k joins re-derives the corpus-wide
+      // shortlist scan; both tables are shortlist-bounded (q x 30, q x 30^2)
+      mmrSelect(cand.localCheckpoint(), candPairs.localCheckpoint(),
+        k = 10, lambda = 0.7)
     },
     None,
     doc = "MMR diversified top-10 from exact top-30 shortlists, lambda=0.7, replay-gated (similarity #14).")
