@@ -1441,6 +1441,57 @@ object AggWindowOps extends QueryPack {
            |             ROWS UNBOUNDED PRECEDING)""".stripMargin),
     doc = "Running windowed DISTINCT: collect_set state bounded by cardinality, not frame length (W9/§2.5).")
 
+  // ---- F17: rounding / binning battery (§2.8) --------------------------------
+  // The numeric-edge semantics that silently fork engines: HALF_UP vs
+  // HALF_EVEN rounding (real x.x5 ties exist because the base is an exact
+  // DECIMAL(18,2) — rounding raw doubles would "tie" on values that are
+  // secretly 2.4499...), double->int casts (Spark TRUNCATES toward zero,
+  // DuckDB's cast rounds half-even — the oracle must state trunc()
+  // explicitly), scaled ceil/floor, and width_bucket (absent in DuckDB;
+  // the oracle states the floor((x-lo)/width)+1 arithmetic, exact because
+  // the bucket width is a power-of-ten-scaled double). HALF_EVEN is also
+  // stated arithmetically — DuckDB v1.0's round_even macro goes through
+  // double and misrounds decimal ties (2518.45 -> 2518.5); with a
+  // DECIMAL(18,2) base the tie is exactly "second decimal digit is 5"
+  // ((p*100) % 10 = 5), a clean modulo test; non-ties round normally.
+  // All per-row.
+  private val f17 = GQuery(
+    "f17_rounding_binning",
+    (s, dir) => {
+      val p = col("o_totalprice").cast("decimal(18,2)")
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        round(p, 1).cast("double").as("r_half_up"),
+        bround(p, 1).cast("double").as("r_half_even"),
+        col("o_totalprice").cast("int").as("to_int_trunc"),
+        ceil(p, lit(1)).cast("double").as("ceil_1"),
+        floor(p, lit(1)).cast("double").as("floor_1"),
+        width_bucket(col("o_totalprice"), lit(0d), lit(600000d), lit(12L))
+          .as("bucket"))
+    },
+    Some("""SELECT o_orderkey,
+           |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE)
+           |    AS r_half_up,
+           |  CAST(CASE WHEN (CAST(o_totalprice AS DECIMAL(18,2)) * 100) % 10 = 5
+           |       THEN (CASE WHEN CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 10)
+           |                        AS BIGINT) % 2 = 0
+           |             THEN floor(CAST(o_totalprice AS DECIMAL(18,2)) * 10)
+           |             ELSE floor(CAST(o_totalprice AS DECIMAL(18,2)) * 10) + 1 END)
+           |            / 10.0
+           |       ELSE round(CAST(o_totalprice AS DECIMAL(18,2)), 1) END AS DOUBLE)
+           |    AS r_half_even,
+           |  CAST(trunc(o_totalprice) AS INT) AS to_int_trunc,
+           |  CAST(ceil(CAST(o_totalprice AS DECIMAL(18,2)) * 10) / 10 AS DOUBLE)
+           |    AS ceil_1,
+           |  CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 10) / 10 AS DOUBLE)
+           |    AS floor_1,
+           |  CAST(CASE WHEN o_totalprice < 0 THEN 0
+           |            WHEN o_totalprice >= 600000 THEN 13
+           |            ELSE floor(o_totalprice / 50000.0) + 1 END AS BIGINT)
+           |    AS bucket
+           |FROM orders""".stripMargin),
+    doc = "Rounding/binning: HALF_UP vs HALF_EVEN on real ties, truncating casts, width_bucket (F17/§2.8).")
+
   // ---- F15: map-type battery (§2.8) ------------------------------------------
   // MapType construction and access: map_from_arrays, map_keys/map_values
   // (insertion-ordered, so the '|' signatures are deterministic), element_at
@@ -1489,6 +1540,6 @@ object AggWindowOps extends QueryPack {
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16, a17, a18,
       w1, w2, w3, w4, w5, w6, w7, w8, w9, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7, u8,
-      f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16,
+      f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16, f17,
       st1, st2, st3, st4, st5)
 }
