@@ -604,5 +604,127 @@ object CorpusOps extends QueryPack {
            |FROM sc, thr WHERE avg_lp >= m""".stripMargin),
     doc = "Perplexity quality gate: per-doc avg bigram log-prob vs the corpus mean (quality filter #2).")
 
-  override val all: Seq[GQuery] = Seq(d12, d13, d14, d15, d16, d17, d18, d19, d35, d36, d38)
+  // ---- D40: quality-classifier TRAINING (distributed logistic regression) ---
+  // The training half of the d24 inference story: fit the logistic
+  // language/quality probe with full-batch gradient descent, distributed.
+  // Each round is ONE aggregate over the materialized feature table —
+  // per-row gradient terms (sigmoid(w.x) - y) * x_j are fixed IEEE
+  // expression dags (bit-identical on any engine), and the sums are
+  // DECIMAL(28,12) (the d17 discipline), so the gradient is EXACT and
+  // partition-order-free — the property that lets a 1000-executor run be
+  // verified against a single-node oracle replaying the identical unrolled
+  // rounds. Per round the driver collects 4 gradient scalars + a count
+  // (dimension-bounded — the e5 centroid discipline) and updates w in
+  // closed form; weights never live in the data plane. Output is the
+  // trained parameter vector + training accuracy — model-sized, not
+  // data-sized.
+  private val GdLr = 0.05
+  private val GdRounds = 3
+
+  private def gdFeatures(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    docs.select(
+      col("doc_id"),
+      lit(1.0).as("x0"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") / nTok).as("x1"),
+      (size(filter(toks, x => x === "the")).cast("double") / nTok).as("x2"),
+      log(col("n_chars").cast("double")).as("x3"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+  }
+
+  private val d40 = GQuery(
+    "d40_classifier_training",
+    (s, dir) => {
+      // feature table materialized once (row-per-doc, 5 doubles — the
+      // feature-store step every trainer pays); 3 GD rounds re-scan it
+      val f = gdFeatures(t(s, dir, "documents")).localCheckpoint()
+      def zCol(w: Array[Double]) =
+        lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      for (_ <- 1 to GdRounds) {
+        val p = lit(1.0) / (lit(1.0) + exp(-zCol(w)))
+        val err = p - col("y")
+        val g = f.agg(
+          sum((err * col("x0")).cast("decimal(28,12)")).as("g0"),
+          sum((err * col("x1")).cast("decimal(28,12)")).as("g1"),
+          sum((err * col("x2")).cast("decimal(28,12)")).as("g2"),
+          sum((err * col("x3")).cast("decimal(28,12)")).as("g3"),
+          count(lit(1)).as("n")).head()
+        val n = g.getLong(4).toDouble
+        w = Array.tabulate(4)(j => w(j) - GdLr * (g.getDecimal(j).doubleValue / n))
+      }
+      val pFinal = lit(1.0) / (lit(1.0) + exp(-zCol(w)))
+      val acc = f.agg(
+        sum(when((pFinal >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L))
+          .as("n_correct"),
+        count(lit(1)).as("n")).head()
+      import s.implicits._
+      Seq(("w0", w(0)), ("w1", w(1)), ("w2", w(2)), ("w3", w(3)),
+        ("train_acc", acc.getLong(0).toDouble / acc.getLong(1)))
+        .toDF("param", "value")
+    },
+    Some(s"""WITH f AS (
+            |  SELECT doc_id, 1.0 AS x0,
+            |    CAST(len(replace(text, ' ', '')) AS DOUBLE)
+            |      / len(string_split(text, ' ')) AS x1,
+            |    CAST(len(list_filter(string_split(text, ' '), t -> t = 'the'))
+            |      AS DOUBLE) / len(string_split(text, ' ')) AS x2,
+            |    ln(CAST(n_chars AS DOUBLE)) AS x3,
+            |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+            |  FROM documents),
+            |g1 AS (SELECT
+            |    CAST(sum(CAST((1.0/(1.0+exp(-(0.0*x0+0.0*x1+0.0*x2+0.0*x3))) - y) * x0
+            |      AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+            |    CAST(sum(CAST((1.0/(1.0+exp(-(0.0*x0+0.0*x1+0.0*x2+0.0*x3))) - y) * x1
+            |      AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+            |    CAST(sum(CAST((1.0/(1.0+exp(-(0.0*x0+0.0*x1+0.0*x2+0.0*x3))) - y) * x2
+            |      AS DECIMAL(28,12))) AS DOUBLE) AS g2,
+            |    CAST(sum(CAST((1.0/(1.0+exp(-(0.0*x0+0.0*x1+0.0*x2+0.0*x3))) - y) * x3
+            |      AS DECIMAL(28,12))) AS DOUBLE) AS g3,
+            |    count(*) AS n FROM f),
+            |w1 AS (SELECT 0.0 - $GdLr*(g0/n) AS w0, 0.0 - $GdLr*(g1/n) AS w1,
+            |              0.0 - $GdLr*(g2/n) AS w2, 0.0 - $GdLr*(g3/n) AS w3 FROM g1),
+            |g2 AS (SELECT
+            |    CAST(sum(CAST((1.0/(1.0+exp(-(w.w0*x0+w.w1*x1+w.w2*x2+w.w3*x3))) - y) * x0
+            |      AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+            |    CAST(sum(CAST((1.0/(1.0+exp(-(w.w0*x0+w.w1*x1+w.w2*x2+w.w3*x3))) - y) * x1
+            |      AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+            |    CAST(sum(CAST((1.0/(1.0+exp(-(w.w0*x0+w.w1*x1+w.w2*x2+w.w3*x3))) - y) * x2
+            |      AS DECIMAL(28,12))) AS DOUBLE) AS g2,
+            |    CAST(sum(CAST((1.0/(1.0+exp(-(w.w0*x0+w.w1*x1+w.w2*x2+w.w3*x3))) - y) * x3
+            |      AS DECIMAL(28,12))) AS DOUBLE) AS g3,
+            |    count(*) AS n, min(w.w0) AS pw0, min(w.w1) AS pw1,
+            |    min(w.w2) AS pw2, min(w.w3) AS pw3
+            |  FROM f CROSS JOIN w1 w),
+            |w2 AS (SELECT pw0 - $GdLr*(g0/n) AS w0, pw1 - $GdLr*(g1/n) AS w1,
+            |              pw2 - $GdLr*(g2/n) AS w2, pw3 - $GdLr*(g3/n) AS w3 FROM g2),
+            |g3 AS (SELECT
+            |    CAST(sum(CAST((1.0/(1.0+exp(-(w.w0*x0+w.w1*x1+w.w2*x2+w.w3*x3))) - y) * x0
+            |      AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+            |    CAST(sum(CAST((1.0/(1.0+exp(-(w.w0*x0+w.w1*x1+w.w2*x2+w.w3*x3))) - y) * x1
+            |      AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+            |    CAST(sum(CAST((1.0/(1.0+exp(-(w.w0*x0+w.w1*x1+w.w2*x2+w.w3*x3))) - y) * x2
+            |      AS DECIMAL(28,12))) AS DOUBLE) AS g2,
+            |    CAST(sum(CAST((1.0/(1.0+exp(-(w.w0*x0+w.w1*x1+w.w2*x2+w.w3*x3))) - y) * x3
+            |      AS DECIMAL(28,12))) AS DOUBLE) AS g3,
+            |    count(*) AS n, min(w.w0) AS pw0, min(w.w1) AS pw1,
+            |    min(w.w2) AS pw2, min(w.w3) AS pw3
+            |  FROM f CROSS JOIN w2 w),
+            |w3 AS (SELECT pw0 - $GdLr*(g0/n) AS w0, pw1 - $GdLr*(g1/n) AS w1,
+            |              pw2 - $GdLr*(g2/n) AS w2, pw3 - $GdLr*(g3/n) AS w3 FROM g3),
+            |acc AS (SELECT
+            |    sum(CASE WHEN (1.0/(1.0+exp(-(w.w0*x0+w.w1*x1+w.w2*x2+w.w3*x3))) >= 0.5)
+            |                  = (y = 1.0) THEN 1 ELSE 0 END) AS n_correct,
+            |    count(*) AS n FROM f CROSS JOIN w3 w)
+            |SELECT 'w0' AS param, w0 AS value FROM w3
+            |UNION ALL SELECT 'w1', w1 FROM w3
+            |UNION ALL SELECT 'w2', w2 FROM w3
+            |UNION ALL SELECT 'w3', w3 FROM w3
+            |UNION ALL SELECT 'train_acc', CAST(n_correct AS DOUBLE) / n FROM acc""".stripMargin),
+    doc = "Classifier training: 3 full-batch logistic GD rounds, decimal-exact gradients, driver-held weights (ML #2).")
+
+  override val all: Seq[GQuery] =
+    Seq(d12, d13, d14, d15, d16, d17, d18, d19, d35, d36, d38, d40)
 }
