@@ -42,13 +42,29 @@ object Incremental {
     * wins, so replaying a batch is idempotent.
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
-             version: String, tieBreak: String): DataFrame = {
+             version: String, tieBreak: String): DataFrame =
+    upsertImpl(base, updates, keys, version, tieBreak, evolve = false)
+
+  /** [[upsert]] under dbt `on_schema_change: append_new_columns`: a column
+    * present on only one side survives the merge, null-padded on the other —
+    * a late-added field backfills old rows as null, and a dropped field stays
+    * (null for new rows) instead of failing the run. Strict [[upsert]] keeps
+    * schema drift an ERROR (dbt's default `ignore`/`fail` posture); this
+    * variant is the opt-in evolution path, so drift is a choice, never an
+    * accident. */
+  def upsertEvolve(base: DataFrame, updates: DataFrame, keys: Seq[String],
+                   version: String, tieBreak: String): DataFrame =
+    upsertImpl(base, updates, keys, version, tieBreak, evolve = true)
+
+  private def upsertImpl(base: DataFrame, updates: DataFrame, keys: Seq[String],
+                         version: String, tieBreak: String,
+                         evolve: Boolean): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(version).desc, col(tieBreak).desc)
     val latest = updates.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
     val kept = base.join(latest.select(keys.map(col): _*), keys, "left_anti")
-    kept.unionByName(latest)
+    kept.unionByName(latest, allowMissingColumns = evolve)
   }
 
   /** dbt `snapshot` (SCD2) as a batch backfill: compress a change log

@@ -263,5 +263,39 @@ object IncrementalOps extends QueryPack {
            |FROM snap_a a FULL OUTER JOIN snap_b b ON a.user_id = b.user_id""".stripMargin),
     doc = "Snapshot diff: two keyed versions full-outer joined, rows classified added/removed/changed (incremental #7).")
 
-  override val all: Seq[GQuery] = Seq(i1, i2, i3, i4, i5, i6, i7)
+  // ---- I8: schema-evolving incremental merge ---------------------------------
+  // dbt `on_schema_change: append_new_columns`, the i1 merge under schema
+  // drift: the post-cutoff batch carries a NEW column (a props-derived item
+  // key) the base table predates. upsertEvolve null-backfills the old rows
+  // and keeps the new field for merged ones — the oracle states the fixpoint
+  // with the CASE the backfill implies: k exists exactly for users whose
+  // winning event is post-cutoff. A strict upsert would (correctly) refuse
+  // this batch; evolution is the opt-in path.
+  private val i8 = GQuery(
+    "i8_schema_evolution_merge",
+    (s, dir) => {
+      val cutoff = lit("2024-01-20").cast("timestamp")
+      val old = ev(s, dir).filter(col("ts") < cutoff)
+      val batch = t(s, dir, "events")
+        .filter(col("ts") >= cutoff)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+      val base = Incremental.upsert(old.limit(0), old,
+        Seq("user_id"), "ts", "event_id")
+      Incremental.upsertEvolve(base, batch, Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("k"), sec(col("ts")).as("ts_sec"))
+    },
+    Some("""SELECT user_id, event_id, event_type, value,
+           |  CASE WHEN ts >= TIMESTAMP '2024-01-20'
+           |       THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k,
+           |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+           |FROM (SELECT *, row_number() OVER (
+           |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |      FROM events) r
+           |WHERE rn = 1""".stripMargin),
+    doc = "Schema-evolving merge: late-added column null-backfills old rows, kept for new (I8).")
+
+  override val all: Seq[GQuery] = Seq(i1, i2, i3, i4, i5, i6, i7, i8)
 }

@@ -158,6 +158,25 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c(replay) === c(merged), "replaying the same batch must be idempotent")
   }
 
+  test("upsertEvolve: late-added column null-backfills; strict upsert refuses drift") {
+    val s = spark; import s.implicits._
+    val base0 = Seq((1L, "a", 10L, 1L), (2L, "b", 11L, 2L))
+      .toDF("k", "attr", "ts", "seq")
+    val base = Incremental.upsert(base0.limit(0), base0, Seq("k"), "ts", "seq")
+    val batch = Seq((2L, "b2", 20L, 3L, "x"), (3L, "c", 21L, 4L, "y"))
+      .toDF("k", "attr", "ts", "seq", "extra")
+    val merged = Incremental.upsertEvolve(base, batch, Seq("k"), "ts", "seq")
+    val got = merged.select("k", "attr", "extra").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got === Set((1L, "a", None), (2L, "b2", Some("x")),
+      (3L, "c", Some("y"))),
+      "kept base rows must null-backfill the late-added column")
+    // the strict path treats the same drift as an error, not a silent union
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Incremental.upsert(base, batch, Seq("k"), "ts", "seq")
+    }
+  }
+
   test("aggState folds converge to the one-shot aggregate in ANY arrival order") {
     // the i6 contract: mergeAggState is associative+commutative, so every
     // permutation of batch arrival produces the identical state
