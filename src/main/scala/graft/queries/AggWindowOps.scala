@@ -1441,6 +1441,32 @@ object AggWindowOps extends QueryPack {
            |             ROWS UNBOUNDED PRECEDING)""".stripMargin),
     doc = "Running windowed DISTINCT: collect_set state bounded by cardinality, not frame length (W9/§2.5).")
 
+  // ---- W10: exact percentile over a moving frame -----------------------------
+  // The rolling-median / rolling-quantile monitor (drift detection over a
+  // trailing window): EXACT interpolated percentile as a WINDOW aggregate
+  // under a ROWS frame — per-row state is the 4-row frame, never the
+  // partition. round(4) is lossless here: inputs have 2 decimals, so every
+  // interpolated value has <= 4 exact decimal digits, and both engines
+  // round the dyadic midpoints (x.625 is exactly representable) away from
+  // zero — the a8 percentile discipline extended to frames.
+  private val w10 = GQuery(
+    "w10_windowed_percentile",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(-3, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        round(expr("percentile(o_totalprice, 0.5)").over(w), 4).as("roll_median"),
+        round(expr("percentile(o_totalprice, 0.25)").over(w), 4).as("roll_p25"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+           |  round(quantile_cont(o_totalprice, 0.5) OVER w, 4) AS roll_median,
+           |  round(quantile_cont(o_totalprice, 0.25) OVER w, 4) AS roll_p25
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+           |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin),
+    doc = "Rolling exact percentiles under a ROWS frame — frame-bounded state, interpolation pinned (W10/§2.5).")
+
   // ---- F17: rounding / binning battery (§2.8) --------------------------------
   // The numeric-edge semantics that silently fork engines: HALF_UP vs
   // HALF_EVEN rounding (real x.x5 ties exist because the base is an exact
@@ -1539,7 +1565,7 @@ object AggWindowOps extends QueryPack {
 
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16, a17, a18,
-      w1, w2, w3, w4, w5, w6, w7, w8, w9, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7, u8,
+      w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7, u8,
       f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16, f17,
       st1, st2, st3, st4, st5)
 }
