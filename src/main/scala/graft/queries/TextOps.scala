@@ -1172,7 +1172,89 @@ object TextOps extends QueryPack {
            |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin),
     doc = "BPE training kernel: corpus-wide adjacent-pair counts, top-50 merge candidates (tokenizer #1).")
 
+  // ---- D41: BPE merge application (one full train->apply->recount round) ----
+  // The loop d34's kernel exists for, demonstrated end to end: pick the top
+  // adjacent-pair merge (restricted to pairs with DISTINCT halves, which
+  // cannot self-overlap — so the greedy left-to-right merge is a pure
+  // per-position decision, no sequential scan state), re-tokenize every
+  // word map-side (chars -> symbols via flag/filter/transform lambdas — no
+  // UDF, no shuffle), and recount adjacent SYMBOL pairs for the next
+  // round's candidates. The winning pair is driver-collected (ONE row — the
+  // documented d34/e5 bounded-collect discipline); the oracle re-derives
+  // the same winner as a scalar CTE and replays the identical merge with
+  // list comprehensions.
+  private val d41 = GQuery(
+    "d41_bpe_apply_merge",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wordsDf = docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+      val top = wordsDf
+        .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .filter(substring(col("pair"), 1, 1) =!= substring(col("pair"), 2, 1))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .head().getString(0)
+      val (ma, mb) = (top.substring(0, 1), top.substring(1, 2))
+      val c = filter(split(col("w"), ""), x => x =!= "")
+      val n = size(c)
+      val f = transform(sequence(lit(1), n), i =>
+        (i < n) && (element_at(c, i) === ma) && (element_at(c, i + 1) === mb))
+      val syms = transform(
+        filter(sequence(lit(1), n), i =>
+          !(i > lit(1) && element_at(f, i - 1))),
+        i => when(element_at(f, i), lit(top)).otherwise(element_at(c, i)))
+      val merged = wordsDf.select(syms.as("syms"),
+        size(filter(f, x => x)).cast("long").as("nm"))
+      val nMerges = merged.agg(sum(col("nm"))).head().getLong(0)
+      val next = merged
+        .filter(size(col("syms")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => concat(element_at(col("syms"), i), lit("+"),
+            element_at(col("syms"), i + 1)))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(10)
+        .select(lit("next").as("kind"), col("pair"), col("cnt"))
+      import s.implicits._
+      next.unionAll(
+        Seq(("applied", top, nMerges)).toDF("kind", "pair", "cnt"))
+    },
+    Some("""WITH words AS (
+           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+           |ww AS (SELECT w FROM words WHERE len(w) >= 2),
+           |cand AS (
+           |  SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair
+           |  FROM ww),
+           |top AS (
+           |  SELECT pair FROM cand
+           |  WHERE substr(pair, 1, 1) <> substr(pair, 2, 1)
+           |  GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1),
+           |ch AS (SELECT w, [w[i] for i in range(1, len(w) + 1)] AS c FROM ww),
+           |fl AS (SELECT w, c,
+           |  [CASE WHEN i < len(c) AND c[i] = substr(t.pair, 1, 1)
+           |             AND c[i+1] = substr(t.pair, 2, 1)
+           |        THEN 1 ELSE 0 END for i in range(1, len(c) + 1)] AS f
+           |  FROM ch CROSS JOIN top t),
+           |sy AS (SELECT w,
+           |  [CASE WHEN f[i] = 1 THEN c[i] || c[i+1] ELSE c[i] END
+           |   for i in range(1, len(c) + 1) if NOT (i > 1 AND f[i-1] = 1)] AS syms,
+           |  len(list_filter(f, x -> x = 1)) AS nm
+           |  FROM fl),
+           |np AS (
+           |  SELECT unnest([syms[i] || '+' || syms[i+1]
+           |                 for i in range(1, len(syms))]) AS pair
+           |  FROM sy WHERE len(syms) >= 2),
+           |topnext AS (
+           |  SELECT 'next' AS kind, pair, count(*) AS cnt FROM np
+           |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 10)
+           |SELECT kind, pair, cnt FROM topnext
+           |UNION ALL
+           |SELECT 'applied', t.pair, (SELECT CAST(sum(nm) AS BIGINT) FROM sy)
+           |FROM top t""".stripMargin),
+    doc = "BPE round closed: train top merge, apply map-side (overlap-free by construction), recount (tokenizer #2).")
+
   override val all: Seq[GQuery] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26,
-      d27, d28, d29, d30, d31, d32, d33, d34, d37)
+      d27, d28, d29, d30, d31, d32, d33, d34, d37, d41)
 }
