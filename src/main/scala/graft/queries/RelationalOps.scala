@@ -1507,9 +1507,48 @@ object RelationalOps extends QueryPack {
   private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame =
     x2.run(s, dir)
 
+  // ---- J11: join-strategy control (hints change the plan, never the rows) ----
+  // The tuning surface a deployment actually turns: the SAME join semantics
+  // forced through all three distributed equi-join strategies — BROADCAST
+  // (dim ships to every executor; right when one side is small), MERGE
+  // (sort both sides; right when both are huge and sorted output helps
+  // downstream), SHUFFLE_HASH (hash the smaller side per partition; right
+  // when both are big but one is modest and sorting is waste). The union
+  // carries all three in ONE plan, so the plan-shape test can assert
+  // BroadcastHashJoin + SortMergeJoin + ShuffledHashJoin all materialized;
+  // the oracle states each branch identically — hash-equality IS the proof
+  // that strategy choice never leaks into results.
+  private val j11 = GQuery(
+    "j11_join_strategy_hints",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      def branch(tag: String, dim: DataFrame): DataFrame =
+        o.join(dim, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total"))
+          .select(lit(tag).as("strategy"), col("c_mktsegment"), col("n"),
+            col("total"))
+      branch("broadcast", c.hint("broadcast"))
+        .unionAll(branch("merge", c.hint("merge")))
+        .unionAll(branch("shuffle_hash", c.hint("shuffle_hash")))
+    },
+    Some("""WITH j AS (
+           |  SELECT c_mktsegment, count(*) AS n,
+           |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |  FROM orders JOIN customer ON o_custkey = c_custkey
+           |  GROUP BY c_mktsegment)
+           |SELECT 'broadcast' AS strategy, * FROM j
+           |UNION ALL SELECT 'merge', * FROM j
+           |UNION ALL SELECT 'shuffle_hash', * FROM j""".stripMargin),
+    doc = "Join-strategy hints: broadcast/merge/shuffle_hash — three plans, one result (J11/§2.3).")
+
   override val all: Seq[GQuery] =
     Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11, p13,
-      j1, j2, j3, j4, j5, j6, j7, j8, j9, j10,
+      j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
       x1, x2, x3, x4, x5, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }

@@ -46,6 +46,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!readSchema.contains("o_orderdate"), s"unused column read: $readSchema")
   }
 
+  test("j11: strategy hints materialize all three physical joins in one plan") {
+    // the tuning contract: hints control the PHYSICAL strategy without
+    // touching semantics — one unioned plan must carry all three operators
+    val p = plan("j11_join_strategy_hints")
+    assert(p.contains("BroadcastHashJoin"), "broadcast hint must plan BHJ")
+    assert(p.contains("SortMergeJoin"), "merge hint must plan SMJ")
+    assert(p.contains("ShuffledHashJoin"), "shuffle_hash hint must plan SHJ")
+  }
+
   test("a1: aggregate runs as partial + final hash aggregate") {
     val p = plan("a1_groupby_aggregates")
     // two HashAggregates around one Exchange = map-side partials then final
