@@ -1187,6 +1187,9 @@ object TextOps extends QueryPack {
     "d41_bpe_apply_merge",
     (s, dir) => {
       val docs = t(s, dir, "documents")
+      // one row per word occurrence; re-derived per pass — the explode off a
+      // pruned parquet scan is cheaper than materializing 3M tiny rows
+      // (measured equal at sf0.1, and the scan path spills nothing)
       val wordsDf = docs.select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)
       val top = wordsDf
@@ -1199,14 +1202,21 @@ object TextOps extends QueryPack {
       val (ma, mb) = (top.substring(0, 1), top.substring(1, 2))
       val c = filter(split(col("w"), ""), x => x =!= "")
       val n = size(c)
-      val f = transform(sequence(lit(1), n), i =>
-        (i < n) && (element_at(c, i) === ma) && (element_at(c, i + 1) === mb))
+      // merge tests are DIRECT char lookups per position — routing them
+      // through an intermediate boolean array would inline that array's
+      // whole construction into every element_at and go quadratic per word
+      def hit(i: Column) =
+        (i < n) && (element_at(c, i) === ma) && (element_at(c, i + 1) === mb)
       val syms = transform(
         filter(sequence(lit(1), n), i =>
-          !(i > lit(1) && element_at(f, i - 1))),
-        i => when(element_at(f, i), lit(top)).otherwise(element_at(c, i)))
+          !(i > lit(1) && hit(i - 1))),
+        i => when(hit(i), lit(top)).otherwise(element_at(c, i)))
+      // one BPE round's output: the re-tokenized corpus (what the next
+      // round trains on) — materialized once, read by recount + stats
       val merged = wordsDf.select(syms.as("syms"),
-        size(filter(f, x => x)).cast("long").as("nm"))
+        size(filter(sequence(lit(1), n - 1), i => hit(i)))
+          .cast("long").as("nm"))
+        .localCheckpoint()
       val nMerges = merged.agg(sum(col("nm"))).head().getLong(0)
       val next = merged
         .filter(size(col("syms")) >= 2)
