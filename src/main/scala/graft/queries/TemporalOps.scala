@@ -557,5 +557,82 @@ object TemporalOps extends QueryPack {
            |FROM events""".stripMargin),
     doc = "IANA timezone battery: whole/half-hour offsets, southern DST, lossless round trip (temporal #11).")
 
-  override val all: Seq[GQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11)
+  // ---- T12: cohort retention matrix ------------------------------------------
+  // The product-analytics backbone: users cohorted by FIRST-seen day, then
+  // counted per (cohort, day-offset) — the retention triangle. Two hash
+  // aggregates and one join, all keyed by user/cohort: the first-seen
+  // aggregate is a per-user min (map-side partials), the activity set is a
+  // (user, day) distinct, and the matrix is cohort-x-horizon-sized — tiny
+  // regardless of event volume. No windows, no self-join explosion.
+  private val t12 = GQuery(
+    "t12_cohort_retention",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = e.groupBy(col("user_id"))
+        .agg(min(col("d")).as("cohort_d"))
+      val act = e.distinct()
+      act.join(first, "user_id")
+        .select(col("cohort_d"), datediff(col("d"), col("cohort_d")).as("offset_days"))
+        .groupBy(col("cohort_d"), col("offset_days"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cohort_d").cast("string").as("cohort_day"),
+          col("offset_days"), col("n_users"))
+    },
+    Some("""WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+           |f AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY user_id)
+           |SELECT CAST(cohort_d AS VARCHAR) AS cohort_day,
+           |  CAST(d - cohort_d AS INT) AS offset_days,
+           |  count(*) AS n_users
+           |FROM e JOIN f USING (user_id)
+           |GROUP BY cohort_d, d - cohort_d""".stripMargin),
+    doc = "Cohort retention: first-seen cohorts x day offsets, two hash aggs + one join (temporal #12).")
+
+  // ---- T13: ordered event funnel ---------------------------------------------
+  // Sequence-constrained conversion: view -> first click AFTER the view ->
+  // first purchase AFTER that click, per user. Each stage is a conditional
+  // min aggregate joined back (stage state = one timestamp per user) —
+  // never a window over the event stream, never an events x events
+  // self-join, so the plan's cost is three user-keyed aggregates no matter
+  // how deep the event history is. Output is the one-row funnel summary.
+  private val t13 = GQuery(
+    "t13_event_funnel",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val v = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("tv"))
+      val c = e.join(v, "user_id")
+        .groupBy(col("user_id"), col("tv"))
+        .agg(min(when(col("event_type") === "click" && col("ts") > col("tv"),
+          col("ts"))).as("tc"))
+      val p = e.join(c, "user_id")
+        .groupBy(col("user_id"), col("tv"), col("tc"))
+        .agg(min(when(col("event_type") === "purchase" && col("ts") > col("tc"),
+          col("ts"))).as("tp"))
+      p.agg(count(lit(1)).as("n_users"),
+        count(col("tv")).as("n_view"),
+        count(col("tc")).as("n_click_after_view"),
+        count(col("tp")).as("n_purchase_after_click"))
+    },
+    Some("""WITH v AS (
+           |  SELECT user_id,
+           |    min(CASE WHEN event_type = 'view' THEN ts END) AS tv
+           |  FROM events GROUP BY user_id),
+           |c AS (
+           |  SELECT e.user_id, v.tv,
+           |    min(CASE WHEN event_type = 'click' AND ts > tv THEN ts END) AS tc
+           |  FROM events e JOIN v USING (user_id) GROUP BY e.user_id, v.tv),
+           |p AS (
+           |  SELECT e.user_id, c.tv, c.tc,
+           |    min(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END) AS tp
+           |  FROM events e JOIN c USING (user_id) GROUP BY e.user_id, c.tv, c.tc)
+           |SELECT count(*) AS n_users, count(tv) AS n_view,
+           |  count(tc) AS n_click_after_view,
+           |  count(tp) AS n_purchase_after_click
+           |FROM p""".stripMargin),
+    doc = "Ordered funnel: chained conditional-min stages, per-user state of one timestamp (temporal #13).")
+
+  override val all: Seq[GQuery] =
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13)
 }
