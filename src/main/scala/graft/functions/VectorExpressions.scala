@@ -188,7 +188,10 @@ object RewriteVectorFolds extends org.apache.spark.sql.catalyst.rules.Rule[
 object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> { args => DotProduct(args(0), args(1)) },
-    "graft_cosine" -> { args => CosineSimilarity(args(0), args(1)) })
+    "graft_cosine" -> { args => CosineSimilarity(args(0), args(1)) },
+    "graft_nfc" -> { args => NfcNormalize(args(0)) },
+    "graft_nfkc" -> { args => NfkcNormalize(args(0)) },
+    "graft_strip_accents" -> { args => StripAccents(args(0)) })
 
   /** Idempotent per-session registration; call before using the functions
     * through `expr("graft_cosine(...)")`. */

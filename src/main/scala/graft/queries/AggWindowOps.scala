@@ -1518,6 +1518,50 @@ object AggWindowOps extends QueryPack {
            |FROM orders""".stripMargin),
     doc = "Rounding/binning: HALF_UP vs HALF_EVEN on real ties, truncating casts, width_bucket (F17/§2.8).")
 
+  // ---- F18: Unicode normalization (custom codegen kernels, §2.8/§7.3) --------
+  // Composed "é" (U+00E9) and decomposed "e"+U+0301 spell the same text but
+  // hash differently — a dedup pipeline that skips canonicalization ships the
+  // same document twice. Spark has no normalization builtin, so this drives
+  // the native `graft_nfc` / `graft_strip_accents` expressions
+  // (functions/StringNormalize.scala: JDK Normalizer behind whole-stage
+  // codegen). The fixture text is ASCII, so each row PLANTS deterministic
+  // accents (the m3/d32 synthetic-payload pattern); DuckDB's utf8proc-backed
+  // nfc_normalize/strip_accents recompute independently. Length collapse
+  // (NFC shortens the decomposed form), md5 of the normalized bytes, and the
+  // accent-free ASCII projection are all pinned. Map-only, shuffle-free.
+  private val f18 = GQuery(
+    "f18_unicode_normalization",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      // first accent DECOMPOSED (e + U+0301), second COMPOSED (U+00E9);
+      // explicit escapes because the two forms render identically in source
+      val planted = concat(substring(col("text"), 1, 12), lit(" caf"),
+        lit("e\u0301"), lit(" "), lit("\u00e9"), lit("lan de\u0301ja\u0300 vu"))
+      t(s, dir, "documents")
+        .withColumn("p", planted)
+        .select(
+          col("doc_id"),
+          length(col("p")).as("n_raw"),
+          length(expr("graft_nfc(p)")).as("n_nfc"),
+          md5(expr("graft_nfc(p)").cast("binary")).as("nfc_md5"),
+          expr("graft_strip_accents(graft_nfc(p))").as("ascii_form"),
+          length(expr("graft_strip_accents(graft_nfc(p))")).as("n_ascii"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id,
+           |    substr(text, 1, 12) || ' caf' || 'e' || chr(769) || ' ' ||
+           |    chr(233) || 'lan de' || chr(769) || 'ja' || chr(768) || ' vu' AS p
+           |  FROM documents),
+           |n AS (SELECT doc_id, p, nfc_normalize(p) AS pn FROM d)
+           |SELECT doc_id,
+           |  CAST(length(p) AS INT) AS n_raw,
+           |  CAST(length(pn) AS INT) AS n_nfc,
+           |  md5(pn) AS nfc_md5,
+           |  strip_accents(pn) AS ascii_form,
+           |  CAST(length(strip_accents(pn)) AS INT) AS n_ascii
+           |FROM n""".stripMargin),
+    doc = "Unicode NFC + accent-strip via native codegen kernels, utf8proc-pinned (F18/§2.8).")
+
   // ---- F15: map-type battery (§2.8) ------------------------------------------
   // MapType construction and access: map_from_arrays, map_keys/map_values
   // (insertion-ordered, so the '|' signatures are deterministic), element_at
@@ -1566,6 +1610,6 @@ object AggWindowOps extends QueryPack {
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16, a17, a18,
       w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7, u8,
-      f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16, f17,
+      f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16, f17, f18,
       st1, st2, st3, st4, st5)
 }

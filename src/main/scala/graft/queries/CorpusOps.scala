@@ -725,6 +725,56 @@ object CorpusOps extends QueryPack {
             |UNION ALL SELECT 'train_acc', CAST(n_correct AS DOUBLE) / n FROM acc""".stripMargin),
     doc = "Classifier training: 3 full-batch logistic GD rounds, decimal-exact gradients, driver-held weights (ML #2).")
 
+  // ---- D42: fractional contamination score ----------------------------------
+  // The GPT-3/PaLM decontamination METRIC next to d19's binary screen: for
+  // every test document, the fraction of its distinct 3-gram shingles that
+  // occur anywhere in the train split. d19 answers "which test docs collide
+  // at all" (DF-capped, inner-join — only colliders surface); d42 scores
+  // EVERY test doc in [0,1], zero-overlap docs included, so a pipeline can
+  // threshold at e.g. 0.15 instead of dropping on any collision.
+  //
+  // Scale shape: the train side collapses to its DISTINCT shingle set — one
+  // row per shingle, so no DF cap is needed (presence, not postings: the
+  // join's build side has unique keys by construction, no skew amplification).
+  // Test-doc shingles left-join that set on the 64-bit word-hash key; one
+  // (doc) aggregate finishes. The contamination ratio is a single IEEE
+  // division of two exact counts — bit-identical across engines, no rounding.
+  private val d42 = GQuery(
+    "d42_contamination_fraction",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = substring(
+        md5(concat(lit("graft-split:"), col("doc_id").cast("string"))), 1, 2)
+      val ex = TextOps.hashedShingles(docs)
+        .withColumn("is_test", split < lit("1a"))
+        .select(col("doc_id"), col("is_test"), col("hv"))
+      val trainSet = ex.filter(!col("is_test")).select(col("hv")).distinct()
+        .withColumn("in_train", lit(1))
+      val testSh = ex.filter(col("is_test"))
+        .select(col("doc_id"), col("hv")).distinct()
+      testSh.join(trainSet, Seq("hv"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(col("in_train")).as("n_contaminated"))
+        .withColumn("contamination",
+          col("n_contaminated") / col("n_shingles"))
+    },
+    Some(s"""WITH ${TextOps.shingleSqlCte},
+            |tagged AS (
+            |  SELECT doc_id, s,
+            |    substring(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' AS is_test
+            |  FROM sh),
+            |ex AS (SELECT doc_id, is_test, unnest(s) AS shingle FROM tagged),
+            |train AS (SELECT DISTINCT shingle FROM ex WHERE NOT is_test),
+            |test AS (SELECT DISTINCT doc_id, shingle FROM ex WHERE is_test)
+            |SELECT test.doc_id,
+            |  count(*) AS n_shingles,
+            |  count(train.shingle) AS n_contaminated,
+            |  count(train.shingle) / count(*) AS contamination
+            |FROM test LEFT JOIN train ON test.shingle = train.shingle
+            |GROUP BY test.doc_id""".stripMargin),
+    doc = "Fractional contamination: share of each test doc's shingles present in train (decontam #2).")
+
   override val all: Seq[GQuery] =
-    Seq(d12, d13, d14, d15, d16, d17, d18, d19, d35, d36, d38, d40)
+    Seq(d12, d13, d14, d15, d16, d17, d18, d19, d35, d36, d38, d40, d42)
 }

@@ -297,5 +297,78 @@ object IncrementalOps extends QueryPack {
            |WHERE rn = 1""".stripMargin),
     doc = "Schema-evolving merge: late-added column null-backfills old rows, kept for new (I8).")
 
-  override val all: Seq[GQuery] = Seq(i1, i2, i3, i4, i5, i6, i7, i8)
+  // ---- I9: multi-clause conditional MERGE ------------------------------------
+  // The full MERGE INTO clause ladder (Delta/Iceberg surface) that i1's
+  // unconditional upsert and i5's last-writer CDC don't exercise:
+  //   WHEN MATCHED AND src is a tombstone        THEN DELETE
+  //   WHEN MATCHED AND src.value > tgt.value     THEN UPDATE
+  //   WHEN MATCHED (otherwise)                   THEN keep target (no clause)
+  //   WHEN NOT MATCHED AND src not a tombstone   THEN INSERT
+  //   (tombstone with no target row: no-op — DELETE of nothing)
+  // Clause ORDER is load-bearing (a matched tombstone must not be judged by
+  // the value test) — the CASE ladder states it explicitly. Physically one
+  // full-outer shuffle join on the key + a map-side CASE: the same cost as
+  // the plain upsert, whatever the clause count, which is why engines plan
+  // MERGE this way at any scale. (ts alone orders each side's argmax:
+  // (user_id, ts) is unique in the corpus — the i5 contract.)
+  private val i9 = GQuery(
+    "i9_merge_multi_clause",
+    (s, dir) => {
+      val all = ev(s, dir)
+      val cutoff = lit("2024-01-20").cast("timestamp")
+      def latest(df: DataFrame, p: String): DataFrame = df
+        .groupBy(col("user_id"))
+        .agg(max_by(col("value"), col("ts")).as(s"${p}_value"),
+          max_by(col("event_type"), col("ts")).as(s"${p}_type"),
+          max(col("ts")).as(s"${p}_ts"))
+      val tgt = latest(all.filter(col("ts") < cutoff), "t")
+      val src = latest(all.filter(col("ts") >= cutoff), "s")
+      val matched = col("t_ts").isNotNull && col("s_ts").isNotNull
+      val j = tgt.join(src, Seq("user_id"), "full_outer")
+        .withColumn("action",
+          when(matched && col("s_type") === "error", lit("delete"))
+            .when(matched && col("s_value") > col("t_value"), lit("update"))
+            .when(matched, lit("keep"))
+            .when(col("t_ts").isNull && col("s_type") =!= "error", lit("insert"))
+            .when(col("t_ts").isNull, lit("skip"))
+            .otherwise(lit("keep")))
+      val fromSrc = col("action").isin("update", "insert")
+      j.filter(!col("action").isin("delete", "skip"))
+        .select(col("user_id"),
+          when(fromSrc, col("s_value")).otherwise(col("t_value")).as("value"),
+          when(fromSrc, col("s_type")).otherwise(col("t_type")).as("event_type"),
+          sec(when(fromSrc, col("s_ts")).otherwise(col("t_ts"))).as("ts_sec"),
+          col("action"))
+    },
+    Some("""WITH tgt AS (
+           |  SELECT user_id, arg_max(value, ts) AS t_value,
+           |         arg_max(event_type, ts) AS t_type, max(ts) AS t_ts
+           |  FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY user_id),
+           |src AS (
+           |  SELECT user_id, arg_max(value, ts) AS s_value,
+           |         arg_max(event_type, ts) AS s_type, max(ts) AS s_ts
+           |  FROM events WHERE ts >= TIMESTAMP '2024-01-20' GROUP BY user_id),
+           |m AS (
+           |  SELECT user_id, t_value, t_type, t_ts, s_value, s_type, s_ts,
+           |    CASE WHEN t_ts IS NOT NULL AND s_ts IS NOT NULL AND s_type = 'error'
+           |           THEN 'delete'
+           |         WHEN t_ts IS NOT NULL AND s_ts IS NOT NULL AND s_value > t_value
+           |           THEN 'update'
+           |         WHEN t_ts IS NOT NULL AND s_ts IS NOT NULL THEN 'keep'
+           |         WHEN t_ts IS NULL AND s_type <> 'error' THEN 'insert'
+           |         WHEN t_ts IS NULL THEN 'skip'
+           |         ELSE 'keep' END AS action
+           |  FROM tgt FULL OUTER JOIN src USING (user_id))
+           |SELECT user_id,
+           |  CASE WHEN action IN ('update', 'insert') THEN s_value ELSE t_value END
+           |    AS value,
+           |  CASE WHEN action IN ('update', 'insert') THEN s_type ELSE t_type END
+           |    AS event_type,
+           |  CAST(floor(epoch(CASE WHEN action IN ('update', 'insert') THEN s_ts
+           |                        ELSE t_ts END)) AS BIGINT) AS ts_sec,
+           |  action
+           |FROM m WHERE action NOT IN ('delete', 'skip')""".stripMargin),
+    doc = "Multi-clause MERGE: conditional DELETE/UPDATE/INSERT ladder, one full-outer join (I9).")
+
+  override val all: Seq[GQuery] = Seq(i1, i2, i3, i4, i5, i6, i7, i8, i9)
 }

@@ -944,6 +944,130 @@ object VectorOps extends QueryPack {
     (cand, candPairs)
   }
 
+  // ---- E15: hybrid retrieval — RRF fusion of dense + lexical (similarity #15)
+  // The RAG serving shape: a dense branch (e1's exact cosine top-20 over the
+  // query vectors) and a lexical branch (full-query Okapi BM25: every distinct
+  // token of the query document scored against the corpus inverted index,
+  // d30's integer-exact DECIMAL term scores) fused by Reciprocal Rank Fusion
+  // (Cormack et al.: score = Σ 1/(60+rank)), which needs no score calibration
+  // between branches — exactly why production hybrid search uses it.
+  //
+  // Scale shape: the 10 query term-sets and the query vectors BROADCAST, so
+  // neither the candidate embedding scan nor the postings scan shuffles;
+  // the only wide exchange is the (qid, doc) partial-score aggregate, bounded
+  // by queries x corpus. RRF terms are IEEE doubles derived from integer
+  // ranks only — bit-identical across engines with no rounding step.
+  private val e15 = GQuery(
+    "e15_hybrid_rrf_retrieval",
+    (s, dir) => {
+      val emb = embDouble(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val cand = emb.select(col("vec_id").as("id"), col("v").as("nv"))
+      val dsims = cand.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col("id"))
+        .withColumn("sim", round(cosine("qv", "nv"), 6))
+      val wd = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+      val dense = dsims.withColumn("rd", row_number().over(wd))
+        .filter(col("rd") <= 20).select(col("qid"), col("id"), col("rd"))
+
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("len", size(col("w")))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("len").cast("long")).as("sum_len"))
+      val postings = docs
+        .select(col("doc_id"), col("len"), explode(col("w")).as("tok"))
+        .groupBy(col("doc_id"), col("len"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val qterms = postings.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("tok")).distinct()
+      val scored = postings.join(broadcast(qterms), Seq("tok"))
+        .filter(col("doc_id") =!= col("qid"))
+        .join(broadcast(dfreq), Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .withColumn("tscore", expr(
+          """round(ln((cast(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+            |  * (tf * 2.2)
+            |  / (tf + 1.2 * (0.25 + 0.75 * (len / (cast(sum_len AS DOUBLE) / n_docs)))),
+            |  9)""".stripMargin).cast("decimal(18,9)"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("tscore")).as("score"))
+      val wl = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+      val lex = scored.withColumn("rl", row_number().over(wl))
+        .filter(col("rl") <= 20)
+        .select(col("qid"), col("doc_id").as("id"), col("rl"))
+
+      val fused = dense.join(lex, Seq("qid", "id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)))
+      val wf = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("id"))
+      fused.withColumn("rank", row_number().over(wf)).filter(col("rank") <= 10)
+        .select(col("qid"), col("id"), col("rrf"), col("rank"),
+          coalesce(col("rd"), lit(0)).as("rank_dense"),
+          coalesce(col("rl"), lit(0)).as("rank_lex"))
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+           |         generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings),
+           |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+           |qe AS (SELECT * FROM e WHERE vec_id < 10),
+           |dots AS (
+           |  SELECT qe.vec_id AS qid, c.vec_id AS id, sum(qe.x * c.x) AS dp
+           |  FROM qe JOIN e c ON qe.i = c.i AND qe.vec_id != c.vec_id
+           |  GROUP BY 1, 2),
+           |dsims AS (
+           |  SELECT qid, id, round(dp / (nq.nrm * nc.nrm), 6) AS sim
+           |  FROM dots
+           |  JOIN norms nq ON qid = nq.vec_id
+           |  JOIN norms nc ON id = nc.vec_id),
+           |dense AS (
+           |  SELECT qid, id, rd FROM (
+           |    SELECT qid, id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rd
+           |    FROM dsims) x WHERE rd <= 20),
+           |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |docs2 AS (SELECT doc_id, CAST(len(w) AS INT) AS len, w FROM docs),
+           |stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM docs2),
+           |postings AS (
+           |  SELECT doc_id, len, tok, count(*) AS tf
+           |  FROM (SELECT doc_id, len, unnest(w) AS tok FROM docs2) x
+           |  GROUP BY 1, 2, 3),
+           |dfreq AS (SELECT tok, count(*) AS df FROM postings GROUP BY 1),
+           |qterms AS (SELECT DISTINCT doc_id AS qid, tok FROM postings WHERE doc_id < 10),
+           |scored AS (
+           |  SELECT qid, p.doc_id AS id,
+           |    sum(CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+           |      * (tf * 2.2)
+           |      / (tf + 1.2 * (0.25 + 0.75 * (len / (CAST(sum_len AS DOUBLE) / n_docs)))),
+           |      9) AS DECIMAL(18,9))) AS score
+           |  FROM postings p JOIN qterms USING (tok) JOIN dfreq USING (tok)
+           |  CROSS JOIN stats
+           |  WHERE p.doc_id != qid GROUP BY 1, 2),
+           |lex AS (
+           |  SELECT qid, id, rl FROM (
+           |    SELECT qid, id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rl
+           |    FROM scored) y WHERE rl <= 20),
+           |fused AS (
+           |  SELECT coalesce(dense.qid, lex.qid) AS qid,
+           |         coalesce(dense.id, lex.id) AS id, rd, rl,
+           |         coalesce(CAST(1 AS DOUBLE) / (60 + rd), 0) +
+           |         coalesce(CAST(1 AS DOUBLE) / (60 + rl), 0) AS rrf
+           |  FROM dense FULL OUTER JOIN lex
+           |    ON dense.qid = lex.qid AND dense.id = lex.id)
+           |SELECT qid, id, rrf, rank, rank_dense, rank_lex FROM (
+           |  SELECT qid, id, rrf,
+           |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rank,
+           |    CAST(coalesce(rd, 0) AS INT) AS rank_dense,
+           |    CAST(coalesce(rl, 0) AS INT) AS rank_lex
+           |  FROM fused) z
+           |WHERE rank <= 10""".stripMargin),
+    doc = "Hybrid retrieval: RRF fusion of dense cosine + full-query BM25 top-20s (similarity #15).")
+
   override val all: Seq[GQuery] =
-    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, d9, d39)
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15, d9, d39)
 }
