@@ -775,6 +775,85 @@ object CorpusOps extends QueryPack {
             |GROUP BY test.doc_id""".stripMargin),
     doc = "Fractional contamination: share of each test doc's shingles present in train (decontam #2).")
 
+  // ---- D44: end-to-end curation pipeline --------------------------------------
+  // The composition flagship: the individually-pinned stages chained the way
+  // a production corpus build runs them — d14's quality gates, d1's exact
+  // dedup (keep-first), d19's capped decontamination screen against the d13
+  // test split — finishing in per-(lang, source) corpus stats. Stage ORDER is
+  // the scale design: the map-side quality filter runs before any shuffle,
+  // dedup is one hash aggregate on the content hash, and only the survivors'
+  // id set meets the expensive shingle screen (whose DF cap is computed over
+  // the FULL corpus, d19's contract, so the screen's shingle universe does
+  // not drift as upstream stages change). The id-sum checksum pins survivor
+  // MEMBERSHIP, not just counts.
+  private val d44 = GQuery(
+    "d44_curation_pipeline",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nwE = size(split(col("text"), " "))
+      val compact = length(regexp_replace(col("text"), " ", ""))
+      val alnum = length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
+      val mwl = compact.cast("double") / col("nw")
+      val symFrac = (length(col("text")) - alnum).cast("double") / length(col("text"))
+      val isTest = substring(
+        md5(concat(lit("graft-split:"), col("doc_id").cast("string"))), 1, 2) < lit("1a")
+      val qual = docs
+        .withColumn("nw", nwE)
+        .filter(col("nw").between(10, 5000) && mwl.between(2.0, 12.0) &&
+          symFrac <= 0.10 &&
+          concat(lit(" "), col("text"), lit(" ")).contains(" the "))
+        .withColumn("is_test", isTest)
+      val keepFirst = qual
+        .groupBy(md5(col("text")).as("th"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val surv = qual.join(keepFirst, Seq("doc_id")).filter(!col("is_test"))
+      val ex0 = TextOps.hashedShingles(docs).cache()
+      val heavy = ex0.groupBy(col("hv")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > TextOps.DfCap)
+      val ex = ex0.join(broadcast(heavy), Seq("hv"), "left_anti")
+      val testDocs = docs.select(col("doc_id"))
+        .filter(isTest)
+      val testSh = ex.join(testDocs, Seq("doc_id")).select(col("hv")).distinct()
+      val contam = ex.join(testSh, Seq("hv")).select(col("doc_id")).distinct()
+      surv.join(contam, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw").cast("long")).as("n_tokens"),
+          sum(col("doc_id")).as("id_sum"))
+    },
+    Some(s"""WITH ${TextOps.shingleSqlCte},
+            |f AS (
+            |  SELECT doc_id, lang, source, text,
+            |    len(string_split(text, ' ')) AS nw,
+            |    CAST(len(replace(text, ' ', '')) AS DOUBLE)
+            |      / len(string_split(text, ' ')) AS mwl,
+            |    CAST(len(text) - len(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+            |      / len(text) AS sym_frac,
+            |    (' ' || text || ' ') LIKE '% the %' AS has_stop,
+            |    substring(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' AS is_test
+            |  FROM documents),
+            |qual AS (
+            |  SELECT * FROM f
+            |  WHERE nw BETWEEN 10 AND 5000 AND mwl BETWEEN 2.0 AND 12.0
+            |    AND sym_frac <= 0.10 AND has_stop),
+            |keep1 AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+            |surv AS (
+            |  SELECT q.* FROM qual q JOIN keep1 USING (doc_id) WHERE NOT q.is_test),
+            |ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            |keep AS (SELECT shingle FROM ex0 GROUP BY shingle
+            |         HAVING count(*) <= ${TextOps.DfCap}),
+            |ex AS (SELECT ex0.doc_id, ex0.shingle FROM ex0 JOIN keep USING (shingle)),
+            |testsh AS (
+            |  SELECT DISTINCT ex.shingle FROM ex JOIN f USING (doc_id) WHERE f.is_test),
+            |contam AS (SELECT DISTINCT ex.doc_id FROM ex JOIN testsh USING (shingle))
+            |SELECT lang, source, count(*) AS n_docs,
+            |  CAST(sum(nw) AS BIGINT) AS n_tokens,
+            |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+            |FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+            |GROUP BY 1, 2""".stripMargin),
+    doc = "Curation pipeline: quality gate -> exact dedup -> decontamination -> corpus stats, stages individually pinned (corpus #3).")
+
   override val all: Seq[GQuery] =
-    Seq(d12, d13, d14, d15, d16, d17, d18, d19, d35, d36, d38, d40, d42)
+    Seq(d12, d13, d14, d15, d16, d17, d18, d19, d35, d36, d38, d40, d42, d44)
 }

@@ -358,5 +358,75 @@ object GraphOps extends QueryPack {
            |FROM i2 JOIN sizes ON i2.lbl = sizes.lbl""".stripMargin),
     doc = "Label-propagation communities: 2 deterministic synchronous rounds, smallest-label ties (graph #4).")
 
-  override val all: Seq[GQuery] = Seq(g1, g2, g3, g4)
+  /** Multi-source BFS: minimum hop distance from any seed, bounded at `hops`
+    * synchronous rounds. Each round is ONE shuffle join of the known-distance
+    * table with the edge list on `src` plus one min-aggregate on the reached
+    * node — the Pregel data flow, no driver-side frontier, no collect.
+    * Unreached nodes simply never appear (no infinity sentinel to shuffle).
+    * For deep traversals the caller would persist per round (the
+    * connectedComponents lineage discipline); at bounded hops the unrolled
+    * lineage is O(hops) and AQE reuses the (node) hash partitioning.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame =
+    (1 to hops).foldLeft(seeds.select(col("node"), lit(0).as("d"))) { (dist, _) =>
+      val next = dist.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("d") + 1).as("d"))
+      dist.select(col("node"), col("d")).union(next)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+    }
+
+  // ---- G5: bounded-hop BFS distances (graph #5) -----------------------------
+  // Hop distance from the low-id seed items over the g1 transition graph —
+  // the "how far is every item from the catalog's entry points" question.
+  // Integer hop counts make the oracle exact: DuckDB unrolls the same three
+  // rounds as CTEs and min-aggregates identically, no float anywhere.
+  private val g5 = GQuery(
+    "g5_bfs_distance",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = ev
+        .withColumn("nk", lead(col("k"), 1).over(w))
+        .filter(col("nk").isNotNull && col("nk") =!= col("k"))
+        .select(col("k").cast("long").as("src"), col("nk").cast("long").as("dst"))
+        .distinct()
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.filter(col("node") < 3)
+      bfsDistances(edges, seeds, hops = 3)
+        .select(col("node").as("k"), col("d").as("dist"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, ts, event_id,
+           |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+           |  FROM events),
+           |seq AS (
+           |  SELECT k, lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
+           |  FROM ev),
+           |edges AS (
+           |  SELECT DISTINCT CAST(k AS BIGINT) AS src, CAST(nk AS BIGINT) AS dst
+           |  FROM seq WHERE nk IS NOT NULL AND nk <> k),
+           |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+           |d0 AS (SELECT node, 0 AS d FROM nodes WHERE node < 3),
+           |d1 AS (SELECT node, min(d) AS d FROM (
+           |         SELECT node, d FROM d0
+           |         UNION ALL
+           |         SELECT e.dst, d0.d + 1 FROM d0 JOIN edges e ON d0.node = e.src) x
+           |       GROUP BY node),
+           |d2 AS (SELECT node, min(d) AS d FROM (
+           |         SELECT node, d FROM d1
+           |         UNION ALL
+           |         SELECT e.dst, d1.d + 1 FROM d1 JOIN edges e ON d1.node = e.src) x
+           |       GROUP BY node),
+           |d3 AS (SELECT node, min(d) AS d FROM (
+           |         SELECT node, d FROM d2
+           |         UNION ALL
+           |         SELECT e.dst, d2.d + 1 FROM d2 JOIN edges e ON d2.node = e.src) x
+           |       GROUP BY node)
+           |SELECT node AS k, CAST(d AS INT) AS dist FROM d3""".stripMargin),
+    doc = "Multi-source BFS hop distances, 3 synchronous rounds, integer-exact (graph #5).")
+
+  override val all: Seq[GQuery] = Seq(g1, g2, g3, g4, g5)
 }
