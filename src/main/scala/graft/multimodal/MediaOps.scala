@@ -444,5 +444,74 @@ object MediaOps extends QueryPack {
            |FROM pooled GROUP BY 1""".stripMargin),
     doc = "Media dedup: executor-side decode + 4x4 pool digest, hash-grouped copies (multimodal #6).")
 
-  override val all: Seq[GQuery] = Seq(m1, m2, m3, m4, m5, m6)
+  // ---- M7: perceptual-hash NEAR-dup (multimodal #7) ---------------------------
+  // m6 catches bit-identical images; m7 catches the re-encoded/near-identical
+  // ones a real media pipeline must fold together. Per image: REAL PNG decode
+  // (the m3/m4 path), 8x8 luminance pool, then a 56-bit difference hash
+  // (dHash: bit = cell brighter than its right neighbor — gradients, so the
+  // signature is invariant to uniform brightness shifts, exactly what
+  // re-encodes perturb). Near-dup pairs = hamming distance <= 5 via the SAME
+  // two-level pigeonhole banding that scales d4's SimHash sweep — raw pixels
+  // never shuffle, only (id, 56-bit sig) longs do. The oracle recomputes the
+  // pooled grid closed-form from the synthetic pixel function (the m6
+  // discipline) and brute-forces all pairs — equality proves the banding
+  // lossless at this distance, not just plausible.
+  private val m7 = GQuery(
+    "m7_media_phash_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val sigs = t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(40)).as("cid"))
+        .select(col("doc_id"), col("cid"),
+          (pmod(col("cid"), lit(24)) + 8).cast("int").as("w"),
+          (pmod(col("cid"), lit(16)) + 8).cast("int").as("h"))
+        .as[(Long, Long, Int, Int)]
+        .mapPartitions(_.map { case (id, cid, w, h) =>
+          val g = poolGrid(syntheticPng(cid, w, h), 8)
+          var sig = 0L
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 7) {
+              if (g(r * 8 + c) > g(r * 8 + c + 1)) sig |= 1L << (r * 7 + c)
+              c += 1
+            }
+            r += 1
+          }
+          (id, sig)
+        })
+        .toDF("doc_id", "sim")
+      graft.queries.TextOps.hammingPairs(sigs, maxDist = 5)
+        .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+          col("dist"))
+    },
+    Some("""WITH m AS (
+           |  SELECT DISTINCT doc_id % 40 AS cid,
+           |    CAST(doc_id % 40 % 24 + 8 AS BIGINT) AS w,
+           |    CAST(doc_id % 40 % 16 + 8 AS BIGINT) AS h
+           |  FROM documents),
+           |pooled AS (
+           |  SELECT cid,
+           |    list_transform(range(0, 64), b ->
+           |      list_sum(list_transform(range(b % 8 * w // 8, (b % 8 + 1) * w // 8), x ->
+           |        list_sum(list_transform(range(b // 8 * h // 8, (b // 8 + 1) * h // 8), y ->
+           |          (cid * 31 + 7 * x + 13 * y) % 256))))
+           |      // (((b % 8 + 1) * w // 8 - b % 8 * w // 8)
+           |         * ((b // 8 + 1) * h // 8 - b // 8 * h // 8))) AS g
+           |  FROM m),
+           |sigs AS (
+           |  SELECT cid,
+           |    list_sum(list_transform(range(0, 56), i ->
+           |      CASE WHEN g[(i // 7) * 8 + (i % 7) + 1] > g[(i // 7) * 8 + (i % 7) + 2]
+           |           THEN CAST(1 AS BIGINT) << i ELSE 0 END))::BIGINT AS sig
+           |  FROM pooled),
+           |docs AS (
+           |  SELECT doc_id, sig FROM documents JOIN sigs ON documents.doc_id % 40 = sigs.cid)
+           |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+           |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS dist
+           |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sig, b.sig)) <= 5""".stripMargin),
+    doc = "Media near-dup: real decode + 56-bit dHash, banded hamming<=5 pairs vs all-pairs oracle (multimodal #7).")
+
+  override val all: Seq[GQuery] = Seq(m1, m2, m3, m4, m5, m6, m7)
 }

@@ -346,7 +346,7 @@ object TextOps extends QueryPack {
     * Buckets holding more than `cap` signatures and same-signature groups
     * larger than `cap` docs are dropped (see [[BucketCap]],
     * [[oversizedBucketStats]]). */
-  private[queries] def hammingPairs(sims: DataFrame, maxDist: Int,
+  private[graft] def hammingPairs(sims: DataFrame, maxDist: Int,
       cap: Int = BucketCap): DataFrame = {
     require(maxDist < 2 * SuperChunks,
       s"pigeonhole banding needs maxDist < ${2 * SuperChunks}")
