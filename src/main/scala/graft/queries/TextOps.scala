@@ -132,8 +132,12 @@ object TextOps extends QueryPack {
     * self-consistent. (64-bit hash instead of the string key: collision
     * odds at 260k distinct shingles ~1e-9 — immaterial next to the
     * threshold.) */
-  private[queries] def jaccardPairs(docs: DataFrame, threshold: Double,
-      dfCap: Long): DataFrame = {
+  /** Shared pair-statistics core of the set-similarity faces: DF-capped
+    * inverted index -> bucket pairwise explode -> (doc_a, doc_b, inter,
+    * na, nb). Jaccard and overlap-coefficient faces derive their measure
+    * from these exact integers; the expensive index/bucket work is written
+    * once. */
+  private def pairStats(docs: DataFrame, dfCap: Long): DataFrame = {
     // cache the narrow (doc_id, hv) table — two longs/row — since the heavy
     // set, the bucket index, and the per-doc sizes all derive from it
     val ex0 = hashedShingles(docs).cache()
@@ -158,11 +162,29 @@ object TextOps extends QueryPack {
     pairs
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("sa.n").as("na"), col("sb.n").as("nb"))
+  }
+
+  private[queries] def jaccardPairs(docs: DataFrame, threshold: Double,
+      dfCap: Long): DataFrame =
+    pairStats(docs, dfCap)
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
+
+  /** Overlap coefficient |A∩B| / min(|A|,|B|) — the asymmetric measure that
+    * catches CONTAINMENT duplication (a short doc quoted whole inside a long
+    * one), which Jaccard structurally under-scores when sizes differ. */
+  private[queries] def overlapPairs(docs: DataFrame, threshold: Double,
+      dfCap: Long): DataFrame =
+    pairStats(docs, dfCap)
+      .withColumn("overlap",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("overlap") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("overlap"), 6).as("overlap"),
+        least(col("na"), col("nb")).as("n_small"))
 
   private val d2 = GQuery(
     "d2_dedup_ngram_jaccard",
@@ -1264,7 +1286,64 @@ object TextOps extends QueryPack {
            |FROM top t""".stripMargin),
     doc = "BPE round closed: train top merge, apply map-side (overlap-free by construction), recount (tokenizer #2).")
 
+  // ---- D45: incremental dedup-index fold --------------------------------------
+  // The i-series fold==rebuild discipline applied to the DEDUP domain: the
+  // exact-dup index (content hash -> kept id, copy count) is maintained by
+  // folding per-batch partial indexes through a merge whose algebra
+  // (min, sum) is associative and commutative — so ingest order, batch
+  // boundaries and retry interleavings all converge to d1's one-shot answer,
+  // which is exactly what the oracle states. At 100 TB this is the
+  // difference between re-hashing the corpus per ingest and hashing only
+  // the new batch: merge cost is index-sized, not corpus-sized.
+  private val d45 = GQuery(
+    "d45_incremental_dedup_index",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      def state(b: DataFrame): DataFrame = b
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      Seq(0, 1, 2)
+        .map(r => state(docs.filter(pmod(col("doc_id"), lit(3)) === r)))
+        .reduce { (a, b) =>
+          a.union(b).groupBy(col("text_hash"))
+            .agg(min(col("keep_id")).as("keep_id"),
+              sum(col("n_copies")).as("n_copies"))
+        }
+    },
+    Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+           |  count(*) AS n_copies
+           |FROM documents GROUP BY md5(text)""".stripMargin),
+    doc = "Incremental dedup index: per-batch partials folded via (min, sum) == one-shot d1 (dedup #6).")
+
+  // ---- D46: containment near-dup (overlap coefficient) ------------------------
+  // |A∩B| / min(|A|,|B|): the asymmetric face of d2 — a 30-word notice
+  // quoted verbatim inside a 3000-word page scores ~1.0 here but ~0.01
+  // Jaccard, so threshold-on-Jaccard pipelines systematically MISS
+  // containment duplication. Same DF-capped inverted index and bucket
+  // explode as d2 (shared pairStats core — the measure is derived from the
+  // identical exact integers), so the scale shape is d2's.
+  private val d46 = GQuery(
+    "d46_containment_dedup",
+    (s, dir) => overlapPairs(t(s, dir, "documents"), 0.8, DfCap),
+    Some(s"""WITH $shingleSqlCte,
+            |ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            |keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= $DfCap),
+            |ex AS (SELECT ex0.doc_id, ex0.shingle FROM ex0 JOIN keep USING (shingle)),
+            |pairs AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id)
+            |SELECT doc_a, doc_b,
+            |  round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap,
+            |  least(sa.n, sb.n) AS n_small
+            |FROM pairs
+            |JOIN sizes sa ON doc_a = sa.doc_id
+            |JOIN sizes sb ON doc_b = sb.doc_id
+            |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.8""".stripMargin),
+    doc = "Containment dedup: overlap coefficient >= 0.8 over the d2 capped index (dedup #7).")
+
   override val all: Seq[GQuery] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26,
-      d27, d28, d29, d30, d31, d32, d33, d34, d37, d41)
+      d27, d28, d29, d30, d31, d32, d33, d34, d37, d41, d45, d46)
 }
