@@ -633,6 +633,39 @@ object TemporalOps extends QueryPack {
            |FROM p""".stripMargin),
     doc = "Ordered funnel: chained conditional-min stages, per-user state of one timestamp (temporal #13).")
 
+  // ---- T14: OHLC resampling ---------------------------------------------------
+  // The finance-style downsample every metrics store runs: per (user, 15-min
+  // bar) open/high/low/close + volume in ONE hash aggregate — open/close are
+  // min_by/max_by on the timestamp orderer, so there is no window sort and
+  // no per-bar event buffering; state per group is five scalars at any
+  // event volume. (user_id, ts) is unique in the corpus (the i5 contract),
+  // so the argmin/argmax picks are tie-free and the oracle pin is exact.
+  // Values leave as raw doubles (straight from parquet, no arithmetic) and
+  // the volume sum is DECIMAL — nothing order-sensitive anywhere.
+  private val t14 = GQuery(
+    "t14_ohlc_resample",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          (floor(unix_timestamp(col("ts")) / 900) * 900).cast("long").as("bar_start"))
+        .agg(
+          min_by(col("value"), col("ts")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("ts")).as("close"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("volume")),
+    Some("""SELECT user_id,
+           |  CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS bar_start,
+           |  arg_min(value, ts) AS open,
+           |  max(value) AS high,
+           |  min(value) AS low,
+           |  arg_max(value, ts) AS close,
+           |  count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
+           |FROM events GROUP BY 1, 2""".stripMargin),
+    doc = "OHLC downsample: per-(user, 15-min bar) open/high/low/close in one hash aggregate (temporal #14).")
+
   override val all: Seq[GQuery] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13)
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14)
 }
