@@ -1343,7 +1343,86 @@ object TextOps extends QueryPack {
             |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.8""".stripMargin),
     doc = "Containment dedup: overlap coefficient >= 0.8 over the d2 capped index (dedup #7).")
 
+  // ---- D47: shared-span evidence (order-sensitive dedup) ----------------------
+  // Set-similarity (d2/d3/d46) says HOW MUCH two docs share; d47 says HOW —
+  // the longest CONTIGUOUS run of shared 3-gram shingles per near-dup pair,
+  // the evidence a substring-level dedup (Lee et al.'s "Deduplicating
+  // Training Data" family) acts on. Positional shingles of each d2 pair are
+  // matched, runs are found by the diagonal trick (a match at (ia, ib) and
+  // its successor at (ia+1, ib+1) share ia-ib — so islands of consecutive ia
+  // within one diagonal ARE the contiguous spans; one partitioned window,
+  // integer-exact). Scope is bounded twice: only d2's near-dup pairs are
+  // span-scanned (pair-count-scale, not corpus-scale), and the positional
+  // postings ride the same distinct-doc DF cap as d2's index.
+  private val d47 = GQuery(
+    "d47_shared_span_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = jaccardPairs(docs, 0.5, DfCap).select(col("doc_a"), col("doc_b"))
+      val psh0 = docs.select(col("doc_id"),
+          expr("transform(split(text, ' '), x -> xxhash64(x))").as("hw"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(hw) >= 3 THEN transform(sequence(1, size(hw) - 2),
+            |  i -> struct(i AS pos, xxhash64(hw[i-1], hw[i], hw[i+1]) AS hv))
+            |ELSE cast(array() AS array<struct<pos:int,hv:bigint>>) END""".stripMargin))
+          .as("e"))
+        .select(col("doc_id"), col("e.pos").as("pos"), col("e.hv").as("hv"))
+      val heavy = psh0.select(col("doc_id"), col("hv")).distinct()
+        .groupBy(col("hv")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > DfCap)
+      val psh = psh0.join(broadcast(heavy), Seq("hv"), "left_anti")
+      val m = pairs
+        .join(psh.select(col("doc_id").as("doc_a"), col("pos").as("ia"), col("hv")),
+          Seq("doc_a"))
+        .join(psh.select(col("doc_id").as("doc_b"), col("pos").as("ib"), col("hv")),
+          Seq("doc_b", "hv"))
+        .withColumn("diag", col("ia") - col("ib"))
+      val wD = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+        .orderBy(col("ia"))
+      m.withColumn("island", col("ia") - row_number().over(wD))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("run")).as("max_run_shingles"))
+        .withColumn("max_run_words", col("max_run_shingles") + 2)
+    },
+    Some(s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |dq AS (SELECT doc_id, w FROM docs WHERE len(w) >= 3),
+            |sh2 AS (SELECT doc_id,
+            |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)] AS s
+            |  FROM dq),
+            |psh AS (SELECT doc_id, unnest(s) AS shingle,
+            |        generate_subscripts(s, 1) AS pos FROM sh2),
+            |dd AS (SELECT DISTINCT doc_id, shingle FROM psh),
+            |keep AS (SELECT shingle FROM dd GROUP BY shingle
+            |         HAVING count(*) <= $DfCap),
+            |pshk AS (SELECT psh.doc_id, psh.shingle, psh.pos
+            |         FROM psh JOIN keep USING (shingle)),
+            |ex AS (SELECT dd.doc_id, dd.shingle FROM dd JOIN keep USING (shingle)),
+            |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            |       FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            |       GROUP BY 1, 2),
+            |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+            |pairs AS (SELECT doc_a, doc_b FROM pr
+            |          JOIN sizes sa ON doc_a = sa.doc_id
+            |          JOIN sizes sb ON doc_b = sb.doc_id
+            |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+            |m AS (SELECT p.doc_a, p.doc_b, a.pos AS ia, b.pos AS ib
+            |      FROM pairs p
+            |      JOIN pshk a ON a.doc_id = p.doc_a
+            |      JOIN pshk b ON b.doc_id = p.doc_b AND b.shingle = a.shingle),
+            |isl AS (SELECT doc_a, doc_b, ia - ib AS diag, ia,
+            |          ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib
+            |                                  ORDER BY ia) AS island
+            |        FROM m),
+            |runs AS (SELECT doc_a, doc_b, diag, island, count(*) AS run
+            |         FROM isl GROUP BY 1, 2, 3, 4)
+            |SELECT doc_a, doc_b, max(run) AS max_run_shingles,
+            |  max(run) + 2 AS max_run_words
+            |FROM runs GROUP BY 1, 2""".stripMargin),
+    doc = "Shared-span evidence: longest contiguous shingle run per near-dup pair via the diagonal trick (dedup #8).")
+
   override val all: Seq[GQuery] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26,
-      d27, d28, d29, d30, d31, d32, d33, d34, d37, d41, d45, d46)
+      d27, d28, d29, d30, d31, d32, d33, d34, d37, d41, d45, d46, d47)
 }
