@@ -127,6 +127,50 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed file drops must aggregate identically to the batch read")
   }
 
+  test("bounded backfill: maxFilesPerTrigger splits the backlog into batches, result unchanged") {
+    // The ops contract for catching up on a large landed backlog WITHOUT
+    // sizing executors to the whole pile: AvailableNow + maxFilesPerTrigger
+    // must process the backlog in bounded batches (one file each here), then
+    // stop — and converge to the same state as one giant batch would.
+    val dir = java.nio.file.Files.createTempDirectory("graft-backfill").toString
+    val batch = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    // land the backlog as several distinct files
+    batch.repartition(5).write.mode("overwrite").parquet(dir)
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nFiles >= 3, s"backlog should span several files, got $nFiles")
+    val streamed = spark.readStream
+      .schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    // NO watermark: the backlog files are not in event-time order, so a
+    // watermarked agg would (correctly) drop whole late files — the
+    // watermark-vs-backfill interaction is exactly why replays run
+    // unwatermarked (or with the watermark held back to the backlog's start)
+    val q = EventStream.windowedCounts(streamed, watermark = false).writeStream
+      .format("memory")
+      .queryName("win_backfill")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(nBatches >= 3,
+      s"bounded backfill should take one batch per file, saw $nBatches data batches")
+    // update mode re-emits a key's row each batch it changes; the final state
+    // is the emission with the LARGEST cumulative count (n strictly grows per
+    // update, so max_by is tie-free — no reliance on sink row order)
+    val got = spark.table("win_backfill")
+      .groupBy("win_start", "event_type").agg(
+        max_by(struct(col("n"), col("total")), col("n")).as("s"))
+      .select(col("win_start"), col("event_type"), col("s.n").as("n"),
+        col("s.total").as("total"))
+    val want = EventStream.windowedCounts(spark.read.parquet(dir))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "bounded backfill must converge to the one-batch result")
+  }
+
   test("stream-static enrichment equals the batch join; unseen users pass through null") {
     val sp = spark
     import sp.implicits._
