@@ -1546,8 +1546,43 @@ object RelationalOps extends QueryPack {
            |UNION ALL SELECT 'shuffle_hash', * FROM j""".stripMargin),
     doc = "Join-strategy hints: broadcast/merge/shuffle_hash — three plans, one result (J11/§2.3).")
 
+  // ---- S10: custom DataSource V2 — the KV draft-state store as a table -------
+  // The reference's DynamoDB store (S9) reached as a PLANNED SCAN instead of
+  // driver-side API calls: a per-user state snapshot is written through
+  // `graft.sources.KvStore` (hash-bucketed JSON-lines layout) and read back
+  // through the graft-kv DSv2 connector, whose IN-list key predicate prunes
+  // the scan to the matching hash buckets at PLANNING time (KvSourceSpec
+  // asserts 1 bucket for equality, <=|list| for IN, full fan-out otherwise).
+  // The oracle recomputes the snapshot rows for the probed keys straight
+  // from events — so the gate covers the writer's layout, the reader's JSON
+  // decode (doubles round-trip bit-exactly via shortest-repr), pruning
+  // correctness, and the aggregate derivation in one pass.
+  private val s10 = GQuery(
+    "s10_kv_source_scan",
+    (s, dir) => {
+      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
+        s"${sys.props("java.io.tmpdir")}/graft-buckets")
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val kvDir = s"$wh/kv_state_$tag"
+      val snap = t(s, dir, "events")
+        .groupBy(concat(lit("u"), col("user_id")).as("ukey"))
+        .agg(count(lit(1)).as("n_events"),
+          unix_timestamp(max(col("ts"))).as("last_ts_sec"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      graft.sources.KvStore.write(snap, kvDir, "ukey", 8)
+      s.read.format("graft.sources.KvTableProvider").load(kvDir)
+        .filter(col("ukey").isin("u1", "u3", "u5", "u7", "u11"))
+    },
+    Some("""SELECT 'u' || CAST(user_id AS VARCHAR) AS ukey, count(*) AS n_events,
+           |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts_sec,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           |FROM events
+           |WHERE user_id IN (1, 3, 5, 7, 11)
+           |GROUP BY user_id""".stripMargin),
+    doc = "Custom DSv2 KV source: bucket-pruned key probe over the written snapshot (S10/§7.3).")
+
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, p1, p2, p5, p6, p7, p8, p11, p13,
+    Seq(s2, s4, s5, s6, s8, s10, p1, p2, p5, p6, p7, p8, p11, p13,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
       x1, x2, x3, x4, x5, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)

@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The graft-kv DSv2 connector (S9's DynamoDB-shaped draft-state store as a
+  * first-class table): round trip, bucket pruning via key predicates (the
+  * GetItem access path), column pruning, and the serving-join parity with
+  * the reference's `isin` approach.
+  */
+class KvSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: String = _
+  private val Fmt = "graft.sources.KvTableProvider"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dir = java.nio.file.Files.createTempDirectory("graft-kv").toString
+    val sp = spark
+    import sp.implicits._
+    val state = (0 until 200).map { i =>
+      (s"player-$i", i % 3 == 0, 1700000000L + i)
+    }.toDF("player_id", "drafted", "updated_at")
+    KvStore.write(state, dir, key = "player_id", buckets = 8)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def kv = spark.read.format(Fmt).load(dir)
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+
+  test("round trip: every row and column survives the write/read cycle") {
+    val got = kv
+    assert(got.count() == 200)
+    assert(got.schema.fieldNames.sorted.sameElements(
+      Array("drafted", "player_id", "updated_at")))
+    assert(got.filter(col("player_id") === "player-7").count() == 1)
+    assert(got.agg(sum(when(col("drafted"), 1).otherwise(0))).head.getLong(0) == 67)
+    assert(got.agg(max("updated_at")).head.getLong(0) == 1700000199L)
+  }
+
+  test("key equality prunes the scan to ONE bucket partition (GetItem path)") {
+    val full = scanOf(kv).inputRDD.getNumPartitions
+    assert(full == 8, s"unfiltered scan should plan all 8 buckets, got $full")
+    val one = kv.filter(col("player_id") === "player-42")
+    val pruned = scanOf(one).inputRDD.getNumPartitions
+    assert(pruned == 1, s"key-equality scan should plan 1 bucket, got $pruned")
+    val row = one.collect()
+    assert(row.length == 1 && row(0).getAs[String]("player_id") == "player-42")
+  }
+
+  test("IN-list prunes to at most the list's bucket set; results exact") {
+    val keys = Seq("player-1", "player-2", "player-3", "player-199")
+    val q = kv.filter(col("player_id").isin(keys: _*))
+    val planned = scanOf(q).inputRDD.getNumPartitions
+    assert(planned <= keys.size,
+      s"IN-list scan should plan <= ${keys.size} buckets, got $planned")
+    assert(q.collect().map(_.getAs[String]("player_id")).sorted
+      .sameElements(keys.sorted))
+  }
+
+  test("column pruning reaches the scan: only requested fields are read") {
+    val q = kv.select("player_id", "drafted")
+    assert(scanOf(q).output.map(_.name).sorted.sameElements(
+      Array("drafted", "player_id")))
+    assert(q.count() == 200)
+  }
+
+  test("non-key predicates scan all buckets but stay correct (Scan path)") {
+    val q = kv.filter(col("drafted"))
+    assert(scanOf(q).inputRDD.getNumPartitions == 8)
+    assert(q.count() == 67)
+  }
+
+  test("serving-join parity: joining the KV table == the reference isin filter") {
+    val sp = spark
+    import sp.implicits._
+    val rankings = (0 until 200).map(i => (s"player-$i", 200 - i))
+      .toDF("player_id", "rank")
+    // reference approach (app.py isin): driver-collected drafted id set
+    val draftedIds = kv.filter(col("drafted"))
+      .select("player_id").as[String].collect().toSet
+    val viaIsin = rankings
+      .filter(!col("player_id").isin(draftedIds.toSeq: _*))
+      .orderBy(col("rank").desc).collect()
+    // engine approach: anti join against the KV table, no driver round trip
+    val viaJoin = rankings.join(
+        kv.filter(col("drafted")).select("player_id"), Seq("player_id"), "left_anti")
+      .orderBy(col("rank").desc).collect()
+    assert(viaJoin.sameElements(viaIsin))
+  }
+}
