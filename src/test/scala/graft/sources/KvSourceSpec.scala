@@ -82,6 +82,52 @@ class KvSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.count() == 67)
   }
 
+  test("streaming put/delete updates fold into the KV store via foreachBatch") {
+    // The reference mutates draft state through DynamoDB put/delete API
+    // calls (app.py:139-245); the engine face folds a stream of (key, op)
+    // updates into the same graft-kv snapshot: each micro-batch merges
+    // latest-op-wins state over the previous snapshot and rewrites — the
+    // streaming-merge-sink discipline applied to the KV layout. A 'delete'
+    // op removes the key (the tombstone path).
+    val sp = spark
+    import sp.implicits._
+    val updDir = java.nio.file.Files.createTempDirectory("graft-kv-stream").toString
+    implicit val sql: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Long)](99)
+    val q = ms.toDF().toDF("player_id", "op", "ts").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cur =
+          try sp.read.format(Fmt).load(updDir)
+          catch { case _: Exception =>
+            Seq.empty[(String, String, Long)].toDF("player_id", "op", "ts") }
+        // latest op per key over (previous state + this batch); materialize
+        // BEFORE the overwrite so the rewrite never reads its own target
+        val merged = cur.unionByName(batch)
+          .groupBy("player_id")
+          .agg(max_by(struct(col("op"), col("ts")), col("ts")).as("s"))
+          .select(col("player_id"), col("s.op").as("op"), col("s.ts").as("ts"))
+          .filter(col("op") =!= "delete")
+          .localCheckpoint(true)
+        KvStore.write(merged, updDir, key = "player_id", buckets = 4)
+        ()
+      }
+      .start()
+    ms.addData(("a", "put", 1L), ("b", "put", 2L), ("c", "put", 3L))
+    q.processAllAvailable()
+    ms.addData(("b", "delete", 4L), ("d", "put", 5L))
+    q.processAllAvailable()
+    ms.addData(("b", "put", 6L), ("c", "delete", 7L))
+    q.processAllAvailable()
+    q.stop()
+    val state = sp.read.format(Fmt).load(updDir)
+      .select("player_id", "ts").as[(String, Long)].collect().sorted
+    // a: put@1 survives; b: deleted@4 then re-put@6; c: deleted@7; d: put@5
+    assert(state.sameElements(Array(("a", 1L), ("b", 6L), ("d", 5L))),
+      s"folded KV state drifted: ${state.mkString(", ")}")
+  }
+
   test("serving-join parity: joining the KV table == the reference isin filter") {
     val sp = spark
     import sp.implicits._
