@@ -428,5 +428,60 @@ object GraphOps extends QueryPack {
            |SELECT node AS k, CAST(d AS INT) AS dist FROM d3""".stripMargin),
     doc = "Multi-source BFS hop distances, 3 synchronous rounds, integer-exact (graph #5).")
 
-  override val all: Seq[GQuery] = Seq(g1, g2, g3, g4, g5)
+  // ---- G6: recursive CTE reachability (SQL surface of g5) ---------------------
+  // Spark 4.1 executes WITH RECURSIVE natively (UnionLoop — iterative
+  // materialization of the recursive union), so the SQL spelling of g5's
+  // BFS runs IN SPARK and is pinned against DuckDB's mature recursive-CTE
+  // engine: same seeds, same depth bound, same min-distance fold.
+  // Termination is the explicit `d < 3` hop bound (the graph is cyclic;
+  // unbounded recursion would not converge) — path multiplicity before the
+  // final min() is seeds x deg^hops, vocabulary-bounded here. At corpus
+  // scale the ITERATIVE g5 form with per-round dedup is the right plan (one
+  // min-agg per round keeps the frontier node-sized, where the recursive
+  // union materializes every path); g6 exists to pin the SQL surface, and
+  // the doc comment IS that scale guidance.
+  private val g6 = GQuery(
+    "g6_recursive_cte_reach",
+    (s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events_g6")
+      s.sql("""WITH RECURSIVE
+        |ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(get_json_object(props, '$.k') AS INT) AS k
+        |  FROM events_g6),
+        |seq AS (
+        |  SELECT k, lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
+        |  FROM ev),
+        |edges AS (
+        |  SELECT DISTINCT CAST(k AS BIGINT) AS src, CAST(nk AS BIGINT) AS dst
+        |  FROM seq WHERE nk IS NOT NULL AND nk <> k),
+        |reach(node, d) AS (
+        |  SELECT DISTINCT src AS node, 0 AS d FROM edges WHERE src < 3
+        |  UNION ALL
+        |  SELECT e.dst, r.d + 1
+        |  FROM reach r JOIN edges e ON e.src = r.node
+        |  WHERE r.d < 3)
+        |SELECT node AS k, min(d) AS dist FROM reach GROUP BY node""".stripMargin)
+    },
+    Some("""WITH RECURSIVE
+           |ev AS (
+           |  SELECT user_id, ts, event_id,
+           |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+           |  FROM events),
+           |seq AS (
+           |  SELECT k, lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
+           |  FROM ev),
+           |edges AS (
+           |  SELECT DISTINCT CAST(k AS BIGINT) AS src, CAST(nk AS BIGINT) AS dst
+           |  FROM seq WHERE nk IS NOT NULL AND nk <> k),
+           |reach(node, d) AS (
+           |  SELECT DISTINCT src AS node, 0 AS d FROM edges WHERE src < 3
+           |  UNION ALL
+           |  SELECT e.dst, r.d + 1
+           |  FROM reach r JOIN edges e ON e.src = r.node
+           |  WHERE r.d < 3)
+           |SELECT node AS k, CAST(min(d) AS INT) AS dist FROM reach GROUP BY node""".stripMargin),
+    doc = "WITH RECURSIVE executed by Spark's UnionLoop, pinned against DuckDB recursion (graph #6/§2.6).")
+
+  override val all: Seq[GQuery] = Seq(g1, g2, g3, g4, g5, g6)
 }
