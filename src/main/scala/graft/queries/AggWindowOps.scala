@@ -1562,6 +1562,96 @@ object AggWindowOps extends QueryPack {
            |FROM n""".stripMargin),
     doc = "Unicode NFC + accent-strip via native codegen kernels, utf8proc-pinned (F18/§2.8).")
 
+  // ---- F19: VARIANT semi-structured battery (§2.8, Spark 4 surface) -----------
+  // The open-lakehouse semi-structured type: parse once into VARIANT, then
+  // typed path extraction — object fields, array subscripts, nested paths,
+  // absent paths (null, not error), and try_variant_get's wrong-type
+  // null-out. The JSON is constructed from INTEGER row data only (no
+  // double-to-text formatting to drift on), so DuckDB's json_extract
+  // recomputes every value exactly. Map-only, shuffle-free.
+  private val f19 = GQuery(
+    "f19_variant_battery",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("j", concat(lit("{\"id\":"), col("o_orderkey"),
+          lit(",\"tags\":[\"p"), col("o_orderkey") % 3, lit("\",\"q\"],"),
+          lit("\"nested\":{\"u\":"), col("o_custkey"), lit("}}")))
+        .withColumn("v", expr("parse_json(j)"))
+        .select(
+          col("o_orderkey"),
+          expr("variant_get(v, '$.id', 'bigint')").as("id_v"),
+          expr("variant_get(v, '$.tags[0]', 'string')").as("tag0"),
+          expr("variant_get(v, '$.tags[1]', 'string')").as("tag1"),
+          expr("variant_get(v, '$.nested.u', 'bigint')").as("nested_u"),
+          expr("variant_get(v, '$.zzz', 'bigint')").as("absent_v"),
+          expr("try_variant_get(v, '$.tags', 'int')").as("wrong_type")),
+    Some("""SELECT o_orderkey,
+           |  CAST(json_extract(j, '$.id') AS BIGINT) AS id_v,
+           |  json_extract_string(j, '$.tags[0]') AS tag0,
+           |  json_extract_string(j, '$.tags[1]') AS tag1,
+           |  CAST(json_extract(j, '$.nested.u') AS BIGINT) AS nested_u,
+           |  CAST(NULL AS BIGINT) AS absent_v,
+           |  CAST(NULL AS INT) AS wrong_type
+           |FROM (SELECT o_orderkey,
+           |        '{"id":' || o_orderkey || ',"tags":["p' || (o_orderkey % 3) ||
+           |        '","q"],"nested":{"u":' || o_custkey || '}}' AS j
+           |      FROM orders) t""".stripMargin),
+    doc = "VARIANT battery: parse_json + typed variant_get paths, absent/wrong-type null-out (F19/§2.8).")
+
+  // ---- F20: SQL pipe syntax (§2.6, Spark 4 surface) ---------------------------
+  // The |> operator-chain spelling: each stage is a self-contained transform
+  // in reading order. Pinned against the oracle's plain-SQL statement of the
+  // same query — the syntaxes MUST plan identically (same filters pushed,
+  // same partial aggregate), which the shared hash gate proves at the
+  // result level.
+  private val f20 = GQuery(
+    "f20_pipe_syntax",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_f20")
+      s.sql("""FROM orders_f20
+        ||> WHERE o_orderdate >= DATE'1995-01-01'
+        ||> AGGREGATE count(*) AS n,
+        |     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |     GROUP BY o_orderpriority
+        ||> WHERE n > 10
+        ||> SELECT o_orderpriority, n, total""".stripMargin)
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders
+           |WHERE o_orderdate >= DATE '1995-01-01'
+           |GROUP BY o_orderpriority
+           |HAVING count(*) > 10""".stripMargin),
+    doc = "SQL pipe syntax |> chain pinned equal to the plain-SQL statement (F20/§2.6).")
+
+  // ---- F21: case-insensitive collation (§2.8, Spark 4 surface) ----------------
+  // UTF8_LCASE collation makes comparison/grouping case-insensitive at the
+  // TYPE level — the engine-native spelling of the lower()-wrapping every
+  // case-insensitive pipeline otherwise scatters. Mixed-case keys are
+  // planted deterministically; grouping under the collation must equal
+  // grouping by lower() (the oracle's only option), and the group key is
+  // surfaced AS lower() text so the output is engine-neutral.
+  private val f21 = GQuery(
+    "f21_collation_cistring",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("mixed",
+          when(col("o_orderkey") % 2 === 0, upper(col("o_orderpriority")))
+            .otherwise(lower(col("o_orderpriority"))))
+        .withColumn("ci", expr("collate(mixed, 'UTF8_LCASE')"))
+        .groupBy(lower(col("ci")).as("prio"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("ci")).as("n_ci_distinct"),
+          countDistinct(col("mixed")).as("n_raw_distinct")),
+    Some("""SELECT lower(mixed) AS prio, count(*) AS n,
+           |  count(DISTINCT lower(mixed)) AS n_ci_distinct,
+           |  count(DISTINCT mixed) AS n_raw_distinct
+           |FROM (SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+           |                  ELSE lower(o_orderpriority) END AS mixed
+           |      FROM orders) t
+           |GROUP BY lower(mixed)""".stripMargin),
+    doc = "UTF8_LCASE collation: case-insensitive grouping/distinct == lower() semantics (F21/§2.8).")
+
   // ---- F15: map-type battery (§2.8) ------------------------------------------
   // MapType construction and access: map_from_arrays, map_keys/map_values
   // (insertion-ordered, so the '|' signatures are deterministic), element_at
@@ -1611,5 +1701,6 @@ object AggWindowOps extends QueryPack {
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16, a17, a18,
       w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7, u8,
       f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16, f17, f18,
+      f19, f20, f21,
       st1, st2, st3, st4, st5)
 }

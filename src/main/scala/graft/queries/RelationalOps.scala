@@ -1581,8 +1581,44 @@ object RelationalOps extends QueryPack {
            |GROUP BY user_id""".stripMargin),
     doc = "Custom DSv2 KV source: bucket-pruned key probe over the written snapshot (S10/§7.3).")
 
+  // ---- S11: XML ingest (native spark-xml, Spark 4 surface) --------------------
+  // The remaining file-format face next to CSV/TSV/JSONL/ORC/parquet: events
+  // round-trip through the native XML source (write rowTag records, read
+  // back with a declared schema) and the aggregate over the re-read rows is
+  // pinned against the oracle's direct scan — so the gate covers the
+  // writer's serialization AND the reader's parse. Doubles survive because
+  // XML text uses shortest-round-trip formatting; the timestamp is surfaced
+  // as epoch seconds BEFORE the write (timestamp textual round trip is the
+  // format knob a pipeline should not gamble on).
+  private val s11 = GQuery(
+    "s11_xml_roundtrip",
+    (s, dir) => {
+      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
+        s"${sys.props("java.io.tmpdir")}/graft-buckets")
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val xmlDir = s"$wh/xml_events_$tag"
+      val src = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_timestamp(col("ts")).as("ts_sec"))
+      src.write.mode("overwrite").option("rowTag", "event")
+        .format("xml").save(xmlDir)
+      s.read.format("xml").option("rowTag", "event")
+        .schema(src.schema).load(xmlDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"),
+          max(col("ts_sec")).as("max_ts_sec"),
+          sum(col("event_id")).as("id_sum"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts_sec,
+           |  CAST(sum(event_id) AS BIGINT) AS id_sum
+           |FROM events GROUP BY event_type""".stripMargin),
+    doc = "XML ingest: rowTag write + declared-schema read, aggregate pinned to the direct scan (S11/§2.1).")
+
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, p1, p2, p5, p6, p7, p8, p11, p13,
+    Seq(s2, s4, s5, s6, s8, s10, s11, p1, p2, p5, p6, p7, p8, p11, p13,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
       x1, x2, x3, x4, x5, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
