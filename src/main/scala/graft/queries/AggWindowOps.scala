@@ -1652,6 +1652,31 @@ object AggWindowOps extends QueryPack {
            |GROUP BY lower(mixed)""".stripMargin),
     doc = "UTF8_LCASE collation: case-insensitive grouping/distinct == lower() semantics (F21/§2.8).")
 
+  // ---- U9: native UNPIVOT syntax (§2.7) ---------------------------------------
+  // The SQL-native wide->long operator next to u2's hand-built union: one
+  // relational UNPIVOT clause over a two-metric aggregate. The oracle states
+  // the same table as the UNION ALL the operator desugars to — pinning that
+  // the native form introduces no extra scan (the aggregate runs once;
+  // Expand fans the rows, exactly like the u2 plan).
+  private val u9 = GQuery(
+    "u9_native_unpivot",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_u9")
+      s.sql("""SELECT o_orderpriority, metric, v FROM (
+        |  SELECT o_orderpriority, count(*) AS n_orders,
+        |    count(DISTINCT o_custkey) AS n_custs
+        |  FROM orders_u9 GROUP BY o_orderpriority)
+        |UNPIVOT (v FOR metric IN (n_orders, n_custs))""".stripMargin)
+    },
+    Some("""WITH a AS (
+           |  SELECT o_orderpriority, count(*) AS n_orders,
+           |    count(DISTINCT o_custkey) AS n_custs
+           |  FROM orders GROUP BY o_orderpriority)
+           |SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS v FROM a
+           |UNION ALL
+           |SELECT o_orderpriority, 'n_custs', n_custs FROM a""".stripMargin),
+    doc = "Native UNPIVOT clause pinned to its UNION ALL desugaring, one aggregate scan (U9/§2.7).")
+
   // ---- F15: map-type battery (§2.8) ------------------------------------------
   // MapType construction and access: map_from_arrays, map_keys/map_values
   // (insertion-ordered, so the '|' signatures are deterministic), element_at
@@ -1699,7 +1724,7 @@ object AggWindowOps extends QueryPack {
 
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16, a17, a18,
-      w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7, u8,
+      w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7, u8, u9,
       f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16, f17, f18,
       f19, f20, f21,
       st1, st2, st3, st4, st5)

@@ -1617,9 +1617,33 @@ object RelationalOps extends QueryPack {
            |FROM events GROUP BY event_type""".stripMargin),
     doc = "XML ingest: rowTag write + declared-schema read, aggregate pinned to the direct scan (S11/§2.1).")
 
+  // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
+  // The SQL spelling of "for each group, its top 3": a correlated LATERAL
+  // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
+  // this into the windowed-rank plan (DomainJoin -> window + filter; no
+  // per-row re-execution — the same contract as q2/q17's scalar
+  // decorrelation, extended to TABLE subqueries). Tie-break on the unique
+  // key keeps the per-group cut deterministic on both engines.
+  private val j12 = GQuery(
+    "j12_lateral_topk",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_j12")
+      s.sql("""SELECT p.o_orderpriority, l.o_orderkey, l.o_totalprice
+        |FROM (SELECT DISTINCT o_orderpriority FROM orders_j12) p,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_j12 o
+        |         WHERE o.o_orderpriority = p.o_orderpriority
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) l""".stripMargin)
+    },
+    Some("""SELECT p.o_orderpriority, l.o_orderkey, l.o_totalprice
+           |FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+           |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+           |         WHERE o.o_orderpriority = p.o_orderpriority
+           |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) l""".stripMargin),
+    doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
+
   override val all: Seq[GQuery] =
     Seq(s2, s4, s5, s6, s8, s10, s11, p1, p2, p5, p6, p7, p8, p11, p13,
-      j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
+      j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
       x1, x2, x3, x4, x5, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }
