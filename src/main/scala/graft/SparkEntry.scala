@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.GQuery
 import graft.multimodal.MediaOps
-import graft.queries.{AggWindowOps, CorpusOps, GraphOps, IncrementalOps, RelationalOps, TemporalOps, TextOps, VectorOps}
+import graft.queries.{AggWindowOps, CorpusOps, GraphOps, IncrementalOps, RelationalOps, StatsOps, TemporalOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
   val registry: Seq[GQuery] =
     RelationalOps.all ++ AggWindowOps.all ++ TextOps.all ++ CorpusOps.all ++
       VectorOps.all ++ MediaOps.all ++ TemporalOps.all ++ IncrementalOps.all ++
-      GraphOps.all
+      GraphOps.all ++ StatsOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

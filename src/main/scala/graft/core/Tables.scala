@@ -50,12 +50,23 @@ object Tables {
     * unique names into the query text.
     */
   def sqlOn(spark: SparkSession, views: (String, DataFrame)*)(
+      sqlFor: Map[String, String] => String): DataFrame =
+    sqlOnArgs(spark, Map.empty[String, Any], views: _*)(sqlFor)
+
+  /** [[sqlOn]] with named parameter markers: `args` binds each `:name` in the
+    * text through `spark.sql(text, args)` (Spark 3.4+ parameterized SQL), so
+    * serving-layer queries splice values as typed literals, never as string
+    * interpolation. */
+  def sqlOnArgs(spark: SparkSession, args: Map[String, Any],
+      views: (String, DataFrame)*)(
       sqlFor: Map[String, String] => String): DataFrame = {
     val unique = views.map { case (n, _) =>
       n -> s"${n}_g${viewSeq.incrementAndGet()}"
     }.toMap
     views.foreach { case (n, df) => df.createOrReplaceTempView(unique(n)) }
-    try spark.sql(sqlFor(unique))
-    finally unique.values.foreach(v => spark.catalog.dropTempView(v))
+    try {
+      val text = sqlFor(unique)
+      if (args.isEmpty) spark.sql(text) else spark.sql(text, args)
+    } finally unique.values.foreach(v => spark.catalog.dropTempView(v))
   }
 }

@@ -798,6 +798,30 @@ object AggWindowOps extends QueryPack {
            | AND epoch_us(v.ts) >= epoch_us(c.ts) - 600000000""".stripMargin),
     doc = "Stream-stream interval join, batch twin: clicks x same-user views within 10 min (§2.9).")
 
+  // ---- ST6: transformWithState typed-state profile (§2.9, Spark 4 surface) ---
+  // The arbitrary-state API successor to [GroupState]: a StatefulProcessor
+  // holding one typed ValueState row per user, run here in BATCH mode —
+  // every key's rows arrive in one handleInputRows call from empty state, so
+  // the processor IS the aggregate, and the identical object folds a stream
+  // across micro-batches in EventStreamSpec (stream == batch proven there).
+  // Money accumulates as 1e4-scaled longs, making the fold order-insensitive
+  // — the property that lets a differential oracle exist at all.
+  private val st6 = GQuery(
+    "st6_stateful_profile",
+    (s, dir) => {
+      // transformWithState executes on the state-store machinery even in
+      // batch mode; pin the RocksDB provider it requires (idempotent).
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      graft.streaming.EventStream.statefulProfile(t(s, dir, "events")).toDF()
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+           |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000
+           |    AS total_value,
+           |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_seen_s
+           |FROM events GROUP BY user_id""".stripMargin),
+    doc = "transformWithState typed ValueState profile, batch mode == streaming fold (ST6/§2.9).")
+
   // ---- A12: typed top-k Aggregator (§2.10 UDAF surface) ---------------------
   // Per-flag top-3 line items by price through graft.functions.TopKAggregator:
   // the buffer holds k entries, partials reduce map-side, merge combines two
@@ -1727,5 +1751,5 @@ object AggWindowOps extends QueryPack {
       w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7, u8, u9,
       f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16, f17, f18,
       f19, f20, f21,
-      st1, st2, st3, st4, st5)
+      st1, st2, st3, st4, st5, st6)
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming path over the `events` stream (SURVEY.md §2.9 notes
@@ -291,5 +291,70 @@ object EventStream {
             closed.reverseIterator
           }
       }
+  }
+
+  // ---- arbitrary typed state (transformWithState, Spark 4 API) ---------------
+
+  case class UserProfileState(n_events: Long, total_scaled: Long, last_seen: Long)
+  case class UserProfileOut(user_id: Long, n_events: Long, total_value: Double,
+      last_seen_s: Long)
+
+  /** Per-user running profile kept in a typed `ValueState` — the Spark 4
+    * `transformWithState` face of the feature table `userProfile` computes in
+    * batch. Money is accumulated as a 1e4-scaled long so the fold is
+    * order-insensitive (double addition is not): any arrival order of the
+    * same events yields the bit-identical profile, which is what lets the
+    * multi-batch streaming fold equal the one-shot batch aggregate.
+    *
+    * State is one fixed-width row per user in the RocksDB state store —
+    * at 10^9 users that is executor-partitioned, never driver-resident, and
+    * a production deployment would add a `TTLConfig` to age out dormant keys
+    * (the tested contract here keeps TTL off so batch == stream exactly).
+    */
+  class ProfileProcessor
+      extends StatefulProcessor[Long, Event, UserProfileOut] {
+    @transient private var profile: ValueState[UserProfileState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      profile = getHandle.getValueState[UserProfileState](
+        "profile", org.apache.spark.sql.Encoders.product[UserProfileState],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserProfileOut] = {
+      var st =
+        if (profile.exists()) profile.get()
+        else UserProfileState(0L, 0L, Long.MinValue)
+      rows.foreach { e =>
+        st = UserProfileState(
+          st.n_events + 1,
+          st.total_scaled + math.round(e.value * 10000.0),
+          math.max(st.last_seen, e.ts.getTime / 1000))
+      }
+      profile.update(st)
+      Iterator.single(
+        UserProfileOut(key, st.n_events, st.total_scaled / 10000.0, st.last_seen))
+    }
+  }
+
+  /** Run [[ProfileProcessor]] over an event frame (batch or stream). In batch
+    * mode every key's rows arrive in one `handleInputRows` call from empty
+    * state — so the same processor object IS the batch aggregate; streamed,
+    * the state store carries the fold across micro-batches. */
+  def statefulProfile(events: DataFrame): Dataset[UserProfileOut] = {
+    import events.sparkSession.implicits._
+    // Batch-mode transformWithState still loads its state store through the
+    // StateStoreCoordinator RPC endpoint, which only materializes with the
+    // query manager's lazy coordinator (normally forced by the first
+    // streaming query). Touch it so a pure-batch session works too; the
+    // lazy val makes this idempotent.
+    val mgr = events.sparkSession.streams
+    mgr.getClass.getMethod("stateStoreCoordinator").invoke(mgr)
+    events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

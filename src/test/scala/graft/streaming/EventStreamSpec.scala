@@ -551,4 +551,39 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val u2 = sessions.getOrElse(2L, Array.empty)
     assert(u2.length == 1 && u2.head.n_events == 1)
   }
+
+  test("transformWithState profile: multi-batch streaming fold equals the batch run (st6 twin)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStream.Event]
+    val batch1 = (0 until 20).map(i => ev(i, i, i % 3, "click", i * 1.25))
+    val batch2 = (20 until 35).map(i => ev(i, i, i % 4, "view", i * 0.5))
+    input.addData(batch1)
+    input.addData(batch2)
+
+    val out = EventStream.statefulProfile(
+      input.toDF().withColumn("props", lit("{}")))
+    val q = out.toDF().writeStream.format("memory").queryName("twscale_profiles")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    // update mode re-emits a key's profile each batch it appears in — the
+    // LAST emission per key is the folded state
+    val streamed = spark.table("twscale_profiles")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val want = EventStream.statefulProfile(
+      (batch1 ++ batch2).toDF().withColumn("props", lit("{}"))).toDF()
+    assert(streamed.count() === want.count())
+    assert(streamed.exceptAll(want).count() == 0 && want.exceptAll(streamed).count() == 0,
+      "streaming transformWithState fold must equal the batch-mode run")
+  }
 }
