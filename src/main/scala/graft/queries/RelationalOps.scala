@@ -1446,6 +1446,43 @@ object RelationalOps extends QueryPack {
            |WHERE d_rev = (SELECT max(d_rev) FROM revenue)""".stripMargin),
     doc = "TPC-H Q15 shape: per-supplier revenue view, exact-decimal argmax selection (Q15).")
 
+  // ---- X6: Z-order data layout — multi-dimensional file pruning --------------
+  // x3/x4 prune on the PARTITION column; a second filter dimension (user)
+  // still reads every file of the matching partitions. Writing the fact
+  // clustered on the Morton interleave of (user_id, ts) bounds every file's
+  // span in BOTH dimensions, so parquet footer min/max stats prune files for
+  // user filters, time filters, or boxes — the OPTIMIZE ZORDER layout
+  // pattern, built from codegen'd bit expressions + one range shuffle
+  // (graft.sources.Layout). The oracle proves the layout is LOSSLESS (same
+  // rows back through the box filter); LayoutSpec quantifies the pruning
+  // (file-level user-range stats vs a time-sorted layout of the same data).
+  private def zorderedEvents(s: SparkSession, dir: String): String = {
+    val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
+      s"${sys.props("java.io.tmpdir")}/graft-buckets")
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"$wh/events_zorder_$tag"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_s", unix_timestamp(col("ts")))
+        .drop("ts")
+      graft.sources.Layout.zorderWrite(ev, "user_id", "ts_s", path, 8)
+    }
+    path
+  }
+
+  private val x6 = GQuery(
+    "x6_zorder_layout",
+    (s, dir) =>
+      s.read.parquet(zorderedEvents(s, dir))
+        .filter(col("user_id").between(5, 25) &&
+          col("ts_s").between(1704844800L, 1705276800L))
+        .select(col("event_id"), col("user_id"), col("ts_s")),
+    Some("""SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+           |FROM events
+           |WHERE user_id BETWEEN 5 AND 25
+           |  AND CAST(floor(epoch(ts)) AS BIGINT) BETWEEN 1704844800 AND 1705276800""".stripMargin),
+    doc = "Z-order (Morton) clustered layout: box filter over both dims, lossless + file-prunable (X6).")
+
   // ---- X5: schema-test constraint audit (the dbt test surface) --------------
   // dbt's four generic tests (unique, not_null, accepted_values,
   // relationships) compiled the way dbt compiles them — each a violation
@@ -1644,6 +1681,6 @@ object RelationalOps extends QueryPack {
   override val all: Seq[GQuery] =
     Seq(s2, s4, s5, s6, s8, s10, s11, p1, p2, p5, p6, p7, p8, p11, p13,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
-      x1, x2, x3, x4, x5, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
+      x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }

@@ -590,6 +590,37 @@ object TextOps extends QueryPack {
     None,
     doc = "HLL++ vocabulary + KLL length quantiles — fixed-memory corpus stats (text #6).")
 
+  // ---- D48: HLL sketch COLUMNS — storable, mergeable distinct state ----------
+  // d11 estimates with approx_count_distinct, whose sketch lives only inside
+  // one aggregation. hll_sketch_agg materializes the Datasketches HLL state
+  // AS A COLUMN: per-source sketches are bytes a 100 TB pipeline writes to a
+  // stats table once, then answers any rollup (source → corpus, day → month)
+  // by hll_union_agg over the stored partials — never rescanning the tokens.
+  // This is the approximate twin of a20's exact bitmap rollup; register
+  // updates are max-merges, so the fold is order-insensitive and
+  // merge-of-parts equals the one-shot sketch EXACTLY (SimilaritySpec pins
+  // that, plus the estimate's error vs exact countDistinct).
+  // Sketch internals are engine-specific -> no DuckDB oracle (rows-only).
+  private val d48 = GQuery(
+    "d48_hll_sketch_union",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(words(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val perSource = toks.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("tok"), lit(12)).as("sk"),
+          count(lit(1)).as("n_tokens"))
+      val global = perSource.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_vocab_global"))
+      perSource
+        .select(col("source"), col("n_tokens"),
+          hll_sketch_estimate(col("sk")).as("est_vocab"))
+        .crossJoin(broadcast(global))
+    },
+    None,
+    doc = "HLL sketch columns: stored per-source partials union to the corpus estimate (text #21).")
+
   // ---- D20: repetition ratios (Gopher-style quality signals) ---------------
   // Within-document repetition is a strong low-quality signal for training
   // corpora (boilerplate, keyword stuffing, generator loops). Distinct-token
@@ -1424,5 +1455,5 @@ object TextOps extends QueryPack {
 
   override val all: Seq[GQuery] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26,
-      d27, d28, d29, d30, d31, d32, d33, d34, d37, d41, d45, d46, d47)
+      d27, d28, d29, d30, d31, d32, d33, d34, d37, d41, d45, d46, d47, d48)
 }

@@ -244,6 +244,30 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- d48 ---------------------------------------------------------------
+
+  test("d48: per-source HLL sketches union to the one-shot global sketch exactly (sf0.01)") {
+    val docs = graft.core.Tables.load(spark, sf01, "documents")
+    val toks = docs.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    // HLL register updates are max-merges: folding per-source partials must
+    // yield the SAME estimate as one pass over all tokens — the property
+    // that makes stored sketch columns re-aggregable at any grain
+    val merged = toks.groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(tok, 12)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")).first().getLong(0)
+    val oneShot = toks.agg(expr("hll_sketch_estimate(hll_sketch_agg(tok, 12))"))
+      .first().getLong(0)
+    assert(merged === oneShot,
+      s"sketch merge must be lossless: merged=$merged one-shot=$oneShot")
+    val exact = toks.agg(countDistinct(col("tok"))).first().getLong(0).toDouble
+    assert(math.abs(merged - exact) / exact < 0.05,
+      f"lgK=12 estimate $merged%d vs exact $exact%.0f outside 5%%")
+    // the registry query's global column agrees with the direct computation
+    val row = graft.SparkEntry.queries("d48_hll_sketch_union")(spark, sf01).first()
+    assert(row.getAs[Long]("est_vocab_global") === merged)
+  }
+
   // ---- e2 ----------------------------------------------------------------
 
   private def recallVsExact(name: String, dir: String): Double = {
