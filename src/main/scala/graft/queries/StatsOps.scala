@@ -251,5 +251,96 @@ object StatsOps extends QueryPack {
            |GROUP BY o_orderpriority""".stripMargin),
     doc = "Named-parameter SQL (:param binding), pushdown preserved (F23/§2.6).")
 
-  override val all: Seq[GQuery] = Seq(a19, a20, a21, a22, f22, f23)
+  private val ddlSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  // ---- F24: SQL-defined scalar UDF (CREATE FUNCTION ... RETURN expr) ----------
+  // Spark 4 SQL UDFs: the function body is SQL, so the analyzer INLINES it —
+  // the plan is identical to writing the expression by hand (no black-box
+  // UDF call, codegen and pushdown intact). That inlining is the scale
+  // contract this query pins: the oracle states the body inline, and the
+  // hash gate proves the UDF spelling changes nothing. Unique-suffixed name
+  // + drop keeps the builder side-effect-free (the sqlOn discipline).
+  private val f24 = GQuery(
+    "f24_sql_udf",
+    (s, dir) => {
+      val f = s"graft_disc_price_${ddlSeq.incrementAndGet()}"
+      s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $f(price DOUBLE, disc DOUBLE)
+               |RETURNS DOUBLE RETURN CAST(CAST(price AS DECIMAL(18,2))
+               |  * (CAST(1 AS DECIMAL(18,2)) - CAST(disc AS DECIMAL(18,2))) AS DOUBLE)""".stripMargin)
+      try Tables.sqlOn(s, "lineitem" -> t(s, dir, "lineitem")) { v =>
+        s"""SELECT l_returnflag,
+           |  round(sum($f(l_extendedprice, l_discount)), 2) AS disc_revenue,
+           |  count(*) AS n
+           |FROM ${v("lineitem")} GROUP BY l_returnflag""".stripMargin
+      } finally s.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $f")
+    },
+    Some("""SELECT l_returnflag,
+           |  round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)), 2)
+           |    AS disc_revenue,
+           |  count(*) AS n
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    doc = "SQL-defined scalar UDF inlined by the analyzer == hand-written expression (F24/§2.8).")
+
+  // ---- F25: session variables (DECLARE / SET VAR) -----------------------------
+  // Typed session variables hold a query-computed scalar the next statement
+  // uses as a literal — the multi-statement-job idiom (compute a threshold,
+  // reuse it across statements without a self-join). The variable is bound
+  // BEFORE the consuming query plans, so the filter arrives as a foldable
+  // literal. Oracle inlines the defining subquery.
+  private val f25 = GQuery(
+    "f25_session_variables",
+    (s, dir) => {
+      val vn = s"graft_thr_${ddlSeq.incrementAndGet()}"
+      Tables.sqlOn(s, "orders" -> t(s, dir, "orders")) { v =>
+        s.sql(s"DECLARE OR REPLACE VARIABLE $vn DOUBLE DEFAULT 0.0")
+        s.sql(s"SET VAR $vn = (SELECT avg(o_totalprice) FROM ${v("orders")})")
+        s"""SELECT o_orderpriority, count(*) AS n_above,
+           |  round(min(o_totalprice), 2) AS min_above
+           |FROM ${v("orders")} WHERE o_totalprice > $vn
+           |GROUP BY o_orderpriority""".stripMargin
+      }
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_above,
+           |  round(min(o_totalprice), 2) AS min_above
+           |FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+           |GROUP BY o_orderpriority""".stripMargin),
+    doc = "Session variables: query-computed scalar bound as a literal in the next statement (F25/§2.6).")
+
+  // ---- F26: SQL scripting (BEGIN ... END control flow) ------------------------
+  // Procedural SQL: a WHILE loop derives a threshold (1.5^10 = 59049/1024,
+  // exactly representable in binary -> the loop result is bit-deterministic),
+  // an IF on a data-derived count picks the branch, and the script's value
+  // is its last statement. The oracle states the taken branch with the
+  // loop's closed-form literal — pinning both the control flow and that
+  // scripting introduces no engine-specific arithmetic.
+  private val f26 = GQuery(
+    "f26_sql_scripting",
+    (s, dir) =>
+      Tables.sqlOn(s, "orders" -> t(s, dir, "orders")) { v =>
+        s"""BEGIN
+           |  DECLARE k INT DEFAULT 0;
+           |  DECLARE thr DOUBLE DEFAULT 1.0;
+           |  WHILE k < 10 DO
+           |    SET thr = thr * 1.5;
+           |    SET k = k + 1;
+           |  END WHILE;
+           |  IF (SELECT count(*) FROM ${v("orders")}) >= 1000 THEN
+           |    SELECT o_orderpriority, count(*) AS n,
+           |      round(max(o_totalprice), 2) AS max_price
+           |    FROM ${v("orders")} WHERE o_totalprice > thr * 1000
+           |    GROUP BY o_orderpriority;
+           |  ELSE
+           |    SELECT 'small' AS o_orderpriority, CAST(0 AS BIGINT) AS n,
+           |      CAST(0.0 AS DOUBLE) AS max_price;
+           |  END IF;
+           |END""".stripMargin
+      },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(max(o_totalprice), 2) AS max_price
+           |FROM orders WHERE o_totalprice > 57665.0390625
+           |GROUP BY o_orderpriority""".stripMargin),
+    doc = "SQL scripting: WHILE-derived exact threshold + IF branch, value = last statement (F26/§2.6).")
+
+  override val all: Seq[GQuery] = Seq(a19, a20, a21, a22, f22, f23, f24, f25, f26)
 }

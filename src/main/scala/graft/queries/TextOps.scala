@@ -621,6 +621,29 @@ object TextOps extends QueryPack {
     None,
     doc = "HLL sketch columns: stored per-source partials union to the corpus estimate (text #21).")
 
+  // ---- D49: approx_top_k — the built-in frequent-items sketch -----------------
+  // The native counterpart of d23's Misra-Gries UDAF: one fixed-memory
+  // aggregate tracking up to maxItemsTracked items. Capacity (10k) exceeds
+  // this corpus's vocabulary, so every count is exact and the full result
+  // oracles against GROUP BY — the same "sized-to-exact at test scale"
+  // discipline as a19's power sums. At 100 TB vocabularies the capacity
+  // becomes the memory dial and the d23 certified-heavy threshold gate is
+  // the right check instead; k exceeds the vocabulary here so no tie at a
+  // truncation boundary can make the kept set engine-dependent.
+  private val d49 = GQuery(
+    "d49_approx_top_k",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(words(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .agg(expr("approx_top_k(tok, 100, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("tok"), col("e.count").as("cnt")),
+    Some("""SELECT tok, count(*) AS cnt
+           |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+           |WHERE tok <> '' GROUP BY tok""".stripMargin),
+    doc = "approx_top_k frequent-items sketch, capacity-sized to exactness == GROUP BY (text #22).")
+
   // ---- D20: repetition ratios (Gopher-style quality signals) ---------------
   // Within-document repetition is a strong low-quality signal for training
   // corpora (boilerplate, keyword stuffing, generator loops). Distinct-token
@@ -1455,5 +1478,5 @@ object TextOps extends QueryPack {
 
   override val all: Seq[GQuery] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26,
-      d27, d28, d29, d30, d31, d32, d33, d34, d37, d41, d45, d46, d47, d48)
+      d27, d28, d29, d30, d31, d32, d33, d34, d37, d41, d45, d46, d47, d48, d49)
 }
