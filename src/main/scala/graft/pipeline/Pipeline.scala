@@ -42,6 +42,20 @@ object Pipeline {
       versionRoot: String): Map[String, DataFrame] =
     runner(dataRoot).runAs(spark, Materialization.VersionedCatalog(versionRoot))
 
+  /** Attach named observed metrics to a frame: the aggregates are computed
+    * INSIDE whatever action materializes the frame (write, count, collect) —
+    * zero extra scans, which is how a 100 TB run affords per-model run
+    * metrics (row counts, null-key counts, checksums) on every batch. The
+    * returned [[org.apache.spark.sql.Observation]] yields the metric row
+    * after the first action. Metrics must be aggregates over the observed
+    * plan (no distinct/sort) — the Spark `observe` contract. */
+  def observed(df: DataFrame, metrics: (String, org.apache.spark.sql.Column)*)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val cols = metrics.map { case (n, c) => c.as(n) }
+    (df.observe(obs, cols.head, cols.tail: _*), obs)
+  }
+
   // ---- serving queries (app/app.py read paths, SURVEY.md §3.2-3.3) ---------
 
   /** app/app.py:419-430 — the draft-table pull: explicit column list ordered
