@@ -439,7 +439,11 @@ object GraphOps extends QueryPack {
   // scale the ITERATIVE g5 form with per-round dedup is the right plan (one
   // min-agg per round keeps the frontier node-sized, where the recursive
   // union materializes every path); g6 exists to pin the SQL surface, and
-  // the doc comment IS that scale guidance.
+  // the doc comment IS that scale guidance. The walk runs on a 20-node
+  // subgraph (k, nk < 20): the full sf0.1 key domain is a near-complete
+  // 100-node graph whose 3-hop path count (~3·99³) trips Spark's 1M-row
+  // recursion guard — exactly the blowup the note above predicts, kept
+  // bounded here and proven identical on both engines within the bound.
   private val g6 = GQuery(
     "g6_recursive_cte_reach",
     (s, dir) => {
@@ -454,7 +458,8 @@ object GraphOps extends QueryPack {
         |  FROM ev),
         |edges AS (
         |  SELECT DISTINCT CAST(k AS BIGINT) AS src, CAST(nk AS BIGINT) AS dst
-        |  FROM seq WHERE nk IS NOT NULL AND nk <> k),
+        |  FROM seq WHERE nk IS NOT NULL AND nk <> k
+        |    AND k < 20 AND nk < 20),
         |reach(node, d) AS (
         |  SELECT DISTINCT src AS node, 0 AS d FROM edges WHERE src < 3
         |  UNION ALL
@@ -473,7 +478,8 @@ object GraphOps extends QueryPack {
            |  FROM ev),
            |edges AS (
            |  SELECT DISTINCT CAST(k AS BIGINT) AS src, CAST(nk AS BIGINT) AS dst
-           |  FROM seq WHERE nk IS NOT NULL AND nk <> k),
+           |  FROM seq WHERE nk IS NOT NULL AND nk <> k
+           |    AND k < 20 AND nk < 20),
            |reach(node, d) AS (
            |  SELECT DISTINCT src AS node, 0 AS d FROM edges WHERE src < 3
            |  UNION ALL

@@ -666,6 +666,47 @@ object TemporalOps extends QueryPack {
            |FROM events GROUP BY 1, 2""".stripMargin),
     doc = "OHLC downsample: per-(user, 15-min bar) open/high/low/close in one hash aggregate (temporal #14).")
 
+  // ---- T15: FORWARD as-of join ----------------------------------------------
+  // merge_asof(direction='forward'): for each click, the EARLIEST view
+  // at-or-after it — the reaction-to-impression shape (t1 runs backward).
+  // Implemented by running the same union-tag as-of machinery on NEGATED
+  // (ts, tie) keys: latest-prior on (-ts, -id) IS earliest-later on
+  // (ts, id), so the one window implementation serves both directions and
+  // inherits t1's scale shape (one shuffle by user, bounded window state).
+  // Same-ts tie contract matches t1's mirror-image: a same-ts view pairs
+  // when its id is LARGER than the click's (t1: smaller).
+  private val t15 = GQuery(
+    "t15_asof_join_forward",
+    (s, dir) => {
+      val ev = micros(s, dir).filter(col("event_type").isin("click", "view"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"),
+          (-col("us")).as("nus"), (-col("event_id")).as("ntb"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("us"),
+          (-col("us")).as("nus"), (-col("event_id")).as("ntb"),
+          col("us").as("view_us"), col("value").as("view_value"))
+      asofJoin(clicks, views, key = "user_id", leftTs = "nus", rightTs = "nus",
+        payload = Seq("view_us", "view_value"), tieBreak = "ntb")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("us").as("click_us"), col("view_us"), col("view_value"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
+           |  FROM events WHERE event_type IN ('click', 'view')),
+           |enriched AS (
+           |  SELECT event_id, user_id, event_type, us,
+           |    first_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY us, event_id
+           |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS view_us,
+           |    first_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY us, event_id
+           |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS view_value
+           |  FROM ev)
+           |SELECT event_id AS click_id, user_id, us AS click_us, view_us, view_value
+           |FROM enriched WHERE event_type = 'click'""".stripMargin),
+    doc = "Forward as-of join: earliest at-or-after view per click via the negated-key backward machinery (temporal #15).")
+
   override val all: Seq[GQuery] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14)
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15)
 }
