@@ -1746,10 +1746,43 @@ object AggWindowOps extends QueryPack {
            |FROM o""".stripMargin),
     doc = "Map battery: construct, ordered keys/values, absent-key null, concat, value lambdas (F15/§2.8).")
 
+  // ---- F27: URL function battery ---------------------------------------------
+  // Web-corpus curation is domain-driven (dedup by host, mix by domain,
+  // robots policy by host) — parse_url is the kernel that gets there from
+  // raw crawl URLs. URLs are composed from corpus fields so the oracle can
+  // state each extracted part from the same fields directly; the
+  // url_encode/url_decode round trip is pinned by decoding back to the
+  // original text the oracle selects. All per-row codegen'd projections,
+  // shuffle-free.
+  private val f27 = GQuery(
+    "f27_url_functions",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("url",
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+            col("doc_id").cast("string"), lit("?lang="), col("lang"),
+            lit("&v=1")))
+        .select(col("doc_id"),
+          expr("parse_url(url, 'PROTOCOL')").as("proto"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"),
+          expr("parse_url(url, 'QUERY', 'v')").as("q_v"),
+          expr("url_decode(url_encode(substring(text, 1, 24)))").as("roundtrip")),
+    Some("""SELECT doc_id,
+           |  'https' AS proto,
+           |  source || '.example.com' AS host,
+           |  '/docs/' || doc_id AS path,
+           |  lang AS q_lang,
+           |  '1' AS q_v,
+           |  substr(text, 1, 24) AS roundtrip
+           |FROM documents""".stripMargin),
+    doc = "URL battery: parse_url part extraction + encode/decode round trip (F27/§2.8).")
+
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16, a17, a18,
       w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7, u8, u9,
       f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16, f17, f18,
-      f19, f20, f21,
+      f19, f20, f21, f27,
       st1, st2, st3, st4, st5, st6)
 }

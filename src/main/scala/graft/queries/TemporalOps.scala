@@ -707,6 +707,52 @@ object TemporalOps extends QueryPack {
            |FROM enriched WHERE event_type = 'click'""".stripMargin),
     doc = "Forward as-of join: earliest at-or-after view per click via the negated-key backward machinery (temporal #15).")
 
+  // ---- T16: session windows with DYNAMIC per-event gaps ----------------------
+  // t3's gap is one constant; real sessionization keys the timeout on the
+  // event (a click holds attention 10 min, a passive view 30). Spark's
+  // session_window takes a gap EXPRESSION — each event contributes
+  // [ts, ts+gap(event)) and overlapping windows merge, so the session end
+  // is max(ts+gap), not last-event+constant. The oracle restates exactly
+  // that with a running max-end island scan (new session iff ts >= every
+  // prior event's window end). Same scale shape as t3: one shuffle by
+  // user, merging state bounded per key.
+  private val t16 = GQuery(
+    "t16_session_window_dynamic_gap",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"),
+            when(col("event_type") === "click", "10 minutes")
+              .otherwise("30 minutes")).as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+        .select(col("user_id"),
+          expr("unix_micros(sw.start)").as("sess_start_us"),
+          expr("unix_micros(sw.end)").as("sess_end_us"),
+          col("n_events"), col("total")),
+    Some("""WITH ev AS (
+           |  SELECT user_id, epoch_us(ts) AS us, value,
+           |    CASE WHEN event_type = 'click' THEN 600000000
+           |         ELSE 1800000000 END AS gap
+           |  FROM events),
+           |o AS (
+           |  SELECT *, max(us + gap) OVER (PARTITION BY user_id ORDER BY us
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           |  FROM ev),
+           |fl AS (
+           |  SELECT *, CASE WHEN prev_end IS NULL OR us >= prev_end
+           |                 THEN 1 ELSE 0 END AS brk
+           |  FROM o),
+           |isl AS (
+           |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           |  FROM fl)
+           |SELECT user_id, min(us) AS sess_start_us, max(us + gap) AS sess_end_us,
+           |  count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+           |FROM isl GROUP BY user_id, sess""".stripMargin),
+    doc = "Session windows with per-event dynamic gaps: merged end = max(ts+gap), islands oracle (temporal #16).")
+
   override val all: Seq[GQuery] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15)
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16)
 }
