@@ -94,6 +94,21 @@ class StatsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.count() === 0)
   }
 
+  test("a19/a20 plans: mergeable hash aggregates, no Expand, scans pruned") {
+    val p19 = run("a19_stats_battery").queryExecution.executedPlan.toString
+    assert(p19.contains("HashAggregate"), "stats battery must be a hash aggregate")
+    assert(!p19.contains("Expand"),
+      "every stats aggregate keeps O(1) mergeable state — no Expand fan-out")
+    // only the three referenced columns reach the scan
+    assert(p19.contains("ReadSchema") &&
+      !p19.contains("l_shipdate"), s"scan must prune to used columns:\n${p19.take(800)}")
+    val p20 = run("a20_bitmap_distinct").queryExecution.executedPlan.toString
+    assert(!p20.contains("Expand"),
+      "the bitmap rollup is two plain aggregates — no COUNT DISTINCT Expand plan")
+    assert("HashAggregate".r.findAllIn(p20).size >= 2,
+      "bucket stage + final rollup both plan as (Object)HashAggregates")
+  }
+
   test("f23: the bound parameter filter pushes into the parquet scan") {
     val plan = run("f23_parameterized_sql").queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") &&
