@@ -337,6 +337,76 @@ object EventStream {
     }
   }
 
+  /** Sessionization on the transformWithState API: the same 30-min
+    * inactivity semantics as [[sessionize]] (flatMapGroupsWithState) and the
+    * native `session_window` aggregation, expressed with a typed ValueState
+    * + an EVENT-TIME TIMER — `registerTimer` arms expiry at lastSeen+gap,
+    * `handleExpiredTimer` closes the session when the watermark passes it.
+    * EventStreamSpec pins all three implementations to one answer; this one
+    * exists because real pipelines outgrow the session shape (the timer +
+    * typed-state toolkit is the general form: TTLs, delayed emission,
+    * per-key alarms). State: one fixed-width row + at most one armed timer
+    * per key, watermark-bounded — the RocksDB store scales it horizontally.
+    */
+  class SessionProcessor(gapSeconds: Long)
+      extends StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var sess: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState](
+        "session", org.apache.spark.sql.Encoders.product[SessionState],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val events = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[SessionOut]
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      events.foreach { e =>
+        val t = e.ts.getTime / 1000
+        cur match {
+          case Some(st) if t - st.lastSeen <= gapSeconds =>
+            cur = Some(st.copy(lastSeen = t, nEvents = st.nEvents + 1,
+              total = st.total + e.value))
+          case Some(st) =>
+            closed ::= SessionOut(key, st.start, st.lastSeen, st.nEvents, st.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { st =>
+        sess.update(st)
+        // re-arm THE timer at the new expiry (delete any stale one — the
+        // API keeps every registered timer, unlike GroupState's single
+        // timeout)
+        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts))
+        getHandle.registerTimer(st.lastSeen * 1000 + gapSeconds * 1000)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionOut] =
+      if (sess.exists()) {
+        val st = sess.get()
+        sess.clear()
+        Iterator.single(SessionOut(key, st.start, st.lastSeen, st.nEvents, st.total))
+      } else Iterator.empty
+  }
+
+  /** [[SessionProcessor]] on a watermarked stream (event-time timers need a
+    * watermark to fire). */
+  def sessionizeTws(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Run [[ProfileProcessor]] over an event frame (batch or stream). In batch
     * mode every key's rows arrive in one `handleInputRows` call from empty
     * state — so the same processor object IS the batch aggregate; streamed,

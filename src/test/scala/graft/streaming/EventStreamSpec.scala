@@ -552,6 +552,42 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u2.length == 1 && u2.head.n_events == 1)
   }
 
+  test("transformWithState sessionizer with event-time timers matches flatMapGroupsWithState") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // same fixture as the sessionize test: user 1 closes one session at the
+    // 60-min gap, user 2's single event closes via the TIMER once the
+    // far-future event advances the watermark past lastSeen+gap
+    def feed(input: MemoryStream[EventStream.Event]): Unit = {
+      input.addData(Seq(ev(1, 0, 1, "a", 1), ev(2, 5, 1, "a", 2), ev(3, 10, 1, "a", 3),
+        ev(4, 0, 2, "b", 5)))
+      input.addData(Seq(ev(5, 70, 1, "a", 4)))
+      input.addData(Seq(ev(99, 600, 3, "c", 0)))
+    }
+    def runQ(name: String, out: org.apache.spark.sql.Dataset[EventStream.SessionOut]): Unit = {
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    val in1 = MemoryStream[EventStream.Event]; feed(in1)
+    runQ("tws_sessions", EventStream.sessionizeTws(in1.toDS(), gapSeconds = 1800))
+    val in2 = MemoryStream[EventStream.Event]; feed(in2)
+    runQ("fmgws_sessions", EventStream.sessionize(in2.toDS(), gapSeconds = 1800))
+
+    val tws = spark.table("tws_sessions")
+    val fm = spark.table("fmgws_sessions")
+    // both APIs emit the same CLOSED sessions (gap-closed ones always; the
+    // timer-closed tail sessions match GroupState's timeout-closed ones)
+    assert(tws.count() > 0)
+    assert(tws.exceptAll(fm).count() == 0 && fm.exceptAll(tws).count() == 0,
+      s"timer sessionizer must equal the GroupState one:\ntws=${tws.collect().toSeq}\nfm=${fm.collect().toSeq}")
+  }
+
   test("transformWithState profile: multi-batch streaming fold equals the batch run (st6 twin)") {
     val sp = spark
     import sp.implicits._
