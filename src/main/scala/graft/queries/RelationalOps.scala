@@ -1654,6 +1654,38 @@ object RelationalOps extends QueryPack {
            |FROM events GROUP BY event_type""".stripMargin),
     doc = "XML ingest: rowTag write + declared-schema read, aggregate pinned to the direct scan (S11/§2.1).")
 
+  // ---- S12: ORC round trip ----------------------------------------------------
+  // The other columnar lake format: same vectorized-reader, predicate-
+  // pushdown, column-pruning contract as parquet, different footer/stripe
+  // encoding. A snappy-compressed ORC write is read back THROUGH a pushed
+  // filter and aggregated, pinned to the oracle's direct evaluation — so
+  // both the encode and the pushdown-read agree with the parquet source of
+  // truth.
+  private val s12 = GQuery(
+    "s12_orc_roundtrip",
+    (s, dir) => {
+      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
+        s"${sys.props("java.io.tmpdir")}/graft-buckets")
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val orcDir = s"$wh/orc_orders_$tag"
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").option("compression", "snappy")
+        .orc(orcDir)
+      s.read.orc(orcDir)
+        .filter(col("o_totalprice") > 150000)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           |  min(o_orderkey) AS min_key
+           |FROM orders WHERE o_totalprice > 150000
+           |GROUP BY o_orderstatus""".stripMargin),
+    doc = "ORC round trip: snappy write + pushed-filter read, pinned to the direct scan (S12/§2.1).")
+
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
   // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
@@ -1679,7 +1711,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, p1, p2, p5, p6, p7, p8, p11, p13,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, p1, p2, p5, p6, p7, p8, p11, p13,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)

@@ -644,6 +644,32 @@ object TextOps extends QueryPack {
            |WHERE tok <> '' GROUP BY tok""".stripMargin),
     doc = "approx_top_k frequent-items sketch, capacity-sized to exactness == GROUP BY (text #22).")
 
+  // ---- D50: approx_top_k partial sketches (accumulate / combine / estimate) --
+  // d49's storable face and the third member of the sketch-rollup trilogy
+  // (a20 exact bitmaps, d48 HLL distinct, d50 frequent items): per-source
+  // `approx_top_k_accumulate` partials are STATE a stats table persists;
+  // `approx_top_k_combine` merges them and `approx_top_k_estimate` answers
+  // the corpus-level question without rescanning tokens. Capacity exceeds
+  // this vocabulary, so combine-of-partials is exact and the full estimate
+  // oracles against GROUP BY — the merge==rescan property a capacity-
+  // bounded deployment gives up knowingly (d23's threshold gate is then
+  // the check).
+  private val d50 = GQuery(
+    "d50_approx_top_k_partials",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), explode(words(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"))
+        .agg(expr("approx_top_k_accumulate(tok, 10000)").as("sk"))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 100)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("tok"), col("e.count").as("cnt")),
+    Some("""SELECT tok, count(*) AS cnt
+           |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+           |WHERE tok <> '' GROUP BY tok""".stripMargin),
+    doc = "approx_top_k partial sketches: accumulate per source, combine, estimate == GROUP BY (text #23).")
+
   // ---- D20: repetition ratios (Gopher-style quality signals) ---------------
   // Within-document repetition is a strong low-quality signal for training
   // corpora (boilerplate, keyword stuffing, generator loops). Distinct-token
@@ -1478,5 +1504,6 @@ object TextOps extends QueryPack {
 
   override val all: Seq[GQuery] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26,
-      d27, d28, d29, d30, d31, d32, d33, d34, d37, d41, d45, d46, d47, d48, d49)
+      d27, d28, d29, d30, d31, d32, d33, d34, d37, d41, d45, d46, d47, d48, d49,
+      d50)
 }
