@@ -1746,6 +1746,71 @@ object AggWindowOps extends QueryPack {
            |FROM o""".stripMargin),
     doc = "Map battery: construct, ordered keys/values, absent-key null, concat, value lambdas (F15/§2.8).")
 
+  // ---- F28: CSV row codec (to_csv / from_csv) ---------------------------------
+  // The per-row CSV codec — the text-serialization seam for log-style
+  // interchange. A struct of mixed types round-trips through to_csv ->
+  // from_csv with a declared schema, and a quoted-delimiter case proves
+  // escaping (a name containing the delimiter survives). The oracle states
+  // the projected fields directly — the round trip must be the identity.
+  private val f28 = GQuery(
+    "f28_csv_codec",
+    (s, dir) => {
+      val enc = to_csv(struct(
+        col("o_orderkey"), col("o_orderstatus"),
+        concat(col("o_orderpriority"), lit(",x")).as("tricky"),
+        col("o_totalprice")))
+      val schema = "o_orderkey BIGINT, o_orderstatus STRING, tricky STRING, o_totalprice DOUBLE"
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("key"),
+          from_csv(enc, org.apache.spark.sql.types.StructType.fromDDL(schema),
+            Map.empty[String, String]).as("r"))
+        .select(col("key"),
+          col("r.o_orderstatus").as("status"),
+          col("r.tricky").as("tricky"),
+          col("r.o_totalprice").as("price"),
+          (col("r.o_orderkey") === col("key")).as("key_match"))
+    },
+    Some("""SELECT o_orderkey AS key, o_orderstatus AS status,
+           |  o_orderpriority || ',x' AS tricky, o_totalprice AS price,
+           |  TRUE AS key_match
+           |FROM orders""".stripMargin),
+    doc = "CSV row codec: to_csv -> from_csv identity incl. quoted delimiters (F28/§2.8).")
+
+  // ---- F29: struct field surgery (withField / dropFields / getField) ----------
+  // Nested-schema maintenance without rebuilding the struct: withField adds
+  // or replaces one leaf, dropFields removes one, getField projects — the
+  // operations evolution of nested telemetry/feature columns lives on.
+  // All pure projections (codegen'd UpdateFields), pinned by flattening the
+  // surgered struct against the oracle's direct expressions.
+  private val f29 = GQuery(
+    "f29_struct_field_ops",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("st"), col("o_totalprice").as("price"),
+            col("o_orderpriority").as("prio")).as("rec"))
+        .withColumn("rec", col("rec")
+          .withField("price_band",
+            when(col("rec.price") > 200000, lit("high")).otherwise(lit("low")))
+          .withField("price",
+            // halving a 2-decimal price lands on .005 ties — round in exact
+            // decimal so both engines cut the same way, then back to double
+            round(col("rec.price").cast("decimal(18,2)")
+              * lit(0.5).cast("decimal(2,1)"), 2).cast("double"))
+          .dropFields("prio"))
+        .select(col("o_orderkey"),
+          col("rec.st").as("st"),
+          col("rec.price").as("half_price"),
+          col("rec.price_band").as("band"),
+          size(json_object_keys(to_json(col("rec")))).cast("int").as("n_fields")),
+    Some("""SELECT o_orderkey, o_orderstatus AS st,
+           |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+           |             * CAST(0.5 AS DECIMAL(2,1)), 2) AS DOUBLE) AS half_price,
+           |  CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'low' END AS band,
+           |  3 AS n_fields
+           |FROM orders""".stripMargin),
+    doc = "Struct surgery: withField add+replace, dropFields, getField projection (F29/§2.8).")
+
   // ---- F27: URL function battery ---------------------------------------------
   // Web-corpus curation is domain-driven (dedup by host, mix by domain,
   // robots policy by host) — parse_url is the kernel that gets there from
@@ -1783,6 +1848,6 @@ object AggWindowOps extends QueryPack {
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16, a17, a18,
       w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7, u8, u9,
       f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16, f17, f18,
-      f19, f20, f21, f27,
+      f19, f20, f21, f27, f28, f29,
       st1, st2, st3, st4, st5, st6)
 }
