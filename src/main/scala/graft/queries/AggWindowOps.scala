@@ -822,6 +822,23 @@ object AggWindowOps extends QueryPack {
            |FROM events GROUP BY user_id""".stripMargin),
     doc = "transformWithState typed ValueState profile, batch mode == streaming fold (ST6/§2.9).")
 
+  // ---- ST7: transformWithState MapState (keyed submaps) ----------------------
+  // The third face of the typed-state API (ValueState st6, timers in the
+  // session processor, MapState here): per-(user, event_type) counts as
+  // point-updatable map entries — at scale a user's submap is updated one
+  // entry at a time in RocksDB, never reserialized whole. Batch mode makes
+  // it oracle-able; the streaming fold equality lives in EventStreamSpec.
+  private val st7 = GQuery(
+    "st7_stateful_type_counts",
+    (s, dir) => {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      graft.streaming.EventStream.typeCounts(t(s, dir, "events")).toDF()
+    },
+    Some("""SELECT user_id, event_type, count(*) AS n
+           |FROM events GROUP BY user_id, event_type""".stripMargin),
+    doc = "transformWithState MapState type counts, batch mode == GROUP BY (ST7/§2.9).")
+
   // ---- A12: typed top-k Aggregator (§2.10 UDAF surface) ---------------------
   // Per-flag top-3 line items by price through graft.functions.TopKAggregator:
   // the buffer holds k entries, partials reduce map-side, merge combines two
@@ -1849,5 +1866,5 @@ object AggWindowOps extends QueryPack {
       w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7, u8, u9,
       f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16, f17, f18,
       f19, f20, f21, f27, f28, f29,
-      st1, st2, st3, st4, st5, st6)
+      st1, st2, st3, st4, st5, st6, st7)
 }

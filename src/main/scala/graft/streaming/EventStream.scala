@@ -104,6 +104,70 @@ object EventStream {
   def attributedClicksOuter(events: DataFrame, stream: Boolean = true): DataFrame =
     attributedClicks(events, stream, joinType = "left_outer")
 
+  /** Left-semi variant: each click emits AT MOST ONCE — "was any view within
+    * the window?" as an existence test, no row multiplication and no view
+    * columns to carry. Same watermark + time-range state bounds as the inner
+    * join; the state store still only keeps views inside the eviction
+    * horizon. */
+  def attributedClicksSemi(events: DataFrame, stream: Boolean = true): DataFrame = {
+    def wm(df: DataFrame, tsCol: String) =
+      if (stream) df.withWatermark(tsCol, "10 minutes") else df
+    val clicks = wm(events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts")), "click_ts")
+    val views = wm(events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts")), "view_ts")
+    clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES"),
+        "left_semi")
+      .select(col("click_id"), col("user_id"),
+        expr("unix_micros(click_ts)").as("click_us"))
+  }
+
+  /** Per-(user, event_type) running counts in a typed `MapState` — the
+    * keyed-submap face of the transformWithState API (ValueState: st6;
+    * timers: SessionProcessor; MapState: here). The map is stored as
+    * individual (groupKey, mapKey) entries in RocksDB, so a user's submap
+    * never materializes whole except through the iterator — which is why a
+    * MapState beats a ValueState[Map[...]] once submaps grow: point
+    * updates touch one entry, not a reserialized blob. */
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  class TypeCountsProcessor
+      extends StatefulProcessor[Long, Event, TypeCount] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      rows.foreach { e =>
+        val prev = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, prev + 1)
+      }
+      counts.iterator().map { case (t, n) => TypeCount(key, t, n) }
+    }
+  }
+
+  /** Run [[TypeCountsProcessor]] over an event frame (batch or stream). */
+  def typeCounts(events: DataFrame): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    val mgr = events.sparkSession.streams
+    mgr.getClass.getMethod("stateStoreCoordinator").invoke(mgr)
+    events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   // ---- stream-static enrichment ----------------------------------------------
 
   /** Stream-static join: enrich each live event with a BATCH-computed

@@ -552,6 +552,55 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u2.length == 1 && u2.head.n_events == 1)
   }
 
+  test("stream-stream LEFT SEMI interval join equals the batch semi join") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val events = (0 until 60).map(i =>
+      ev(i, i / 2, i % 4, if (i % 3 == 0) "click" else "view", i * 0.5))
+    input.addData(events)
+    val q = EventStream.attributedClicksSemi(
+      input.toDF().withColumn("props", lit("{}")), stream = true)
+      .writeStream.format("memory").queryName("semi_clicks")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("semi_clicks")
+    val batch = EventStream.attributedClicksSemi(
+      events.toDF().withColumn("props", lit("{}")), stream = false)
+    assert(streamed.count() > 0)
+    // semi join: one row per qualifying click, never multiplied
+    assert(streamed.groupBy("click_id").count().filter(col("count") > 1).count() === 0)
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("transformWithState MapState counts: multi-batch streaming fold equals batch (st7 twin)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStream.Event]
+    val batch1 = (0 until 24).map(i => ev(i, i, i % 3, if (i % 2 == 0) "click" else "view", 1.0))
+    val batch2 = (24 until 40).map(i => ev(i, i, i % 5, "purchase", 2.0))
+    input.addData(batch1); input.addData(batch2)
+    val q = EventStream.typeCounts(input.toDF().withColumn("props", lit("{}")))
+      .toDF().writeStream.format("memory").queryName("tws_type_counts")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    // last emission per (user, type) is the folded count
+    val streamed = spark.table("tws_type_counts")
+      .groupBy("user_id", "event_type").agg(max("n").as("n"))
+    val want = (batch1 ++ batch2).toDF()
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+    assert(streamed.exceptAll(want).count() == 0 && want.exceptAll(streamed).count() == 0,
+      "MapState streaming fold must equal the batch GROUP BY")
+  }
+
   test("transformWithState sessionizer with event-time timers matches flatMapGroupsWithState") {
     val sp = spark
     import sp.implicits._
