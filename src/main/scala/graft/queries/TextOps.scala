@@ -1301,30 +1301,31 @@ object TextOps extends QueryPack {
         .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(1)
         .head().getString(0)
-      val (ma, mb) = (top.substring(0, 1), top.substring(1, 2))
-      val c = filter(split(col("w"), ""), x => x =!= "")
-      val n = size(c)
-      // merge tests are DIRECT char lookups per position — routing them
-      // through an intermediate boolean array would inline that array's
-      // whole construction into every element_at and go quadratic per word
-      def hit(i: Column) =
-        (i < n) && (element_at(c, i) === ma) && (element_at(c, i + 1) === mb)
-      val syms = transform(
-        filter(sequence(lit(1), n), i =>
-          !(i > lit(1) && hit(i - 1))),
-        i => when(hit(i), lit(top)).otherwise(element_at(c, i)))
+      // apply the merge by MARKER SUBSTITUTION: the winning pair has distinct
+      // halves, so occurrences cannot overlap and left-to-right replace IS
+      // the greedy merge. One regexp_replace (literal-quoted) collapses each
+      // occurrence to a 1-char sentinel (corpus is ASCII —  cannot
+      // collide), after which every symbol is exactly one char of w2:
+      // merge count = length shrink, symbol pairs = adjacent chars with the
+      // sentinel mapped back to the merged token. No per-position array
+      // lambdas at all — each pair label is two O(1) substrs.
+      val marker = ""
+      val w2 = regexp_replace(col("w"),
+        lit(java.util.regex.Pattern.quote(top)), lit(marker))
       // one BPE round's output: the re-tokenized corpus (what the next
       // round trains on) — materialized once, read by recount + stats
-      val merged = wordsDf.select(syms.as("syms"),
-        size(filter(sequence(lit(1), n - 1), i => hit(i)))
-          .cast("long").as("nm"))
+      val merged = wordsDf.select(w2.as("w2"),
+        (length(col("w")) - length(w2)).cast("long").as("nm"))
         .localCheckpoint()
       val nMerges = merged.agg(sum(col("nm"))).head().getLong(0)
+      def sym(j: Column) = {
+        val ch = col("w2").substr(j, lit(1))
+        when(ch === marker, lit(top)).otherwise(ch)
+      }
       val next = merged
-        .filter(size(col("syms")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
-          i => concat(element_at(col("syms"), i), lit("+"),
-            element_at(col("syms"), i + 1)))).as("pair"))
+        .filter(length(col("w2")) >= 2)
+        .select(explode(transform(sequence(lit(1), length(col("w2")) - 1),
+          i => concat(sym(i), lit("+"), sym(i + 1)))).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(10)
         .select(lit("next").as("kind"), col("pair"), col("cnt"))
