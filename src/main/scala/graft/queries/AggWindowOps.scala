@@ -1828,6 +1828,60 @@ object AggWindowOps extends QueryPack {
            |FROM orders""".stripMargin),
     doc = "Struct surgery: withField add+replace, dropFields, getField projection (F29/§2.8).")
 
+  // ---- F30: interval arithmetic (ANSI year-month / day-time intervals) -------
+  // Interval TYPES as first-class arithmetic: adding literal intervals,
+  // make_interval construction, multiplying an interval by a per-row
+  // integer, and day-time hour arithmetic on timestamps. Month addition
+  // must clamp at month ends identically (both engines do); everything is
+  // per-row and deterministic, surfaced as formatted strings so the gate
+  // compares calendar RESULTS, not interval internals.
+  private val f30 = GQuery(
+    "f30_interval_arithmetic",
+    (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_format(expr("o_orderdate + INTERVAL '2' MONTH + INTERVAL '3' DAY"),
+          "yyyy-MM-dd").as("plus_2m3d"),
+        date_format(expr("o_orderdate + make_interval(0, 1, 0, 15, 0, 0, 0)"),
+          "yyyy-MM-dd").as("plus_1m15d"),
+        date_format(expr("o_orderdate - INTERVAL '45' DAY"),
+          "yyyy-MM-dd").as("minus_45d"),
+        date_format(expr("o_orderdate + INTERVAL '1' DAY * (o_orderkey % 3)"),
+          "yyyy-MM-dd").as("plus_key_days"),
+        date_format(expr("o_orderdate + make_dt_interval(0, CAST(o_orderkey % 24 AS INT), 0, 0)"),
+          "yyyy-MM-dd HH").as("plus_key_hours")),
+    Some("""SELECT o_orderkey,
+           |  strftime(o_orderdate + INTERVAL 2 MONTH + INTERVAL 3 DAY, '%Y-%m-%d') AS plus_2m3d,
+           |  strftime(o_orderdate + INTERVAL 1 MONTH + INTERVAL 15 DAY, '%Y-%m-%d') AS plus_1m15d,
+           |  strftime(o_orderdate - INTERVAL 45 DAY, '%Y-%m-%d') AS minus_45d,
+           |  strftime(o_orderdate + (o_orderkey % 3) * INTERVAL 1 DAY, '%Y-%m-%d') AS plus_key_days,
+           |  strftime(o_orderdate + (o_orderkey % 24) * INTERVAL 1 HOUR, '%Y-%m-%d %H') AS plus_key_hours
+           |FROM orders""".stripMargin),
+    doc = "Interval arithmetic: literal/constructed/scaled year-month + day-time intervals (F30/§2.8).")
+
+  // ---- F31: array_sort with a custom comparator --------------------------------
+  // The lambda-comparator sort — ordering array elements by a computed key
+  // (length, then value) that the natural order can't express. The oracle
+  // has no comparator sorts, so it states the CONTRACT instead: unnest,
+  // ORDER BY the same keys inside an ordered string_agg — proving the
+  // comparator implements exactly that keyed sort.
+  private val f31 = GQuery(
+    "f31_array_sort_comparator",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(expr(
+          """array_sort(array_distinct(split(text, ' ')),
+            |  (l, r) -> CASE WHEN length(l) < length(r) THEN -1
+            |                 WHEN length(l) > length(r) THEN 1
+            |                 WHEN l < r THEN -1 WHEN l > r THEN 1
+            |                 ELSE 0 END)""".stripMargin), "|").as("by_len_then_val")),
+    Some("""SELECT doc_id, string_agg(tok, '|' ORDER BY len(tok), tok) AS by_len_then_val
+           |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+           |      FROM documents) t
+           |GROUP BY doc_id""".stripMargin),
+    doc = "array_sort with a (length, value) comparator lambda == keyed ordered aggregation (F31/§2.8).")
+
   // ---- F27: URL function battery ---------------------------------------------
   // Web-corpus curation is domain-driven (dedup by host, mix by domain,
   // robots policy by host) — parse_url is the kernel that gets there from
@@ -1865,6 +1919,6 @@ object AggWindowOps extends QueryPack {
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16, a17, a18,
       w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7, u8, u9,
       f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16, f17, f18,
-      f19, f20, f21, f27, f28, f29,
+      f19, f20, f21, f27, f28, f29, f30, f31,
       st1, st2, st3, st4, st5, st6, st7)
 }

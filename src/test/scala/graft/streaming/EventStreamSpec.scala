@@ -552,6 +552,44 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u2.length == 1 && u2.head.n_events == 1)
   }
 
+  test("dynamic-gap session_window aggregation runs on a stream and equals batch (t16 twin)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val events = Seq(
+      ev(1, 0, 1, "click", 1), ev(2, 5, 1, "view", 2),   // merge: click 10m gap covers 5m
+      ev(3, 60, 1, "view", 3),                           // own session (gap from prev view = 30m < 55m)
+      ev(4, 0, 2, "view", 5), ev(5, 25, 2, "view", 6),   // merge under the 30m view gap
+      ev(99, 600, 3, "click", 0))                        // watermark pusher
+    input.addData(events)
+    def sessions(df: org.apache.spark.sql.DataFrame, stream: Boolean) = {
+      val base = if (stream) df.withWatermark("ts", "10 minutes") else df
+      base.groupBy(col("user_id"),
+          session_window(col("ts"),
+            when(col("event_type") === "click", "10 minutes")
+              .otherwise("30 minutes")).as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), expr("unix_micros(sw.start)").as("s"),
+          expr("unix_micros(sw.end)").as("e"), col("n"))
+    }
+    val q = sessions(input.toDF().withColumn("props", lit("{}")), stream = true)
+      .writeStream.format("memory").queryName("dyn_sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dyn_sessions")
+    val batch = sessions(events.toDF().withColumn("props", lit("{}")), stream = false)
+    assert(streamed.count() > 0)
+    // append mode only emits watermark-closed sessions; every emitted one
+    // must exist identically in the batch result
+    assert(streamed.exceptAll(batch).count() === 0,
+      "streamed dynamic-gap sessions must be a subset of the batch sessions")
+    // the fixture's watermark pusher closes everything before minute 600-10
+    assert(streamed.count() === batch.filter(col("user_id") =!= 3).count())
+  }
+
   test("stream-stream LEFT SEMI interval join equals the batch semi join") {
     val sp = spark
     import sp.implicits._
