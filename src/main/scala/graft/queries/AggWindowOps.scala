@@ -1859,6 +1859,34 @@ object AggWindowOps extends QueryPack {
            |FROM orders""".stripMargin),
     doc = "Interval arithmetic: literal/constructed/scaled year-month + day-time intervals (F30/§2.8).")
 
+  // ---- F32: format-string timestamp parsing / printing ------------------------
+  // The to_timestamp(str, fmt) / date_format(ts, fmt) seam — log-file
+  // ingestion lives on it. A European-format print parses back losslessly,
+  // day-name / day-of-year patterns agree with the oracle's strftime, and
+  // try_to_timestamp nulls malformed input instead of failing the job
+  // (ANSI mode makes plain to_timestamp throw — the try_ variant is the
+  // pipeline-safe spelling).
+  private val f32 = GQuery(
+    "f32_timestamp_format_parse",
+    (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "dd/MM/yyyy").as("euro"),
+        date_format(to_timestamp(date_format(col("o_orderdate"), "dd/MM/yyyy"),
+          "dd/MM/yyyy"), "yyyy-MM-dd").as("round_trip"),
+        expr("try_to_timestamp('not a date', 'dd/MM/yyyy')").isNull.as("malformed_null"),
+        date_format(col("o_orderdate"), "EEE").as("dow_abbr"),
+        date_format(col("o_orderdate"), "DDD").as("doy")),
+    Some("""SELECT o_orderkey,
+           |  strftime(o_orderdate, '%d/%m/%Y') AS euro,
+           |  strftime(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y'),
+           |           '%Y-%m-%d') AS round_trip,
+           |  try_strptime('not a date', '%d/%m/%Y') IS NULL AS malformed_null,
+           |  strftime(o_orderdate, '%a') AS dow_abbr,
+           |  strftime(o_orderdate, '%j') AS doy
+           |FROM orders""".stripMargin),
+    doc = "Format-string parse/print: lossless round trip, day patterns, try_to_timestamp null-out (F32/§2.8).")
+
   // ---- F31: array_sort with a custom comparator --------------------------------
   // The lambda-comparator sort — ordering array elements by a computed key
   // (length, then value) that the natural order can't express. The oracle
@@ -1919,6 +1947,6 @@ object AggWindowOps extends QueryPack {
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16, a17, a18,
       w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7, u8, u9,
       f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16, f17, f18,
-      f19, f20, f21, f27, f28, f29, f30, f31,
+      f19, f20, f21, f27, f28, f29, f30, f31, f32,
       st1, st2, st3, st4, st5, st6, st7)
 }
