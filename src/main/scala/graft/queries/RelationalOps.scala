@@ -230,6 +230,31 @@ object RelationalOps extends QueryPack {
            |FROM orders""".stripMargin),
     doc = "Error-safe expressions: try_divide / try_cast null out instead of failing the job (P13).")
 
+  // ---- P14: try-arithmetic under int64 overflow --------------------------------
+  // ANSI mode makes plain +/-/* THROW on bigint overflow (the right default
+  // at scale — silent wraparound corrupts downstream sums); the try_
+  // variants return NULL instead, the per-row quarantine a pipeline
+  // actually wants. DuckDB never overflows (hugeint intermediates), so the
+  // oracle states the same nulls via TRY_CAST of the wide result back to
+  // BIGINT — two different engine mechanisms, one pinned semantics.
+  private val p14 = GQuery(
+    "p14_try_overflow_arithmetic",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("try_multiply(o_orderkey, 9223372036854775807)").as("mul_over"),
+        expr("try_add(9223372036854775807, o_orderkey)").as("add_over"),
+        expr("try_subtract(-9223372036854775808, o_orderkey)").as("sub_over"),
+        expr("try_multiply(o_orderkey, 1000)").as("mul_safe"),
+        expr("try_add(o_orderkey, 0)").as("add_safe")),
+    Some("""SELECT o_orderkey,
+           |  TRY_CAST(o_orderkey * CAST(9223372036854775807 AS HUGEINT) AS BIGINT) AS mul_over,
+           |  TRY_CAST(CAST(9223372036854775807 AS HUGEINT) + o_orderkey AS BIGINT) AS add_over,
+           |  TRY_CAST(CAST(-9223372036854775808 AS HUGEINT) - o_orderkey AS BIGINT) AS sub_over,
+           |  o_orderkey * 1000 AS mul_safe,
+           |  o_orderkey AS add_safe
+           |FROM orders""".stripMargin),
+    doc = "try_add/subtract/multiply: int64 overflow quarantines to NULL under ANSI (P14).")
+
   private val p11 = GQuery(
     "p11_conditional_agg",
     (s, dir) =>
@@ -1711,7 +1736,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, p1, p2, p5, p6, p7, p8, p11, p13,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
