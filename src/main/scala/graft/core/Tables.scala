@@ -40,6 +40,14 @@ object Tables {
 
   private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Serializes registry-internal table writes to shared scratch paths
+    * (x3/x4 partitioned orders, x6 z-order layout, i10/s12 round trips).
+    * Queries may be BUILT concurrently on one session (ConcurrencySpec's
+    * contract); two first-builders racing an `overwrite` of the same path
+    * could interleave file commits. A JVM-wide lock is enough because the
+    * scratch dir is per-JVM scratch, not cluster state. */
+  val scratchWriteLock = new Object
+
   /** Run SQL against DataFrames registered under session-unique temp view
     * names, then drop the views. `spark.sql` analyzes eagerly, so the returned
     * DataFrame's plan no longer references the catalog entries — dropping them

@@ -390,17 +390,20 @@ object IncrementalOps extends QueryPack {
       val orders = t(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_year")
-      orders.write.mode("overwrite").partitionBy("o_year").parquet(path)
-      // uplift in exact decimal: double round() at the half-cent boundary is
-      // implementation-defined; decimal 1.1x is exact and rounds identically
-      // on both engines, then lands back as double for partition-schema unity
-      orders.filter(col("o_year") === 1995)
-        .withColumn("o_totalprice",
-          round(col("o_totalprice").cast("decimal(18,2)")
-            * lit(1.1).cast("decimal(3,1)"), 2).cast("double"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("o_year").parquet(path)
+      graft.core.Tables.scratchWriteLock.synchronized {
+        orders.write.mode("overwrite").partitionBy("o_year").parquet(path)
+        // uplift in exact decimal: double round() at the half-cent boundary
+        // is implementation-defined; decimal 1.1x is exact and rounds
+        // identically on both engines, then lands back as double for
+        // partition-schema unity
+        orders.filter(col("o_year") === 1995)
+          .withColumn("o_totalprice",
+            round(col("o_totalprice").cast("decimal(18,2)")
+              * lit(1.1).cast("decimal(3,1)"), 2).cast("double"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("o_year").parquet(path)
+      }
       s.read.parquet(path)
         .groupBy(col("o_year").cast("int").as("o_year"))
         .agg(count(lit(1)).as("n"),

@@ -480,20 +480,21 @@ object RelationalOps extends QueryPack {
   /** Year-partitioned copy of `orders`, written once per scale dir
     * (skip-if-exists) into the stable bucket warehouse — shared by the
     * partition-pruning demos x3 (static) and x4 (dynamic). */
-  private def partitionedOrders(s: SparkSession, dir: String): String = {
-    val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
-      s"${sys.props("java.io.tmpdir")}/graft-buckets")
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets")
-    val tbl = s"graft_buckets.orders_part_$tag"
-    if (!s.catalog.tableExists(tbl))
-      t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
-        .write.mode("overwrite")
-        .option("path", s"$wh/orders_part_$tag")
-        .partitionBy("o_year")
-        .saveAsTable(tbl)
-    tbl
-  }
+  private def partitionedOrders(s: SparkSession, dir: String): String =
+    Tables.scratchWriteLock.synchronized {
+      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
+        s"${sys.props("java.io.tmpdir")}/graft-buckets")
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets")
+      val tbl = s"graft_buckets.orders_part_$tag"
+      if (!s.catalog.tableExists(tbl))
+        t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite")
+          .option("path", s"$wh/orders_part_$tag")
+          .partitionBy("o_year")
+          .saveAsTable(tbl)
+      tbl
+    }
 
   private val x3 = GQuery(
     "x3_partition_pruned_scan",
@@ -1481,19 +1482,20 @@ object RelationalOps extends QueryPack {
   // (graft.sources.Layout). The oracle proves the layout is LOSSLESS (same
   // rows back through the box filter); LayoutSpec quantifies the pruning
   // (file-level user-range stats vs a time-sorted layout of the same data).
-  private def zorderedEvents(s: SparkSession, dir: String): String = {
-    val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
-      s"${sys.props("java.io.tmpdir")}/graft-buckets")
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"$wh/events_zorder_$tag"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-      val ev = t(s, dir, "events")
-        .withColumn("ts_s", unix_timestamp(col("ts")))
-        .drop("ts")
-      graft.sources.Layout.zorderWrite(ev, "user_id", "ts_s", path, 8)
+  private def zorderedEvents(s: SparkSession, dir: String): String =
+    Tables.scratchWriteLock.synchronized {
+      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
+        s"${sys.props("java.io.tmpdir")}/graft-buckets")
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"$wh/events_zorder_$tag"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val ev = t(s, dir, "events")
+          .withColumn("ts_s", unix_timestamp(col("ts")))
+          .drop("ts")
+        graft.sources.Layout.zorderWrite(ev, "user_id", "ts_s", path, 8)
+      }
+      path
     }
-    path
-  }
 
   private val x6 = GQuery(
     "x6_zorder_layout",
@@ -1693,10 +1695,12 @@ object RelationalOps extends QueryPack {
         s"${sys.props("java.io.tmpdir")}/graft-buckets")
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val orcDir = s"$wh/orc_orders_$tag"
-      t(s, dir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
-        .write.mode("overwrite").option("compression", "snappy")
-        .orc(orcDir)
+      Tables.scratchWriteLock.synchronized {
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+          .write.mode("overwrite").option("compression", "snappy")
+          .orc(orcDir)
+      }
       s.read.orc(orcDir)
         .filter(col("o_totalprice") > 150000)
         .groupBy(col("o_orderstatus"))

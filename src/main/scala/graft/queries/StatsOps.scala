@@ -292,14 +292,17 @@ object StatsOps extends QueryPack {
     "f25_session_variables",
     (s, dir) => {
       val vn = s"graft_thr_${ddlSeq.incrementAndGet()}"
-      Tables.sqlOn(s, "orders" -> t(s, dir, "orders")) { v =>
+      try Tables.sqlOn(s, "orders" -> t(s, dir, "orders")) { v =>
         s.sql(s"DECLARE OR REPLACE VARIABLE $vn DOUBLE DEFAULT 0.0")
         s.sql(s"SET VAR $vn = (SELECT avg(o_totalprice) FROM ${v("orders")})")
         s"""SELECT o_orderpriority, count(*) AS n_above,
            |  round(min(o_totalprice), 2) AS min_above
            |FROM ${v("orders")} WHERE o_totalprice > $vn
            |GROUP BY o_orderpriority""".stripMargin
-      }
+        // the variable resolves to a literal during eager analysis, so
+        // dropping it right after keeps the builder side-effect-free (the
+        // sqlOn view discipline applied to session variables)
+      } finally s.sql(s"DROP TEMPORARY VARIABLE IF EXISTS $vn")
     },
     Some("""SELECT o_orderpriority, count(*) AS n_above,
            |  round(min(o_totalprice), 2) AS min_above
