@@ -1647,16 +1647,16 @@ object AggWindowOps extends QueryPack {
   // result level.
   private val f20 = GQuery(
     "f20_pipe_syntax",
-    (s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("orders_f20")
-      s.sql("""FROM orders_f20
-        ||> WHERE o_orderdate >= DATE'1995-01-01'
-        ||> AGGREGATE count(*) AS n,
-        |     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |     GROUP BY o_orderpriority
-        ||> WHERE n > 10
-        ||> SELECT o_orderpriority, n, total""".stripMargin)
-    },
+    (s, dir) =>
+      graft.core.Tables.sqlOn(s, "orders" -> t(s, dir, "orders")) { v =>
+        s"""FROM ${v("orders")}
+           ||> WHERE o_orderdate >= DATE'1995-01-01'
+           ||> AGGREGATE count(*) AS n,
+           |     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |     GROUP BY o_orderpriority
+           ||> WHERE n > 10
+           ||> SELECT o_orderpriority, n, total""".stripMargin
+      },
     Some("""SELECT o_orderpriority, count(*) AS n,
            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM orders
@@ -1701,14 +1701,14 @@ object AggWindowOps extends QueryPack {
   // Expand fans the rows, exactly like the u2 plan).
   private val u9 = GQuery(
     "u9_native_unpivot",
-    (s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("orders_u9")
-      s.sql("""SELECT o_orderpriority, metric, v FROM (
-        |  SELECT o_orderpriority, count(*) AS n_orders,
-        |    count(DISTINCT o_custkey) AS n_custs
-        |  FROM orders_u9 GROUP BY o_orderpriority)
-        |UNPIVOT (v FOR metric IN (n_orders, n_custs))""".stripMargin)
-    },
+    (s, dir) =>
+      graft.core.Tables.sqlOn(s, "orders" -> t(s, dir, "orders")) { v =>
+        s"""SELECT o_orderpriority, metric, v FROM (
+           |  SELECT o_orderpriority, count(*) AS n_orders,
+           |    count(DISTINCT o_custkey) AS n_custs
+           |  FROM ${v("orders")} GROUP BY o_orderpriority)
+           |UNPIVOT (v FOR metric IN (n_orders, n_custs))""".stripMargin
+      },
     Some("""WITH a AS (
            |  SELECT o_orderpriority, count(*) AS n_orders,
            |    count(DISTINCT o_custkey) AS n_custs

@@ -446,13 +446,13 @@ object GraphOps extends QueryPack {
   // bounded here and proven identical on both engines within the bound.
   private val g6 = GQuery(
     "g6_recursive_cte_reach",
-    (s, dir) => {
-      t(s, dir, "events").createOrReplaceTempView("events_g6")
-      s.sql("""WITH RECURSIVE
+    (s, dir) =>
+      graft.core.Tables.sqlOn(s, "events" -> t(s, dir, "events")) { v =>
+        s"""WITH RECURSIVE
         |ev AS (
         |  SELECT user_id, ts, event_id,
-        |    CAST(get_json_object(props, '$.k') AS INT) AS k
-        |  FROM events_g6),
+        |    CAST(get_json_object(props, '$$.k') AS INT) AS k
+        |  FROM ${v("events")}),
         |seq AS (
         |  SELECT k, lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
         |  FROM ev),
@@ -466,8 +466,8 @@ object GraphOps extends QueryPack {
         |  SELECT e.dst, r.d + 1
         |  FROM reach r JOIN edges e ON e.src = r.node
         |  WHERE r.d < 3)
-        |SELECT node AS k, min(d) AS dist FROM reach GROUP BY node""".stripMargin)
-    },
+        |SELECT node AS k, min(d) AS dist FROM reach GROUP BY node""".stripMargin
+      },
     Some("""WITH RECURSIVE
            |ev AS (
            |  SELECT user_id, ts, event_id,

@@ -1724,14 +1724,14 @@ object RelationalOps extends QueryPack {
   // key keeps the per-group cut deterministic on both engines.
   private val j12 = GQuery(
     "j12_lateral_topk",
-    (s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("orders_j12")
-      s.sql("""SELECT p.o_orderpriority, l.o_orderkey, l.o_totalprice
-        |FROM (SELECT DISTINCT o_orderpriority FROM orders_j12) p,
-        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_j12 o
-        |         WHERE o.o_orderpriority = p.o_orderpriority
-        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) l""".stripMargin)
-    },
+    (s, dir) =>
+      graft.core.Tables.sqlOn(s, "orders" -> t(s, dir, "orders")) { v =>
+        s"""SELECT p.o_orderpriority, l.o_orderkey, l.o_totalprice
+           |FROM (SELECT DISTINCT o_orderpriority FROM ${v("orders")}) p,
+           |LATERAL (SELECT o_orderkey, o_totalprice FROM ${v("orders")} o
+           |         WHERE o.o_orderpriority = p.o_orderpriority
+           |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) l""".stripMargin
+      },
     Some("""SELECT p.o_orderpriority, l.o_orderkey, l.o_totalprice
            |FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
            |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
