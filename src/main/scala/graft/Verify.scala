@@ -5,12 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: only dump queries whose name starts with this prefix
-    // (local iteration aid; the driver always calls with exactly 2 args)
+    // optional 3rd+ args: only dump queries whose name starts with ANY of
+    // the prefixes (local iteration aid; the driver calls with exactly 2)
     val (sfDir, outDir, only) = args match {
-      case Array(a, b)    => (a, b, None)
-      case Array(a, b, c) => (a, b, Some(c))
-      case _ => sys.error("usage: Verify <sfDir> <outDir> [namePrefix]")
+      case Array(a, b)         => (a, b, Seq.empty[String])
+      case Array(a, b, cs @ _*) => (a, b, cs.toSeq)
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [namePrefix...]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -22,7 +22,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.startsWith) }
+      .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

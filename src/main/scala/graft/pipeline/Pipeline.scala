@@ -68,22 +68,26 @@ object Pipeline {
       .orderBy("rank")
 
   /** app/app.py:868-887 — percentile targets for the latest year of a format:
-    * derived-column CTE + uncorrelated scalar-subquery max (A7). */
+    * derived-column CTE + uncorrelated scalar-subquery max (A7). The view is
+    * session-unique and dropped after analysis ([[graft.core.Tables.sqlOn]])
+    * and the format string binds as a typed `:format` parameter — the same
+    * side-effect-free discipline the registry enforces (no fixed-name views,
+    * no string-interpolated SQL). */
   def servingPercentiles(spark: SparkSession, percentiles: DataFrame,
-      format: String): DataFrame = {
-    percentiles.createOrReplaceTempView("mart_sgp_percentiles")
-    spark.sql(
+      format: String): DataFrame =
+    graft.core.Tables.sqlOnArgs(spark, Map("format" -> format),
+      "mart_sgp_percentiles" -> percentiles) { v =>
       s"""WITH filename_parts AS (
          |  SELECT _filename, category, p80, p90,
          |         split_part(_filename, ' ', 2) AS format_part,
          |         CAST(split_part(_filename, ' ', 3) AS INT) AS year_part
-         |  FROM mart_sgp_percentiles)
+         |  FROM ${v("mart_sgp_percentiles")})
          |SELECT category, p80, p90
          |FROM filename_parts
-         |WHERE format_part = '$format'
+         |WHERE format_part = :format
          |  AND year_part = (SELECT max(year_part) FROM filename_parts
-         |                   WHERE format_part = '$format')""".stripMargin)
-  }
+         |                   WHERE format_part = :format)""".stripMargin
+    }
 
   /** app/app.py:567-569 — drafted-status KV membership join (`isin`). */
   def withDraftedFlag(rankings: DataFrame, draftedIds: Set[String]): DataFrame =

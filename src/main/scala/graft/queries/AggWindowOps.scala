@@ -17,6 +17,17 @@ object AggWindowOps extends QueryPack {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Clone of `s` (isolated SQL conf, shared context and builder options)
+    * pinned to the RocksDB state-store provider transformWithState needs.
+    * st6/st7 build their plans on the clone so the provider switch never
+    * leaks into the caller's session. */
+  private def rocksDbSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2
+  }
+
   // ---- A1: group-by blend aggregates (flagship q1 shape) ---------------------
   // Reference: stg_proj_preseason_hitting_skills.sql:7-24 (group-by AVG blend)
   // Money columns are summed as DECIMAL so the aggregation is exact and
@@ -810,10 +821,13 @@ object AggWindowOps extends QueryPack {
     "st6_stateful_profile",
     (s, dir) => {
       // transformWithState executes on the state-store machinery even in
-      // batch mode; pin the RocksDB provider it requires (idempotent).
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      graft.streaming.EventStream.statefulProfile(t(s, dir, "events")).toDF()
+      // batch mode and requires the RocksDB provider. Pin it on a CLONED
+      // session (isolated conf, shared context) so the builder leaves the
+      // caller's session untouched — a session-global conf.set here would
+      // silently switch every later streaming query on the shared session to
+      // RocksDB, breaking the side-effect-free-builder contract.
+      val s2 = rocksDbSession(s)
+      graft.streaming.EventStream.statefulProfile(t(s2, dir, "events")).toDF()
     },
     Some("""SELECT user_id, count(*) AS n_events,
            |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000
@@ -831,9 +845,8 @@ object AggWindowOps extends QueryPack {
   private val st7 = GQuery(
     "st7_stateful_type_counts",
     (s, dir) => {
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      graft.streaming.EventStream.typeCounts(t(s, dir, "events")).toDF()
+      val s2 = rocksDbSession(s)
+      graft.streaming.EventStream.typeCounts(t(s2, dir, "events")).toDF()
     },
     Some("""SELECT user_id, event_type, count(*) AS n
            |FROM events GROUP BY user_id, event_type""".stripMargin),

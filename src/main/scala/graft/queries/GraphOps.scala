@@ -444,6 +444,13 @@ object GraphOps extends QueryPack {
   // 100-node graph whose 3-hop path count (~3·99³) trips Spark's 1M-row
   // recursion guard — exactly the blowup the note above predicts, kept
   // bounded here and proven identical on both engines within the bound.
+  //
+  // SCALE CONTRACT (do not widen): g6 is a semantics pin ONLY and carries no
+  // scale claim — the k<20 bound is load-bearing. GraphOpsSpec's "g6 scale
+  // boundary" test MEASURES the failure (unbounded recursion on a dense
+  // 100-node graph trips RECURSION_ROW_LIMIT_EXCEEDED) and proves g5's
+  // iterative bfsDistances completes on the same graph; any deep/dense
+  // traversal belongs on that path.
   private val g6 = GQuery(
     "g6_recursive_cte_reach",
     (s, dir) =>

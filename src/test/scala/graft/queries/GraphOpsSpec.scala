@@ -74,6 +74,43 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"got $got")
   }
 
+  test("g6 scale boundary: unbounded recursion trips Spark's row guard; g5's BFS completes on the same graph", graft.Slow) {
+    val sp = spark
+    import sp.implicits._
+    // g6 is a SEMANTICS PIN for the WITH RECURSIVE surface, deliberately
+    // gated to a 20-node subgraph — it is NOT a scale path and must never be
+    // widened into one. This test makes the boundary measured instead of
+    // asserted: on a near-complete 100-node graph the 3-seed x 99^3 3-hop
+    // path count (~2.9M) exceeds spark.sql.cteRecursionRowLimit (1M), so the
+    // recursive-union spelling fails by design...
+    val edges = (for (a <- 0L until 100L; b <- 0L until 100L if a != b)
+      yield (a, b)).toDF("src", "dst")
+    val ex = intercept[Throwable] {
+      graft.core.Tables.sqlOn(spark, "edges" -> edges) { v =>
+        s"""WITH RECURSIVE reach(node, d) AS (
+           |  SELECT DISTINCT src AS node, 0 AS d FROM ${v("edges")} WHERE src < 3
+           |  UNION ALL
+           |  SELECT e.dst, r.d + 1
+           |  FROM reach r JOIN ${v("edges")} e ON e.src = r.node
+           |  WHERE r.d < 3)
+           |SELECT node, min(d) AS dist FROM reach GROUP BY node""".stripMargin
+      }.collect()
+    }
+    val chain = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(_.toString).mkString(" | ")
+    assert(chain.contains("RECURSION_ROW_LIMIT_EXCEEDED"),
+      s"expected the recursion row guard to trip, got: $chain")
+    // ...while g5's iterative per-round min-aggregate BFS keeps the frontier
+    // node-sized and answers the SAME question on the SAME graph: every node
+    // is 1 hop from a seed (complete graph), seeds are at 0.
+    val seeds = Seq(0L, 1L, 2L).toDF("node")
+    val bfs = GraphOps.bfsDistances(edges, seeds, hops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(bfs.size == 100)
+    assert(Seq(0L, 1L, 2L).forall(bfs(_) == 0))
+    assert((3L until 100L).forall(bfs(_) == 1))
+  }
+
   test("pageRank concentrates rank on a sink hub (directional sanity)") {
     val sp = spark
     import sp.implicits._

@@ -268,6 +268,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Long]("est_vocab_global") === merged)
   }
 
+  // ---- d49/d50 -------------------------------------------------------------
+
+  test("d49/d50: corpus vocabulary stays well under the approx_top_k cut (k=100)") {
+    // d49/d50's oracle is an UN-truncated GROUP BY while approx_top_k returns
+    // at most k=100 items, so the hash equality silently relies on
+    // vocab < k — and a NEAR-k vocabulary would make the kept set
+    // tie-dependent at the truncation boundary. Pin the assumption here so
+    // pointing the gate at a richer corpus fails with this explanation
+    // instead of as an opaque driver hash mismatch.
+    val docs = graft.core.Tables.load(spark, sf01, "documents")
+    val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .agg(countDistinct(col("tok"))).first().getLong(0)
+    assert(vocab <= 80,
+      s"vocabulary $vocab approaches approx_top_k's k=100 — give d49/d50 a " +
+        "truncated oracle with a deterministic tie-break before trusting the gate")
+  }
+
   // ---- e2 ----------------------------------------------------------------
 
   private def recallVsExact(name: String, dir: String): Double = {
