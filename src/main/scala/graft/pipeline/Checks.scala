@@ -53,4 +53,38 @@ object Checks {
         .select(lit(name).as("check"), lit(target).as("target"),
           col("n_violations"))
     }.reduce(_ unionByName _)
+
+  /** Order-insensitive content digest of a frame — the golden-hash gate for
+    * model outputs (PipelineSpec pins the parity DAG's marts to checked-in
+    * digests so a silent constant drift in any model breaks the suite).
+    *
+    * Canonicalization: columns sorted by NAME, each value cast to its exact
+    * string form (doubles print bit-exactly, so no rounding can mask drift),
+    * nulls marked with a sentinel no cast can produce. Each row md5-hashes
+    * independently; two 60-bit lanes of the row hash are SUMMED (order-
+    * insensitive, so no global sort) together with the row count, then the
+    * lane sums + schema signature hash into the final digest. At 100 TB this
+    * is one map pass + a 1-row aggregate — the cheapest whole-table equality
+    * check that still catches any single-cell change.
+    *
+    * Excluded columns default to `_loaddatetime` (a wall-clock audit stamp,
+    * nondeterministic by construction). */
+  def contentDigest(df: DataFrame,
+      exclude: Seq[String] = Seq("_loaddatetime")): String = {
+    val cols = df.columns.filterNot(exclude.contains).sorted
+    // \u0001 separates fields, \u0000 marks null: neither can appear in a
+    // cast's output, so no value concatenation is ambiguous
+    val canon = cols.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+    val h = md5(concat_ws("\u0001", canon: _*))
+    val row = df.select(
+        conv(substring(h, 1, 15), 16, 10).cast("decimal(38,0)").as("h1"),
+        conv(substring(h, 16, 15), 16, 10).cast("decimal(38,0)").as("h2"))
+      .agg(sum(col("h1")), sum(col("h2")), count(lit(1)))
+      .first()
+    val schemaSig = cols.map(c => s"$c:${df.schema(c).dataType.simpleString}")
+      .mkString(",")
+    val s = s"${row.get(0)}|${row.get(1)}|${row.get(2)}|$schemaSig"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 }

@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+
+/** Regenerates the golden content digests PipelineSpec pins the parity DAG
+  * against (one line per gated model, paste-ready for `PipelineSpec.golden`).
+  *
+  * The digests cover the DAG's reference-visible outputs — the four marts and
+  * the value/rep_lvl stages of both league formats — over the deterministic
+  * [[FixtureGen]] corpus in MATERIALIZED mode (each model written to parquet
+  * and read back, the dbt-equivalent execution), which makes every cell
+  * bit-reproducible. Run after any INTENDED model-semantics change:
+  *
+  * {{{ sbt "runMain graft.pipeline.GoldenGen" }}}
+  *
+  * then copy the printed map into PipelineSpec and let the suite confirm.
+  * An UNINTENDED change — a smoothing constant, a join key, a filter — shows
+  * up as a digest mismatch in PipelineSpec without this step, which is the
+  * point: the reference's most visible outputs carry the same bit-level gate
+  * as the query registry.
+  */
+object GoldenGen {
+
+  /** The gated models: every mart + the dollar-value and replacement-level
+    * stages of both formats (the reference's decision-carrying outputs). */
+  val gated: Seq[String] = Seq(
+    "mart_sgp_factors",
+    "mart_sgp_percentiles",
+    "mart_preseason_overall_rankings_oc",
+    "mart_preseason_overall_rankings_50s",
+    "stg_proj_preseason_hitting_sgp_oc",
+    "stg_proj_preseason_hitting_sgp_50s",
+    "stg_proj_preseason_pitching_sgp_oc",
+    "stg_proj_preseason_pitching_sgp_50s",
+    "stg_proj_preseason_hitting_rep_lvl_oc",
+    "stg_proj_preseason_hitting_rep_lvl_50s",
+    "stg_proj_preseason_pitching_rep_lvl_oc",
+    "stg_proj_preseason_pitching_rep_lvl_50s",
+    "stg_proj_preseason_hitting_values_oc",
+    "stg_proj_preseason_hitting_values_50s",
+    "stg_proj_preseason_pitching_values_oc",
+    "stg_proj_preseason_pitching_values_50s")
+
+  def digests(spark: SparkSession): Map[String, String] = {
+    val root = Files.createTempDirectory("graft-golden-fixtures").toString
+    FixtureGen.generate(root)
+    val out = Pipeline.run(spark, root,
+      materializeDir = Some(Files.createTempDirectory("graft-golden-mat").toString))
+    gated.map(n => n -> Checks.contentDigest(out(n))).toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = digests(spark)
+    gated.foreach(n => println(s"""    "$n" -> "${d(n)}","""))
+    spark.stop()
+  }
+}

@@ -243,6 +243,43 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("p3")._2 > 0.5)
   }
 
+  // Golden content digests of the DAG's reference-visible outputs (all four
+  // marts + both formats' sgp/rep_lvl/values stages) over the deterministic
+  // fixture corpus, materialized mode. Every cell participates bit-exactly
+  // (Checks.contentDigest — no rounding), so a silent drift in ANY upstream
+  // constant (e.g. the 1765.0/6958.0 smoothing pair), join key or filter
+  // fails this suite even when the structural invariants above still hold.
+  // Regenerate ONLY after an intended semantics change:
+  //   sbt "runMain graft.pipeline.GoldenGen"
+  private val golden = Map(
+    "mart_sgp_factors" -> "5c44f75c0c45efd1e41e2f97a0cbfb39",
+    "mart_sgp_percentiles" -> "a32c7d221bd26f35ef43ff6076e63735",
+    "mart_preseason_overall_rankings_oc" -> "9e780a6fb87ec33910588b414b57994a",
+    "mart_preseason_overall_rankings_50s" -> "adc8b9a6e2ee2c9638e63c428f8d3687",
+    "stg_proj_preseason_hitting_sgp_oc" -> "2cc386e5e54d469d98c269f06ea63790",
+    "stg_proj_preseason_hitting_sgp_50s" -> "af86ea7f3278cbbc975305e94c104bd3",
+    "stg_proj_preseason_pitching_sgp_oc" -> "bd3bc98e423a9d2d019a88160a797f1f",
+    "stg_proj_preseason_pitching_sgp_50s" -> "7f8d857ad055b4fad855d3d03c95365f",
+    "stg_proj_preseason_hitting_rep_lvl_oc" -> "c2209ea0920c1d963b967e451f018318",
+    "stg_proj_preseason_hitting_rep_lvl_50s" -> "3ea3b7cb871eb316936a3f1e18a2a3b5",
+    "stg_proj_preseason_pitching_rep_lvl_oc" -> "2bbef9a694949881ac14692a2757fe2d",
+    "stg_proj_preseason_pitching_rep_lvl_50s" -> "01e203c4c09baee341928ce5f1f08cc3",
+    "stg_proj_preseason_hitting_values_oc" -> "701c49379d83e0436b7dcd1d963cfa90",
+    "stg_proj_preseason_hitting_values_50s" -> "a5625b21b496e99257a33443eda48fac",
+    "stg_proj_preseason_pitching_values_oc" -> "2ced09e3278428ed1359cd7c2d68cb09",
+    "stg_proj_preseason_pitching_values_50s" -> "ba1cfcea72491944661686c0083bde76")
+
+  test("golden digests: marts and value/rep_lvl stages match checked-in content hashes") {
+    assert(GoldenGen.gated.toSet == golden.keySet,
+      "gated-model list drifted from the golden map — rerun GoldenGen")
+    val got = GoldenGen.gated.map(n => n -> Checks.contentDigest(out(n)))
+    val bad = got.filter { case (n, d) => golden(n) != d }
+    assert(bad.isEmpty,
+      bad.map { case (n, d) => s"$n: got $d want ${golden(n)}" }
+        .mkString("model output drifted from golden digest:\n  ", "\n  ",
+          "\n(if the change was INTENDED, regenerate: sbt \"runMain graft.pipeline.GoldenGen\")"))
+  }
+
   test("structural invariants hold across randomized fixture seeds", graft.Slow) {
     // the fixed-seed tests above pin hand-computed values; this pins the
     // STRUCTURE — budget conservation, contiguous value-sorted ranks — on
