@@ -1736,6 +1736,72 @@ object RelationalOps extends QueryPack {
            |GROUP BY o_orderstatus""".stripMargin),
     doc = "ORC round trip: snappy write + pushed-filter read, pinned to the direct scan (S12/§2.1).")
 
+  // ---- S13: CSV/TSV all-strings round trip (the S1 contract, hash-gated) ------
+  // The reference's external sources are tab/comma files read ALL-STRINGS
+  // with empty-vs-null distinctions handled at the staging layer
+  // (models/stage/mapping/stg_mpd_player_id_map.sql:20-24 filters '' rows;
+  // _sources.yml declares every column VARCHAR). S1's suite coverage reads
+  // generated fixture files; this query puts the same contract under the
+  // driver's DuckDB hash gate: seed a three-way value class (real string /
+  // empty string / NULL) from the corpus, round-trip it through a
+  // tab-separated file with an EXPLICIT null marker (\N — the external-dump
+  // convention; Spark's default read folds quoted "" and bare empty into
+  // null, silently merging the classes), read it back with an all-strings
+  // schema, and aggregate per class — so null/'' surviving the trip
+  // DISTINCTLY, plus the cast-at-use-site numeric read, is what the oracle
+  // equality proves.
+  // Skip-if-exists (s12/x6 discipline): the file is deterministic per scale
+  // dir and must not be rewritten under a concurrent reader.
+  private val s13 = GQuery(
+    "s13_csv_tsv_allstrings",
+    (s, dir) => {
+      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
+        s"${sys.props("java.io.tmpdir")}/graft-buckets")
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val csvDir = s"$wh/tsv_customer_$tag"
+      Tables.scratchWriteLock.synchronized {
+        if (!new java.io.File(s"$csvDir/_SUCCESS").exists()) {
+          t(s, dir, "customer")
+            .select(col("c_custkey").cast("string").as("key"),
+              when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+                .when(col("c_custkey") % 7 === 1, lit(""))
+                .otherwise(col("c_mktsegment")).as("seg"))
+            .write.mode("overwrite")
+            .option("header", "true").option("sep", "\t")
+            .option("nullValue", "\\N").option("emptyValue", "\"\"")
+            .csv(csvDir)
+        }
+      }
+      val allStrings = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("seg",
+          org.apache.spark.sql.types.StringType)))
+      s.read.option("header", "true").option("sep", "\t")
+        .option("nullValue", "\\N").option("emptyValue", "")
+        .schema(allStrings).csv(csvDir)
+        .groupBy(when(col("seg").isNull, "null")
+          .when(col("seg") === "", "empty")
+          .otherwise(col("seg")).as("seg_class"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("key").cast("bigint")).as("key_sum"),
+          sum(length(col("seg"))).cast("bigint").as("len_sum"))
+    },
+    Some("""WITH src AS (
+           |  SELECT c_custkey,
+           |    CASE WHEN c_custkey % 7 = 0 THEN NULL
+           |         WHEN c_custkey % 7 = 1 THEN ''
+           |         ELSE c_mktsegment END AS seg
+           |  FROM customer)
+           |SELECT CASE WHEN seg IS NULL THEN 'null'
+           |            WHEN seg = '' THEN 'empty'
+           |            ELSE seg END AS seg_class,
+           |  count(*) AS n,
+           |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           |  CAST(sum(len(seg)) AS BIGINT) AS len_sum
+           |FROM src GROUP BY 1""".stripMargin),
+    doc = "TSV all-strings round trip: ''-vs-NULL survive distinctly, numerics cast at use site (S13/S1/§2.1).")
+
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
   // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
@@ -1761,7 +1827,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)

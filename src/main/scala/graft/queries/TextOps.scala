@@ -1367,6 +1367,118 @@ object TextOps extends QueryPack {
            |FROM top t""".stripMargin),
     doc = "BPE round closed: train top merge, apply map-side (overlap-free by construction), recount (tokenizer #2).")
 
+  // ---- D51: multi-round BPE training loop (the loop d34/d41 exist for) -------
+  // Five full train->apply rounds of byte-pair encoding, driver-iterated:
+  // each round counts adjacent symbol pairs (d34's kernel), collects ONE
+  // winning merge to the driver (bounded state — 5 strings total), and
+  // applies it map-side by d41's marker substitution, so after round r every
+  // symbol is exactly one char (original chars + r private-use markers).
+  // Candidates are restricted to distinct-halves pairs (cannot self-overlap,
+  // so replace-all IS the greedy merge) — the same restriction both engines
+  // share. The trainer works the way a REAL tokenizer trainer does: the
+  // corpus collapses ONCE into a (word, freq) table — the only corpus-sized
+  // shuffle — and every round's pair count, merge application and metric is
+  // a frequency-weighted aggregate over the distinct-word table (vocabulary-
+  // sized, thousands of rows at any corpus scale), which is why a 32k-merge
+  // production run of this loop is affordable: per-round cost is independent
+  // of corpus size. Marker substitution is INJECTIVE (the marker is fresh,
+  // the pair fully determines the preimage), so the frequency keys stay
+  // distinct across rounds with no regrouping. Round metrics need no extra
+  // shape: n_merges = freq-weighted total-char shrink between rounds,
+  // vocabulary = distinct chars over distinct words. Winners are collected
+  // one per round (driver state: 5 strings, the d34/e5 bounded-collect
+  // discipline) and expanded through the marker table; the oracle replays
+  // the identical five rounds unrolled (same tie-break: count desc, raw
+  // pair asc — byte order agrees across engines) and expands winners
+  // through the same marker CASE chain.
+  private val d51 = GQuery(
+    "d51_bpe_train_loop",
+    (s, dir) => {
+      import s.implicits._
+      val pairsOf = (w: Column) => explode(transform(
+        sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2))))
+      var w = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .localCheckpoint()
+      def stats(df: DataFrame): (Long, Long) = {
+        // split(w, "") keeps a trailing "" (Java split, limit -1) — drop it
+        // from the symbol set or vocab counts one phantom symbol
+        val r = df.agg(
+          sum(length(col("w")) * col("freq")),
+          size(array_remove(
+            array_distinct(flatten(collect_list(split(col("w"), "")))), ""))
+            .cast("long")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      var (totChars, _) = stats(w)
+      var expand = Map.empty[Char, String]
+      val rounds = (1 to 5).map { r =>
+        val marker = (0xE000 + r).toChar
+        val top = w.select(pairsOf(col("w")).as("pair"), col("freq"))
+          .filter(substring(col("pair"), 1, 1) =!= substring(col("pair"), 2, 1))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .head().getString(0)
+        val prev = w
+        w = w.select(regexp_replace(col("w"),
+            lit(java.util.regex.Pattern.quote(top)), lit(marker.toString)).as("w"),
+            col("freq"))
+          .localCheckpoint()
+        prev.unpersist()
+        val (tot, vocab) = stats(w)
+        val nMerges = totChars - tot
+        totChars = tot
+        val token = top.map(ch => expand.getOrElse(ch, ch.toString)).mkString
+        expand += marker -> token
+        (r, token, nMerges, vocab)
+      }
+      w.unpersist()
+      rounds.toDF("round", "merged_token", "n_merges", "vocab_size")
+    },
+    Some {
+      // the same five rounds unrolled: w{r} applies round r's winner, tok{r}
+      // expands it through the prior winners' marker mapping
+      def exp(half: String, r: Int): String =
+        if (r == 1) half
+        else s"CASE $half " + (1 until r).map(j =>
+          s"WHEN chr(${0xE000 + j}) THEN (SELECT tok FROM tok$j) ").mkString +
+          s"ELSE $half END"
+      val roundCtes = (1 to 5).map { r =>
+        s"""c$r AS (
+           |  SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair
+           |  FROM w${r - 1} WHERE len(w) >= 2),
+           |win$r AS (
+           |  SELECT pair FROM c$r
+           |  WHERE substr(pair, 1, 1) <> substr(pair, 2, 1)
+           |  GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1),
+           |tok$r AS (
+           |  SELECT ${exp("substr(pair, 1, 1)", r)} ||
+           |         ${exp("substr(pair, 2, 1)", r)} AS tok FROM win$r),
+           |w$r AS (
+           |  SELECT replace(w, (SELECT pair FROM win$r), chr(${0xE000 + r})) AS w
+           |  FROM w${r - 1}),
+           |s$r AS (SELECT CAST(sum(len(w)) AS BIGINT) AS tot FROM w$r),
+           |v$r AS (
+           |  SELECT count(DISTINCT c) AS vocab FROM (
+           |    SELECT unnest([w[i] for i in range(1, len(w) + 1)]) AS c
+           |    FROM w$r) t)""".stripMargin
+      }.mkString(",\n")
+      val roundRows = (1 to 5).map { r =>
+        s"""SELECT $r AS round, (SELECT tok FROM tok$r) AS merged_token,
+           |  (SELECT tot FROM s${r - 1}) - (SELECT tot FROM s$r) AS n_merges,
+           |  (SELECT vocab FROM v$r) AS vocab_size""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH words AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |w0 AS (SELECT w FROM words WHERE len(w) >= 2),
+         |s0 AS (SELECT CAST(sum(len(w)) AS BIGINT) AS tot FROM w0),
+         |$roundCtes
+         |$roundRows""".stripMargin
+    },
+    doc = "Multi-round BPE training: 5 train->apply rounds, one driver-collected winner each, oracle replays the unrolled loop (tokenizer #3).")
+
   // ---- D45: incremental dedup-index fold --------------------------------------
   // The i-series fold==rebuild discipline applied to the DEDUP domain: the
   // exact-dup index (content hash -> kept id, copy count) is maintained by
@@ -1506,5 +1618,5 @@ object TextOps extends QueryPack {
   override val all: Seq[GQuery] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26,
       d27, d28, d29, d30, d31, d32, d33, d34, d37, d41, d45, d46, d47, d48, d49,
-      d50)
+      d50, d51)
 }

@@ -56,4 +56,45 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     } finally pool.shutdown()
   }
+
+  test("EVERY registry query builds+runs concurrently across two data dirs, equal to serial", graft.Slow) {
+    // The full-width version of the test above and the executable form of
+    // the concurrent-build contract (commits ec7c0b0/1340566): all ~240
+    // builders at once, interleaved across TWO scale dirs, compared
+    // bit-exactly (content digest) to a clean serial run. This is the test
+    // that catches the whole hazard class mechanically: fixed-name temp
+    // views (wrong-dir results), shared-scratch overwrites racing lazy
+    // reads (FileNotFound / partial scans), session-global conf mutations.
+    val dirs = Seq("/root/testdata/sf0.001", sfDir)
+    // sketch/ANN queries whose CONTENT is legitimately run-order-sensitive
+    // (estimator internals, k-means/PQ training) — pinned by their own spec
+    // gates; here they must still build+run concurrently, compared on
+    // cardinality like the driver's rows-only gate
+    val rowsOnly = Set("d11_sketch_stats", "d23_heavy_hitters_sketch",
+      "d48_hll_sketch_union", "e2_ann_lsh_bucketed", "e5_kmeans_cells",
+      "e8_ann_ivf_kmeans", "e10_ann_pq_adc", "e11_ann_ivf_pq_rerank",
+      "e14_mmr_diversified_topk", "f2_input_file_metadata")
+    def sig(name: String, dir: String): String = {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      if (rowsOnly(name)) s"rows=${df.count()}" else graft.pipeline.Checks.contentDigest(df)
+    }
+    val tasks = for (d <- dirs; n <- graft.SparkEntry.queries.keys.toSeq.sorted)
+      yield (n, d)
+    val serial = tasks.map { case (n, d) => (n, d) -> sig(n, d) }.toMap
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // fixed-seed shuffle interleaves the two dirs and the query families
+      // so same-name builds against DIFFERENT dirs overlap in time
+      val order = new scala.util.Random(17).shuffle(tasks)
+      val concurrent = Await.result(
+        Future.sequence(order.map { case (n, d) =>
+          Future((n, d) -> sig(n, d))
+        }), 60.minutes).toMap
+      val bad = tasks.filter(t => serial(t) != concurrent(t))
+      assert(bad.isEmpty, bad.map { case (n, d) =>
+        s"$n @ $d: concurrent ${concurrent((n, d))} != serial ${serial((n, d))}"
+      }.mkString("concurrent build/run diverged from serial:\n  ", "\n  ", ""))
+    } finally pool.shutdown()
+  }
 }

@@ -172,4 +172,22 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // tokens of its boundary (a doc may straddle the boundary by design)
     assert(fast.count() > 1, "fixture should span multiple shards")
   }
+
+  test("d51 BPE loop: vocabulary grows one symbol per round, merges stay productive") {
+    // the oracle pins the VALUES; this pins the training-dynamics shape the
+    // loop exists for — each round must add exactly one new symbol (the
+    // merged token; no source char vanishes on this corpus), apply a
+    // positive number of merges, and pick a fresh ≥2-char token
+    val rows = graft.SparkEntry.queries("d51_bpe_train_loop")(spark, sfDir)
+      .orderBy("round").collect()
+    assert(rows.length == 5)
+    val tokens = rows.map(_.getAs[String]("merged_token"))
+    assert(tokens.distinct.length == 5, s"winners must be distinct: ${tokens.toSeq}")
+    assert(tokens.forall(_.length >= 2), s"merged tokens expand to >=2 chars: ${tokens.toSeq}")
+    rows.foreach(r => assert(r.getAs[Long]("n_merges") > 0,
+      s"round ${r.getAs[Int]("round")} applied no merges"))
+    val vocab = rows.map(_.getAs[Long]("vocab_size"))
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => b == a + 1 },
+      s"vocabulary must grow by exactly the merged symbol per round: ${vocab.toSeq}")
+  }
 }

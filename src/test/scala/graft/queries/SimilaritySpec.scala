@@ -286,6 +286,44 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
         "truncated oracle with a deterministic tie-break before trusting the gate")
   }
 
+  // ---- DfCap under adversarial skew ----------------------------------------
+
+  test("adversarial skew: the DF cap bounds the near-dup inverted index, measured", graft.Slow) {
+    // The classic near-dup scale-killer made concrete: ONE boilerplate
+    // shingle in 50% of documents. Uncapped, its bucket explodes into
+    // C(1000,2) candidate pairs; capped, the heavy shingle drops from the
+    // index (warning diagnostics fire) and the candidate set collapses to
+    // the genuine duplicates — turning the DfCap scale argument
+    // (TextOps.DfCap) from structural into measured.
+    val sp = spark
+    import sp.implicits._
+    val n = 2000
+    val docs = (0 until n).map { i =>
+      val common = if (i % 2 == 0) "click here subscribe " else ""
+      (i.toLong, common + (0 until 6).map(j => s"u${i}w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    // one genuine duplicate pair that must SURVIVE the cap
+    val dup = Seq((9000L, "alpha beta gamma delta epsilon zeta"),
+      (9001L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = docs.union(dup)
+    val cap = 100L
+    // diagnostics: exactly the one heavy shingle, with all n/2 postings
+    val (nHeavy, postings) = TextOps.heavyShingleStats(corpus, cap)
+    assert(nHeavy == 1 && postings == n / 2,
+      s"expected 1 heavy shingle with ${n / 2} postings, got ($nHeavy, $postings)")
+    // capped index: candidate pairs = the genuine duplicate only
+    val capped = TextOps.jaccardPairs(corpus, 0.0, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.toSeq == Seq((9000L, 9001L, 1.0)),
+      s"capped candidates must be exactly the real dup: ${capped.toSeq}")
+    // uncapped: the heavy bucket alone contributes C(n/2, 2) candidates —
+    // the quadratic blowup the cap exists to prevent
+    val uncapped = TextOps.jaccardPairs(corpus, 0.0, Long.MaxValue).count()
+    val blowup = (n / 2).toLong * (n / 2 - 1) / 2
+    assert(uncapped >= blowup,
+      s"uncapped candidate count $uncapped should include the $blowup-pair bucket")
+  }
+
   // ---- e2 ----------------------------------------------------------------
 
   private def recallVsExact(name: String, dir: String): Double = {
