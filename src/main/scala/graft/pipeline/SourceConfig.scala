@@ -1,0 +1,126 @@
+package graft.pipeline
+
+/** Declarative source registry — the engine-side equivalent of the
+  * reference's `_sources.yml` files (e.g.
+  * models/source/fangraphs/_sources.yml:8-16, one `tables:` entry per
+  * external feed). dbt users declare externals in config and never touch
+  * code; [[SourceModels]] now derives its models from exactly such a
+  * declaration, so adding a feed is a config edit here too.
+  *
+  * The format is the dbt-shaped YAML subset below — parsed by a
+  * self-contained scanner (the environment is dependency-free by design, so
+  * no YAML library; the subset is deliberately small enough that a full
+  * parser would be overkill):
+  *
+  * {{{
+  * version: 2
+  * sources:
+  *   - name: fangraphs
+  *     tables:
+  *       - name: src_fangraphs_projections_preseason_hitting
+  *         path: fangraphs/projections/preseason/hitting
+  *         snapshot: latest            # latest | per_file | none
+  *         columns: [playerid, pa, ab]
+  *       - name: ...
+  * }}}
+  *
+  * Per-table keys: `path` (feed dir under the data root), `columns`
+  * (all-strings schema, inline list), optional `sep` (default `,`; `"\t"`
+  * for TSV), optional `snapshot` (default `latest`), optional `path_meta`
+  * (default `true`; `false` = audit timestamp only, the id-map convention,
+  * reference src_mpd_player_id_map.sql:7-9).
+  */
+object SourceConfig {
+
+  /** One declared external feed. `snapshot`: `latest` keeps only the newest
+    * `_ptkey` (S4), `per_file` keeps each file's newest (S5), `none` keeps
+    * all history (S6). */
+  final case class SourceSpec(
+      source: String,
+      name: String,
+      path: String,
+      columns: Seq[String],
+      sep: String = ",",
+      snapshot: String = "latest",
+      pathMeta: Boolean = true)
+
+  private val Snapshots = Set("latest", "per_file", "none")
+
+  /** Parse the YAML subset. Fails fast with the offending line number —
+    * a config typo must break the build, not silently drop a feed. */
+  def parse(text: String): Seq[SourceSpec] = {
+    def fail(lineNo: Int, msg: String): Nothing =
+      throw new IllegalArgumentException(s"source config line ${lineNo + 1}: $msg")
+    // (indent, key, value, lineNo) for every non-blank, non-comment line
+    val lines = text.linesIterator.zipWithIndex
+      .map { case (raw, i) => (raw.replaceAll("#.*$", ""), i) }
+      .filter(_._1.trim.nonEmpty)
+      .map { case (l, i) =>
+        val indent = l.takeWhile(_ == ' ').length
+        val entry = l.trim.startsWith("- ")
+        val body = if (entry) l.trim.drop(2) else l.trim
+        body.split(":", 2) match {
+          case Array(k, v) => (indent, entry, k.trim, v.trim, i)
+          case _ => fail(i, s"expected 'key: value', got '${l.trim}'")
+        }
+      }.toSeq
+
+    var sourceIndent = -1
+    var tableIndent = -1
+    var curSource: String = null
+    // accumulate mutable per-table key maps, then validate at the end
+    val tables = scala.collection.mutable.ArrayBuffer
+      .empty[(String, scala.collection.mutable.Map[String, String], Int)]
+    lines.foreach { case (indent, entry, key, value, lineNo) =>
+      key match {
+        case "version" | "sources" | "tables" => // structural; no payload
+        case "name" if entry =>
+          if (sourceIndent < 0 || indent <= sourceIndent) {
+            sourceIndent = indent
+            curSource = unquote(value)
+          } else {
+            if (curSource == null) fail(lineNo, "table declared before any source")
+            tableIndent = indent
+            tables += ((curSource,
+              scala.collection.mutable.Map("name" -> unquote(value)), lineNo))
+          }
+        case k if tables.nonEmpty && indent >= tableIndent =>
+          tables.last._2 += k -> value
+        case k => fail(lineNo, s"unexpected key '$k' outside a table entry")
+      }
+    }
+    if (tables.isEmpty)
+      throw new IllegalArgumentException("source config declares no tables")
+
+    tables.map { case (src, kv, lineNo) =>
+      def req(k: String) = kv.getOrElse(k,
+        fail(lineNo, s"table '${kv("name")}' missing required key '$k'"))
+      val snapshot = unquote(kv.getOrElse("snapshot", "latest"))
+      if (!Snapshots(snapshot))
+        fail(lineNo, s"table '${kv("name")}': snapshot '$snapshot' not in $Snapshots")
+      val colsRaw = req("columns")
+      if (!colsRaw.startsWith("[") || !colsRaw.endsWith("]"))
+        fail(lineNo, s"table '${kv("name")}': columns must be an inline [a, b] list")
+      val cols = colsRaw.drop(1).dropRight(1).split(",").map(c => unquote(c.trim))
+        .filter(_.nonEmpty).toSeq
+      if (cols.isEmpty) fail(lineNo, s"table '${kv("name")}': empty columns list")
+      SourceSpec(
+        source = src,
+        name = kv("name"),
+        path = unquote(req("path")),
+        columns = cols,
+        sep = unquote(kv.getOrElse("sep", ",")),
+        snapshot = snapshot,
+        pathMeta = unquote(kv.getOrElse("path_meta", "true")).toBoolean)
+    }.toSeq
+  }
+
+  /** Strip one layer of quotes and decode the `\t` escape (the only escape
+    * the format needs — TSV separators). */
+  private def unquote(s: String): String = {
+    val u = if (s.length >= 2 &&
+      (s.head == '"' && s.last == '"' || s.head == '\'' && s.last == '\''))
+      s.substring(1, s.length - 1) else s
+    u.replace("\\t", "\t")
+  }
+}
