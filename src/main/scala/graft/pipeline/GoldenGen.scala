@@ -22,25 +22,13 @@ import org.apache.spark.sql.SparkSession
   */
 object GoldenGen {
 
-  /** The gated models: every mart + the dollar-value and replacement-level
-    * stages of both formats (the reference's decision-carrying outputs). */
-  val gated: Seq[String] = Seq(
-    "mart_sgp_factors",
-    "mart_sgp_percentiles",
-    "mart_preseason_overall_rankings_oc",
-    "mart_preseason_overall_rankings_50s",
-    "stg_proj_preseason_hitting_sgp_oc",
-    "stg_proj_preseason_hitting_sgp_50s",
-    "stg_proj_preseason_pitching_sgp_oc",
-    "stg_proj_preseason_pitching_sgp_50s",
-    "stg_proj_preseason_hitting_rep_lvl_oc",
-    "stg_proj_preseason_hitting_rep_lvl_50s",
-    "stg_proj_preseason_pitching_rep_lvl_oc",
-    "stg_proj_preseason_pitching_rep_lvl_50s",
-    "stg_proj_preseason_hitting_values_oc",
-    "stg_proj_preseason_hitting_values_50s",
-    "stg_proj_preseason_pitching_values_oc",
-    "stg_proj_preseason_pitching_values_50s")
+  /** The gated models: ALL 40 — every source, stage and mart output is
+    * bit-pinned, so a drift anywhere in the DAG fails the suite AT the
+    * first model whose content moved (the digest diff localizes the bug to
+    * one model's inputs, not just "a mart changed"). `_loaddatetime` (the
+    * wall-clock audit stamp) is the only excluded column. */
+  val gated: Seq[String] =
+    Pipeline.models("unused-root").map(_.name).sorted
 
   def digests(spark: SparkSession): Map[String, String] = {
     val root = Files.createTempDirectory("graft-golden-fixtures").toString

@@ -243,33 +243,58 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("p3")._2 > 0.5)
   }
 
-  // Golden content digests of the DAG's reference-visible outputs (all four
-  // marts + both formats' sgp/rep_lvl/values stages) over the deterministic
-  // fixture corpus, materialized mode. Every cell participates bit-exactly
-  // (Checks.contentDigest — no rounding), so a silent drift in ANY upstream
+  // Golden content digests of ALL 40 models over the deterministic fixture
+  // corpus, materialized mode. Every cell participates bit-exactly
+  // (Checks.contentDigest — no rounding), so a silent drift in ANY
   // constant (e.g. the 1765.0/6958.0 smoothing pair), join key or filter
-  // fails this suite even when the structural invariants above still hold.
-  // Regenerate ONLY after an intended semantics change:
+  // fails this suite even when the structural invariants above still hold —
+  // and because every LAYER is pinned, the failing digest localizes the
+  // drift to the first model whose content moved. Regenerate ONLY after an
+  // intended semantics change:
   //   sbt "runMain graft.pipeline.GoldenGen"
   private val golden = Map(
+    "mart_preseason_overall_rankings_50s" -> "adc8b9a6e2ee2c9638e63c428f8d3687",
+    "mart_preseason_overall_rankings_oc" -> "9e780a6fb87ec33910588b414b57994a",
     "mart_sgp_factors" -> "5c44f75c0c45efd1e41e2f97a0cbfb39",
     "mart_sgp_percentiles" -> "a32c7d221bd26f35ef43ff6076e63735",
-    "mart_preseason_overall_rankings_oc" -> "9e780a6fb87ec33910588b414b57994a",
-    "mart_preseason_overall_rankings_50s" -> "adc8b9a6e2ee2c9638e63c428f8d3687",
-    "stg_proj_preseason_hitting_sgp_oc" -> "2cc386e5e54d469d98c269f06ea63790",
-    "stg_proj_preseason_hitting_sgp_50s" -> "af86ea7f3278cbbc975305e94c104bd3",
-    "stg_proj_preseason_pitching_sgp_oc" -> "bd3bc98e423a9d2d019a88160a797f1f",
-    "stg_proj_preseason_pitching_sgp_50s" -> "7f8d857ad055b4fad855d3d03c95365f",
-    "stg_proj_preseason_hitting_rep_lvl_oc" -> "c2209ea0920c1d963b967e451f018318",
+    "src_fangraphs_opening_day_rosters" -> "f7b605056c2cbb46ea910f7ed68d64d2",
+    "src_fangraphs_projections_preseason_hitting" -> "09eda77dff37ef4f4c1d08c526fdf2f0",
+    "src_fangraphs_projections_preseason_pitching" -> "4f574dd43174551194325d775e68aab8",
+    "src_mpd_player_id_map" -> "8bf39158d399dde1e17f853443754481",
+    "src_nfbc_adp" -> "b30945c5f7133055c418d275740f1a8d",
+    "src_nfbc_players" -> "3bd3f05df8524f82266d4fc8b3c7a562",
+    "src_nfbc_standings" -> "264b62e62d42ecab07ec69588093fbd9",
+    "src_razzball_projections_preseason_hitting" -> "3c0de6379e04c1529f07ad90a1a6b680",
+    "src_razzball_projections_preseason_pitching" -> "0649a185725e49e8bb32ec460f9b6dca",
+    "src_underdog_adp" -> "9d1e59c47d86a54730287ad3c52ee0fa",
+    "stg_fg_proj_preseason_hitting_per_pa" -> "fc36389f132e2b4670e5ca6dad35b113",
+    "stg_fg_proj_preseason_pitching_per_ip" -> "00beca599c8a933d2a307422408ab97a",
+    "stg_mpd_player_id_map" -> "e601aa55507889ef56bfbad9e78d8d24",
+    "stg_nfbc_ranked_standings" -> "33ad39b7d117910bd5cdc8210293b7d7",
+    "stg_nfbc_sgp_factors" -> "850cbcafc837d7e9060931fffcc6881f",
+    "stg_nfbc_sgp_inputs" -> "ada2a310e533af246c1f1031ff75f098",
+    "stg_proj_preseason_hitting_agg" -> "17ec19496ecfb9812a1887ad0452f7e1",
+    "stg_proj_preseason_hitting_pt" -> "cc397ef31a377433c9ae0abf739ba130",
     "stg_proj_preseason_hitting_rep_lvl_50s" -> "3ea3b7cb871eb316936a3f1e18a2a3b5",
-    "stg_proj_preseason_pitching_rep_lvl_oc" -> "2bbef9a694949881ac14692a2757fe2d",
-    "stg_proj_preseason_pitching_rep_lvl_50s" -> "01e203c4c09baee341928ce5f1f08cc3",
-    "stg_proj_preseason_hitting_values_oc" -> "701c49379d83e0436b7dcd1d963cfa90",
+    "stg_proj_preseason_hitting_rep_lvl_oc" -> "c2209ea0920c1d963b967e451f018318",
+    "stg_proj_preseason_hitting_sgp_50s" -> "af86ea7f3278cbbc975305e94c104bd3",
+    "stg_proj_preseason_hitting_sgp_oc" -> "2cc386e5e54d469d98c269f06ea63790",
+    "stg_proj_preseason_hitting_skills" -> "81d8e21fe727e1a4285c650497e8c5fc",
     "stg_proj_preseason_hitting_values_50s" -> "a5625b21b496e99257a33443eda48fac",
+    "stg_proj_preseason_hitting_values_oc" -> "701c49379d83e0436b7dcd1d963cfa90",
+    "stg_proj_preseason_pitching_agg" -> "129242171f42a27c782b8275d843239d",
+    "stg_proj_preseason_pitching_pt" -> "a0733fb7375e257f69da2b5f296eaf36",
+    "stg_proj_preseason_pitching_rep_lvl_50s" -> "01e203c4c09baee341928ce5f1f08cc3",
+    "stg_proj_preseason_pitching_rep_lvl_oc" -> "2bbef9a694949881ac14692a2757fe2d",
+    "stg_proj_preseason_pitching_sgp_50s" -> "7f8d857ad055b4fad855d3d03c95365f",
+    "stg_proj_preseason_pitching_sgp_oc" -> "bd3bc98e423a9d2d019a88160a797f1f",
+    "stg_proj_preseason_pitching_skills" -> "ddba60443e51b6f642b23f6c28b0503d",
+    "stg_proj_preseason_pitching_values_50s" -> "ba1cfcea72491944661686c0083bde76",
     "stg_proj_preseason_pitching_values_oc" -> "2ced09e3278428ed1359cd7c2d68cb09",
-    "stg_proj_preseason_pitching_values_50s" -> "ba1cfcea72491944661686c0083bde76")
+    "stg_razzball_proj_preseason_hitting_per_pa" -> "79345fc2cac538ec3e35637c795a2b16",
+    "stg_razzball_proj_preseason_pitching_per_ip" -> "f81eba730057d354cd1c95c9afe3b68f")
 
-  test("golden digests: marts and value/rep_lvl stages match checked-in content hashes") {
+  test("golden digests: all 40 models match checked-in content hashes") {
     assert(GoldenGen.gated.toSet == golden.keySet,
       "gated-model list drifted from the golden map — rerun GoldenGen")
     val got = GoldenGen.gated.map(n => n -> Checks.contentDigest(out(n)))
