@@ -1068,6 +1068,90 @@ object VectorOps extends QueryPack {
            |WHERE rank <= 10""".stripMargin),
     doc = "Hybrid retrieval: RRF fusion of dense cosine + full-query BM25 top-20s (similarity #15).")
 
+  // ---- E16: binary sign quantization + Hamming shortlist + exact rerank ------
+  // The third quantization face next to int8 (e7) and PQ (e10/e11): keep one
+  // SIGN BIT per dimension — 16 bytes/vector here (64 dims), a 16× cut under
+  // the raw floats and the representation a RAM-resident 10^10-vector index
+  // actually uses, because Hamming distance is two XOR+popcount instructions.
+  // Sign bits pack into two 32-bit halves (bit 63 of a single BIGINT would
+  // overflow signed arithmetic on either engine); distance is
+  // bit_count(lo^lo') + bit_count(hi^hi'). The Hamming top-50 shortlist is
+  // then reranked by exact cosine to top-10 — the standard binary-ANN
+  // pipeline, and the rerank bounds full-vector reads by rerankDepth exactly
+  // like e11. Every step is integer-or-rounded math, so unlike the
+  // training-dependent ANN faces this one carries a FULL DuckDB oracle (same
+  // packing, same xor/popcount, same two-stage cut with nid tie-breaks).
+  // Recall vs e1's exact top-10 is gated in SimilaritySpec.
+  private val e16 = GQuery(
+    "e16_ann_binary_hamming",
+    (s, dir) => {
+      val emb = embDouble(s, dir)
+      def sigHalf(off: Int): Column = expr(
+        s"""aggregate(sequence(1, 32), 0L,
+           |  (acc, i) -> acc + CASE WHEN element_at(v, i + $off) > 0d
+           |                         THEN shiftleft(1L, i - 1) ELSE 0L END)""".stripMargin)
+      val sigs = emb.select(col("vec_id"), col("v"),
+        sigHalf(0).as("lo"), sigHalf(32).as("hi"))
+      val q = sigs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("lo").as("qlo"), col("hi").as("qhi"))
+      val c = sigs.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("lo").as("nlo"), col("hi").as("nhi"))
+      val ham = c.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("hamming",
+          expr("bit_count(qlo ^ nlo) + bit_count(qhi ^ nhi)"))
+      val wH = Window.partitionBy(col("qid")).orderBy(col("hamming"), col("nid"))
+      val shortlist = ham.withColumn("hrn", row_number().over(wH))
+        .filter(col("hrn") <= 50)
+      val wS = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      shortlist.withColumn("sim", round(cosine("qv", "nv"), 6))
+        .withColumn("rn", row_number().over(wS)).filter(col("rn") <= 10)
+        .select(col("qid"), col("nid"), col("hamming"), col("sim"), col("rn"))
+    },
+    Some("""WITH vl AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |sig AS (
+           |  SELECT vec_id,
+           |    CAST(list_sum([CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1))
+           |                        ELSE 0::BIGINT END for i in range(1, 33)]) AS BIGINT) AS lo,
+           |    CAST(list_sum([CASE WHEN v[i + 32] > 0 THEN (1::BIGINT << (i - 1))
+           |                        ELSE 0::BIGINT END for i in range(1, 33)]) AS BIGINT) AS hi
+           |  FROM vl),
+           |ham AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |    CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS INT)
+           |      AS hamming
+           |  FROM sig q JOIN sig c ON q.vec_id != c.vec_id
+           |  WHERE q.vec_id < 10),
+           |sl AS (
+           |  SELECT qid, nid, hamming FROM (
+           |    SELECT qid, nid, hamming,
+           |      row_number() OVER (PARTITION BY qid ORDER BY hamming, nid) AS hrn
+           |    FROM ham) x WHERE hrn <= 50),
+           |e AS (
+           |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+           |         generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings),
+           |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+           |dots AS (
+           |  SELECT sl.qid, sl.nid, sl.hamming, sum(qe.x * ce.x) AS dp
+           |  FROM sl
+           |  JOIN e qe ON qe.vec_id = sl.qid
+           |  JOIN e ce ON ce.vec_id = sl.nid AND ce.i = qe.i
+           |  GROUP BY 1, 2, 3),
+           |sims AS (
+           |  SELECT qid, nid, hamming, round(dp / (nq.nrm * nc.nrm), 6) AS sim
+           |  FROM dots
+           |  JOIN norms nq ON qid = nq.vec_id
+           |  JOIN norms nc ON nid = nc.vec_id)
+           |SELECT qid, nid, hamming, sim, rn FROM (
+           |  SELECT qid, nid, hamming, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+           |  FROM sims) z
+           |WHERE rn <= 10""".stripMargin),
+    doc = "Binary sign-bit ANN: XOR+popcount Hamming top-50, exact cosine rerank to top-10 (similarity #16).")
+
   override val all: Seq[GQuery] =
-    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15, d9, d39)
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15, e16,
+      d9, d39)
 }

@@ -104,6 +104,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "d35_perplexity_gate",     // 1-row corpus-mean threshold attach
       "d38_domain_resample",     // 1-row target-mass attach onto the per-source counts
       "e15_hybrid_rrf_retrieval", // e1's 10-query probe broadcast + d30's 1-row stats attach
+      "e16_ann_binary_hamming",   // same 10-query probe side broadcast, sign-bit signatures
       "d48_hll_sketch_union")     // 1-row global-sketch-estimate attach onto per-source rows
     val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -336,6 +336,15 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     recall
   }
 
+  test("e16: binary-Hamming + rerank recall@10 against e1's exact top-10 (sf0.01)", graft.Slow) {
+    // 64 sign bits retain coarse direction; the top-50 Hamming shortlist +
+    // exact rerank recovers most true neighbors. The floor is set from the
+    // measured value with margin — the gate exists to catch packing/distance
+    // regressions, not to certify a tuned recall.
+    val recall = recallVsExact("e16_ann_binary_hamming", sf01)
+    assert(recall >= 0.55, f"binary-ANN recall floor: $recall%.3f < 0.55")
+  }
+
   test("e2: recall@10 >= 0.85 against e1's exact top-10 (sf0.01)", graft.Slow) {
     // the 30x5 banding math claims ~0.9 per-neighbor recall at this corpus's
     // sim range; a floor of 0.85 is tight enough to catch a real regression
