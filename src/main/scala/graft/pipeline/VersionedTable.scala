@@ -83,6 +83,67 @@ object VersionedTable {
     next
   }
 
+  // ---- write-audit-publish (WAP) ---------------------------------------------
+  // The staged-commit pattern a transactional format gives via branch/tag
+  // metadata: a batch lands COMPLETELY in a staging area invisible to
+  // readers, quality audits run against the staged data, and only a passing
+  // batch is published — by a single atomic directory rename, the same
+  // "pointer swap is the commit" rule the v= protocol already relies on.
+  // Readers therefore never see an unaudited row, and a failed audit leaves
+  // no trace but the returned violations. At 100 TB the staging id would be
+  // allocated by a metastore instead of max(dir listing)+1.
+
+  private def stagingDir(tableDir: String, v: Long) = s"$tableDir/_staging/v=$v"
+
+  /** Land `df` as a complete STAGED version (invisible to [[read]]/
+    * [[versions]]); returns the candidate version id. */
+  def stage(spark: SparkSession, tableDir: String, df: DataFrame): Long = {
+    val staged = Option(new File(s"$tableDir/_staging").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+    val next = (versions(tableDir) ++ staged).foldLeft(-1L)(math.max) + 1
+    df.write.mode("overwrite").parquet(stagingDir(tableDir, next))
+    next
+  }
+
+  /** Read a staged (unpublished) candidate — the audit's input. */
+  def readStaged(spark: SparkSession, tableDir: String, v: Long): DataFrame =
+    spark.read.parquet(stagingDir(tableDir, v))
+
+  /** Atomically publish a staged candidate: one directory rename moves it
+    * into the `v=` namespace, making it the newest readable version. */
+  def publish(tableDir: String, v: Long): Unit = {
+    val from = new File(stagingDir(tableDir, v))
+    require(from.isDirectory, s"no staged candidate v=$v under $tableDir")
+    val to = new File(s"$tableDir/v=$v")
+    require(!to.exists(), s"version $v already published")
+    require(from.renameTo(to), s"atomic publish rename failed for v=$v")
+  }
+
+  /** Drop a staged candidate that failed its audit. */
+  def abort(tableDir: String, v: Long): Unit = {
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new File(stagingDir(tableDir, v)))
+  }
+
+  /** The full WAP cycle: stage `df`, run `audit` against the STAGED read
+    * (audits see exactly the bytes readers would), publish iff the audit
+    * returns no violations, abort otherwise. Returns the published version
+    * (Right) or the violation messages (Left) — the caller decides whether
+    * a rejected batch is a retry or an alert. */
+  def writeAuditPublish(spark: SparkSession, tableDir: String, df: DataFrame)(
+      audit: DataFrame => Seq[String]): Either[Seq[String], Long] = {
+    val v = stage(spark, tableDir, df)
+    val violations = try audit(readStaged(spark, tableDir, v))
+    catch { case e: Throwable => abort(tableDir, v); throw e }
+    if (violations.isEmpty) { publish(tableDir, v); Right(v) }
+    else { abort(tableDir, v); Left(violations) }
+  }
+
   /** Delete all but the newest `keep` versions; returns what was removed. */
   def vacuum(tableDir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, "must retain at least the newest version")

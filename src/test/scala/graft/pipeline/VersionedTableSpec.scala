@@ -120,4 +120,51 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!read.contains("score"), s"unselected evolved column must prune: $read")
   }
+
+  test("write-audit-publish: staged batches are invisible until the audit passes") {
+    val s = spark
+    import s.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("graft-wap").toString
+    // v=0: the published base
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.parquet(s"$tbl/v=0")
+    // staging is invisible: readers still see v=0 while the candidate lands
+    val cand = VersionedTable.stage(s, tbl,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    assert(VersionedTable.versions(tbl) == Seq(0L),
+      "a staged candidate must not appear in the readable version list")
+    assert(VersionedTable.read(s, tbl).count() === 2)
+    assert(VersionedTable.readStaged(s, tbl, cand).count() === 3)
+    // publish = one atomic rename; the candidate becomes the newest version
+    VersionedTable.publish(tbl, cand)
+    assert(VersionedTable.versions(tbl) == Seq(0L, cand))
+    assert(VersionedTable.read(s, tbl).count() === 3)
+    assert(VersionedTable.read(s, tbl, Some(0L)).count() === 2, "time travel intact")
+  }
+
+  test("write-audit-publish: a failing audit aborts and leaves the table untouched") {
+    val s = spark
+    import s.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("graft-wap2").toString
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$tbl/v=0")
+    // the audit is the dbt schema-test surface run against the STAGED bytes
+    def audit(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val dupes = Checks.unique(df, Seq("k")).count()
+      val nulls = Checks.notNull(df, Seq("v")).count()
+      Seq(
+        if (dupes > 0) Some(s"$dupes duplicate keys") else None,
+        if (nulls > 0) Some(s"$nulls null values") else None).flatten
+    }
+    // bad batch (duplicate key): rejected, no new version, no staging residue
+    val bad = VersionedTable.writeAuditPublish(s, tbl,
+      Seq((2L, "x"), (2L, "y")).toDF("k", "v"))(audit)
+    assert(bad == Left(Seq("1 duplicate keys")))
+    assert(VersionedTable.versions(tbl) == Seq(0L), "rejected batch must not publish")
+    assert(VersionedTable.read(s, tbl).count() === 1)
+    // good batch: published as the next version
+    val good = VersionedTable.writeAuditPublish(s, tbl,
+      Seq((2L, "x"), (3L, "y")).toDF("k", "v"))(audit)
+    assert(good.isRight)
+    assert(VersionedTable.read(s, tbl).count() === 2)
+  }
 }
