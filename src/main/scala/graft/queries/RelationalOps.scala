@@ -1802,6 +1802,54 @@ object RelationalOps extends QueryPack {
            |FROM src GROUP BY 1""".stripMargin),
     doc = "TSV all-strings round trip: ''-vs-NULL survive distinctly, numerics cast at use site (S13/S1/§2.1).")
 
+  // ---- S14: CTAS catalog sink (S7's driver-gated face) ------------------------
+  // The reference materializes every model as CREATE TABLE AS SELECT
+  // (config(materialized='table'), dbt_project.yml:40-51); the suite gates
+  // that via PipelineSpec's catalog runs, and this query puts the same
+  // contract under the driver's hash gate: CTAS a projection into a catalog
+  // table (external LOCATION in scratch — never the working-dir warehouse),
+  // read it back THROUGH the catalog name with a pushed filter, aggregate,
+  // and pin against the oracle's direct evaluation — so the saveAsTable
+  // encode, the metastore round trip, and the catalog read path all agree
+  // with the parquet source of truth. Skip-if-exists under the scratch lock
+  // (s12/x6 discipline): the table is deterministic per scale dir and must
+  // not be rewritten under a concurrent reader.
+  private val s14 = GQuery(
+    "s14_ctas_catalog_sink",
+    (s, dir) => {
+      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
+        s"${sys.props("java.io.tmpdir")}/graft-buckets")
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"graft_ctas_orders_$tag"
+      val path = s"$wh/ctas_orders_$tag"
+      Tables.scratchWriteLock.synchronized {
+        // both checks: with a persistent metastore a catalog entry can
+        // outlive a reclaimed scratch dir — rebuild when either is missing
+        if (!s.catalog.tableExists(table) ||
+            !new java.io.File(s"$path/_SUCCESS").exists()) {
+          s.sql(s"DROP TABLE IF EXISTS $table")
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+              "o_totalprice")
+            .write.mode("overwrite")
+            .option("path", path)
+            .saveAsTable(table)
+        }
+      }
+      s.table(table)
+        .filter(col("o_orderstatus") =!= "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+          max(col("o_orderkey")).as("max_key"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           |  max(o_orderkey) AS max_key
+           |FROM orders WHERE o_orderstatus <> 'F'
+           |GROUP BY o_orderpriority""".stripMargin),
+    doc = "CTAS catalog sink: saveAsTable + catalog read with pushed filter, pinned to the direct scan (S14/S7/§2.1).")
+
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
   // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
@@ -1827,7 +1875,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
