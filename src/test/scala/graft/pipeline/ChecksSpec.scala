@@ -71,4 +71,34 @@ class ChecksSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(res == Set(("unique", "t.k", 1L), ("not_null", "t.v", 0L)))
   }
+
+  test("contentDigest: order-insensitive, cell/schema/null-sensitive") {
+    // the golden-gate primitive's contract, pinned directly: same content in
+    // any row order and partitioning hashes identically; any single-cell
+    // change, column rename, or ''-vs-null difference changes the digest
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, null, 3.5))
+      .toDF("k", "v", "x")
+    val d0 = Checks.contentDigest(base)
+    // row order + partitioning invariance
+    assert(Checks.contentDigest(base.orderBy(col("x").desc).repartition(7)) == d0)
+    // duplicate rows are counted, not set-collapsed
+    assert(Checks.contentDigest(base.union(base.limit(1))) != d0)
+    // one-cell drift
+    assert(Checks.contentDigest(
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, null, 3.500001)).toDF("k", "v", "x")) != d0)
+    // null and '' must hash differently (the s13 distinction)
+    assert(Checks.contentDigest(
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "", 3.5)).toDF("k", "v", "x")) != d0)
+    // schema drift: a renamed column changes the digest even with equal data
+    assert(Checks.contentDigest(base.withColumnRenamed("v", "w")) != d0)
+    // the excluded audit column does not participate
+    assert(Checks.contentDigest(
+      base.withColumn("_loaddatetime", current_timestamp())) == d0)
+    // empty frames digest deterministically (and differ by schema)
+    val empty = base.limit(0)
+    assert(Checks.contentDigest(empty) == Checks.contentDigest(empty.repartition(3)))
+    assert(Checks.contentDigest(empty) != Checks.contentDigest(empty.withColumnRenamed("v", "w")))
+  }
 }
