@@ -48,6 +48,28 @@ object Tables {
     * scratch dir is per-JVM scratch, not cluster state. */
   val scratchWriteLock = new Object
 
+  /** Build-once deterministic scratch artifact — the single-sourced form of
+    * the skip-if-exists discipline (s12/s13/x6…): returns the artifact path
+    * for `name` under the scratch warehouse, tagged by the scale dir, and
+    * runs `write(path)` under [[scratchWriteLock]] ONLY when `done(path)` is
+    * false (default: the `_SUCCESS` marker is absent). Because the artifact
+    * is never rewritten once complete, a concurrent build can never delete
+    * files under a prior result's lazy scan — re-implementing this pattern
+    * per query is how that race gets reintroduced. */
+  def scratchOnce(dir: String, name: String,
+      done: String => Boolean =
+        p => new java.io.File(s"$p/_SUCCESS").exists())(
+      write: String => Unit): String = {
+    val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
+      s"${sys.props("java.io.tmpdir")}/graft-buckets")
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"$wh/${name}_$tag"
+    scratchWriteLock.synchronized {
+      if (!done(path)) write(path)
+    }
+    path
+  }
+
   /** Run SQL against DataFrames registered under session-unique temp view
     * names, then drop the views. `spark.sql` analyzes eagerly, so the returned
     * DataFrame's plan no longer references the catalog entries — dropping them

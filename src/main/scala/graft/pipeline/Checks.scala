@@ -59,8 +59,10 @@ object Checks {
     * digests so a silent constant drift in any model breaks the suite).
     *
     * Canonicalization: columns sorted by NAME, each value cast to its exact
-    * string form (doubles print bit-exactly, so no rounding can mask drift),
-    * nulls marked with a sentinel no cast can produce. Each row md5-hashes
+    * string form (doubles print bit-exactly, so no rounding can mask drift)
+    * and LENGTH-PREFIXED (`<len>:<value>`, `n` for null) — self-delimiting,
+    * so no character a value could contain (separators included) can make
+    * two different rows concatenate identically. Each row md5-hashes
     * independently; two 60-bit lanes of the row hash are SUMMED (order-
     * insensitive, so no global sort) together with the row count, then the
     * lane sums + schema signature hash into the final digest. At 100 TB this
@@ -72,10 +74,11 @@ object Checks {
   def contentDigest(df: DataFrame,
       exclude: Seq[String] = Seq("_loaddatetime")): String = {
     val cols = df.columns.filterNot(exclude.contains).sorted
-    // \u0001 separates fields, \u0000 marks null: neither can appear in a
-    // cast's output, so no value concatenation is ambiguous
-    val canon = cols.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
-    val h = md5(concat_ws("\u0001", canon: _*))
+    val canon = cols.map { c =>
+      val v = col(c).cast("string")
+      coalesce(concat(length(v), lit(":"), v), lit("n"))
+    }
+    val h = md5(concat(canon: _*))
     val row = df.select(
         conv(substring(h, 1, 15), 16, 10).cast("decimal(38,0)").as("h1"),
         conv(substring(h, 16, 15), 16, 10).cast("decimal(38,0)").as("h2"))

@@ -6,19 +6,19 @@ import org.apache.spark.sql.SparkSession
 /** Regenerates the golden content digests PipelineSpec pins the parity DAG
   * against (one line per gated model, paste-ready for `PipelineSpec.golden`).
   *
-  * The digests cover the DAG's reference-visible outputs — the four marts and
-  * the value/rep_lvl stages of both league formats — over the deterministic
-  * [[FixtureGen]] corpus in MATERIALIZED mode (each model written to parquet
-  * and read back, the dbt-equivalent execution), which makes every cell
-  * bit-reproducible. Run after any INTENDED model-semantics change:
+  * The digests cover ALL 40 models — every source, stage and mart layer —
+  * over the deterministic [[FixtureGen]] corpus in MATERIALIZED mode (each
+  * model written to parquet and read back, the dbt-equivalent execution),
+  * which makes every cell bit-reproducible. Run after any INTENDED
+  * model-semantics change:
   *
   * {{{ sbt "runMain graft.pipeline.GoldenGen" }}}
   *
   * then copy the printed map into PipelineSpec and let the suite confirm.
   * An UNINTENDED change — a smoothing constant, a join key, a filter — shows
   * up as a digest mismatch in PipelineSpec without this step, which is the
-  * point: the reference's most visible outputs carry the same bit-level gate
-  * as the query registry.
+  * point: every reference model output carries the same bit-level gate as
+  * the query registry, and the first failing digest localizes the drift.
   */
 object GoldenGen {
 

@@ -104,6 +104,13 @@ object SourceConfig {
       val cols = colsRaw.drop(1).dropRight(1).split(",").map(c => unquote(c.trim))
         .filter(_.nonEmpty).toSeq
       if (cols.isEmpty) fail(lineNo, s"table '${kv("name")}': empty columns list")
+      val pathMeta = unquote(kv.getOrElse("path_meta", "true")).toBoolean
+      // cross-key validation: snapshot filters need the path-derived _ptkey,
+      // which path_meta: false suppresses — reject the combination instead
+      // of silently keeping all history
+      if (!pathMeta && snapshot != "none")
+        fail(lineNo, s"table '${kv("name")}': snapshot '$snapshot' requires " +
+          "path metadata; declare snapshot: none with path_meta: false")
       SourceSpec(
         source = src,
         name = kv("name"),
@@ -111,7 +118,7 @@ object SourceConfig {
         columns = cols,
         sep = unquote(kv.getOrElse("sep", ",")),
         snapshot = snapshot,
-        pathMeta = unquote(kv.getOrElse("path_meta", "true")).toBoolean)
+        pathMeta = pathMeta)
     }.toSeq
   }
 

@@ -90,44 +90,53 @@ object VersionedTable {
   // batch is published — by a single atomic directory rename, the same
   // "pointer swap is the commit" rule the v= protocol already relies on.
   // Readers therefore never see an unaudited row, and a failed audit leaves
-  // no trace but the returned violations. At 100 TB the staging id would be
-  // allocated by a metastore instead of max(dir listing)+1.
+  // no trace but the returned violations.
+  //
+  // Concurrency: each staged candidate lives under a UNIQUE token directory
+  // (never shared, so two writers cannot clobber each other's staged bytes
+  // or audit the wrong batch), and the version NUMBER is allocated only at
+  // publish time under [[publishLock]] — the Iceberg discipline, where a
+  // staged snapshot's commit order is decided at commit, not at write. On a
+  // real cluster the lock's job is done by the metastore's atomic
+  // check-and-swap; the rename is already atomic per filesystem.
 
-  private def stagingDir(tableDir: String, v: Long) = s"$tableDir/_staging/v=$v"
+  private val publishLock = new Object
+  private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Land `df` as a complete STAGED version (invisible to [[read]]/
-    * [[versions]]); returns the candidate version id. */
-  def stage(spark: SparkSession, tableDir: String, df: DataFrame): Long = {
-    val staged = Option(new File(s"$tableDir/_staging").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
-    val next = (versions(tableDir) ++ staged).foldLeft(-1L)(math.max) + 1
-    df.write.mode("overwrite").parquet(stagingDir(tableDir, next))
-    next
+  private def stagingDir(tableDir: String, token: String) =
+    s"$tableDir/_staging/$token"
+
+  /** Land `df` as a complete STAGED candidate (invisible to [[read]]/
+    * [[versions]]); returns the staging token. */
+  def stage(spark: SparkSession, tableDir: String, df: DataFrame): String = {
+    val token = s"w${stageSeq.incrementAndGet()}-${System.nanoTime()}"
+    df.write.parquet(stagingDir(tableDir, token)) // errorifexists: token unique
+    token
   }
 
   /** Read a staged (unpublished) candidate — the audit's input. */
-  def readStaged(spark: SparkSession, tableDir: String, v: Long): DataFrame =
-    spark.read.parquet(stagingDir(tableDir, v))
+  def readStaged(spark: SparkSession, tableDir: String, token: String): DataFrame =
+    spark.read.parquet(stagingDir(tableDir, token))
 
-  /** Atomically publish a staged candidate: one directory rename moves it
-    * into the `v=` namespace, making it the newest readable version. */
-  def publish(tableDir: String, v: Long): Unit = {
-    val from = new File(stagingDir(tableDir, v))
-    require(from.isDirectory, s"no staged candidate v=$v under $tableDir")
+  /** Atomically publish a staged candidate: allocate the next version id
+    * and move the token directory into the `v=` namespace with one rename.
+    * Returns the published version id. */
+  def publish(tableDir: String, token: String): Long = publishLock.synchronized {
+    val from = new File(stagingDir(tableDir, token))
+    require(from.isDirectory, s"no staged candidate '$token' under $tableDir")
+    val v = versions(tableDir).lastOption.fold(0L)(_ + 1)
     val to = new File(s"$tableDir/v=$v")
-    require(!to.exists(), s"version $v already published")
-    require(from.renameTo(to), s"atomic publish rename failed for v=$v")
+    require(from.renameTo(to), s"atomic publish rename failed for '$token'")
+    v
   }
 
   /** Drop a staged candidate that failed its audit. */
-  def abort(tableDir: String, v: Long): Unit = {
+  def abort(tableDir: String, token: String): Unit = {
     def rm(f: File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(): Unit
     }
-    rm(new File(stagingDir(tableDir, v)))
+    rm(new File(stagingDir(tableDir, token)))
   }
 
   /** The full WAP cycle: stage `df`, run `audit` against the STAGED read
@@ -137,11 +146,11 @@ object VersionedTable {
     * a rejected batch is a retry or an alert. */
   def writeAuditPublish(spark: SparkSession, tableDir: String, df: DataFrame)(
       audit: DataFrame => Seq[String]): Either[Seq[String], Long] = {
-    val v = stage(spark, tableDir, df)
-    val violations = try audit(readStaged(spark, tableDir, v))
-    catch { case e: Throwable => abort(tableDir, v); throw e }
-    if (violations.isEmpty) { publish(tableDir, v); Right(v) }
-    else { abort(tableDir, v); Left(violations) }
+    val token = stage(spark, tableDir, df)
+    val violations = try audit(readStaged(spark, tableDir, token))
+    catch { case e: Throwable => abort(tableDir, token); throw e }
+    if (violations.isEmpty) Right(publish(tableDir, token))
+    else { abort(tableDir, token); Left(violations) }
   }
 
   /** Delete all but the newest `keep` versions; returns what was removed. */

@@ -471,8 +471,12 @@ object RelationalOps extends QueryPack {
             .option("path", s"$wh/$table")
             .bucketBy(Buckets, key).sortBy(key)
             .saveAsTable(s"graft_buckets.$table")
-      ensure(s"orders_b_$tag", "orders", "o_orderkey")
-      ensure(s"lineitem_b_$tag", "lineitem", "l_orderkey")
+      // first-build guarded like every scratch write: two concurrent builds
+      // of the SAME dir must not race the check-then-create
+      Tables.scratchWriteLock.synchronized {
+        ensure(s"orders_b_$tag", "orders", "o_orderkey")
+        ensure(s"lineitem_b_$tag", "lineitem", "l_orderkey")
+      }
       val o = s.table(s"graft_buckets.orders_b_$tag")
       val li = s.table(s"graft_buckets.lineitem_b_$tag")
       li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
@@ -1498,18 +1502,11 @@ object RelationalOps extends QueryPack {
   // rows back through the box filter); LayoutSpec quantifies the pruning
   // (file-level user-range stats vs a time-sorted layout of the same data).
   private def zorderedEvents(s: SparkSession, dir: String): String =
-    Tables.scratchWriteLock.synchronized {
-      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
-        s"${sys.props("java.io.tmpdir")}/graft-buckets")
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"$wh/events_zorder_$tag"
-      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-        val ev = t(s, dir, "events")
-          .withColumn("ts_s", unix_timestamp(col("ts")))
-          .drop("ts")
-        graft.sources.Layout.zorderWrite(ev, "user_id", "ts_s", path, 8)
-      }
-      path
+    Tables.scratchOnce(dir, "events_zorder") { path =>
+      val ev = t(s, dir, "events")
+        .withColumn("ts_s", unix_timestamp(col("ts")))
+        .drop("ts")
+      graft.sources.Layout.zorderWrite(ev, "user_id", "ts_s", path, 8)
     }
 
   private val x6 = GQuery(
@@ -1639,16 +1636,19 @@ object RelationalOps extends QueryPack {
   private val s10 = GQuery(
     "s10_kv_source_scan",
     (s, dir) => {
-      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
-        s"${sys.props("java.io.tmpdir")}/graft-buckets")
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val kvDir = s"$wh/kv_state_$tag"
-      val snap = t(s, dir, "events")
-        .groupBy(concat(lit("u"), col("user_id")).as("ukey"))
-        .agg(count(lit(1)).as("n_events"),
-          unix_timestamp(max(col("ts"))).as("last_ts_sec"),
-          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
-      graft.sources.KvStore.write(snap, kvDir, "ukey", 8)
+      // skip-if-exists (scratchOnce): the snapshot is deterministic per scale
+      // dir, and an unconditional overwrite would race a prior result's lazy
+      // DSv2 scan under the concurrent-build contract. Completion marker is
+      // the kv META file (written last), not _SUCCESS.
+      val kvDir = Tables.scratchOnce(dir, "kv_state",
+          done = graft.sources.KvStore.exists) { path =>
+        val snap = t(s, dir, "events")
+          .groupBy(concat(lit("u"), col("user_id")).as("ukey"))
+          .agg(count(lit(1)).as("n_events"),
+            unix_timestamp(max(col("ts"))).as("last_ts_sec"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+        graft.sources.KvStore.write(snap, path, "ukey", 8)
+      }
       s.read.format("graft.sources.KvTableProvider").load(kvDir)
         .filter(col("ukey").isin("u1", "u3", "u5", "u7", "u11"))
     },
@@ -1672,15 +1672,15 @@ object RelationalOps extends QueryPack {
   private val s11 = GQuery(
     "s11_xml_roundtrip",
     (s, dir) => {
-      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
-        s"${sys.props("java.io.tmpdir")}/graft-buckets")
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val xmlDir = s"$wh/xml_events_$tag"
       val src = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), unix_timestamp(col("ts")).as("ts_sec"))
-      src.write.mode("overwrite").option("rowTag", "event")
-        .format("xml").save(xmlDir)
+      // skip-if-exists (scratchOnce): deterministic encode per scale dir;
+      // an unconditional overwrite would race a prior result's lazy read
+      val xmlDir = Tables.scratchOnce(dir, "xml_events") { path =>
+        src.write.mode("overwrite").option("rowTag", "event")
+          .format("xml").save(path)
+      }
       s.read.format("xml").option("rowTag", "event")
         .schema(src.schema).load(xmlDir)
         .groupBy(col("event_type"))
@@ -1706,21 +1706,15 @@ object RelationalOps extends QueryPack {
   private val s12 = GQuery(
     "s12_orc_roundtrip",
     (s, dir) => {
-      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
-        s"${sys.props("java.io.tmpdir")}/graft-buckets")
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val orcDir = s"$wh/orc_orders_$tag"
-      // Skip-if-exists (x6's _SUCCESS discipline): the encode is deterministic
-      // per scale dir, and re-overwriting on every build would race the LAZY
+      // Skip-if-exists (Tables.scratchOnce): the encode is deterministic per
+      // scale dir, and re-overwriting on every build would race the LAZY
       // read below under the concurrent-build contract — a second build could
       // delete stripe files while a prior result is still scanning them.
-      Tables.scratchWriteLock.synchronized {
-        if (!new java.io.File(s"$orcDir/_SUCCESS").exists()) {
-          t(s, dir, "orders")
-            .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
-            .write.mode("overwrite").option("compression", "snappy")
-            .orc(orcDir)
-        }
+      val orcDir = Tables.scratchOnce(dir, "orc_orders") { path =>
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+          .write.mode("overwrite").option("compression", "snappy")
+          .orc(path)
       }
       s.read.orc(orcDir)
         .filter(col("o_totalprice") > 150000)
@@ -1755,22 +1749,16 @@ object RelationalOps extends QueryPack {
   private val s13 = GQuery(
     "s13_csv_tsv_allstrings",
     (s, dir) => {
-      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
-        s"${sys.props("java.io.tmpdir")}/graft-buckets")
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val csvDir = s"$wh/tsv_customer_$tag"
-      Tables.scratchWriteLock.synchronized {
-        if (!new java.io.File(s"$csvDir/_SUCCESS").exists()) {
-          t(s, dir, "customer")
-            .select(col("c_custkey").cast("string").as("key"),
-              when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
-                .when(col("c_custkey") % 7 === 1, lit(""))
-                .otherwise(col("c_mktsegment")).as("seg"))
-            .write.mode("overwrite")
-            .option("header", "true").option("sep", "\t")
-            .option("nullValue", "\\N").option("emptyValue", "\"\"")
-            .csv(csvDir)
-        }
+      val csvDir = Tables.scratchOnce(dir, "tsv_customer") { path =>
+        t(s, dir, "customer")
+          .select(col("c_custkey").cast("string").as("key"),
+            when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+              .when(col("c_custkey") % 7 === 1, lit(""))
+              .otherwise(col("c_mktsegment")).as("seg"))
+          .write.mode("overwrite")
+          .option("header", "true").option("sep", "\t")
+          .option("nullValue", "\\N").option("emptyValue", "\"\"")
+          .csv(path)
       }
       val allStrings = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("key",

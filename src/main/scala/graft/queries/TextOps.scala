@@ -1416,7 +1416,12 @@ object TextOps extends QueryPack {
       var expand = Map.empty[Char, String]
       val rounds = (1 to 5).map { r =>
         val marker = (0xE000 + r).toChar
-        val top = w.select(pairsOf(col("w")).as("pair"), col("freq"))
+        // re-filter len >= 2 EVERY round (the oracle's c$r does too): a word
+        // that collapsed to one symbol has no pairs — without the filter,
+        // sequence(1, 0) degenerates and emits phantom 1-char "pairs" that
+        // could flip the argmax against the oracle
+        val top = w.filter(length(col("w")) >= 2)
+          .select(pairsOf(col("w")).as("pair"), col("freq"))
           .filter(substring(col("pair"), 1, 1) =!= substring(col("pair"), 2, 1))
           .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("pair")).limit(1)

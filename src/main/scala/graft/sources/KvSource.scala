@@ -60,6 +60,12 @@ object KvStore {
     out.close()
   }
 
+  /** True when `dir` holds a COMPLETE snapshot: the metadata file is written
+    * last, so its presence is the commit marker (skip-if-exists guards use
+    * this, never `_SUCCESS` alone — the json commit precedes the meta). */
+  def exists(dir: String): Boolean =
+    new java.io.File(dir, MetaFile).exists()
+
   private[sources] case class Meta(key: String, buckets: Int, schema: StructType)
 
   private[sources] def readMeta(dir: String): Meta = {

@@ -253,46 +253,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   // intended semantics change:
   //   sbt "runMain graft.pipeline.GoldenGen"
   private val golden = Map(
-    "mart_preseason_overall_rankings_50s" -> "adc8b9a6e2ee2c9638e63c428f8d3687",
-    "mart_preseason_overall_rankings_oc" -> "9e780a6fb87ec33910588b414b57994a",
-    "mart_sgp_factors" -> "5c44f75c0c45efd1e41e2f97a0cbfb39",
-    "mart_sgp_percentiles" -> "a32c7d221bd26f35ef43ff6076e63735",
-    "src_fangraphs_opening_day_rosters" -> "f7b605056c2cbb46ea910f7ed68d64d2",
-    "src_fangraphs_projections_preseason_hitting" -> "09eda77dff37ef4f4c1d08c526fdf2f0",
-    "src_fangraphs_projections_preseason_pitching" -> "4f574dd43174551194325d775e68aab8",
-    "src_mpd_player_id_map" -> "8bf39158d399dde1e17f853443754481",
-    "src_nfbc_adp" -> "b30945c5f7133055c418d275740f1a8d",
-    "src_nfbc_players" -> "3bd3f05df8524f82266d4fc8b3c7a562",
-    "src_nfbc_standings" -> "264b62e62d42ecab07ec69588093fbd9",
-    "src_razzball_projections_preseason_hitting" -> "3c0de6379e04c1529f07ad90a1a6b680",
-    "src_razzball_projections_preseason_pitching" -> "0649a185725e49e8bb32ec460f9b6dca",
-    "src_underdog_adp" -> "9d1e59c47d86a54730287ad3c52ee0fa",
-    "stg_fg_proj_preseason_hitting_per_pa" -> "fc36389f132e2b4670e5ca6dad35b113",
-    "stg_fg_proj_preseason_pitching_per_ip" -> "00beca599c8a933d2a307422408ab97a",
-    "stg_mpd_player_id_map" -> "e601aa55507889ef56bfbad9e78d8d24",
-    "stg_nfbc_ranked_standings" -> "33ad39b7d117910bd5cdc8210293b7d7",
-    "stg_nfbc_sgp_factors" -> "850cbcafc837d7e9060931fffcc6881f",
-    "stg_nfbc_sgp_inputs" -> "ada2a310e533af246c1f1031ff75f098",
-    "stg_proj_preseason_hitting_agg" -> "17ec19496ecfb9812a1887ad0452f7e1",
-    "stg_proj_preseason_hitting_pt" -> "cc397ef31a377433c9ae0abf739ba130",
-    "stg_proj_preseason_hitting_rep_lvl_50s" -> "3ea3b7cb871eb316936a3f1e18a2a3b5",
-    "stg_proj_preseason_hitting_rep_lvl_oc" -> "c2209ea0920c1d963b967e451f018318",
-    "stg_proj_preseason_hitting_sgp_50s" -> "af86ea7f3278cbbc975305e94c104bd3",
-    "stg_proj_preseason_hitting_sgp_oc" -> "2cc386e5e54d469d98c269f06ea63790",
-    "stg_proj_preseason_hitting_skills" -> "81d8e21fe727e1a4285c650497e8c5fc",
-    "stg_proj_preseason_hitting_values_50s" -> "a5625b21b496e99257a33443eda48fac",
-    "stg_proj_preseason_hitting_values_oc" -> "701c49379d83e0436b7dcd1d963cfa90",
-    "stg_proj_preseason_pitching_agg" -> "129242171f42a27c782b8275d843239d",
-    "stg_proj_preseason_pitching_pt" -> "a0733fb7375e257f69da2b5f296eaf36",
-    "stg_proj_preseason_pitching_rep_lvl_50s" -> "01e203c4c09baee341928ce5f1f08cc3",
-    "stg_proj_preseason_pitching_rep_lvl_oc" -> "2bbef9a694949881ac14692a2757fe2d",
-    "stg_proj_preseason_pitching_sgp_50s" -> "7f8d857ad055b4fad855d3d03c95365f",
-    "stg_proj_preseason_pitching_sgp_oc" -> "bd3bc98e423a9d2d019a88160a797f1f",
-    "stg_proj_preseason_pitching_skills" -> "ddba60443e51b6f642b23f6c28b0503d",
-    "stg_proj_preseason_pitching_values_50s" -> "ba1cfcea72491944661686c0083bde76",
-    "stg_proj_preseason_pitching_values_oc" -> "2ced09e3278428ed1359cd7c2d68cb09",
-    "stg_razzball_proj_preseason_hitting_per_pa" -> "79345fc2cac538ec3e35637c795a2b16",
-    "stg_razzball_proj_preseason_pitching_per_ip" -> "f81eba730057d354cd1c95c9afe3b68f")
+    "mart_preseason_overall_rankings_50s" -> "40643492e64b84283135b1ca3cd6d04f",
+    "mart_preseason_overall_rankings_oc" -> "1fcd69dd74ee9084812264ecd3dd230c",
+    "mart_sgp_factors" -> "1ebb116d35257adf1684659bfd5b949c",
+    "mart_sgp_percentiles" -> "8c54b0439f0c56618abd911b40c392b4",
+    "src_fangraphs_opening_day_rosters" -> "05f062d76f3075827799f98b75b1db34",
+    "src_fangraphs_projections_preseason_hitting" -> "609d4c9cab47b24f70a9c954030e4776",
+    "src_fangraphs_projections_preseason_pitching" -> "46334b97bd1942e4b6ce4ed075ffe410",
+    "src_mpd_player_id_map" -> "6671f8dd911d4370e42fa53d2b14aad5",
+    "src_nfbc_adp" -> "cc9fdc8e48d771c8f31fbde29bbee0ee",
+    "src_nfbc_players" -> "d716aa531c849efe960c7c7341300e75",
+    "src_nfbc_standings" -> "4f5f3bad7953390a8047e66b8152ff9a",
+    "src_razzball_projections_preseason_hitting" -> "a9fa94ca16560e8c14bcda498c91e075",
+    "src_razzball_projections_preseason_pitching" -> "945e15a1508e94d5a4029e5dc959c8d0",
+    "src_underdog_adp" -> "823685c92e567734ef5f85223ecfff7c",
+    "stg_fg_proj_preseason_hitting_per_pa" -> "213ce43dd9179e8093ba21b64f6c9c4e",
+    "stg_fg_proj_preseason_pitching_per_ip" -> "71d8e91efe7bb99403f0a7d5bc960f4c",
+    "stg_mpd_player_id_map" -> "67ab260daf200db9928d817b200441cf",
+    "stg_nfbc_ranked_standings" -> "643f2b2ea634cbeb6e72b6083207c23a",
+    "stg_nfbc_sgp_factors" -> "2e388e2275d46c766e4686940eab97e5",
+    "stg_nfbc_sgp_inputs" -> "5304425ddbac28ad46930346a76fb902",
+    "stg_proj_preseason_hitting_agg" -> "0e9316fa29715008b0f273a76d53a16d",
+    "stg_proj_preseason_hitting_pt" -> "a733c91171ddc3efd8128fe38360c989",
+    "stg_proj_preseason_hitting_rep_lvl_50s" -> "ecc77d38302bb39b8ed24dfe1784b1d8",
+    "stg_proj_preseason_hitting_rep_lvl_oc" -> "f5688b386992e685d55babd0a076bc5d",
+    "stg_proj_preseason_hitting_sgp_50s" -> "8ba6d4df9079e9e743c76fccd98545a9",
+    "stg_proj_preseason_hitting_sgp_oc" -> "2999df3abf34400cbf30f68e89eab1ce",
+    "stg_proj_preseason_hitting_skills" -> "979c94cc5d226be8237d6b585df891d6",
+    "stg_proj_preseason_hitting_values_50s" -> "25a2f2733b25f403ac1209f570518e23",
+    "stg_proj_preseason_hitting_values_oc" -> "f87f89bf3d4d501a02652093c091b395",
+    "stg_proj_preseason_pitching_agg" -> "e0244aa0778a1456f7c3de3897d7cb3f",
+    "stg_proj_preseason_pitching_pt" -> "58ee6b8aee0284fd714d974364ba0c25",
+    "stg_proj_preseason_pitching_rep_lvl_50s" -> "a6f3f9b507dbdda232d7803b7828112a",
+    "stg_proj_preseason_pitching_rep_lvl_oc" -> "3b7cfe61c7e0d2231971564036493a41",
+    "stg_proj_preseason_pitching_sgp_50s" -> "d8c10cbf5c2f56cd827b33c31a62f5e6",
+    "stg_proj_preseason_pitching_sgp_oc" -> "dd9491de6f640a19896fae3540bedfba",
+    "stg_proj_preseason_pitching_skills" -> "91379442e92c76d87569379c62040a4c",
+    "stg_proj_preseason_pitching_values_50s" -> "c9c3b77ba148dd358f7813377d4763be",
+    "stg_proj_preseason_pitching_values_oc" -> "2b01cfd16350e300042c9418d20e6793",
+    "stg_razzball_proj_preseason_hitting_per_pa" -> "888f33ce69c2dde828db4829c296dd97",
+    "stg_razzball_proj_preseason_pitching_per_ip" -> "acf58f9a6fe3fdc158e4817a3303392f")
 
   test("golden digests: all 40 models match checked-in content hashes") {
     assert(GoldenGen.gated.toSet == golden.keySet,

@@ -99,5 +99,18 @@ class SourceConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
         |        columns: a, b
         |""".stripMargin
     assert(errOf(badColumns).contains("inline [a, b] list"))
+    // snapshot filtering needs _ptkey, which path_meta: false suppresses —
+    // the combination (incl. the implicit 'latest' default) must not
+    // silently keep all history
+    val metaConflict =
+      """sources:
+        |  - name: s
+        |    tables:
+        |      - name: t
+        |        path: p
+        |        path_meta: false
+        |        columns: [a]
+        |""".stripMargin
+    assert(errOf(metaConflict).contains("requires path metadata"))
   }
 }

@@ -129,15 +129,17 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq((1L, "a"), (2L, "b")).toDF("k", "v")
       .write.parquet(s"$tbl/v=0")
     // staging is invisible: readers still see v=0 while the candidate lands
-    val cand = VersionedTable.stage(s, tbl,
+    val token = VersionedTable.stage(s, tbl,
       Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
     assert(VersionedTable.versions(tbl) == Seq(0L),
       "a staged candidate must not appear in the readable version list")
     assert(VersionedTable.read(s, tbl).count() === 2)
-    assert(VersionedTable.readStaged(s, tbl, cand).count() === 3)
-    // publish = one atomic rename; the candidate becomes the newest version
-    VersionedTable.publish(tbl, cand)
-    assert(VersionedTable.versions(tbl) == Seq(0L, cand))
+    assert(VersionedTable.readStaged(s, tbl, token).count() === 3)
+    // publish = version allocation + one atomic rename; the candidate
+    // becomes the newest version
+    val v = VersionedTable.publish(tbl, token)
+    assert(v === 1L, "version id is allocated at publish time")
+    assert(VersionedTable.versions(tbl) == Seq(0L, 1L))
     assert(VersionedTable.read(s, tbl).count() === 3)
     assert(VersionedTable.read(s, tbl, Some(0L)).count() === 2, "time travel intact")
   }
@@ -166,5 +168,35 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((2L, "x"), (3L, "y")).toDF("k", "v"))(audit)
     assert(good.isRight)
     assert(VersionedTable.read(s, tbl).count() === 2)
+  }
+
+  test("write-audit-publish: concurrent writers never clobber or share a version id") {
+    // token-unique staging + publish-time version allocation: two WAP
+    // cycles racing on one table must each audit exactly its own bytes and
+    // land as DISTINCT versions (the hazard a shared staged-version-id
+    // scheme has: one writer publishing bytes the other staged)
+    val s = spark
+    import s.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("graft-wap3").toString
+    Seq((0L, 0L)).toDF("k", "batch").write.parquet(s"$tbl/v=0")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val results = Await.result(Future.sequence((1 to 4).map(b => Future {
+      VersionedTable.writeAuditPublish(s, tbl,
+        Seq((b.toLong, b.toLong)).toDF("k", "batch")) { staged =>
+        // the audit proves isolation: staged bytes must be THIS batch
+        if (staged.select("batch").collect().map(_.getLong(0)).toSeq == Seq(b.toLong)) Nil
+        else Seq(s"batch $b audited someone else's bytes")
+      }
+    })), 5.minutes)
+    val published = results.collect { case Right(v) => v }
+    assert(results.forall(_.isRight), s"no batch may fail its isolation audit: $results")
+    assert(published.sorted == Seq(1L, 2L, 3L, 4L), s"distinct sequential versions: $published")
+    assert(VersionedTable.versions(tbl) == Seq(0L, 1L, 2L, 3L, 4L))
+    // every batch's bytes are present in exactly one published version
+    val all = (1L to 4L).flatMap(v =>
+      VersionedTable.read(s, tbl, Some(v)).select("batch").collect().map(_.getLong(0)))
+    assert(all.sorted == Seq(1L, 2L, 3L, 4L))
   }
 }

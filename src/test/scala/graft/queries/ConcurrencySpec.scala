@@ -65,7 +65,7 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     // that catches the whole hazard class mechanically: fixed-name temp
     // views (wrong-dir results), shared-scratch overwrites racing lazy
     // reads (FileNotFound / partial scans), session-global conf mutations.
-    val dirs = Seq("/root/testdata/sf0.001", sfDir)
+    val dirs = Seq(sfDir, "/root/testdata/sf0.01") // two DISTINCT scale dirs
     // sketch/ANN queries whose CONTENT is legitimately run-order-sensitive
     // (estimator internals, k-means/PQ training) — pinned by their own spec
     // gates; here they must still build+run concurrently, compared on
