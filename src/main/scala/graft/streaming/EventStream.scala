@@ -324,6 +324,55 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Quality-gated streaming ingestion — the WAP cycle on the streaming
+    * path: each micro-batch lands COMPLETELY in invisible staging, the
+    * audit runs against the staged bytes, a passing batch publishes as the
+    * next version (one atomic rename,
+    * [[graft.pipeline.VersionedTable.writeAuditPublish]]), and a failing
+    * batch is quarantined under `quarantineDir/batch=<id>` with its
+    * violations in `_violations.txt` while the stream keeps going — bad
+    * data pauses NOTHING and readers can never observe an unaudited row.
+    * A batch-id marker under `_published_batches/` makes replays
+    * idempotent: a restarted query re-offering a published batch skips it
+    * instead of double-publishing (quarantine rewrites are already
+    * idempotent — the batch overwrites its own dir).
+    *
+    * Read contract: unlike the upsert/SCD2 sinks (where the latest version
+    * IS the table), each published version here is an APPEND SEGMENT — the
+    * table is the union of published versions ([[readAuditedTable]]), which
+    * is how append-only commit logs behave: per-batch cost stays
+    * batch-sized, never table-sized. */
+  def startAuditedAppend(events: DataFrame, tableDir: String,
+      quarantineDir: String, checkpoint: String)(
+      audit: DataFrame => Seq[String]): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = new java.io.File(s"$tableDir/_published_batches/$batchId")
+        if (!marker.exists()) {
+          graft.pipeline.VersionedTable
+            .writeAuditPublish(batch.sparkSession, tableDir, batch.toDF())(audit) match {
+            case Left(violations) =>
+              batch.write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId")
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$quarantineDir/batch=$batchId/_violations.txt"),
+                violations.mkString("\n").getBytes("UTF-8")): Unit
+            case Right(_) =>
+              marker.getParentFile.mkdirs()
+              marker.createNewFile(): Unit
+          }
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The audited append table: the union of all PUBLISHED segments. The
+    * `v=*` glob never matches `_staging`/`_published_batches`, so an
+    * in-flight batch is invisible until its atomic publish rename. */
+  def readAuditedTable(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(s"$tableDir/v=*")
+
   /** Latest materialized version of a [[startUpsertToParquet]] table. */
   def latestVersion(spark: SparkSession, tableDir: String): DataFrame =
     graft.pipeline.VersionedTable.read(spark, tableDir)

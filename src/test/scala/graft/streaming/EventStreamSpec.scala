@@ -709,4 +709,51 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.exceptAll(want).count() == 0 && want.exceptAll(streamed).count() == 0,
       "streaming transformWithState fold must equal the batch-mode run")
   }
+
+  test("audited streaming sink: bad batches quarantine, good batches publish, replay idempotent") {
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-wapstream").toString
+    val (in, tbl, quar) = (s"$root/in", s"$root/table", s"$root/quarantine")
+    def land(n: Int, typ: String, base: Long): Unit =
+      (1 to n).map(i => (base + i,
+          new Timestamp(1700000000000L + i * 1000L), i.toLong, typ, i * 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(in)
+    land(10, "view", 0)    // good
+    land(5, "error", 100)  // audit-failing
+    land(7, "click", 200)  // good
+    def audit(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val bad = df.filter(col("event_type") === "error").count()
+      if (bad > 0) Seq(s"$bad error-type rows") else Nil
+    }
+    def run(): Unit = {
+      val stream = sp.readStream.schema(EventStream.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = EventStream.startAuditedAppend(stream, tbl, quar, s"$root/ckpt")(audit)
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    // the table = union of PUBLISHED segments: exactly the good rows, and
+    // no error row is ever visible to a reader
+    val table = EventStream.readAuditedTable(sp, tbl)
+    assert(table.count() === 17)
+    assert(table.filter(col("event_type") === "error").count() === 0,
+      "an unaudited/failed row must never be readable")
+    // the failed batch is quarantined WITH its violation report
+    val qDirs = new java.io.File(quar).listFiles().filter(_.isDirectory)
+    assert(qDirs.length == 1, s"exactly one quarantined batch: ${qDirs.toSeq}")
+    assert(sp.read.parquet(qDirs.head.getPath).count() === 5)
+    val report = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(qDirs.head.getPath, "_violations.txt"))
+    assert(report == "5 error-type rows", s"violation report: $report")
+    // replay idempotency: a restarted query with one NEW file appends only
+    // the new rows — published batches are never re-published
+    val vsBefore = graft.pipeline.VersionedTable.versions(tbl).size
+    land(3, "view", 300)
+    run()
+    assert(EventStream.readAuditedTable(sp, tbl).count() === 20)
+    assert(graft.pipeline.VersionedTable.versions(tbl).size == vsBefore + 1,
+      "exactly one new segment for the one new file")
+  }
 }
