@@ -6,11 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.Attribute
 /** User-facing face of the native [[AsOfJoin]] operator. */
 object AsOf {
 
-  /** Idempotently install [[AsOfJoinStrategy]] into the session planner. */
+  /** Idempotently install [[AsOfJoinStrategy]] into the session planner
+    * (thread-safe — [[NativePlans.install]]). */
   def install(spark: SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    NativePlans.install(spark, AsOfJoinStrategy)
 
   /** As-of join `left` with `right`: for each left row, the payload of the
     * last right row of the same `key` with (ts, tie) at or before the left
@@ -34,18 +33,9 @@ object AsOf {
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
-    // Re-alias every right column: when both sides share lineage (the common
-    // self-as-of case) their attribute ids collide, and the analyzer's
-    // relation dedup would rewrite the right child underneath this node's
-    // already-bound expressions. Fresh aliases make the children disjoint.
-    val rPlan = right
-      .select(right.columns.toIndexedSeq.map(c =>
-        org.apache.spark.sql.functions.col(c).as(c)): _*)
-      .queryExecution.analyzed
-    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-             name: String): Attribute =
-      plan.output.find(_.name == name)
-        .getOrElse(sys.error(s"column $name not found in ${plan.output.map(_.name)}"))
+    // self-join lineage split — see NativePlans.realiased
+    val rPlan = NativePlans.realiased(right)
+    import NativePlans.attr
     // Fail at plan-build time on cross-side type drift: the exec's orderings
     // come from the LEFT types only, so an INT-vs-BIGINT key would
     // ClassCastException (or miscompare) deep inside execution otherwise.

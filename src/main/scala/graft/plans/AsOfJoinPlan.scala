@@ -191,9 +191,15 @@ case class AsOfJoinExec(
               if (!rValid) continue = false
             }
             // merge_asof-style tolerance: a match older than `tol` time units
-            // (same unit as the LONG ts columns) yields the null payload
-            val inTol = tol.isEmpty ||
-              (lTsV != null && lTsV.asInstanceOf[Long] - matchTs <= tol.get)
+            // (same unit as the LONG ts columns) yields the null payload.
+            // Wrap-safe (the BandJoinExec eviction idiom): the true gap is
+            // non-negative by as-of construction, so a NEGATIVE difference
+            // means the subtraction wrapped (a gap over 2^63) — by
+            // definition beyond any tolerance, never "fresh".
+            val inTol = tol.isEmpty || (lTsV != null && {
+              val gap = lTsV.asInstanceOf[Long] - matchTs
+              gap >= 0 && gap <= tol.get
+            })
             val p = if (matchRow != null && lTsV != null && inTol) matchRow
                     else nullPayload
             joined(lRow, p)

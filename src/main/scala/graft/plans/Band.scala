@@ -7,11 +7,10 @@ import org.apache.spark.sql.types.LongType
 /** User-facing face of the native [[BandJoin]] operator. */
 object Band {
 
-  /** Idempotently install [[BandJoinStrategy]] into the session planner. */
+  /** Idempotently install [[BandJoinStrategy]] into the session planner
+    * (thread-safe — [[NativePlans.install]]). */
   def install(spark: SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.contains(BandJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ BandJoinStrategy
+    NativePlans.install(spark, BandJoinStrategy)
 
   /** Band join `early` with `late`: every (early, late) pair sharing `key`
     * with 0 < late.ts - early.ts <= range. Output columns are early's then
@@ -22,20 +21,18 @@ object Band {
     */
   def join(early: DataFrame, late: DataFrame, key: String,
            earlyTs: String, lateTs: String, range: Long): DataFrame = {
+    // enforce the documented contract at build time (AsOf requires its
+    // analogue): shared non-key names would emit an output with duplicate
+    // columns that fails far from here with AMBIGUOUS_REFERENCE
+    require(early.columns.toSet.intersect(late.columns.toSet) == Set(key),
+      "band join sides must not share column names besides the key; " +
+        s"shared: ${early.columns.toSet.intersect(late.columns.toSet) - key}")
     val spark = early.sparkSession
     install(spark)
     val lPlan = early.queryExecution.analyzed
-    // Re-alias the late side: band joins are commonly self-joins, and shared
-    // lineage would let analyzer relation-dedup rewrite one child's attr ids
-    // underneath this node's already-bound expressions (same trap as AsOf).
-    val rPlan = late
-      .select(late.columns.toIndexedSeq.map(c =>
-        org.apache.spark.sql.functions.col(c).as(c)): _*)
-      .queryExecution.analyzed
-    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-             name: String): Attribute =
-      plan.output.find(_.name == name)
-        .getOrElse(sys.error(s"column $name not found in ${plan.output.map(_.name)}"))
+    // self-join lineage split — see NativePlans.realiased
+    val rPlan = NativePlans.realiased(late)
+    import NativePlans.attr
     val (lkA, rkA) = (attr(lPlan, key), attr(rPlan, key))
     require(lkA.dataType == rkA.dataType,
       s"band join key type mismatch: early $key is ${lkA.dataType}, late is ${rkA.dataType}")

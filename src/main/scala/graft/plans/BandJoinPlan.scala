@@ -90,10 +90,14 @@ case class BandJoinExec(
   // Rows stream out in the right (late) child's order and placement. Both
   // children are co-partitioned under zipPartitions, so either side's
   // partitioning is true — but only leftKey survives in the output (rightKey
-  // is dropped, USING-style), so advertising the left partitioning is the one
-  // a downstream groupBy/join on the key can actually reuse without a
-  // re-shuffle (mirrors AsOfJoinExec).
-  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering(1)
+  // is dropped, USING-style), so both advertisements must use SURVIVING
+  // attributes or downstream requirements can never match them: the
+  // partitioning is the left child's, and the ordering is (leftKey, rightTs)
+  // — valid because every emitted row has leftKey == rightKey (inner equi
+  // semantics), so the right child's (rightKey, rightTs) stream order IS
+  // (leftKey, rightTs) on the output.
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(rightTs, Ascending))
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {

@@ -228,4 +228,25 @@ class AsOfJoinNativeSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
     assert(out === Map(1L -> Some(0.5), 2L -> None, 3L -> None))
   }
+
+  test("tolerance is wrap-safe across the full Long ts domain") {
+    // the band exec's MinValue lesson applied to the tolerance: a match near
+    // Long.MinValue against a left row near Long.MaxValue makes the gap
+    // subtraction WRAP negative — a naive `gap <= tol` would call that
+    // 2^64-stale match "fresh" and emit its payload
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, Long.MaxValue - 1, 1L)).toDF("k", "ts", "id")
+    val right = Seq((1L, Long.MinValue + 10, 0L, 0.5)).toDF("k", "ts", "id", "payload_v")
+    // sanity: without tolerance the match IS visible (it precedes the left row)
+    val open = AsOf.join(left, right, "k", "ts", "ts", Seq("payload_v"), "id")
+      .select("payload_v").head()
+    assert(!open.isNullAt(0) && open.getDouble(0) == 0.5)
+    // with any finite tolerance the wrapped gap must read as stale -> null
+    val tolerated = AsOf.join(left, right, "k", "ts", "ts", Seq("payload_v"), "id",
+        tolerance = Some(Long.MaxValue))
+      .select("payload_v").head()
+    assert(tolerated.isNullAt(0),
+      "a gap that wraps Long arithmetic is beyond any tolerance, never fresh")
+  }
 }

@@ -182,4 +182,45 @@ class BandJoinNativeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("LONG"))
   }
+
+  test("shared non-key column names fail at plan-build time") {
+    // the doc'd contract, now enforced like AsOf's payload require: a shared
+    // 'v' would emit duplicate output columns that fail far away with
+    // AMBIGUOUS_REFERENCE (or a positional select silently reads wrong side)
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, 1L, 1L, 2.0)).toDF("k", "id", "ts", "v")
+    val early = ev.select(col("k"), col("id").as("early_id"),
+      col("ts").as("early_ts"), col("v"))
+    val late = ev.select(col("k"), col("id").as("late_id"),
+      col("ts").as("late_ts"), col("v"))
+    val e = intercept[IllegalArgumentException] {
+      Band.join(early, late, "k", "early_ts", "late_ts", 5L)
+    }
+    assert(e.getMessage.contains("share column names"), e.getMessage)
+  }
+
+  test("downstream sort on (key, lateTs) reuses the band join's output ordering") {
+    // outputOrdering must advertise SURVIVING attributes (leftKey, rightTs):
+    // the exec streams rows exactly in that order, so a downstream
+    // sortWithinPartitions on them must plan with NO sort above the join —
+    // only the two required child sorts. Advertising the pruned rightKey
+    // (the pre-fix state) could never satisfy any downstream requirement.
+    val s = spark
+    import s.implicits._
+    val ev = fixture(37, 200, 4, 30)
+    val early = ev.select(col("k"), col("id").as("early_id"), col("ts").as("early_ts"))
+    val late = ev.select(col("k"), col("id").as("late_id"), col("ts").as("late_ts"))
+    val sorted = Band.join(early, late, "k", "early_ts", "late_ts", 7L)
+      .sortWithinPartitions(col("k"), col("late_ts"))
+    sorted.collect()
+    val full = sorted.queryExecution.executedPlan.toString
+    val p = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    val sorts = "(?m)^[^\\n]*Sort \\[".r.findAllIn(p).size
+    assert(sorts == 2,
+      s"exactly the two child sorts, none above the join (saw $sorts):\n$p")
+  }
 }
