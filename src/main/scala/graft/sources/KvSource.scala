@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XxHash64Fu
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -42,12 +42,25 @@ import org.apache.spark.unsafe.types.UTF8String
 object KvStore {
   private[sources] val MetaFile = "_graft_kv_meta.json"
 
+  private val SupportedTypes: Set[DataType] =
+    Set(StringType, LongType, IntegerType, DoubleType, BooleanType)
+
   /** Write `df` as a graft-kv snapshot: hash-bucketed on `key` into
     * `buckets` partitions. Distributed end to end; only the metadata file is
-    * driver-written. */
+    * driver-written. Schema is validated HERE (driver, before any write)
+    * against the reader's supported types — deferring it would let the
+    * snapshot land and every later scan fail per-batch on executors. */
   def write(df: DataFrame, dir: String, key: String, buckets: Int): Unit = {
     require(buckets > 0, "buckets must be positive")
-    df.withColumn("__b", expr(s"pmod(xxhash64($key), $buckets)"))
+    require(df.columns.contains(key), s"key column '$key' not in ${df.columns.toSeq}")
+    df.schema.fields.foreach(f => require(SupportedTypes.contains(f.dataType),
+      s"graft-kv does not support ${f.dataType} (column '${f.name}'); " +
+        s"supported: ${SupportedTypes.map(_.simpleString).mkString(", ")}"))
+    // column-API hash, never SQL-text splicing: a key named `a-b` would
+    // otherwise PARSE as subtraction and bucket by the wrong value while
+    // meta records the name — the read-side pruner would then probe the
+    // wrong bucket and silently return no rows
+    df.withColumn("__b", pmod(xxhash64(col(key)), lit(buckets.toLong)))
       .write.mode("overwrite").partitionBy("__b").json(dir)
     val spark = df.sparkSession
     val meta = new ObjectMapper().createObjectNode()
@@ -62,9 +75,15 @@ object KvStore {
 
   /** True when `dir` holds a COMPLETE snapshot: the metadata file is written
     * last, so its presence is the commit marker (skip-if-exists guards use
-    * this, never `_SUCCESS` alone — the json commit precedes the meta). */
-  def exists(dir: String): Boolean =
-    new java.io.File(dir, MetaFile).exists()
+    * this, never `_SUCCESS` alone — the json commit precedes the meta).
+    * Checked through the Hadoop FileSystem like [[write]]/[[readMeta]], so
+    * the guard works on URI paths (hdfs://, s3a://, file:/) too — a
+    * local-File check would read false there and re-overwrite on every
+    * build, reintroducing the concurrent-scan race the marker prevents. */
+  def exists(dir: String): Boolean = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    new Path(dir).getFileSystem(conf).exists(new Path(dir, MetaFile))
+  }
 
   private[sources] case class Meta(key: String, buckets: Int, schema: StructType)
 
@@ -103,19 +122,21 @@ class KvTableProvider extends TableProvider {
 }
 
 class KvTable(dir: String, schema: StructType) extends Table with SupportsRead {
+  // one meta read per TABLE, not per scan: re-planning a hot path (s10's
+  // probe shape) must not pay a filesystem round trip per newScanBuilder
+  private lazy val meta = KvStore.readMeta(dir)
   override def name(): String = s"graft-kv `$dir`"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(dir, schema)
+    new KvScanBuilder(dir, schema, meta)
 }
 
-class KvScanBuilder(dir: String, fullSchema: StructType)
+class KvScanBuilder(dir: String, fullSchema: StructType, meta: KvStore.Meta)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
-  private val meta = KvStore.readMeta(dir)
   private var required: StructType = fullSchema
   private var keyFilters: Array[Filter] = Array.empty
 
@@ -179,21 +200,43 @@ class KvScan(dir: String, meta: KvStore.Meta, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(required)
+    // runs on the DRIVER: capture the session Hadoop conf here and ship it
+    // to executors, so credentialed/HA filesystems (s3a keys, HDFS
+    // nameservices) resolve on the scan path exactly as they did at
+    // planning — a bare executor-side `new Configuration()` would not
+    new KvReaderFactory(required,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 }
 
-class KvReaderFactory(required: StructType) extends PartitionReaderFactory {
+/** Hadoop `Configuration` is not java-serializable; ship it Writable-style
+  * (the same trick Spark's own file sources use). */
+private[sources] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+class KvReaderFactory(required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new KvPartitionReader(partition.asInstanceOf[KvBucketPartition], required)
+    new KvPartitionReader(partition.asInstanceOf[KvBucketPartition], required, conf)
 }
 
 /** Streams the bucket's JSON-lines files; one Jackson parse per row, fields
   * materialized only for the pruned schema. */
-class KvPartitionReader(partition: KvBucketPartition, required: StructType)
-    extends PartitionReader[InternalRow] {
+class KvPartitionReader(partition: KvBucketPartition, required: StructType,
+    sconf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val conf = new org.apache.hadoop.conf.Configuration()
+  private def conf = sconf.value
   private var fileIdx = 0
   private var reader: java.io.BufferedReader = _
   private var line: String = _

@@ -26,9 +26,14 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Spread the low 16 bits of `c` to even bit positions (Morton spread):
-    * 0b1111 -> 0b1010101. Classic magic-mask sequence, all codegen'd. */
+    * 0b1111 -> 0b1010101. Classic magic-mask sequence, all codegen'd.
+    * The input masks to 16 bits FIRST (the sequence's real first step):
+    * without it, bits 16-23 survive the 0x00FF00FF mask and alias with low
+    * bits — 65536 would spread identically to 256, silently breaking Z
+    * monotonicity for unclamped callers (zorderWrite clamps via scaleTo16,
+    * but this is a public building block). */
   def mortonSpread16(c: Column): Column = {
-    val x0 = c.cast("int")
+    val x0 = c.cast("int").bitwiseAND(lit(0x0000FFFF))
     val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FF))
     val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0F))
     val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333))
@@ -60,13 +65,20 @@ object Layout {
     val b = df.agg(
       min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
-    val z = zValue2(
-      scaleTo16(col(c1), b.getDouble(0), b.getDouble(1)),
-      scaleTo16(col(c2), b.getDouble(2), b.getDouble(3)))
-    df.withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
+    if ((0 to 3).exists(b.isNullAt)) {
+      // empty input or an all-null dimension: no bounds exist, so there is
+      // nothing to cluster — write the (possibly empty) data as-is instead
+      // of NPEing where a plain parquet write would succeed
+      df.write.mode("overwrite").parquet(path)
+    } else {
+      val z = zValue2(
+        scaleTo16(col(c1), b.getDouble(0), b.getDouble(1)),
+        scaleTo16(col(c2), b.getDouble(2), b.getDouble(3)))
+      df.withColumn("__z", z)
+        .repartitionByRange(numFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+        .write.mode("overwrite").parquet(path)
+    }
   }
 }

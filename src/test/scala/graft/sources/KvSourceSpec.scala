@@ -145,4 +145,32 @@ class KvSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy(col("rank").desc).collect()
     assert(viaJoin.sameElements(viaIsin))
   }
+
+  test("expression-shaped key names bucket by the COLUMN, not a parsed expression") {
+    // regression: SQL-text splicing would parse key 'a-b' as subtraction
+    // over columns a and b, bucketing by the wrong value while meta records
+    // the name — the pruner would then probe the wrong bucket and silently
+    // return zero rows for a key that exists
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kv-hyphen").toString
+    val df = Seq(("k1", 5L, 3L, 10.0), ("k2", 7L, 2L, 20.0))
+      .toDF("a-b", "a", "b", "v")
+    KvStore.write(df, dir, "a-b", 8)
+    val got = sp.read.format("graft.sources.KvTableProvider").load(dir)
+      .filter(col("`a-b`") === "k2").select("v").collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(20.0), s"hyphenated key must probe its true bucket, got ${got.toSeq}")
+  }
+
+  test("unsupported column types fail at WRITE time, driver-side") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kv-badtype").toString
+    val df = Seq(("k1", new java.sql.Timestamp(0L))).toDF("k", "ts")
+    val e = intercept[IllegalArgumentException] {
+      KvStore.write(df, dir, "k", 4)
+    }
+    assert(e.getMessage.contains("does not support") && e.getMessage.contains("ts"),
+      s"write must reject unsupported types before landing bytes: ${e.getMessage}")
+  }
 }

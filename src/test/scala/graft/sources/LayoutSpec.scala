@@ -80,4 +80,32 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = graft.SparkEntry.queries("x6_zorder_layout")(spark, dir)
     assert(out.count() > 0)
   }
+
+  test("mortonSpread16 honors its low-16-bit contract for out-of-range input") {
+    // regression: without the leading mask, bit 16 survived the 0x00FF00FF
+    // step and aliased with bit 8 — 65536 spread identically to 256, so
+    // unclamped callers got a non-monotone interleave
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((0, 5, 256, 65536, 65536 + 5)).toDF("zero", "five", "b8", "b16", "b16p5")
+    def spread(c: String): Int =
+      df.select(Layout.mortonSpread16(col(c))).head().getInt(0)
+    assert(spread("b16") == spread("zero"), "bit 16 is outside the low-16 contract: masked off")
+    assert(spread("b16p5") == spread("five"))
+    assert(spread("b8") != spread("b16"), "256 and 65536 must not alias")
+  }
+
+  test("zorderWrite handles empty input and all-null dimensions (no bounds, no crash)") {
+    val sp = spark
+    import sp.implicits._
+    val empty = Seq.empty[(Long, Long, Double)].toDF("u", "t", "v")
+    val dirE = java.nio.file.Files.createTempDirectory("graft-z-empty").toString + "/t"
+    Layout.zorderWrite(empty, "u", "t", dirE, 4)
+    assert(sp.read.parquet(dirE).count() === 0)
+    val nulls = Seq((Some(1L), Option.empty[Long], 1.0),
+      (Some(2L), Option.empty[Long], 2.0)).toDF("u", "t", "v")
+    val dirN = java.nio.file.Files.createTempDirectory("graft-z-null").toString + "/t"
+    Layout.zorderWrite(nulls, "u", "t", dirN, 4)
+    assert(sp.read.parquet(dirN).count() === 2, "all-null dimension degrades to a plain write")
+  }
 }
