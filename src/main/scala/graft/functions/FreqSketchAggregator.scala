@@ -31,7 +31,10 @@ class FreqSketchAggregator(k: Int)
   override def zero: Map[String, Long] = Map.empty
 
   override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
-    b.get(item) match {
+    // SQL-aggregate null semantics: skip null items — counting them would
+    // put a null KEY in the buffer map, which the encoder rejects at the
+    // first partial-buffer serialization
+    if (item == null) b else b.get(item) match {
       case Some(c) => b.updated(item, c + 1)
       case None if b.size < k => b.updated(item, 1L)
       case None => // decrement-all step: drop counters that hit zero

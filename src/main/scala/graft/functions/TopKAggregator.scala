@@ -18,20 +18,36 @@ import org.apache.spark.sql.functions.udaf
   * The buffer is an insertion-sorted Vector capped at k (descending score,
   * ascending id): reduce is O(k) per row, merge O(k). For the k ~ tens this
   * is built for, that beats heap constant factors inside Tungsten.
+  *
+  * Inputs must be NON-NULL (scores and ids): the primitive tuple encoder
+  * rejects nulls at deserialization — filter or coalesce nullable columns
+  * before aggregating, the same precondition as AsOf's tieBreak.
   */
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  require(k > 0, s"top-k needs k >= 1, got $k")
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // java.lang.Double.compare is a TOTAL order (NaN greatest, -0.0 < 0.0) —
+  // the order Spark's own sort uses. A `>`/`==` comparison instead would
+  // let NaN scores fall through every strict test and append past the k
+  // cap, growing the buffer with the group.
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
-  private def insert(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
-    if (buf.size >= k && better(buf.last, x)) buf
-    else {
-      val i = buf.indexWhere(e => better(x, e))
-      val at = if (i < 0) buf.size else i
-      (buf.take(at) :+ x) ++ buf.drop(at).take(k - at - 1)
+  private def insert(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {
+    // position = after every strictly-better element; exact duplicates
+    // insert ADJACENT to their twin (two identical rows legitimately hold
+    // two of the k slots, like rn=1,2 in the window formulation), and the
+    // final take(k) is what caps the buffer — size can never exceed k.
+    val at = buf.indexWhere(e => !better(e, x)) match {
+      case -1 => buf.size
+      case p => p
     }
+    if (at >= k) buf
+    else ((buf.take(at) :+ x) ++ buf.drop(at)).take(k)
+  }
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 

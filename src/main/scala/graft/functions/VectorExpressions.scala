@@ -61,20 +61,26 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) =>
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      // freshName, never fixed locals: with NON-nullable children the
+      // emitted code gets no enclosing block scope, so two kernels in one
+      // projection would redeclare the same variable — a janino compile
+      // error and a silent fallback to interpreted execution
+      val (n, i, acc) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("acc"))
       s"""
-         |int n = $x.numElements();
-         |if (n != $y.numElements()) {
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double acc = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    if ($x.isNullAt(i) || $y.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |    acc += $x.getDouble(i) * $y.getDouble(i);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
          |  }
-         |  if (!${ev.isNull}) ${ev.value} = acc;
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-       """.stripMargin)
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
@@ -104,22 +110,27 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) =>
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      // freshName for every local — see DotProduct.doGenCode
+      val (n, i) = (ctx.freshName("n"), ctx.freshName("i"))
+      val (dot, na, nb) = (ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"))
+      val (xv, yv) = (ctx.freshName("xv"), ctx.freshName("yv"))
       s"""
-         |int n = $x.numElements();
-         |if (n != $y.numElements()) {
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double dot = 0.0, na = 0.0, nb = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    if ($x.isNullAt(i) || $y.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |    double xv = $x.getDouble(i);
-         |    double yv = $y.getDouble(i);
-         |    dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xv = $x.getDouble($i);
+         |    double $yv = $y.getDouble($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
-         |  if (!${ev.isNull}) ${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
+         |  if (!${ev.isNull}) ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
          |}
-       """.stripMargin)
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
@@ -186,33 +197,65 @@ object RewriteVectorFolds extends org.apache.spark.sql.catalyst.rules.Rule[
   * use, plus a `SparkSessionExtensions` hook for cluster-wide
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 object GraftFunctions {
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> { args => DotProduct(args(0), args(1)) },
-    "graft_cosine" -> { args => CosineSimilarity(args(0), args(1)) },
-    "graft_nfc" -> { args => NfcNormalize(args(0)) },
-    "graft_nfkc" -> { args => NfkcNormalize(args(0)) },
-    "graft_strip_accents" -> { args => StripAccents(args(0)) })
+
+  /** Arity-checked builders: a wrong-argument-count call must surface as
+    * the standard analysis error, not an IndexOutOfBoundsException from
+    * `args(1)` during resolution. */
+  private def binary(name: String,
+      f: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == 2,
+        s"$name requires exactly 2 arguments, got ${args.length}")
+      f(args(0), args(1))
+    }
+  private def unary(name: String,
+      f: Expression => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == 1,
+        s"$name requires exactly 1 argument, got ${args.length}")
+      f(args(0))
+    }
+
+  private[functions] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> binary("graft_dot", DotProduct),
+    "graft_cosine" -> binary("graft_cosine", CosineSimilarity),
+    "graft_nfc" -> unary("graft_nfc", NfcNormalize),
+    "graft_nfkc" -> unary("graft_nfkc", NfkcNormalize),
+    "graft_strip_accents" -> unary("graft_strip_accents", StripAccents))
+
+  // guards the read-modify-write on the extraOptimizations var — the same
+  // hazard (lost or duplicated entry under concurrent registration) as
+  // NativePlans' strategy install
+  private val registerLock = new Object
 
   /** Idempotent per-session registration; call before using the functions
-    * through `expr("graft_cosine(...)")`. */
+    * through `expr("graft_cosine(...)")`. Thread-safe. */
   def register(spark: SparkSession): Unit = {
     fns.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
-    if (!spark.experimental.extraOptimizations.contains(RewriteVectorFolds))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ RewriteVectorFolds
+    registerLock.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(RewriteVectorFolds))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ RewriteVectorFolds
+    }
   }
 }
 
+/** Cluster-wide face (`spark.sql.extensions=graft.functions.GraftExtensions`):
+  * MUST register the same function surface as [[GraftFunctions.register]] —
+  * a deployment configured only through extensions would otherwise lose the
+  * string-normalization kernels mid-query with "Undefined function". */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
-    ext.injectFunction((FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    val info = Map(
+      "graft_dot" -> classOf[DotProduct], "graft_cosine" -> classOf[CosineSimilarity],
+      "graft_nfc" -> classOf[NfcNormalize], "graft_nfkc" -> classOf[NfkcNormalize],
+      "graft_strip_accents" -> classOf[StripAccents])
+    GraftFunctions.fns.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(info(name).getName, name), builder))
+    }
     ext.injectOptimizerRule(_ => RewriteVectorFolds)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)

@@ -68,4 +68,17 @@ class FreqSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val toks = rnd.shuffle(items).toDF("tok").repartition(16)
     check(toks, k = 10)
   }
+
+  test("null items are skipped like any SQL aggregate (no null map key)") {
+    // regression: counting a null item put a null KEY in the buffer map,
+    // which the encoder rejects at the first partial serialization
+    val sp = spark
+    import sp.implicits._
+    val fn = FreqSketchAggregator.freqSketch(10)
+    val got = Seq(Some("a"), None, Some("a"), None, Some("b"))
+      .toDF("tok").repartition(4)
+      .agg(fn(col("tok")).as("sk"))
+      .select(explode(col("sk"))).as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L), s"nulls must not count: $got")
+  }
 }

@@ -142,4 +142,32 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.toLowerCase.contains("array<double>")
       || e.getMessage.toLowerCase.contains("datatype_mismatch"))
   }
+
+  test("two kernels over NON-nullable inputs share one codegen scope cleanly") {
+    // regression: fixed Java local names collide when the children are
+    // non-nullable (array literals get no wrapping if-block), producing a
+    // janino compile error and a silent interpreted fallback. Strict codegen
+    // fallback OFF turns that silent degradation into a test failure.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val row = spark.sql(
+        """SELECT graft_dot(array(1d,2d), array(3d,4d)) AS d1,
+          |       graft_dot(array(1d,1d), array(1d,1d)) AS d2,
+          |       graft_cosine(array(1d,0d), array(1d,0d)) AS c1,
+          |       graft_cosine(array(0d,2d), array(0d,4d)) AS c2""".stripMargin).head()
+      assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 2.0)
+      assert(row.getDouble(2) == 1.0 && row.getDouble(3) == 1.0)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("wrong arity fails with a clear message, not an index error") {
+    val e = intercept[Exception](spark.sql("SELECT graft_dot(array(1d))").head())
+    assert(e.getMessage.contains("requires exactly 2 arguments"), e.getMessage)
+    val e1 = intercept[Exception](spark.sql("SELECT graft_nfc('a', 'b')").head())
+    assert(e1.getMessage.contains("requires exactly 1 argument"), e1.getMessage)
+  }
 }
