@@ -1,12 +1,13 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{GQuery, QueryPack, Tables}
 
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with a
-  * typed metadata struct, plus decode / feature-extract / resize /
-  * frame-sample plumbing (builder-prompt beyond-parity surface).
+  * typed metadata struct, plus decode / feature-extract / exact-pool
+  * downsample / frame-sample plumbing (builder-prompt beyond-parity
+  * surface).
   *
   * The container has no codec libraries, so the DECODE STEP IS A
   * DETERMINISTIC STUB ([[MediaCodec.Fake]]); everything Spark-side — schema,
@@ -29,10 +30,12 @@ object MediaOps extends QueryPack {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
       checksum: Long, mean_byte: Double)
 
-  /** The codec seam. A real deployment plugs ffmpeg/libjpeg here. */
+  /** The codec seam. A real deployment plugs ffmpeg/libjpeg here. Resizing
+    * is NOT part of the seam: interpolating resamplers are implementation-
+    * defined and can never be oracle-checked — the exact-integer
+    * [[poolGrid]] kernel (m4) is the library's downsample face. */
   trait MediaCodec extends Serializable {
     def features(payload: Array[Byte], meta: MediaMeta): MediaFeatures
-    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
   }
 
   object MediaCodec {
@@ -46,8 +49,6 @@ object MediaOps extends QueryPack {
         MediaFeatures(-1, meta.kind, payload.length.toLong, check,
           if (payload.isEmpty) 0.0 else sum.toDouble / payload.length)
       }
-      def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
-        java.util.Arrays.copyOf(payload, math.min(payload.length, w * h))
     }
 
     /** REAL decode, pure JVM: `javax.imageio` PNG. `checksum` carries the
@@ -69,17 +70,6 @@ object MediaOps extends QueryPack {
         }
         val n = img.getWidth.toLong * img.getHeight
         MediaFeatures(-1, meta.kind, payload.length.toLong, sum, sum.toDouble / n)
-      }
-      def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-        javax.imageio.ImageIO.setUseCache(false)
-        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        val dst = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val g = dst.createGraphics()
-        try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
-        val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(dst, "png", baos)
-        baos.toByteArray
       }
     }
   }
@@ -118,18 +108,30 @@ object MediaOps extends QueryPack {
     }
   }
 
-  /** Resize/pad plumbing over the binary column (stubbed pixel math). */
-  def resizeAll(media: Dataset[MediaRecord], w: Int, h: Int,
-      codec: MediaCodec = MediaCodec.Fake): Dataset[MediaRecord] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions(_.map(r => r.copy(content = codec.resize(r.content, w, h),
-      meta = r.meta.copy(width = w, height = h))))
-  }
-
   // ---- corpus-backed query-registry entries ---------------------------------
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
+
+  // Single-sourced synthetic-media derivations: the kind router and the
+  // decode dimensions appear in several queries AND their oracles — one
+  // definition per side, so a range tweak cannot silently diverge copies.
+  private def kindCol(id: Column): Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(id, lit(3)) + 1).cast("int"))
+  private def dimW(id: Column): Column = (pmod(id, lit(24)) + 8).cast("int")
+  private def dimH(id: Column): Column = (pmod(id, lit(16)) + 8).cast("int")
+
+  /** The closed-form P x P pooled-grid expression of the DuckDB oracle —
+    * single source for m4/m6/m7's analytic pooling (only the grid size and
+    * the id expression vary; expects `w`/`h` columns in scope). */
+  private def pooledSql(p: Int, idExpr: String): String =
+    s"""list_transform(range(0, ${p * p}), b ->
+       |      list_sum(list_transform(range(b % $p * w // $p, (b % $p + 1) * w // $p), x ->
+       |        list_sum(list_transform(range(b // $p * h // $p, (b // $p + 1) * h // $p), y ->
+       |          ($idExpr * 31 + 7 * x + 13 * y) % 256))))
+       |      // (((b % $p + 1) * w // $p - b % $p * w // $p)
+       |         * ((b // $p + 1) * h // $p - b // $p * h // $p))""".stripMargin
 
   /** Deterministic synthetic media over `documents`: payload = utf8 bytes of
     * the text, kind by doc_id, metadata derived from payload size. This is
@@ -139,8 +141,7 @@ object MediaOps extends QueryPack {
       col("doc_id").as("media_id"),
       col("text").cast("binary").as("content"),
       struct(
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        kindCol(col("doc_id")).as("kind"),
         (pmod(col("doc_id"), lit(640)) + 16).cast("int").as("width"),
         (pmod(col("doc_id"), lit(480)) + 16).cast("int").as("height"),
         lit(16000).as("sampleRate"),
@@ -170,7 +171,10 @@ object MediaOps extends QueryPack {
 
   /** m2: frame sampling — fixed-stride slices exploded from each payload,
     * with a per-frame digest; the explode shape is exactly what a video
-    * frame-sampler produces (bounded array, no full-media materialization). */
+    * frame-sampler produces (bounded array, no full-media materialization).
+    * Stride/length/size are in CHARACTERS (both engines slice code points —
+    * `frame_chars`, not bytes); the byte-exact face is m1's hex-after-encode
+    * magic slice. */
   private val m2 = GQuery(
     "m2_frame_sample",
     (s, dir) => {
@@ -186,7 +190,7 @@ object MediaOps extends QueryPack {
             .as("f"))
         .select(col("media_id"), col("f.frame_no").cast("int").as("frame_no"),
           md5(col("f.frame").cast("binary")).as("frame_digest"),
-          length(col("f.frame")).as("frame_bytes"))
+          length(col("f.frame")).as("frame_chars"))
     },
     Some("""WITH frames AS (
            |  SELECT doc_id AS media_id,
@@ -197,7 +201,7 @@ object MediaOps extends QueryPack {
            |  FROM documents)
            |SELECT media_id, CAST(f.frame_no AS INT) AS frame_no,
            |  md5(f.frame) AS frame_digest,
-           |  CAST(length(f.frame) AS INT) AS frame_bytes
+           |  CAST(length(f.frame) AS INT) AS frame_chars
            |FROM frames""".stripMargin),
     doc = "Fixed-stride frame sampling with per-frame digests (multimodal #2).")
 
@@ -217,8 +221,7 @@ object MediaOps extends QueryPack {
         .select(col("doc_id").as("media_id"),
           element_at(array(lit("image"), lit("audio"), lit("video")),
             (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-          (pmod(col("doc_id"), lit(24)) + 8).cast("int").as("w"),
-          (pmod(col("doc_id"), lit(16)) + 8).cast("int").as("h"))
+          dimW(col("doc_id")).as("w"), dimH(col("doc_id")).as("h"))
         .as[(Long, String, Int, Int)]
         .mapPartitions(_.map { case (id, kind, w, h) =>
           MediaRecord(id, syntheticPng(id, w, h),
@@ -261,6 +264,9 @@ object MediaOps extends QueryPack {
     javax.imageio.ImageIO.setUseCache(false)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "payload is not a decodable image")
+    require(img.getWidth >= p && img.getHeight >= p,
+      s"pool grid $p x $p needs an image at least that large, " +
+        s"got ${img.getWidth} x ${img.getHeight}")
     val raster = img.getRaster
     val w = img.getWidth; val h = img.getHeight
     val out = new Array[Long](p * p)
@@ -296,8 +302,7 @@ object MediaOps extends QueryPack {
       val P = 4
       t(s, dir, "documents")
         .select(col("doc_id").as("media_id"),
-          (pmod(col("doc_id"), lit(24)) + 8).cast("int").as("w"),
-          (pmod(col("doc_id"), lit(16)) + 8).cast("int").as("h"))
+          dimW(col("doc_id")).as("w"), dimH(col("doc_id")).as("h"))
         .as[(Long, Int, Int)]
         .mapPartitions(_.map { case (id, w, h) =>
           val pooled = poolGrid(syntheticPng(id, w, h), P)
@@ -307,19 +312,14 @@ object MediaOps extends QueryPack {
         .select(col("media_id"), md5(col("thumb").cast("binary")).as("thumb_digest"),
           col("thumb_sum"))
     },
-    Some("""WITH m AS (
+    Some(s"""WITH m AS (
            |  SELECT doc_id,
            |    CAST(doc_id % 24 + 8 AS BIGINT) AS w,
            |    CAST(doc_id % 16 + 8 AS BIGINT) AS h
            |  FROM documents),
            |pooled AS (
            |  SELECT doc_id,
-           |    list_transform(range(0, 16), b ->
-           |      list_sum(list_transform(range(b % 4 * w // 4, (b % 4 + 1) * w // 4), x ->
-           |        list_sum(list_transform(range(b // 4 * h // 4, (b // 4 + 1) * h // 4), y ->
-           |          (doc_id * 31 + 7 * x + 13 * y) % 256))))
-           |      // (((b % 4 + 1) * w // 4 - b % 4 * w // 4)
-           |         * ((b // 4 + 1) * h // 4 - b // 4 * h // 4))) AS t
+           |    ${pooledSql(4, "doc_id")}) AS t
            |  FROM m)
            |SELECT doc_id AS media_id,
            |  md5(array_to_string(t, '|')) AS thumb_digest,
@@ -415,8 +415,7 @@ object MediaOps extends QueryPack {
       t(s, dir, "documents")
         .select(col("doc_id").as("media_id"), pmod(col("doc_id"), lit(40)).as("cid"))
         .select(col("media_id"), col("cid"),
-          (pmod(col("cid"), lit(24)) + 8).cast("int").as("w"),
-          (pmod(col("cid"), lit(16)) + 8).cast("int").as("h"))
+          dimW(col("cid")).as("w"), dimH(col("cid")).as("h"))
         .as[(Long, Long, Int, Int)]
         .mapPartitions(_.map { case (id, cid, w, h) =>
           (id, poolGrid(syntheticPng(cid, w, h), P).mkString("|"))
@@ -425,19 +424,14 @@ object MediaOps extends QueryPack {
         .groupBy(md5(col("thumb").cast("binary")).as("content_digest"))
         .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("canonical_id"))
     },
-    Some("""WITH m AS (
+    Some(s"""WITH m AS (
            |  SELECT doc_id, doc_id % 40 AS cid,
            |    CAST(doc_id % 40 % 24 + 8 AS BIGINT) AS w,
            |    CAST(doc_id % 40 % 16 + 8 AS BIGINT) AS h
            |  FROM documents),
            |pooled AS (
            |  SELECT doc_id,
-           |    list_transform(range(0, 16), b ->
-           |      list_sum(list_transform(range(b % 4 * w // 4, (b % 4 + 1) * w // 4), x ->
-           |        list_sum(list_transform(range(b // 4 * h // 4, (b // 4 + 1) * h // 4), y ->
-           |          (cid * 31 + 7 * x + 13 * y) % 256))))
-           |      // (((b % 4 + 1) * w // 4 - b % 4 * w // 4)
-           |         * ((b // 4 + 1) * h // 4 - b // 4 * h // 4))) AS t
+           |    ${pooledSql(4, "cid")}) AS t
            |  FROM m)
            |SELECT md5(array_to_string(t, '|')) AS content_digest,
            |  count(*) AS n_copies, min(doc_id) AS canonical_id
@@ -463,8 +457,7 @@ object MediaOps extends QueryPack {
       val sigs = t(s, dir, "documents")
         .select(col("doc_id"), pmod(col("doc_id"), lit(40)).as("cid"))
         .select(col("doc_id"), col("cid"),
-          (pmod(col("cid"), lit(24)) + 8).cast("int").as("w"),
-          (pmod(col("cid"), lit(16)) + 8).cast("int").as("h"))
+          dimW(col("cid")).as("w"), dimH(col("cid")).as("h"))
         .as[(Long, Long, Int, Int)]
         .mapPartitions(_.map { case (id, cid, w, h) =>
           val g = poolGrid(syntheticPng(cid, w, h), 8)
@@ -481,23 +474,23 @@ object MediaOps extends QueryPack {
           (id, sig)
         })
         .toDF("doc_id", "sim")
+      // SCALE BOUNDARY: content is keyed doc_id % 40, so every doc of a cid
+      // cluster shares ONE signature and hammingPairs' same-signature groups
+      // are N/40 docs — BucketCap (10k) silently drops a whole group past
+      // ~400k docs. MediaOpsSpec pins the margin (like d49's vocab gate); a
+      // growing corpus must re-key the clusters or raise the cap explicitly.
       graft.queries.TextOps.hammingPairs(sigs, maxDist = 5)
         .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
           col("dist"))
     },
-    Some("""WITH m AS (
+    Some(s"""WITH m AS (
            |  SELECT DISTINCT doc_id % 40 AS cid,
            |    CAST(doc_id % 40 % 24 + 8 AS BIGINT) AS w,
            |    CAST(doc_id % 40 % 16 + 8 AS BIGINT) AS h
            |  FROM documents),
            |pooled AS (
            |  SELECT cid,
-           |    list_transform(range(0, 64), b ->
-           |      list_sum(list_transform(range(b % 8 * w // 8, (b % 8 + 1) * w // 8), x ->
-           |        list_sum(list_transform(range(b // 8 * h // 8, (b // 8 + 1) * h // 8), y ->
-           |          (cid * 31 + 7 * x + 13 * y) % 256))))
-           |      // (((b % 8 + 1) * w // 8 - b % 8 * w // 8)
-           |         * ((b // 8 + 1) * h // 8 - b // 8 * h // 8))) AS g
+           |    ${pooledSql(8, "cid")}) AS g
            |  FROM m),
            |sigs AS (
            |  SELECT cid,

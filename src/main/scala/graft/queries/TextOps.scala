@@ -304,7 +304,7 @@ object TextOps extends QueryPack {
     * SimilaritySpec cap test pins the margin), so CORRECTNESS output is
     * unchanged; at corpus scale it bounds the worst bucket at O(cap²) and
     * [[oversizedBucketStats]] reports what a run dropped. */
-  private[queries] val BucketCap = 10000
+  private[graft] val BucketCap = 10000
 
   /** (capped units, doc-entries inside them) — the drop a capped run logs,
     * summed over BOTH drop paths of [[hammingPairs]]: signature buckets
