@@ -57,8 +57,7 @@ object Tables {
     * files under a prior result's lazy scan — re-implementing this pattern
     * per query is how that race gets reintroduced. */
   def scratchOnce(dir: String, name: String,
-      done: String => Boolean =
-        p => new java.io.File(s"$p/_SUCCESS").exists())(
+      done: String => Boolean = successMarkerExists)(
       write: String => Unit): String = {
     val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
       s"${sys.props("java.io.tmpdir")}/graft-buckets")
@@ -68,6 +67,18 @@ object Tables {
       if (!done(path)) write(path)
     }
     path
+  }
+
+  /** Default [[scratchOnce]] completion check: the write's `_SUCCESS` marker,
+    * resolved through the Hadoop FileSystem of the path's scheme — the
+    * scratch root (`SPARK_GRAFT_BUCKET_DIR`) may be a URI path
+    * (hdfs://, s3a://, file:/), where a `java.io.File` check is always
+    * false and every build would rewrite the artifact, reintroducing the
+    * concurrent lazy-scan race scratchOnce exists to prevent. */
+  def successMarkerExists(p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    path.getFileSystem(conf).exists(path)
   }
 
   /** Run SQL against DataFrames registered under session-unique temp view

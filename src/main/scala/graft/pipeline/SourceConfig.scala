@@ -45,6 +45,28 @@ object SourceConfig {
       pathMeta: Boolean = true)
 
   private val Snapshots = Set("latest", "per_file", "none")
+  // every key a table entry may carry (`name` arrives via the entry line);
+  // anything else fails fast — a deeper-indented typo ('colums:') silently
+  // absorbed into the table map would weaken the fail-fast contract
+  private val TableKeys = Set("path", "columns", "sep", "snapshot", "path_meta")
+
+  /** Drop a trailing `# comment`, but only where the `#` sits OUTSIDE any
+    * quoted span — `path: "a#b"` keeps its value intact instead of being
+    * silently truncated to `"a`. */
+  private def stripComment(l: String): String = {
+    var inSingle = false; var inDouble = false
+    val sb = new StringBuilder
+    var i = 0
+    while (i < l.length) {
+      val c = l.charAt(i)
+      if (c == '"' && !inSingle) inDouble = !inDouble
+      else if (c == '\'' && !inDouble) inSingle = !inSingle
+      else if (c == '#' && !inSingle && !inDouble) return sb.toString
+      sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
 
   /** Parse the YAML subset. Fails fast with the offending line number —
     * a config typo must break the build, not silently drop a feed. */
@@ -53,7 +75,7 @@ object SourceConfig {
       throw new IllegalArgumentException(s"source config line ${lineNo + 1}: $msg")
     // (indent, key, value, lineNo) for every non-blank, non-comment line
     val lines = text.linesIterator.zipWithIndex
-      .map { case (raw, i) => (raw.replaceAll("#.*$", ""), i) }
+      .map { case (raw, i) => (stripComment(raw), i) }
       .filter(_._1.trim.nonEmpty)
       .map { case (l, i) =>
         val indent = l.takeWhile(_ == ' ').length
@@ -85,6 +107,8 @@ object SourceConfig {
               scala.collection.mutable.Map("name" -> unquote(value)), lineNo))
           }
         case k if tables.nonEmpty && indent >= tableIndent =>
+          if (!TableKeys(k))
+            fail(lineNo, s"unknown table key '$k' (allowed: ${TableKeys.toSeq.sorted.mkString(", ")})")
           tables.last._2 += k -> value
         case k => fail(lineNo, s"unexpected key '$k' outside a table entry")
       }

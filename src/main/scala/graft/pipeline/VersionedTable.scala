@@ -38,15 +38,19 @@ object VersionedTable {
   /** Rewrite the latest version into `targetFiles` files as a new version.
     * Returns the new version id. A distributed run would size targetFiles
     * from bytes/128MB; the rewrite is one narrow repartition — no shuffle
-    * key, so AQE-planned round-robin. */
+    * key, so AQE-planned round-robin.
+    *
+    * The rewrite stages + publishes through the WAP path, so the version id
+    * is allocated under [[publishLock]] at publish time — a concurrent
+    * publish and compaction can never collide on the same `v=<n>` (each
+    * gets the next id in commit order), and readers never observe a
+    * partially-written compacted version. */
   def compact(spark: SparkSession, tableDir: String, targetFiles: Int): Long = {
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"no versions under $tableDir")
-    val next = vs.max + 1
-    spark.read.parquet(s"$tableDir/v=${vs.max}")
-      .repartition(targetFiles)
-      .write.mode("overwrite").parquet(s"$tableDir/v=$next")
-    next
+    val token = stage(spark, tableDir,
+      spark.read.parquet(s"$tableDir/v=${vs.max}").repartition(targetFiles))
+    publish(tableDir, token)
   }
 
   /** Data bytes of one version (sum of its parquet part files). */
@@ -71,7 +75,6 @@ object VersionedTable {
     require(vs.nonEmpty, s"no versions under $tableDir")
     val total = bytes(tableDir, vs.max)
     val nFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    val next = vs.max + 1
     val df = spark.read.parquet(s"$tableDir/v=${vs.max}")
     val shaped =
       if (clusterBy.isEmpty) df.repartition(nFiles)
@@ -79,8 +82,8 @@ object VersionedTable {
           clusterBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(clusterBy.head,
           clusterBy.tail: _*)
-    shaped.write.mode("overwrite").parquet(s"$tableDir/v=$next")
-    next
+    // version id allocated at publish under publishLock, like compact()
+    publish(tableDir, stage(spark, tableDir, shaped))
   }
 
   // ---- write-audit-publish (WAP) ---------------------------------------------
@@ -143,15 +146,41 @@ object VersionedTable {
     * (audits see exactly the bytes readers would), publish iff the audit
     * returns no violations, abort otherwise. Returns the published version
     * (Right) or the violation messages (Left) — the caller decides whether
-    * a rejected batch is a retry or an alert. */
-  def writeAuditPublish(spark: SparkSession, tableDir: String, df: DataFrame)(
+    * a rejected batch is a retry or an alert.
+    *
+    * `batchId` (optional) tags the staged candidate with an
+    * `_batch-<id>` marker file BEFORE publish, so the marker rides the
+    * atomic publish rename into the `v=<n>` directory — marker and commit
+    * are one filesystem operation. Replay guards should test
+    * [[publishedBatchIds]]; a separately-written post-publish marker would
+    * leave a crash window in which a published batch looks unpublished and
+    * gets re-published on restart (duplicate rows). Spark's parquet reader
+    * ignores `_`-prefixed files, so the marker never pollutes the data. */
+  def writeAuditPublish(spark: SparkSession, tableDir: String, df: DataFrame,
+      batchId: Option[String] = None)(
       audit: DataFrame => Seq[String]): Either[Seq[String], Long] = {
     val token = stage(spark, tableDir, df)
+    batchId.foreach { id =>
+      require(!id.contains('/'), s"batch id must be a file-name-safe token: '$id'")
+      new File(stagingDir(tableDir, token), s"_batch-$id").createNewFile(): Unit
+    }
     val violations = try audit(readStaged(spark, tableDir, token))
     catch { case e: Throwable => abort(tableDir, token); throw e }
     if (violations.isEmpty) Right(publish(tableDir, token))
     else { abort(tableDir, token); Left(violations) }
   }
+
+  /** Batch ids of all PUBLISHED versions (from their `_batch-<id>` markers).
+    * The replay-idempotency test for [[writeAuditPublish]] callers: a batch
+    * id appears here iff its publish rename committed, with no window in
+    * which a published batch is missing its marker. Scan cost is one listing
+    * per retained version — version-count-bounded, not data-bounded. */
+  def publishedBatchIds(tableDir: String): Set[String] =
+    Option(new File(tableDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .flatMap(v => Option(v.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.startsWith("_batch-"))
+      .map(_.getName.stripPrefix("_batch-")).toSet
 
   /** Delete all but the newest `keep` versions; returns what was removed. */
   def vacuum(tableDir: String, keep: Int): Seq[Long] = {

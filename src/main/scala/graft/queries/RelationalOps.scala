@@ -1814,7 +1814,7 @@ object RelationalOps extends QueryPack {
         // both checks: with a persistent metastore a catalog entry can
         // outlive a reclaimed scratch dir — rebuild when either is missing
         if (!s.catalog.tableExists(table) ||
-            !new java.io.File(s"$path/_SUCCESS").exists()) {
+            !Tables.successMarkerExists(path)) {
           s.sql(s"DROP TABLE IF EXISTS $table")
           t(s, dir, "orders")
             .select("o_orderkey", "o_orderstatus", "o_orderpriority",

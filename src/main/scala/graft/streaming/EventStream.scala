@@ -332,10 +332,14 @@ object EventStream {
     * batch is quarantined under `quarantineDir/batch=<id>` with its
     * violations in `_violations.txt` while the stream keeps going — bad
     * data pauses NOTHING and readers can never observe an unaudited row.
-    * A batch-id marker under `_published_batches/` makes replays
-    * idempotent: a restarted query re-offering a published batch skips it
-    * instead of double-publishing (quarantine rewrites are already
-    * idempotent — the batch overwrites its own dir).
+    * Replays are idempotent: the batch id is written as an `_batch-<id>`
+    * marker INTO the staged candidate, so it rides the atomic publish
+    * rename into `v=<n>` — marker and commit are the same filesystem
+    * operation, and a restarted query re-offering a batch skips it iff the
+    * publish actually committed ([[graft.pipeline.VersionedTable.publishedBatchIds]]).
+    * A marker written after the rename would leave a crash window where a
+    * published batch re-publishes on restart (duplicate rows); quarantine
+    * rewrites are already idempotent — the batch overwrites its own dir.
     *
     * Read contract: unlike the upsert/SCD2 sinks (where the latest version
     * IS the table), each published version here is an APPEND SEGMENT — the
@@ -349,18 +353,17 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val marker = new java.io.File(s"$tableDir/_published_batches/$batchId")
-        if (!marker.exists()) {
+        if (!graft.pipeline.VersionedTable.publishedBatchIds(tableDir)
+            .contains(batchId.toString)) {
           graft.pipeline.VersionedTable
-            .writeAuditPublish(batch.sparkSession, tableDir, batch.toDF())(audit) match {
+            .writeAuditPublish(batch.sparkSession, tableDir, batch.toDF(),
+              batchId = Some(batchId.toString))(audit) match {
             case Left(violations) =>
               batch.write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId")
               java.nio.file.Files.write(
                 java.nio.file.Paths.get(s"$quarantineDir/batch=$batchId/_violations.txt"),
                 violations.mkString("\n").getBytes("UTF-8")): Unit
-            case Right(_) =>
-              marker.getParentFile.mkdirs()
-              marker.createNewFile(): Unit
+            case Right(_) => ()
           }
         }
       }
@@ -368,8 +371,8 @@ object EventStream {
       .start()
 
   /** The audited append table: the union of all PUBLISHED segments. The
-    * `v=*` glob never matches `_staging`/`_published_batches`, so an
-    * in-flight batch is invisible until its atomic publish rename. */
+    * `v=*` glob never matches `_staging`, so an in-flight batch is
+    * invisible until its atomic publish rename. */
   def readAuditedTable(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(s"$tableDir/v=*")
 

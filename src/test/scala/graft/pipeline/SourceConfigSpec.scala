@@ -112,5 +112,33 @@ class SourceConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
         |        columns: [a]
         |""".stripMargin
     assert(errOf(metaConflict).contains("requires path metadata"))
+    // a typo'd table key must fail fast, not be silently absorbed into the
+    // table map (where it would be an unused no-op)
+    val typoKey =
+      """sources:
+        |  - name: s
+        |    tables:
+        |      - name: t
+        |        path: p
+        |        colums: [a]
+        |""".stripMargin
+    assert(errOf(typoKey).contains("unknown table key 'colums'"))
+  }
+
+  test("comments strip only outside quotes; quoted '#' survives") {
+    val cfg =
+      """version: 2
+        |sources:
+        |  - name: s          # trailing comment on a source
+        |    tables:
+        |      - name: t      # and on a table
+        |        path: "a#b/c"
+        |        sep: '#'     # a '#' separator, quoted
+        |        columns: [x, y]
+        |""".stripMargin
+    val spec = SourceConfig.parse(cfg).head
+    assert(spec.path == "a#b/c", s"quoted '#' must not truncate the value: ${spec.path}")
+    assert(spec.sep == "#")
+    assert(spec.source == "s" && spec.name == "t")
   }
 }

@@ -199,4 +199,54 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       VersionedTable.read(s, tbl, Some(v)).select("batch").collect().map(_.getLong(0)))
     assert(all.sorted == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("concurrent compaction and publish never collide on a version id") {
+    // compact/compactBySize used to compute vs.max + 1 OUTSIDE publishLock —
+    // racing a WAP publish could allocate the same v=<n>, failing the rename
+    // or renaming into a half-overwritten directory. Both now stage + publish
+    // through the locked path, so every allocation is distinct.
+    val s = spark
+    import s.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("graft-vtrace").toString
+    (1L to 50L).map(k => (k, s"p$k")).toDF("k", "v")
+      .repartition(8).write.parquet(s"$tbl/v=0")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val compactions = (1 to 3).map(_ => Future {
+      VersionedTable.compact(s, tbl, targetFiles = 2)
+    })
+    val publishes = (1 to 3).map(b => Future {
+      VersionedTable.writeAuditPublish(s, tbl,
+        Seq((1000L + b, s"w$b")).toDF("k", "v"))(_ => Nil)
+        .toOption.get
+    })
+    val ids = Await.result(Future.sequence(compactions ++ publishes), 5.minutes)
+    assert(ids.distinct.size == 6, s"six distinct version ids, got $ids")
+    assert(VersionedTable.versions(tbl) == (0L to 6L),
+      s"contiguous version chain: ${VersionedTable.versions(tbl)}")
+    // every retained version is a complete, readable directory
+    (0L to 6L).foreach(v => VersionedTable.read(s, tbl, Some(v)).count())
+  }
+
+  test("batch-id marker rides the publish rename: no crash window, no data pollution") {
+    val s = spark
+    import s.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("graft-vtbatch").toString
+    val v = VersionedTable.writeAuditPublish(s, tbl,
+      Seq((1L, "a")).toDF("k", "v"), batchId = Some("42"))(_ => Nil)
+      .toOption.get
+    // marker and commit are one rename: the published dir carries _batch-42
+    assert(new java.io.File(s"$tbl/v=$v/_batch-42").isFile,
+      "the marker must live INSIDE the published version directory")
+    assert(VersionedTable.publishedBatchIds(tbl) == Set("42"))
+    // the _-prefixed marker is invisible to the parquet reader
+    assert(VersionedTable.read(s, tbl, Some(v)).count() === 1)
+    // a rejected batch publishes nothing and leaves no marker anywhere
+    val bad = VersionedTable.writeAuditPublish(s, tbl,
+      Seq((2L, "b")).toDF("k", "v"), batchId = Some("43"))(_ => Seq("nope"))
+    assert(bad.isLeft)
+    assert(VersionedTable.publishedBatchIds(tbl) == Set("42"),
+      "an aborted batch id must never appear published")
+  }
 }

@@ -747,6 +747,16 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val report = java.nio.file.Files.readString(
       java.nio.file.Paths.get(qDirs.head.getPath, "_violations.txt"))
     assert(report == "5 error-type rows", s"violation report: $report")
+    // the batch-id marker lives INSIDE each published segment (it rode the
+    // publish rename) — marker and commit are atomic, so there is no crash
+    // window in which a published batch could be re-offered and re-published
+    val segs = new java.io.File(tbl).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+    assert(segs.nonEmpty && segs.forall(
+        _.listFiles().exists(_.getName.startsWith("_batch-"))),
+      "every published segment must carry its batch-id marker")
+    assert(!new java.io.File(s"$tbl/_published_batches").exists(),
+      "no separate post-publish marker dir — that design had a crash window")
     // replay idempotency: a restarted query with one NEW file appends only
     // the new rows — published batches are never re-published
     val vsBefore = graft.pipeline.VersionedTable.versions(tbl).size
