@@ -257,6 +257,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(info(name).getName, name), builder))
     }
     ext.injectOptimizerRule(_ => RewriteVectorFolds)
+    ext.injectOptimizerRule(_ => graft.sources.HiddenPartitionPruning)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)
   }

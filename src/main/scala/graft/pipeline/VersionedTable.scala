@@ -182,6 +182,33 @@ object VersionedTable {
       .filter(_.getName.startsWith("_batch-"))
       .map(_.getName.stripPrefix("_batch-")).toSet
 
+  /** Time-based snapshot expiry — the `expire_snapshots(older_than)`
+    * maintenance face, complementing the count-based [[vacuum]]: retire
+    * every version whose publish time (directory mtime) is older than
+    * `olderThanMillis`, ALWAYS retaining at least the newest `keepLast`
+    * regardless of age (a quiet table must never expire its only data).
+    * Returns the removed version ids. Time travel window = versions newer
+    * than the horizon, exactly the retention contract a lakehouse table
+    * service runs on a schedule. */
+  def expireSnapshots(tableDir: String, olderThanMillis: Long,
+      keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, "must retain at least the newest version")
+    val vs = versions(tableDir)
+    val protectedIds = vs.takeRight(keepLast).toSet
+    val drop = vs.filter { v =>
+      !protectedIds(v) &&
+        new File(s"$tableDir/v=$v").lastModified() < olderThanMillis
+    }
+    drop.foreach { v =>
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new File(s"$tableDir/v=$v"))
+    }
+    drop
+  }
+
   /** Delete all but the newest `keep` versions; returns what was removed. */
   def vacuum(tableDir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, "must retain at least the newest version")

@@ -854,6 +854,65 @@ object CorpusOps extends QueryPack {
             |GROUP BY 1, 2""".stripMargin),
     doc = "Curation pipeline: quality gate -> exact dedup -> decontamination -> corpus stats, stages individually pinned (corpus #3).")
 
+  // ---- D52: one-pass column profiling (corpus data-quality summary) -----------
+  // The profiling sweep every ingestion run fronts a training pipeline with
+  // (what Deequ/dbt-profiler compute): per column — null count, distinct
+  // count, min/max, byte volume, average width. ONE scan computes all five
+  // columns' metrics: the multi-COUNT(DISTINCT) plans as a single
+  // Expand-based aggregate (map-side partials, no per-column re-scan), and
+  // the wide 1-row result unpivots via stack() — at 100 TB this is one pass
+  // over the corpus instead of ten. Byte semantics (octet_length/strlen) on
+  // both engines, so multibyte text can never skew the width metrics; the
+  // single avg division is two exact integers into one IEEE double —
+  // bit-identical cross-engine, no rounding needed. The text column's
+  // distinct leg counts 64-bit CONTENT HASHES, not the bodies (the d1
+  // exact-dedup discipline): an Expand distinct group keyed by full
+  // document texts would ship the corpus across the shuffle to fill one
+  // cell — 8-byte keys carry the same count (collision odds ~n²/2⁶⁵,
+  // deterministic per corpus), so the 5-row profile never shuffles a
+  // document body; the min/max legs run as ordinary partial aggregates
+  // (one candidate value per partition, not per row).
+  private val d52Cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+  private val d52 = GQuery(
+    "d52_column_profile",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val cols = d52Cols
+      val aggs = cols.flatMap { c =>
+        val distinctKey = // wide columns dedup by content hash, never by body
+          if (c == "text") when(col(c).isNotNull, xxhash64(col(c)))
+          else col(c)
+        Seq(
+          count(col(c)).as(s"${c}__nn"),
+          countDistinct(distinctKey).as(s"${c}__nd"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"),
+          sum(expr(s"octet_length(cast($c AS STRING))")).cast("bigint")
+            .as(s"${c}__bytes"))
+      } :+ count(lit(1)).as("n_rows")
+      val one = d.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}__nn, ${c}__nd, ${c}__min, ${c}__max, ${c}__bytes").mkString(", ")
+      one.select(col("n_rows"), expr(
+          s"stack(${cols.size}, $stackArgs) AS (col_name, non_null, n_distinct, min_s, max_s, total_bytes)"))
+        .select(col("col_name"), col("n_rows"),
+          (col("n_rows") - col("non_null")).as("n_nulls"),
+          col("n_distinct"), col("min_s"), col("max_s"), col("total_bytes"),
+          (col("total_bytes").cast("double") / col("non_null")).as("avg_bytes"))
+    },
+    Some(d52Cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  (SELECT count(*) FROM documents) AS n_rows,
+         |  (SELECT count(*) FROM documents) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s,
+         |  CAST(sum(strlen(CAST($c AS VARCHAR))) AS BIGINT) AS total_bytes,
+         |  CAST(CAST(sum(strlen(CAST($c AS VARCHAR))) AS BIGINT) AS DOUBLE)
+         |    / count($c) AS avg_bytes
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")),
+    doc = "One-pass column profiling: nulls/distincts/min/max/byte widths for every column in a single Expand aggregate (corpus QA).")
+
   override val all: Seq[GQuery] =
-    Seq(d12, d13, d14, d15, d16, d17, d18, d19, d35, d36, d38, d40, d42, d44)
+    Seq(d12, d13, d14, d15, d16, d17, d18, d19, d35, d36, d38, d40, d42, d44, d52)
 }

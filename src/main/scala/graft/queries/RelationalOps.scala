@@ -1838,6 +1838,46 @@ object RelationalOps extends QueryPack {
            |GROUP BY o_orderpriority""".stripMargin),
     doc = "CTAS catalog sink: saveAsTable + catalog read with pushed filter, pinned to the direct scan (S14/S7/§2.1).")
 
+  // ---- S15: hidden partitioning (Iceberg partition-transform model) -----------
+  // The reference's Iceberg tables (dbt_project.yml:40-43) partition by
+  // TRANSFORMS the query never references — the one manifest-level behavior
+  // the engine lacked. Here events is laid out by day(ts) + bucket(16,
+  // user_id); the query filters on the RAW columns only, and the
+  // HiddenPartitionPruning optimizer rule derives the implied partition
+  // predicates (day range from the ts range, bucket IN from the user IN) so
+  // the scan touches only matching day/bucket directories — at 100 TB that
+  // is the difference between listing every file and reading two weeks of
+  // four users. HiddenPartitioningSpec asserts the PartitionFilters +
+  // fewer-files mechanics; this query pins the SEMANTICS: pruned results
+  // hash-equal the oracle's full-scan filter. Skip-if-exists under
+  // scratchOnce with the spec file as the commit marker (written last).
+  private val s15 = GQuery(
+    "s15_hidden_partitioning",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val hpDir = Tables.scratchOnce(dir, "hp_events",
+          done = graft.sources.HiddenPartitioning.exists) { path =>
+        graft.sources.HiddenPartitioning.write(t(s, dir, "events"), path, Seq(
+          graft.sources.HiddenPartitioning.DayT("ts"),
+          graft.sources.HiddenPartitioning.BucketT(16, "user_id")))
+      }
+      graft.sources.HiddenPartitioning.read(s, hpDir)
+        .filter(col("ts") >= "2024-01-10" && col("ts") < "2024-01-20" &&
+          col("user_id").isin(5L, 17L, 42L, 99L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"),
+          min(col("event_id")).as("min_event"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM events
+           |WHERE ts >= '2024-01-10' AND ts < '2024-01-20'
+           |  AND user_id IN (5, 17, 42, 99)
+           |GROUP BY event_type""".stripMargin),
+    doc = "Hidden partitioning: day+bucket transform layout, raw-column filters prune via derived partition predicates (S15/§2.1).")
+
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
   // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
@@ -1863,7 +1903,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)

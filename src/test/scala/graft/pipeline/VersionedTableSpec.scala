@@ -229,6 +229,30 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     (0L to 6L).foreach(v => VersionedTable.read(s, tbl, Some(v)).count())
   }
 
+  test("time-based snapshot expiry retires old versions, never the newest") {
+    val s = spark
+    import s.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("graft-vtexp").toString
+    (0L to 3L).foreach { v =>
+      Seq((v, s"v$v")).toDF("k", "v").write.parquet(s"$tbl/v=$v")
+    }
+    val now = System.currentTimeMillis()
+    // v=0 and v=1 are "a week old"; v=2 and v=3 are fresh
+    Seq(0L, 1L).foreach(v =>
+      assert(new java.io.File(s"$tbl/v=$v").setLastModified(now - 7L * 86400 * 1000)))
+    val dropped = VersionedTable.expireSnapshots(tbl, olderThanMillis = now - 86400 * 1000)
+    assert(dropped == Seq(0L, 1L), s"only the aged versions expire: $dropped")
+    assert(VersionedTable.versions(tbl) == Seq(2L, 3L))
+    // retention floor: even if EVERYTHING is older than the horizon, the
+    // newest keepLast versions survive — a quiet table keeps its data
+    Seq(2L, 3L).foreach(v =>
+      assert(new java.io.File(s"$tbl/v=$v").setLastModified(now - 7L * 86400 * 1000)))
+    val dropped2 = VersionedTable.expireSnapshots(tbl, olderThanMillis = now, keepLast = 1)
+    assert(dropped2 == Seq(2L), s"keepLast must protect the newest: $dropped2")
+    assert(VersionedTable.versions(tbl) == Seq(3L))
+    assert(VersionedTable.read(s, tbl).count() === 1)
+  }
+
   test("batch-id marker rides the publish rename: no crash window, no data pollution") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,175 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Hidden partitioning: the table is laid out by DERIVED partition values
+  * (day/bucket/truncate/identity transforms), the reader sees only source
+  * columns, and filters on source columns still prune partitions — the
+  * optimizer rule injects the implied partition predicates. Every pruning
+  * assertion is paired with a differential one: pruned results must equal
+  * the unpruned filter, because a derivation bug that DROPS rows is worse
+  * than no pruning at all.
+  */
+class HiddenPartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    HiddenPartitioning.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** The scan node of `df`'s executed plan + its partition-filter count;
+    * runs the query so the numFiles metric is populated. */
+  private def scanOf(df: DataFrame): (FileSourceScanExec, Long) = {
+    df.collect(): Unit
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"expected one file scan, got ${scans.size}")
+    (scans.head, scans.head.metrics("numFiles").value)
+  }
+
+  test("write/read round trip: derived columns are hidden, data is intact") {
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val path = java.nio.file.Files.createTempDirectory("graft-hp-rt").toString
+    HiddenPartitioning.write(ev, path, Seq(
+      HiddenPartitioning.DayT("ts"), HiddenPartitioning.BucketT(8, "user_id")))
+    val back = HiddenPartitioning.read(spark, path)
+    assert(back.columns.sorted.toSeq == ev.columns.sorted.toSeq,
+      s"partition columns must be hidden: ${back.columns.toSeq}")
+    assert(back.count() == ev.count())
+    assert(back.select("event_id").exceptAll(ev.select("event_id")).count() == 0)
+  }
+
+  test("day transform: a raw-ts range filter prunes day partitions, rows identical") {
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val path = java.nio.file.Files.createTempDirectory("graft-hp-day").toString
+    HiddenPartitioning.write(ev, path, Seq(HiddenPartitioning.DayT("ts")))
+    val b = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val (lo, hi) = (b.getTimestamp(0), b.getTimestamp(1))
+    // a ~1/4 slice of the time range, with strict < on the upper bound
+    val cutLo = new java.sql.Timestamp(lo.getTime + (hi.getTime - lo.getTime) / 2)
+    val cutHi = new java.sql.Timestamp(lo.getTime + 3 * (hi.getTime - lo.getTime) / 4)
+    def q(df: DataFrame) =
+      df.filter(col("ts") >= lit(cutLo) && col("ts") < lit(cutHi))
+
+    val (scanAll, filesAll) = scanOf(HiddenPartitioning.read(spark, path))
+    val pruned = q(HiddenPartitioning.read(spark, path))
+    val (scan, files) = scanOf(pruned)
+    assert(scan.partitionFilters.nonEmpty,
+      s"derived day predicates must reach PartitionFilters: ${scan.metadata.get("PartitionFilters")}")
+    assert(files < filesAll,
+      s"pruned scan must read fewer files ($files vs $filesAll)")
+    assert(scanAll.partitionFilters.isEmpty, "no filter, no derived predicate")
+    // differential: pruning must not change a single row
+    val got = pruned.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = q(ev).select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, s"pruned rows (${got.size}) != raw filter rows (${want.size})")
+    assert(got.nonEmpty, "the slice must be non-trivial")
+  }
+
+  test("bucket transform: equality and IN on the raw key prune buckets, rows identical") {
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val path = java.nio.file.Files.createTempDirectory("graft-hp-bkt").toString
+    HiddenPartitioning.write(ev, path, Seq(HiddenPartitioning.BucketT(16, "user_id")))
+    val keys = ev.select("user_id").distinct().limit(3)
+      .collect().map(_.getLong(0)).toSeq
+
+    // single-key equality
+    val eq = HiddenPartitioning.read(spark, path).filter(col("user_id") === lit(keys.head))
+    val (scanEq, filesEq) = scanOf(eq)
+    val (_, filesAll) = scanOf(HiddenPartitioning.read(spark, path))
+    assert(scanEq.partitionFilters.nonEmpty, "bucket equality must derive")
+    assert(filesEq < filesAll, s"bucket pruning must skip files ($filesEq vs $filesAll)")
+    assert(eq.count() == ev.filter(col("user_id") === lit(keys.head)).count())
+
+    // IN-list
+    val in = HiddenPartitioning.read(spark, path).filter(col("user_id").isin(keys: _*))
+    val (scanIn, _) = scanOf(in)
+    assert(scanIn.partitionFilters.nonEmpty, "bucket IN must derive")
+    assert(in.count() == ev.filter(col("user_id").isin(keys: _*)).count())
+
+    // a RANGE on a bucketed key must NOT derive (hash is not monotonic) —
+    // the query still answers correctly from a full scan
+    val rg = HiddenPartitioning.read(spark, path).filter(col("user_id") > lit(keys.head))
+    val (scanRg, _) = scanOf(rg)
+    assert(scanRg.partitionFilters.isEmpty,
+      "a range over a hash bucket must not produce a partition predicate")
+    assert(rg.count() == ev.filter(col("user_id") > lit(keys.head)).count())
+  }
+
+  test("truncate transform: string prefix and numeric floor both derive ranges") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 400).map(i => (f"k$i%03d", i.toLong, s"v$i"))
+      .toDF("code", "n", "v")
+    val path = java.nio.file.Files.createTempDirectory("graft-hp-tr").toString
+    HiddenPartitioning.write(df, path, Seq(
+      HiddenPartitioning.TruncateT(2, "code"), HiddenPartitioning.TruncateT(100, "n")))
+
+    // string prefix: code >= 'k2' lands in prefix partitions >= 'k2'
+    val sq = HiddenPartitioning.read(spark, path).filter(col("code") >= lit("k2"))
+    val (scanS, _) = scanOf(sq)
+    assert(scanS.partitionFilters.nonEmpty, "string-prefix range must derive")
+    assert(sq.count() == df.filter(col("code") >= lit("k2")).count())
+
+    // numeric floor: strict > must widen to >= on the truncated value so the
+    // boundary partition (which holds both sides of the cut) is retained
+    val nq = HiddenPartitioning.read(spark, path).filter(col("n") > lit(150L))
+    val (scanN, _) = scanOf(nq)
+    assert(scanN.partitionFilters.nonEmpty, "numeric floor range must derive")
+    assert(nq.count() == df.filter(col("n") > lit(150L)).count(),
+      "rows 151..200 live in the boundary partition 100 — strict > must not lose them")
+  }
+
+  test("identity transform + unspec'd tables: rule is precise and inert elsewhere") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (i % 5, i.toLong)).toDF("grp", "x")
+    val path = java.nio.file.Files.createTempDirectory("graft-hp-id").toString
+    HiddenPartitioning.write(df, path, Seq(HiddenPartitioning.IdentityT("grp")))
+    val q = HiddenPartitioning.read(spark, path).filter(col("grp") === 2)
+    val (scan, files) = scanOf(q)
+    assert(scan.partitionFilters.nonEmpty)
+    val (_, filesAll) = scanOf(HiddenPartitioning.read(spark, path))
+    assert(files < filesAll)
+    assert(q.count() == 20)
+
+    // a plain parquet table (no spec file) is untouched by the rule
+    val plain = java.nio.file.Files.createTempDirectory("graft-hp-plain").toString
+    df.write.mode("overwrite").parquet(plain)
+    val pq = spark.read.parquet(plain).filter(col("grp") === 2)
+    val (scanP, _) = scanOf(pq)
+    assert(scanP.partitionFilters.isEmpty, "no spec, no derived predicates")
+    assert(pq.count() == 20)
+  }
+
+  test("spec file is the commit marker and round-trips every transform kind") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", java.sql.Timestamp.valueOf("2026-01-02 03:04:05")))
+      .toDF("k", "c", "ts")
+    val path = java.nio.file.Files.createTempDirectory("graft-hp-spec").toString
+    assert(!HiddenPartitioning.exists(path))
+    val transforms = Seq(
+      HiddenPartitioning.DayT("ts"), HiddenPartitioning.BucketT(4, "k"),
+      HiddenPartitioning.TruncateT(1, "c"), HiddenPartitioning.IdentityT("k"))
+    HiddenPartitioning.write(df, path, transforms)
+    assert(HiddenPartitioning.exists(path))
+    assert(HiddenPartitioning.spec(spark, path).get == transforms,
+      "the parsed spec must reconstruct the declared transforms exactly")
+  }
+}
