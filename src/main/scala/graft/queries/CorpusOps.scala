@@ -57,15 +57,7 @@ object CorpusOps extends QueryPack {
     * round's cut survives executor loss.
     */
   private[queries] def connectedComponents(edgesIn: DataFrame, maxIters: Int = 25): DataFrame = {
-    val spark = edgesIn.sparkSession
-    val reliable = spark.conf.getOption("spark.graft.checkpointDir").map { dir =>
-      if (spark.sparkContext.getCheckpointDir.isEmpty ||
-          !spark.sparkContext.getCheckpointDir.exists(_.startsWith(dir)))
-        spark.sparkContext.setCheckpointDir(dir)
-      dir
-    }.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    def cut(df: DataFrame): DataFrame = graft.core.Lineage.cut(df)
     val edges = edgesIn.select(col("u"), col("v")).persist()
     var labels = cut(edges.select(col("u").as("doc")).distinct()
       .select(col("doc"), col("doc").as("lbl")))

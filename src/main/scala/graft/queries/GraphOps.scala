@@ -17,9 +17,13 @@ import graft.core.{GQuery, QueryPack, Tables}
   *     scalar rides a 1-row broadcast attach).
   *   - Out-degrees are joined into the edge list ONCE before iterating, so
   *     the per-iteration work is exactly join + agg, not three joins.
-  *   - Iterations are bounded (the registry face unrolls 3); lineage stays
-  *     O(iters) and each round's shuffle reuses the same (src) hash
-  *     partitioning, so AQE can reuse exchanges across rounds.
+  *   - Each round's state is CUT (`Lineage.cut` — localCheckpoint, or a
+  *     reliable checkpoint under `spark.graft.checkpointDir`), because the
+  *     rank table is referenced twice per round (contribution join + rank
+  *     update): without the cut the plan embeds two copies of the previous
+  *     round and grows O(2^iters) — a 20-iteration call would hang the
+  *     driver on plan size alone. With it, plan size per round is O(1) and
+  *     deep iteration counts are safe.
   *
   * Determinism (the DuckDB-oracle contract): ranks are SCALED FIXED-POINT
   * BIGINTs (1.0 == `Scale`), every division is integer floor division and
@@ -39,6 +43,35 @@ object GraphOps extends QueryPack {
   /** 1.0 in fixed-point rank units. */
   val Scale = 1000000000000L
 
+  // ---- the shared vertex/edge universe of g1–g5 -------------------------------
+  // Every g-query walks the same graph: props.k items, one transition per
+  // consecutive same-user event pair (per-user ts, event_id window — never
+  // global). One derivation keeps the universe structurally identical
+  // across queries; a per-query copy would let an edge-definition fix fork
+  // it silently.
+
+  private def transitions(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("nk", lead(col("k"), 1).over(w))
+      .filter(col("nk").isNotNull && col("nk") =!= col("k"))
+  }
+
+  /** Directed (src, dst) transition edges, deduplicated. */
+  private def directedEdges(s: SparkSession, dir: String): DataFrame =
+    transitions(s, dir)
+      .select(col("k").cast("long").as("src"), col("nk").cast("long").as("dst"))
+      .distinct()
+
+  /** Undirected (a < b) transition edges, deduplicated. */
+  private def undirectedEdges(s: SparkSession, dir: String): DataFrame =
+    transitions(s, dir)
+      .select(least(col("k"), col("nk")).cast("long").as("a"),
+        greatest(col("k"), col("nk")).cast("long").as("b"))
+      .distinct()
+
   /** Distributed fixed-point PageRank with damping 0.85.
     *
     * `edges` must carry BIGINT-compatible (`src`, `dst`) columns, self-loops
@@ -50,22 +83,27 @@ object GraphOps extends QueryPack {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edgesW = edges.join(deg, "src") // once, outside the loop
+    val edgesW = edges.join(deg, "src").persist() // once, outside the loop
     // n_nodes and the teleport term are scalars: 1-row broadcast attaches
     val nRow = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     val init = nodes.crossJoin(nRow)
       .select(col("node"), expr(s"$Scale div n_nodes").as("r"),
         expr(s"(15L * ($Scale div n_nodes)) div 100").as("b"))
-    (1 to iters).foldLeft(init) { (ranks, _) =>
+    val out = (1 to iters).foldLeft(init) { (ranks, _) =>
       val contrib = edgesW
         .join(ranks.select(col("node"), col("r")), col("src") === col("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks.join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (col("b") + expr("(85L * coalesce(s, 0L)) div 100")).as("r"),
-          col("b"))
+      // ranks is referenced twice (contrib + the update join): cut the round
+      // output or the plan doubles every iteration (see object doc)
+      graft.core.Lineage.cut(
+        ranks.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (col("b") + expr("(85L * coalesce(s, 0L)) div 100")).as("r"),
+            col("b")))
     }.select(col("node"), col("r").as("rank_fp"))
+    edgesW.unpersist() // every round is materialized; nothing recomputes it
+    out
   }
 
   // ---- G1: PageRank over the event-transition graph -------------------------
@@ -77,19 +115,9 @@ object GraphOps extends QueryPack {
   // hash-exact.
   private val g1 = GQuery(
     "g1_pagerank",
-    (s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val edges = ev
-        .withColumn("nk", lead(col("k"), 1).over(w))
-        .filter(col("nk").isNotNull && col("nk") =!= col("k"))
-        .select(col("k").cast("long").as("src"), col("nk").cast("long").as("dst"))
-        .distinct()
-      pageRank(edges, iters = 3)
-        .select(col("node").as("k"), col("rank_fp"))
-    },
+    (s, dir) =>
+      pageRank(directedEdges(s, dir), iters = 3)
+        .select(col("node").as("k"), col("rank_fp")),
     Some(s"""WITH ev AS (
             |  SELECT user_id, ts, event_id,
             |    CAST(json_extract_string(props, '$$.k') AS INT) AS k
@@ -154,10 +182,12 @@ object GraphOps extends QueryPack {
     val e1 = oriented.select(col("u"), col("v").as("x"))
     val e2 = oriented.select(col("u"), col("v").as("y"))
     val wedges = e1.join(e2, Seq("u")).filter(col("x") < col("y"))
+    // closure probe: a wedge (x, y) with x < y closes iff {x, y} is an
+    // undirected edge, and und already stores those id-ordered — probing
+    // und directly halves the build side a `oriented union flipped` probe
+    // would hash (the flipped copies can never match an x < y wedge)
     val tri = wedges.join(
-      oriented.select(col("u").as("x"), col("v").as("y"))
-        .union(oriented.select(col("v").as("x"), col("u").as("y"))),
-      Seq("x", "y"))
+      und.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
     tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
@@ -168,19 +198,7 @@ object GraphOps extends QueryPack {
   // different algorithms agreeing on every per-node count is the gate.
   private val g2 = GQuery(
     "g2_triangle_count",
-    (s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val und = ev
-        .withColumn("nk", lead(col("k"), 1).over(w))
-        .filter(col("nk").isNotNull && col("nk") =!= col("k"))
-        .select(least(col("k"), col("nk")).cast("long").as("a"),
-          greatest(col("k"), col("nk")).cast("long").as("b"))
-        .distinct()
-      triangleCounts(und)
-    },
+    (s, dir) => triangleCounts(undirectedEdges(s, dir)),
     Some("""WITH ev AS (
            |  SELECT user_id, ts, event_id,
            |    CAST(json_extract_string(props, '$.k') AS INT) AS k
@@ -215,16 +233,7 @@ object GraphOps extends QueryPack {
   private val g3 = GQuery(
     "g3_link_prediction",
     (s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val und = ev
-        .withColumn("nk", lead(col("k"), 1).over(w))
-        .filter(col("nk").isNotNull && col("nk") =!= col("k"))
-        .select(least(col("k"), col("nk")).cast("long").as("a"),
-          greatest(col("k"), col("nk")).cast("long").as("b"))
-        .distinct()
+      val und = undirectedEdges(s, dir)
       val nbr = und.select(col("a").as("node"), col("b").as("nb"))
         .union(und.select(col("b").as("node"), col("a").as("nb")))
       val deg = nbr.groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -281,16 +290,17 @@ object GraphOps extends QueryPack {
     * (state bounded by the node's distinct neighbor labels) — the same
     * join/agg shuffle shape as a [[pageRank]] round, lineage O(iters). */
   def labelPropagation(und: DataFrame, iters: Int): DataFrame = {
-    // materialize the (vocabulary-bounded) adjacency once — every round and
-    // the init reference it, and without the cut each reference re-derives
-    // the full upstream edge pipeline (the connectedComponents persist
-    // discipline)
+    // persist (not checkpoint) the vocabulary-bounded adjacency: every
+    // round and the init reference it, so it must not re-derive the
+    // upstream edge pipeline per reference — and persist keeps the lineage
+    // recomputable on executor loss (the connectedComponents discipline for
+    // loop-invariant inputs; cuts are for the per-round STATE)
     val adj = und.select(col("a").as("v"), col("b").as("n"))
       .union(und.select(col("b").as("v"), col("a").as("n")))
-      .localCheckpoint()
+      .persist()
     val init = adj.select(col("v").as("node")).distinct()
       .withColumn("lbl", col("node"))
-    (1 to iters).foldLeft(init) { (lbls, _) =>
+    val res = (1 to iters).foldLeft(init) { (lbls, _) =>
       val counts = adj
         .join(lbls.select(col("node").as("n"), col("lbl")), "n")
         .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
@@ -298,6 +308,11 @@ object GraphOps extends QueryPack {
       counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("v").as("node"), col("lbl"))
     }
+    // materialize the final assignment so callers may reference it freely
+    // (g4 reads it twice) and the adjacency blocks can be released now
+    val out = graft.core.Lineage.cut(res)
+    adj.unpersist()
+    out
   }
 
   // ---- G4: label-propagation communities -------------------------------------
@@ -309,17 +324,9 @@ object GraphOps extends QueryPack {
   private val g4 = GQuery(
     "g4_label_propagation",
     (s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val und = ev
-        .withColumn("nk", lead(col("k"), 1).over(w))
-        .filter(col("nk").isNotNull && col("nk") =!= col("k"))
-        .select(least(col("k"), col("nk")).cast("long").as("a"),
-          greatest(col("k"), col("nk")).cast("long").as("b"))
-        .distinct()
-      val assign = labelPropagation(und, iters = 2)
+      // labelPropagation returns a MATERIALIZED assignment, so the two
+      // references below (sizes aggregate + join) never re-run the rounds
+      val assign = labelPropagation(undirectedEdges(s, dir), iters = 2)
       val sizes = assign.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
       assign.join(sizes, "lbl")
         .select(col("node"), col("lbl").as("community"), col("community_size"))
@@ -363,17 +370,23 @@ object GraphOps extends QueryPack {
     * table with the edge list on `src` plus one min-aggregate on the reached
     * node — the Pregel data flow, no driver-side frontier, no collect.
     * Unreached nodes simply never appear (no infinity sentinel to shuffle).
-    * For deep traversals the caller would persist per round (the
-    * connectedComponents lineage discipline); at bounded hops the unrolled
-    * lineage is O(hops) and AQE reuses the (node) hash partitioning.
+    * The distance table is referenced twice per round (frontier join +
+    * union), so each round's state is cut — without it the plan doubles
+    * per hop (see object doc); with it arbitrary hop depths are safe.
     */
-  def bfsDistances(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame =
-    (1 to hops).foldLeft(seeds.select(col("node"), lit(0).as("d"))) { (dist, _) =>
-      val next = dist.join(edges, col("node") === col("src"))
-        .select(col("dst").as("node"), (col("d") + 1).as("d"))
-      dist.select(col("node"), col("d")).union(next)
-        .groupBy(col("node")).agg(min(col("d")).as("d"))
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    val e = edges.persist() // loop-invariant; recomputable on executor loss
+    val out = (1 to hops).foldLeft(seeds.select(col("node"), lit(0).as("d"))) {
+      (dist, _) =>
+        val next = dist.join(e, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("d") + 1).as("d"))
+        graft.core.Lineage.cut(
+          dist.select(col("node"), col("d")).union(next)
+            .groupBy(col("node")).agg(min(col("d")).as("d")))
     }
+    e.unpersist()
+    out
+  }
 
   // ---- G5: bounded-hop BFS distances (graph #5) -----------------------------
   // Hop distance from the low-id seed items over the g1 transition graph —
@@ -383,15 +396,7 @@ object GraphOps extends QueryPack {
   private val g5 = GQuery(
     "g5_bfs_distance",
     (s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val edges = ev
-        .withColumn("nk", lead(col("k"), 1).over(w))
-        .filter(col("nk").isNotNull && col("nk") =!= col("k"))
-        .select(col("k").cast("long").as("src"), col("nk").cast("long").as("dst"))
-        .distinct()
+      val edges = directedEdges(s, dir)
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
       val seeds = nodes.filter(col("node") < 3)
