@@ -33,6 +33,55 @@ object VectorOps extends QueryPack {
       asDouble(col("embedding")).as("v"))
   }
 
+  // ---- shared machinery ------------------------------------------------------
+  // One definition each for the ranking/centroid/probe building blocks the
+  // e-queries compose; per-query copies of these were how a tie-break or
+  // fold-order fix could silently fork between oracle-gated twins.
+
+  /** Mean vector per key group over the `v` column: posexplode -> per-(key,
+    * dim) mean -> array rebuild in dim order. The one shuffle a centroid
+    * genuinely needs; output column is `cv`. */
+  private def centroids(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.select(keys.map(col) :+ posexplode(col("v")).as(Seq("dim", "x")): _*)
+      .groupBy((keys :+ "dim").map(col): _*).agg(avg(col("x")).as("c"))
+      .groupBy(keys.map(col): _*)
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
+
+  /** Deterministic per-query top-k over a scored frame: rank by (`sim`
+    * desc, `nid`) within `qid`, keep `rn <= k`. The ROUNDED sim + unique
+    * tie-break is what makes the cut oracle-gateable (memory: ties in
+    * argmax need a unique orderer). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Exact cosine top-k: broadcast the (tiny) query side over the candidate
+    * frame, score with the fused kernel rounded to 6 digits, rank. Expects
+    * (nid, nv, ...) candidates and (qid, qv, ...) queries; `extraFilter`
+    * adds a cross-side predicate (e.g. hard-negative label mismatch). */
+  private def cosineTopK(cand: DataFrame, q: DataFrame, k: Int,
+      extraFilter: Option[Column] = None): DataFrame = {
+    val paired = cand.crossJoin(broadcast(q))
+      .filter(extraFilter.foldLeft(col("qid") =!= col("nid"))(_ && _))
+    rankTopK(paired.withColumn("sim", round(cosine("qv", "nv"), 6)), k)
+  }
+
+  /** Per-query top-`nprobe` cells by centroid similarity. The centroid sim
+    * is ROUNDED to 6 digits before the rank-cutoff (label tie-break): the
+    * Spark kernel folds ascending-index while a SQL oracle's hash aggregate
+    * sums unordered, so an unrounded last-ulp difference could flip which
+    * CELL gets scanned — a whole-result divergence, unlike a last-rank
+    * flip. Output: (qid, qv, label). */
+  private def probeCells(q: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("label"))
+    q.crossJoin(broadcast(cent))
+      .withColumn("csim", round(cosine("qv", "cv"), 6))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("label"))
+  }
+
   /** Multi-seed gate hooks (SimilaritySpec): the e8 pipeline with a chosen
     * Lloyd init seed, split so the spec can measure recall per seed. */
   private[queries] def kmeansCellsForTest(s: SparkSession, dir: String,
@@ -50,11 +99,7 @@ object VectorOps extends QueryPack {
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val c = emb.select(col("vec_id").as("nid"), col("v").as("nv"))
       // Query side is tiny: broadcast it so the candidate scan never shuffles.
-      val sims = c.crossJoin(broadcast(q))
-        .filter(col("qid") =!= col("nid"))
-        .withColumn("sim", round(cosine("qv", "nv"), 6))
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-      sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      cosineTopK(c, q, 10)
         .select(col("qid"), col("nid"), col("sim"), col("rn"))
     },
     Some("""WITH e AS (
@@ -136,8 +181,7 @@ object VectorOps extends QueryPack {
         .join(emb.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
         .join(emb.select(col("vec_id").as("nid"), col("v").as("nv")), Seq("nid"))
         .withColumn("sim", round(cosine("qv", "nv"), 6))
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-      withV.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      rankTopK(withV, 10)
         .select(col("qid"), col("nid"), col("sim"), col("rn"))
     },
     None,
@@ -169,24 +213,14 @@ object VectorOps extends QueryPack {
     * labels as cells) and e8 (k-means cells) — the coarse quantizer is
     * pluggable, the probe machinery identical. */
   private[queries] def ivfProbe(emb: DataFrame, nprobe: Int): DataFrame = {
-    val cent = emb.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("c"))
-      .groupBy(col("label"))
-      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("label"))
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("csim", cosine("qv", "cv"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("qv"), col("label"))
+    val probes = probeCells(q, centroids(emb, Seq("label")), nprobe)
     val cand = broadcast(probes)
       .join(emb.select(col("vec_id").as("nid"), col("label"), col("v").as("nv")), Seq("label"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", round(cosine("qv", "nv"), 6))
-    val wTop = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    cand.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 10)
+    rankTopK(cand, 10)
       .select(col("qid"), col("nid"), col("sim"), col("rn"))
   }
 
@@ -207,7 +241,8 @@ object VectorOps extends QueryPack {
            |probe AS (
            |  SELECT qid, label FROM (
            |    SELECT qid, qc.label, row_number() OVER (
-           |      PARTITION BY qid ORDER BY dp / (nq.nrm * cn.cn) DESC, qc.label) AS rn
+           |      PARTITION BY qid
+           |      ORDER BY round(dp / (nq.nrm * cn.cn), 6) DESC, qc.label) AS rn
            |    FROM qc JOIN norms nq ON qid = nq.vec_id JOIN cnorm cn ON qc.label = cn.label) z
            |  WHERE rn <= 2),
            |cand AS (
@@ -264,11 +299,7 @@ object VectorOps extends QueryPack {
       initSeed: Long = 0L): DataFrame = {
     def collectCents(df: DataFrame): Seq[(Int, Seq[Double])] =
       df.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-    def recompute(assigned: DataFrame): DataFrame =
-      assigned.select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("c"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
+    def recompute(assigned: DataFrame): DataFrame = centroids(assigned, Seq("cell"))
     // hash-spread deterministic init: k seeds picked by vec_id hash order —
     // reproducible like lowest-ids, but spread across the corpus instead of
     // clumped in whatever region low ids happen to share
@@ -285,7 +316,9 @@ object VectorOps extends QueryPack {
     "e5_kmeans_cells",
     (s, dir) => {
       val cells = kmeansCells(embDouble(s, dir), k = 8, iters = 3)
-      cells.join(broadcast(cellMeta(cells)), Seq("label"))
+      // centroid frame directly — cellMeta's angular radii (an extra
+      // corpus-wide acos pass) are the ball-prune machinery, not needed here
+      cells.join(broadcast(centroids(cells, Seq("label"))), Seq("label"))
         .groupBy(col("label").as("cell"))
         .agg(count(lit(1)).as("n"),
           round(avg(cosine("v", "cv")), 6).as("mean_sim_to_centroid"))
@@ -367,11 +400,7 @@ object VectorOps extends QueryPack {
           Seq("vec_id"))
         .select(col("m"), col("vec_id").cast("int").as("cell"), col("v").as("cv")))
     (0 until iters).foreach { _ =>
-      cents = collectCents(pqAssignAll(subAll, cents)
-        .select(col("m"), col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("m"), col("cell"), col("dim")).agg(avg(col("x")).as("c"))
-        .groupBy(col("m"), col("cell"))
-        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)").as("cv")))
+      cents = collectCents(centroids(pqAssignAll(subAll, cents), Seq("m", "cell")))
     }
     cents
   }
@@ -428,17 +457,9 @@ object VectorOps extends QueryPack {
       val rerankDepth = 150
       // coarse: trained cells + per-cell centroids, queries pick nprobe cells
       val cells = kmeansCells(emb, k = 8, iters = 3)
-      val cent = cells.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("c"))
-        .groupBy(col("label"))
-        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("label"))
-      val probes = q.crossJoin(broadcast(cent))
-        .withColumn("csim", cosine("qv", "cv"))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= nprobe)
+      val probes = probeCells(q, centroids(cells, Seq("label")), nprobe)
         .select(col("qid"), col("label"))
       val cand = broadcast(probes)
         .join(cells.select(col("vec_id").as("nid"), col("label")), Seq("label"))
@@ -466,12 +487,10 @@ object VectorOps extends QueryPack {
         .filter(col("arn") <= rerankDepth)
         .select(col("qid"), col("nid"))
       // exact rerank: one full-vector pass over <= rerankDepth rows/query
-      val wTop = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-      shortlist
-        .join(emb.select(col("vec_id").as("nid"), col("v").as("nv")), Seq("nid"))
-        .join(broadcast(q), Seq("qid"))
-        .withColumn("sim", round(cosine("qv", "nv"), 6))
-        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 10)
+      rankTopK(shortlist
+          .join(emb.select(col("vec_id").as("nid"), col("v").as("nv")), Seq("nid"))
+          .join(broadcast(q), Seq("qid"))
+          .withColumn("sim", round(cosine("qv", "nv"), 6)), 10)
         .select(col("qid"), col("nid"), col("sim"), col("rn"))
     },
     None,
@@ -492,11 +511,7 @@ object VectorOps extends QueryPack {
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v16").as("qv"))
       val c = emb.select(col("vec_id").as("nid"), col("v16").as("nv"))
-      val sims = c.crossJoin(broadcast(q))
-        .filter(col("qid") =!= col("nid"))
-        .withColumn("sim", round(cosine("qv", "nv"), 6))
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-      sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      cosineTopK(c, q, 10)
         .select(col("qid"), col("nid"), col("sim"), col("rn"))
     },
     Some("""WITH e AS (
@@ -558,10 +573,7 @@ object VectorOps extends QueryPack {
 
   /** Per-cell centroid vector + angular radius (max member angle). */
   private[queries] def cellMeta(emb: DataFrame): DataFrame = {
-    val cent = emb.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("c"))
-      .groupBy(col("label"))
-      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)").as("cv"))
+    val cent = centroids(emb, Seq("label"))
     emb.join(broadcast(cent), Seq("label"))
       .withColumn("ang", clampedAngle("v", "cv"))
       .groupBy(col("label")).agg(max(col("ang")).as("rad"))
@@ -580,11 +592,20 @@ object VectorOps extends QueryPack {
     val meta = cellMeta(emb)
       .select(col("label").as("cell"), col("cv"), col("rad"),
         pmod(col("label"), lit(1)).cast("int").as("k"))
+    // The verify filter downstream admits pairs with round(sim, 6) >=
+    // threshold, i.e. TRUE sim down to threshold - 5e-7 — so the prune
+    // bound must open the ball to acos(threshold - 5e-7), not
+    // acos(threshold): at high thresholds the rounding margin's angular
+    // width 5e-7/sin(acos t) exceeds any fixed fp slack (1.15e-6 rad at
+    // t = 0.9), and a fixed-slack bound would drop qualifying pairs.
+    // AngleSlack then covers only what it was sized for: fp noise in the
+    // cosine/acos evaluation itself.
+    val admitted = math.max(-1.0, threshold - 5e-7)
     emb.withColumn("k", pmod(col("vec_id"), lit(1)).cast("int"))
       .join(broadcast(meta), Seq("k"))
       .filter(col("cell") >= col("label"))
       .filter(clampedAngle("v", "cv") <=
-        lit(math.acos(threshold) + AngleSlack) + col("rad"))
+        lit(math.acos(admitted) + AngleSlack) + col("rad"))
       .select(col("vec_id").as("vec_a"), col("label").as("cell_a"),
         col("v").as("va"), col("cell"))
   }
@@ -671,12 +692,18 @@ object VectorOps extends QueryPack {
   // dot/norms are INTEGER sums — order-insensitive, so unlike float fold
   // order this operator is trivially bit-exact against the oracle. Recall of
   // the quantized ordering vs e1's exact top-10 is gated in SimilaritySpec.
+  // Quantization is DEFINED as floor(x/s + 0.5), not round(x/s): floor is a
+  // correctly-rounded IEEE op both engines compute identically, while the
+  // engines cut exact .5 double ties differently (the memory-documented
+  // round() trap) — an x that is a dyadic fraction of max|x| would desync
+  // the codes under round().
   private val e7 = GQuery(
     "e7_ann_int8_quantized",
     (s, dir) => {
       val emb = embDouble(s, dir)
         .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
-        .withColumn("q", transform(col("v"), x => round(x / col("scale")).cast("long")))
+        .withColumn("q", transform(col("v"),
+          x => floor(x / col("scale") + lit(0.5)).cast("long")))
         .withColumn("n2", aggregate(transform(col("q"), x => x * x),
           lit(0L), (acc, x) => acc + x))
       val qs = emb.filter(col("vec_id") < 10)
@@ -697,7 +724,7 @@ object VectorOps extends QueryPack {
            |         generate_subscripts(embedding, 1) AS i
            |  FROM embeddings),
            |sc AS (SELECT vec_id, max(abs(x)) / 127 AS s FROM e GROUP BY vec_id),
-           |qz AS (SELECT e.vec_id, i, CAST(round(x / s) AS BIGINT) AS q
+           |qz AS (SELECT e.vec_id, i, CAST(floor(x / s + 0.5) AS BIGINT) AS q
            |       FROM e JOIN sc USING (vec_id)),
            |nrm AS (SELECT vec_id, sum(q * q) AS n2 FROM qz GROUP BY vec_id),
            |qs AS (SELECT * FROM qz WHERE vec_id < 10),
@@ -737,11 +764,7 @@ object VectorOps extends QueryPack {
       // metadata pre-filter on the candidate side only — pushed to the scan
       val c = emb.filter(col("label") % 2 === 0)
         .select(col("vec_id").as("nid"), col("v").as("nv"))
-      val sims = c.crossJoin(broadcast(q))
-        .filter(col("qid") =!= col("nid"))
-        .withColumn("sim", round(cosine("qv", "nv"), 6))
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-      sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      cosineTopK(c, q, 10)
         .select(col("qid"), col("nid"), col("sim"), col("rn"))
     },
     Some("""WITH e AS (
@@ -784,11 +807,7 @@ object VectorOps extends QueryPack {
         .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
       val c = emb.select(col("vec_id").as("nid"), col("label").as("nlabel"),
         col("v").as("nv"))
-      val sims = c.crossJoin(broadcast(q))
-        .filter(col("nlabel") =!= col("qlabel"))
-        .withColumn("sim", round(cosine("qv", "nv"), 6))
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-      sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      cosineTopK(c, q, 10, extraFilter = Some(col("nlabel") =!= col("qlabel")))
         .select(col("qid"), col("nid"), col("nlabel"), col("sim"), col("rn"))
     },
     Some("""WITH e AS (
@@ -963,13 +982,9 @@ object VectorOps extends QueryPack {
       val emb = embDouble(s, dir)
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val cand = emb.select(col("vec_id").as("id"), col("v").as("nv"))
-      val dsims = cand.crossJoin(broadcast(q))
-        .filter(col("qid") =!= col("id"))
-        .withColumn("sim", round(cosine("qv", "nv"), 6))
-      val wd = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
-      val dense = dsims.withColumn("rd", row_number().over(wd))
-        .filter(col("rd") <= 20).select(col("qid"), col("id"), col("rd"))
+      val cand = emb.select(col("vec_id").as("nid"), col("v").as("nv"))
+      val dense = cosineTopK(cand, q, 20)
+        .select(col("qid"), col("nid").as("id"), col("rn").as("rd"))
 
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
