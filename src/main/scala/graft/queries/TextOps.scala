@@ -36,14 +36,33 @@ object TextOps extends QueryPack {
     * counts need); the collision exposure is the same xxhash64 risk the
     * string-hash path already accepted. The DuckDB oracle keeps computing
     * over shingle strings, so the compare stays implementation-independent. */
+  // the ONE spelling of the hashed-shingle alphabet: word-hash array +
+  // triple combine. hashedShingles (d2/d3/d45/d46) and the positional
+  // variant (d47) both build from these, so a width/seed change can never
+  // desynchronize the pair universe from the span evidence.
+  private val HashedWordsSql = "transform(split(text, ' '), x -> xxhash64(x))"
+  private val TripleHashSql = "xxhash64(hw[i-1], hw[i], hw[i+1])"
+
   private[queries] def hashedShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        expr("transform(split(text, ' '), x -> xxhash64(x))").as("hw"))
+    docs.select(col("doc_id"), expr(HashedWordsSql).as("hw"))
       .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(hw) >= 3 THEN
-          |  array_distinct(transform(sequence(1, size(hw) - 2),
-          |    i -> xxhash64(hw[i-1], hw[i], hw[i+1])))
-          |ELSE cast(array() as array<bigint>) END""".stripMargin)).as("hv"))
+        s"""CASE WHEN size(hw) >= 3 THEN
+           |  array_distinct(transform(sequence(1, size(hw) - 2),
+           |    i -> $TripleHashSql))
+           |ELSE cast(array() as array<bigint>) END""".stripMargin)).as("hv"))
+
+  /** Positional variant: every shingle occurrence with its position —
+    * same alphabet as [[hashedShingles]], duplicates kept (span evidence
+    * needs them), so (doc_id, hv) pairs here are a superset refinement of
+    * the distinct postings d2 indexes. */
+  private[queries] def hashedShinglesPos(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(HashedWordsSql).as("hw"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(hw) >= 3 THEN transform(sequence(1, size(hw) - 2),
+           |  i -> struct(i AS pos, $TripleHashSql AS hv))
+           |ELSE cast(array() AS array<struct<pos:int,hv:bigint>>) END""".stripMargin))
+        .as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.hv").as("hv"))
 
   /** Distinct k=3 word shingles, 1-based element_at to mirror the SQL oracle. */
   private[queries] def shingleExpr: Column = {
@@ -63,9 +82,13 @@ object TextOps extends QueryPack {
       |  ELSE []::VARCHAR[] END AS s
       |  FROM docs)""".stripMargin
 
-  /** Exact-Jaccard oracle over the DF-capped shingle universe (shingles with
-    * doc frequency > dfCap are excluded on both engines — see [[DfCap]]). */
-  private def exactJaccardOracle(threshold: Double, dfCap: Long): String =
+  /** Shared oracle core over the DF-capped shingle universe: the
+    * shingle/keep/pairs/sizes CTE chain written ONCE, parameterized by the
+    * per-pair measure (`selectSql` may use inter, sa.n, sb.n) and its
+    * admission predicate — so the Jaccard (d2/d3) and containment (d46)
+    * oracles can never drift from the shared [[pairStats]] engine core. */
+  private def cappedPairOracle(dfCap: Long, selectSql: String,
+      whereSql: String): String =
     s"""WITH $shingleSqlCte,
        |ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
        |keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= $dfCap),
@@ -76,11 +99,18 @@ object TextOps extends QueryPack {
        |  GROUP BY 1, 2),
        |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id)
        |SELECT doc_a, doc_b,
-       |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+       |  $selectSql
        |FROM pairs
        |JOIN sizes sa ON doc_a = sa.doc_id
        |JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $threshold""".stripMargin
+       |WHERE $whereSql""".stripMargin
+
+  /** Exact-Jaccard oracle over the DF-capped shingle universe (shingles with
+    * doc frequency > dfCap are excluded on both engines — see [[DfCap]]). */
+  private def exactJaccardOracle(threshold: Double, dfCap: Long): String =
+    cappedPairOracle(dfCap,
+      "round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard",
+      s"CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $threshold")
 
   /** Doc-frequency cap for the near-dup inverted indexes: a shingle occurring
     * in more than this many documents is dropped from the index, the
@@ -122,16 +152,6 @@ object TextOps extends QueryPack {
 
   // ---- D2: n-gram Jaccard near-dup via inverted-index join -----------------------
 
-  /** Exact Jaccard >= threshold pairs over docs (doc_id, text), via a
-    * single-scan inverted index with a DF cap: explode (doc, shingle-hash)
-    * once, drop heavy shingles (broadcast anti join — the heavy set is at
-    * most totalPostings/dfCap entries, broadcastable by construction),
-    * bucket by hash, and emit each bucket's pairwise combinations with an
-    * explode — no self-join, so the shingle pipeline runs exactly once. Doc
-    * sizes fall out of the same capped index, keeping the Jaccard universe
-    * self-consistent. (64-bit hash instead of the string key: collision
-    * odds at 260k distinct shingles ~1e-9 — immaterial next to the
-    * threshold.) */
   /** Shared pair-statistics core of the set-similarity faces: DF-capped
     * inverted index -> bucket pairwise explode -> (doc_a, doc_b, inter,
     * na, nb). Jaccard and overlap-coefficient faces derive their measure
@@ -308,8 +328,11 @@ object TextOps extends QueryPack {
 
   /** (capped units, doc-entries inside them) — the drop a capped run logs,
     * summed over BOTH drop paths of [[hammingPairs]]: signature buckets
-    * holding more than `cap` distinct signatures, and same-signature doc
-    * groups larger than `cap`. */
+    * holding more than `cap` distinct signatures (those buckets' CROSS
+    * pairs are skipped), and same-signature doc groups larger than `cap`
+    * (only their INTRA dist-0 pairs are skipped — the group's signature
+    * still bands and its docs still appear in surviving cross pairs, so
+    * the entry counts here bound lost PAIRS, not removed documents). */
   def oversizedBucketStats(sims: DataFrame, cap: Int): (Long, Long) = {
     val groups = sigGroups(sims)
     val hotBuckets = sigBucketEntries(groups)
@@ -717,17 +740,26 @@ object TextOps extends QueryPack {
         .filter(col("tok") =!= "")
       val df = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      // per-token IDF terms round to 9 digits and sum in DECIMAL (the d30
+      // discipline): a raw avg() of doubles merges partials in partition
+      // order, and a doc whose mean sits on a 6th-digit boundary would
+      // round differently run-to-run / engine-to-engine
+      val term = round(log(col("n_docs").cast("double") / col("df")), 9)
+        .cast("decimal(18,9)")
       toks.join(df, "tok")
         .crossJoin(broadcast(n))
         .groupBy(col("doc_id"))
-        .agg(round(avg(log(col("n_docs").cast("double") / col("df"))), 6).as("mean_idf"))
+        .agg(round((sum(term).cast("double") / count(lit(1))), 6).as("mean_idf"))
     },
     Some("""WITH toks AS (
            |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
            |t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
            |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
            |n AS (SELECT count(*) AS n_docs FROM documents)
-           |SELECT doc_id, round(avg(ln(CAST(n_docs AS DOUBLE) / df)), 6) AS mean_idf
+           |SELECT doc_id,
+           |  round(CAST(sum(CAST(round(ln(CAST(n_docs AS DOUBLE) / df), 9)
+           |                      AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+           |    AS mean_idf
            |FROM t2 JOIN df USING (tok) CROSS JOIN n
            |GROUP BY doc_id""".stripMargin),
     doc = "Informativeness score: token-frequency-weighted mean IDF per document (text #8).")
@@ -735,6 +767,11 @@ object TextOps extends QueryPack {
   // ---- D22: source mixing weights (temperature-scaled sampling) ------------
   // Multi-source corpora are rarely sampled proportionally: p^alpha
   // (alpha<1) upweights small high-quality sources (GPT-3/Pile recipe).
+  // alpha = 0.75, spelled sqrt(sqrt(p*p*p)): multiply and sqrt are
+  // correctly-rounded IEEE ops both engines compute bit-identically,
+  // where pow()'s libm differs in the last ulp (the rule that broke other
+  // formulas — see the repo's oracle-compat notes); the z normalizer sums
+  // 9-digit DECIMAL terms, so partial-merge order can't move it.
   // Two-level shape: per-source hash aggregate (5 rows by construction),
   // then 1-row totals attached by the whitelisted broadcast cross join —
   // the global normalizers never route through a single-partition window.
@@ -748,22 +785,25 @@ object TextOps extends QueryPack {
       val p = bySrc.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("chars"),
           (col("chars").cast("double") / col("tot")).as("p_raw"))
-      val z = p.agg(sum(pow(col("p_raw"), 0.7)).as("z"))
+      def p34(c: org.apache.spark.sql.Column) = sqrt(sqrt(c * c * c))
+      val z = p.agg(sum(round(p34(col("p_raw")), 9).cast("decimal(18,9)")).as("z"))
       p.crossJoin(broadcast(z))
         .select(col("source"), col("n_docs"), col("chars"),
           round(col("p_raw"), 6).as("p"),
-          round(pow(col("p_raw"), 0.7) / col("z"), 6).as("mix_weight"))
+          round(p34(col("p_raw")) / col("z").cast("double"), 6).as("mix_weight"))
     },
     Some("""WITH s AS (SELECT source, count(*) AS n_docs,
            |            CAST(sum(n_chars) AS BIGINT) AS chars
            |          FROM documents GROUP BY 1),
            |t AS (SELECT CAST(sum(chars) AS DOUBLE) AS tot FROM s),
            |p AS (SELECT source, n_docs, chars, chars / tot AS p_raw FROM s, t),
-           |z AS (SELECT sum(pow(p_raw, 0.7)) AS z FROM p)
+           |z AS (SELECT sum(CAST(round(sqrt(sqrt(p_raw * p_raw * p_raw)), 9)
+           |                      AS DECIMAL(18,9))) AS z FROM p)
            |SELECT source, n_docs, chars, round(p_raw, 6) AS p,
-           |  round(pow(p_raw, 0.7) / z, 6) AS mix_weight
+           |  round(sqrt(sqrt(p_raw * p_raw * p_raw)) / CAST(z AS DOUBLE), 6)
+           |    AS mix_weight
            |FROM p, z""".stripMargin),
-    doc = "Temperature-scaled source sampling weights p^0.7 (text #9, GPT-3/Pile recipe).")
+    doc = "Temperature-scaled source sampling weights p^0.75 (text #9, GPT-3/Pile recipe).")
 
   // ---- D23: Misra–Gries heavy hitters (bounded-memory frequent tokens) -----
   // d10's exact top-100 shuffles one row per DISTINCT token; at web-corpus
@@ -804,7 +844,10 @@ object TextOps extends QueryPack {
       val nTok = size(toks).cast("double")
       val avgWordLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
       val fracThe = size(filter(toks, x => x === "the")).cast("double") / nTok
-      val logLen = log(col("n_chars").cast("double"))
+      // greatest(..., 1): an empty document must score, not NULL the row
+      // (Spark log(0) is NULL; DuckDB ln(0) errors) — log(1) = 0 is the
+      // natural "no length signal" value
+      val logLen = log(greatest(col("n_chars"), lit(1L)).cast("double"))
       val z = lit(-3.0) + lit(0.45) * avgWordLen + lit(4.0) * fracThe +
         lit(0.35) * logLen
       t(s, dir, "documents").select(
@@ -822,7 +865,7 @@ object TextOps extends QueryPack {
            |         + 4.0 * (CAST(len(list_filter(string_split(text, ' '),
            |                                       x -> x = 'the')) AS DOUBLE)
            |                  / len(string_split(text, ' ')))
-           |         + 0.35 * ln(CAST(n_chars AS DOUBLE)) AS z
+           |         + 0.35 * ln(CAST(greatest(n_chars, 1) AS DOUBLE)) AS z
            |  FROM documents) f""".stripMargin),
     doc = "Logistic quality-classifier inference: codegen'd per-row w*x+b -> sigmoid (text #11).")
 
@@ -1316,7 +1359,7 @@ object TextOps extends QueryPack {
       // round trains on) — materialized once, read by recount + stats
       val merged = wordsDf.select(w2.as("w2"),
         (length(col("w")) - length(w2)).cast("long").as("nm"))
-        .localCheckpoint()
+        .persist() // reuse-only (shallow lineage); clearCache() reclaims it
       val nMerges = merged.agg(sum(col("nm"))).head().getLong(0)
       def sym(j: Column) = {
         val ch = col("w2").substr(j, lit(1))
@@ -1523,22 +1566,10 @@ object TextOps extends QueryPack {
   private val d46 = GQuery(
     "d46_containment_dedup",
     (s, dir) => overlapPairs(t(s, dir, "documents"), 0.8, DfCap),
-    Some(s"""WITH $shingleSqlCte,
-            |ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-            |keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= $DfCap),
-            |ex AS (SELECT ex0.doc_id, ex0.shingle FROM ex0 JOIN keep USING (shingle)),
-            |pairs AS (
-            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-            |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            |  GROUP BY 1, 2),
-            |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id)
-            |SELECT doc_a, doc_b,
-            |  round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap,
-            |  least(sa.n, sb.n) AS n_small
-            |FROM pairs
-            |JOIN sizes sa ON doc_a = sa.doc_id
-            |JOIN sizes sb ON doc_b = sb.doc_id
-            |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.8""".stripMargin),
+    Some(cappedPairOracle(DfCap,
+      """round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap,
+        |  least(sa.n, sb.n) AS n_small""".stripMargin,
+      "CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.8")),
     doc = "Containment dedup: overlap coefficient >= 0.8 over the d2 capped index (dedup #7).")
 
   // ---- D47: shared-span evidence (order-sensitive dedup) ----------------------
@@ -1557,14 +1588,7 @@ object TextOps extends QueryPack {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = jaccardPairs(docs, 0.5, DfCap).select(col("doc_a"), col("doc_b"))
-      val psh0 = docs.select(col("doc_id"),
-          expr("transform(split(text, ' '), x -> xxhash64(x))").as("hw"))
-        .select(col("doc_id"), explode(expr(
-          """CASE WHEN size(hw) >= 3 THEN transform(sequence(1, size(hw) - 2),
-            |  i -> struct(i AS pos, xxhash64(hw[i-1], hw[i], hw[i+1]) AS hv))
-            |ELSE cast(array() AS array<struct<pos:int,hv:bigint>>) END""".stripMargin))
-          .as("e"))
-        .select(col("doc_id"), col("e.pos").as("pos"), col("e.hv").as("hv"))
+      val psh0 = hashedShinglesPos(docs)
       val heavy = psh0.select(col("doc_id"), col("hv")).distinct()
         .groupBy(col("hv")).agg(count(lit(1)).as("df"))
         .filter(col("df") > DfCap)
