@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Checks {
 
-  /** Keys appearing more than once: groupBy + HAVING, one hash aggregate. */
+  /** Keys appearing more than once: groupBy + HAVING, one hash aggregate.
+    * Rows with a null key column are skipped — dbt's `unique` test filters
+    * `where column is not null`, so repeated null keys are NOT a violation
+    * there; compose with [[notNull]] to reject them. */
   def unique(df: DataFrame, keys: Seq[String]): DataFrame =
-    df.groupBy(keys.map(col): _*)
+    df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") > 1)
 
@@ -32,9 +36,12 @@ object Checks {
       .withColumn("null_columns", array_compact(reasons))
   }
 
-  /** Rows whose `column` value is outside the accepted set. */
+  /** Rows whose `column` value is outside the accepted set. Nulls PASS —
+    * dbt's `accepted_values` compiles to `NOT IN`, which is unknown (never
+    * a violation) for null; rejecting nulls is [[notNull]]'s job, composed
+    * separately exactly as a dbt model declares the two tests. */
   def acceptedValues(df: DataFrame, column: String, allowed: Seq[String]): DataFrame =
-    df.filter(!col(column).isin(allowed: _*) || col(column).isNull)
+    df.filter(col(column).isNotNull && !col(column).isin(allowed: _*))
 
   /** Child rows whose `fk` has no match in `parent.pk` (referential
     * integrity): a LEFT ANTI join on the key — null fks are not orphans,
@@ -47,12 +54,15 @@ object Checks {
   /** Fold named checks into the `dbt test` result table: one row per check
     * with its violation count. Each count is an independent 1-row aggregate;
     * the union is check-count-sized. */
-  def summarize(checks: (String, String, DataFrame)*): DataFrame =
+  def summarize(checks: (String, String, DataFrame)*): DataFrame = {
+    require(checks.nonEmpty,
+      "summarize needs at least one check (an empty dbt test suite is a config error)")
     checks.map { case (name, target, violations) =>
       violations.agg(count(lit(1)).as("n_violations"))
         .select(lit(name).as("check"), lit(target).as("target"),
           col("n_violations"))
     }.reduce(_ unionByName _)
+  }
 
   /** Order-insensitive content digest of a frame — the golden-hash gate for
     * model outputs (PipelineSpec pins the parity DAG's marts to checked-in

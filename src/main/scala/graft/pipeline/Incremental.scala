@@ -63,7 +63,14 @@ object Incremental {
       .orderBy(col(version).desc, col(tieBreak).desc)
     val latest = updates.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
-    val kept = base.join(latest.select(keys.map(col): _*), keys, "left_anti")
+    // NULL-SAFE anti join: a plain `keys` anti join never matches null keys
+    // (null != null in join semantics), so a null-key row would re-append
+    // on every replay — breaking idempotency. <=> matches the window's own
+    // grouping (nulls are one group), so the merge treats null keys like
+    // any other key value.
+    val latestKeys = latest.select(keys.map(k => col(k).as(s"_u_$k")): _*)
+    val cond = keys.map(k => col(k) <=> col(s"_u_$k")).reduce(_ && _)
+    val kept = base.join(latestKeys, cond, "left_anti")
     kept.unionByName(latest, allowMissingColumns = evolve)
   }
 
@@ -76,10 +83,15 @@ object Incremental {
                   ts: String, tieBreak: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts), col(tieBreak))
+    // first-row marker + null-safe compare: `_prev.isNull` alone conflates
+    // "first change for the key" with "previous attr was null", and a plain
+    // =!= evaluates to NULL (dropped) when either side is null — losing
+    // transitions INTO or OUT OF a null value
     val points = changes
+      .withColumn("_rn", row_number().over(w))
       .withColumn("_prev", lag(col(attr), 1).over(w))
-      .filter(col("_prev").isNull || col("_prev") =!= col(attr))
-      .drop("_prev")
+      .filter(col("_rn") === 1 || !(col("_prev") <=> col(attr)))
+      .drop("_prev", "_rn")
     val w2 = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts), col(tieBreak))
     points
@@ -144,9 +156,22 @@ object Incremental {
     val joined = batch.join(cur, keys, "left")
       .filter(col("_cur_from").isNull || col(ts) > col("_cur_from"))
     val w = Window.partitionBy(keyCols: _*).orderBy(col(ts), col(tieBreak))
+    // the effective previous value: the key's current OPEN attr for the
+    // first surviving batch row, the lagged batch attr after that. The old
+    // coalesce(lag, _cur_attr) conflated "first row" with "lagged attr was
+    // null" (substituting the open attr mid-batch), and =!= dropped any
+    // transition touching null — both fixed by an explicit first-row marker
+    // and a null-safe compare. A brand-new key (no open interval) always
+    // opens with its first row; equality chains collapse transitively under
+    // <=>, so comparing to the immediate predecessor still equals comparing
+    // to the last kept change point.
     val points = joined
-      .withColumn("_prev", coalesce(lag(col(attr), 1).over(w), col("_cur_attr")))
-      .filter(col("_prev").isNull || col("_prev") =!= col(attr))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_prevAttr",
+        when(col("_rn") === 1, col("_cur_attr")).otherwise(lag(col(attr), 1).over(w)))
+      .withColumn("_hasPrev",
+        when(col("_rn") === 1, col("_cur_from").isNotNull).otherwise(lit(true)))
+      .filter(!col("_hasPrev") || !(col("_prevAttr") <=> col(attr)))
     val newRows = points
       .withColumn("valid_from", col(ts))
       .withColumn("valid_to", lead(col(ts), 1).over(w))
@@ -182,12 +207,14 @@ object Incremental {
       min(col(valueCol)).as("min_v"),
       max(col(tsCol)).as("last_ts"))
 
-  /** Fold two [[aggState]] frames; output schema matches its input, so
-    * folds chain indefinitely. */
+  /** Fold two [[aggState]] frames; output schema matches its input
+    * (decimal(28,4) total — [[aggState]]'s own sum type; narrowing the
+    * fold to (18,4) would silently NULL a hot key's running total at 10^14
+    * under non-ANSI cast), so folds chain indefinitely. */
   def mergeAggState(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
     a.unionByName(b).groupBy(keys.map(col): _*).agg(
       sum(col("n")).as("n"),
-      sum(col("total")).cast("decimal(18,4)").as("total"),
+      sum(col("total")).cast("decimal(28,4)").as("total"),
       max(col("max_v")).as("max_v"),
       min(col("min_v")).as("min_v"),
       max(col("last_ts")).as("last_ts"))

@@ -106,15 +106,14 @@ final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.
     def resolve(n: String): DataFrame =
       built.getOrElse(n, sources.getOrElse(n,
         throw new NoSuchElementException(s"unknown ref/source: $n")))
-    mat match {
-      case Materialization.Catalog(schemaOf) =>
-        topoOrder.map(schemaOf).distinct.foreach(db =>
-          spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
-      case Materialization.VersionedCatalog(_, schemaOf) =>
-        topoOrder.map(schemaOf).distinct.foreach(db =>
-          spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
-      case _ => ()
+    val schemaOfOpt = mat match {
+      case Materialization.Catalog(schemaOf) => Some(schemaOf)
+      case Materialization.VersionedCatalog(_, schemaOf) => Some(schemaOf)
+      case _ => None
     }
+    schemaOfOpt.foreach(schemaOf =>
+      topoOrder.map(schemaOf).distinct.foreach(db =>
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")))
     topoOrder.foreach { n =>
       val df = byName(n).build(spark, resolve)
       built(n) = mat match {
@@ -128,11 +127,21 @@ final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.
           spark.table(fqn)
         case Materialization.VersionedCatalog(root, schemaOf) =>
           val tableDir = s"$root/${schemaOf(n)}/$n"
-          val next = VersionedTable.versions(tableDir).lastOption.fold(0L)(_ + 1)
-          val path = s"$tableDir/v=$next"
-          df.write.mode("overwrite").parquet(path)
+          // stage + publish, never a direct v=<n> write: a direct write
+          // would expose the half-written directory as versions().max to a
+          // concurrent VersionedTable.read (the documented time-travel
+          // path), leave a corrupt latest version on crash, and allocate
+          // the id outside publishLock (colliding with a concurrent
+          // publish). The staged write is invisible until the atomic
+          // publish rename commits it.
+          val v = VersionedTable.publish(tableDir,
+            VersionedTable.stage(spark, tableDir, df))
+          val path = s"$tableDir/v=$v"
           // re-point the catalog name at the new version; prior versions
-          // stay readable via VersionedTable.read(tableDir, Some(v))
+          // stay readable via VersionedTable.read(tableDir, Some(v)).
+          // (DROP+CREATE is a brief catalog-name gap for concurrent
+          // spark.table readers — the session catalog has no atomic
+          // re-point; path-based VersionedTable.read never sees it.)
           val fqn = s"${schemaOf(n)}.$n"
           spark.sql(s"DROP TABLE IF EXISTS $fqn")
           spark.sql(s"CREATE TABLE $fqn USING parquet LOCATION '$path'")

@@ -51,6 +51,7 @@ object Pipeline {
     * plan (no distinct/sort) — the Spark `observe` contract. */
   def observed(df: DataFrame, metrics: (String, org.apache.spark.sql.Column)*)
       : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(metrics.nonEmpty, "observed needs at least one named metric")
     val obs = org.apache.spark.sql.Observation()
     val cols = metrics.map { case (n, c) => c.as(n) }
     (df.observe(obs, cols.head, cols.tail: _*), obs)
@@ -154,8 +155,18 @@ object Pipeline {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("id")).rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    probs.withColumn("cum", sum(col("prob")).over(w))
-      .filter(col("cum") >= u)
-      .orderBy(col("cum")).limit(1)
+    // Two inverse-CDF boundary rules np.random.choice honors that a naive
+    // `filter(cum >= u) ... limit(1)` does not: (a) fp rounding can make
+    // the final cum land just UNDER 1.0 — a draw above it must fall back
+    // to the last row, never return empty; (b) a zero-probability row
+    // shares its predecessor's cum and must never be picked. prob > 0
+    // first, then the id order makes the surviving cut deterministic.
+    val positive = probs.filter(col("prob") > 0)
+      .withColumn("cum", sum(col("prob")).over(w))
+    val hit = positive.filter(col("cum") >= u)
+      .orderBy(col("cum"), col("id")).limit(1).drop("cum")
+    if (hit.isEmpty)
+      positive.orderBy(col("cum").desc, col("id")).limit(1).drop("cum")
+    else hit
   }
 }

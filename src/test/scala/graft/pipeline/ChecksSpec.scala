@@ -27,11 +27,14 @@ class ChecksSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def sp = spark
 
-  test("unique surfaces duplicated keys with their multiplicity") {
+  test("unique surfaces duplicated keys with their multiplicity; null keys skipped (dbt)") {
     val s = sp; import s.implicits._
-    val df = Seq((1, "a"), (2, "b"), (2, "c"), (3, "d"), (2, "e"))
+    val df = Seq((Some(1), "a"), (Some(2), "b"), (Some(2), "c"), (Some(3), "d"),
+        (Some(2), "e"), (None, "f"), (None, "g"))
       .toDF("k", "v")
     val dups = Checks.unique(df, Seq("k")).collect()
+    // dbt's unique test filters `where column is not null` — the two
+    // null-key rows are not a violation (notNull is the test for those)
     assert(dups.length == 1)
     assert(dups.head.getInt(0) == 2 && dups.head.getLong(1) == 3L)
   }
@@ -45,12 +48,15 @@ class ChecksSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.toSet == Set(Set("a"), Set("a", "b")))
   }
 
-  test("acceptedValues flags out-of-set values AND nulls") {
+  test("acceptedValues flags out-of-set values; nulls pass (dbt NOT IN semantics)") {
     val s = sp; import s.implicits._
     val df = Seq(Some("F"), Some("O"), Some("P"), None).toDF("st")
     val bad = Checks.acceptedValues(df, "st", Seq("F", "O"))
       .select(coalesce(col("st"), lit("<null>"))).as[String].collect().toSet
-    assert(bad == Set("P", "<null>"))
+    // dbt compiles accepted_values to NOT IN, which is unknown for null —
+    // never a violation; a model that also wants nulls rejected declares
+    // not_null alongside, exactly as Checks composes
+    assert(bad == Set("P"))
   }
 
   test("relationships finds orphans; null fks are not orphans (dbt semantics)") {

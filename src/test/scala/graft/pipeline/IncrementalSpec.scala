@@ -194,4 +194,51 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(c(folded) === oneShot, "fold order must not change the state")
     }
   }
+
+  test("SCD2 tracks transitions into and out of NULL attr values") {
+    val s = spark
+    import s.implicits._
+    // (k, attr, ts, seq): a -> null -> a — three intervals, not one, and
+    // the null-validity span must survive (a =!= null evaluates to NULL
+    // under plain comparison, which used to silently drop the transition)
+    val log = Seq(
+      (1L, Some("a"), 10L, 0L), (1L, None, 20L, 1L), (1L, Some("a"), 30L, 2L),
+      (2L, None, 5L, 3L), (2L, None, 8L, 4L), (2L, Some("b"), 12L, 5L))
+      .toDF("k", "attr", "ts", "seq")
+    val hist = Incremental.scd2Rebuild(log, Seq("k"), "attr", "ts", "seq")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(hist == Set(
+      (1L, Some("a"), 10L, Some(20L)), (1L, None, 20L, Some(30L)),
+      (1L, Some("a"), 30L, None),
+      (2L, None, 5L, Some(12L)), (2L, Some("b"), 12L, None)),
+      s"null transitions must produce their own intervals: $hist")
+
+    // incremental face: a batch transitioning an open null interval to a
+    // value (and vice versa) must fold to the same history as the rebuild
+    val h0 = Incremental.scd2Rebuild(log.filter(col("ts") < 12),
+      Seq("k"), "attr", "ts", "seq")
+    val folded = Incremental.scd2Apply(h0, log.filter(col("ts") >= 12),
+      Seq("k"), "attr", "ts", "seq")
+    val full = Incremental.scd2Rebuild(log, Seq("k"), "attr", "ts", "seq")
+    assert(folded.exceptAll(full).isEmpty && full.exceptAll(folded).isEmpty,
+      "apply must equal rebuild on null-bearing logs")
+  }
+
+  test("upsert is replay-idempotent for null keys (null-safe merge)") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((Some(1L), "x", 1L, 0L), (None, "y", 1L, 1L))
+      .toDF("k", "v", "version", "seq")
+    val batch = Seq((Some(1L), "x2", 2L, 2L), (None, "y2", 2L, 3L))
+      .toDF("k", "v", "version", "seq")
+    val once = Incremental.upsert(base, batch, Seq("k"), "version", "seq")
+    val twice = Incremental.upsert(once, batch, Seq("k"), "version", "seq")
+    assert(once.count() == 2, "null key must MERGE, not append a duplicate")
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty,
+      "replaying the same batch must be a no-op, null keys included")
+    val nullRow = once.filter(col("k").isNull).select("v").head().getString(0)
+    assert(nullRow == "y2", "the null-key row must take the batch's value")
+  }
 }
