@@ -56,13 +56,21 @@ object Tables {
     * is never rewritten once complete, a concurrent build can never delete
     * files under a prior result's lazy scan — re-implementing this pattern
     * per query is how that race gets reintroduced. */
+  /** The deterministic scratch-artifact path for (`dir`, `name`) — the ONE
+    * spelling of the scratch-warehouse layout. [[scratchOnce]] builds under
+    * it; callers that must REWRITE each build (i10's dynamic-partition
+    * overwrite) derive their path here instead of copying the env/tag
+    * logic, so a layout change can never fork them onto a stale path. */
+  def scratchPath(dir: String, name: String): String = {
+    val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
+      s"${sys.props("java.io.tmpdir")}/graft-buckets")
+    s"$wh/${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+  }
+
   def scratchOnce(dir: String, name: String,
       done: String => Boolean = successMarkerExists)(
       write: String => Unit): String = {
-    val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
-      s"${sys.props("java.io.tmpdir")}/graft-buckets")
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"$wh/${name}_$tag"
+    val path = scratchPath(dir, name)
     scratchWriteLock.synchronized {
       if (!done(path)) write(path)
     }

@@ -383,10 +383,7 @@ object IncrementalOps extends QueryPack {
   private val i10 = GQuery(
     "i10_dynamic_partition_overwrite",
     (s, dir) => {
-      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
-        s"${sys.props("java.io.tmpdir")}/graft-buckets")
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"$wh/orders_dpo_$tag"
+      val path = graft.core.Tables.scratchPath(dir, "orders_dpo")
       val orders = t(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_year")

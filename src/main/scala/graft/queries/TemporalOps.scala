@@ -70,36 +70,48 @@ object TemporalOps extends QueryPack {
     carried.filter(col("_is_left") === 1).drop("_is_left", "_ts", "_tb")
   }
 
+  /** The t1/t4 as-of oracle, shared verbatim: the composed window form and
+    * the native operator MUST stay pinned against the same SQL — two
+    * hand-maintained copies is how a tie-break fix silently forks them. */
+  private val asofOracleSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |enriched AS (
+      |  SELECT event_id, user_id, event_type, us,
+      |    last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_us,
+      |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_value
+      |  FROM ev)
+      |SELECT event_id AS click_id, user_id, us AS click_us, view_us, view_value
+      |FROM enriched WHERE event_type = 'click'""".stripMargin
+
+  /** The t1/t4 input frames: (clicks, views) with the view payload. */
+  private def clickViewFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = micros(s, dir).filter(col("event_type").isin("click", "view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("us").as("view_us"), col("value").as("view_value"))
+    (clicks, views)
+  }
+
   // For every click, the most recent prior-or-equal view of the same user
   // (NULL when none): the canonical "latest quote for each trade" shape.
   private val t1 = GQuery(
     "t1_asof_join",
     (s, dir) => {
-      val ev = micros(s, dir).filter(col("event_type").isin("click", "view"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("us"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"), col("us"),
-          col("us").as("view_us"), col("value").as("view_value"))
+      val (clicks, views) = clickViewFrames(s, dir)
       asofJoin(clicks, views, key = "user_id", leftTs = "us", rightTs = "us",
         payload = Seq("view_us", "view_value"), tieBreak = "event_id")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("us").as("click_us"), col("view_us"), col("view_value"))
     },
-    Some("""WITH ev AS (
-           |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
-           |  FROM events WHERE event_type IN ('click', 'view')),
-           |enriched AS (
-           |  SELECT event_id, user_id, event_type, us,
-           |    last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
-           |      OVER (PARTITION BY user_id ORDER BY us, event_id
-           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_us,
-           |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
-           |      OVER (PARTITION BY user_id ORDER BY us, event_id
-           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_value
-           |  FROM ev)
-           |SELECT event_id AS click_id, user_id, us AS click_us, view_us, view_value
-           |FROM enriched WHERE event_type = 'click'""".stripMargin),
+    Some(asofOracleSql),
     doc = "As-of join: latest prior view per click, via running last() window (temporal #1).")
 
   // ---- T2: range join, bucketed ------------------------------------------------
@@ -199,32 +211,14 @@ object TemporalOps extends QueryPack {
   private val t4 = GQuery(
     "t4_asof_join_native",
     (s, dir) => {
-      val ev = micros(s, dir).filter(col("event_type").isin("click", "view"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("us"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"), col("us"),
-          col("us").as("view_us"), col("value").as("view_value"))
+      val (clicks, views) = clickViewFrames(s, dir)
       graft.plans.AsOf.join(clicks, views, key = "user_id",
         leftTs = "us", rightTs = "us",
         payload = Seq("view_us", "view_value"), tieBreak = "event_id")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("us").as("click_us"), col("view_us"), col("view_value"))
     },
-    Some("""WITH ev AS (
-           |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
-           |  FROM events WHERE event_type IN ('click', 'view')),
-           |enriched AS (
-           |  SELECT event_id, user_id, event_type, us,
-           |    last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
-           |      OVER (PARTITION BY user_id ORDER BY us, event_id
-           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_us,
-           |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
-           |      OVER (PARTITION BY user_id ORDER BY us, event_id
-           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_value
-           |  FROM ev)
-           |SELECT event_id AS click_id, user_id, us AS click_us, view_us, view_value
-           |FROM enriched WHERE event_type = 'click'""".stripMargin),
+    Some(asofOracleSql),
     doc = "As-of join via custom LogicalPlan/Strategy/SparkPlan: co-partitioned sorted merge (temporal #4).")
 
   // ---- T5: band join via the native operator ---------------------------------
@@ -481,13 +475,17 @@ object TemporalOps extends QueryPack {
   // ---- T10: calendar-dimension join (generated date spine) -------------------
   // The dbt-utils date-spine pattern: GENERATE the calendar (no seed
   // table), flag each day, and join facts onto it — the backbone of
-  // business-day and seasonality rollups. The spine is horizon-sized
-  // (366 rows here) and broadcast; day-of-week numbering is pinned
-  // explicitly (Spark's dayofweek is 1=Sunday, DuckDB's is 0=Sunday — the
-  // oracle adds 1) because silent calendar-convention drift is the classic
-  // cross-engine reporting bug. Weekend days carry zero orders in this
-  // corpus generator or not — either way both engines must agree
-  // per-dow, decimal-exact.
+  // business-day and seasonality rollups. The facts PRE-AGGREGATE to one
+  // row per day FIRST (map-side partials collapse the corpus to the
+  // horizon size), then the day table left-joins onto the spine with the
+  // tiny aggregate broadcast — the only outer-join shape a broadcast hash
+  // join can actually serve here (the preserved side of an outer join
+  // cannot be the build side, so "broadcast the spine against raw facts"
+  // would silently sort-merge the full fact table at scale). It also
+  // keeps the spine un-fanned, so day-level flags aggregate to DAY counts.
+  // Day-of-week numbering is pinned explicitly (Spark's dayofweek is
+  // 1=Sunday, DuckDB's is 0=Sunday — the oracle adds 1) because silent
+  // calendar-convention drift is the classic cross-engine reporting bug.
   private val t10 = GQuery(
     "t10_calendar_spine_join",
     (s, dir) => {
@@ -498,12 +496,16 @@ object TemporalOps extends QueryPack {
         .select(col("d"), dayofweek(col("d")).as("dow"),
           dayofweek(col("d")).isin(1, 7).cast("int").as("is_weekend"),
           (last_day(col("d")) === col("d")).cast("int").as("is_month_end"))
-      val o = t(s, dir, "orders")
+      val perDay = t(s, dir, "orders")
         .select(to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
-      broadcast(spine).join(o, col("d") === col("od"), "left")
+        .groupBy(col("od"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("tot"))
+      spine.join(broadcast(perDay), col("d") === col("od"), "left")
         .groupBy(col("dow"), col("is_weekend"))
-        .agg(count(col("od")).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+        .agg(sum(coalesce(col("n"), lit(0L))).as("n_orders"),
+          sum(coalesce(col("tot"), lit(java.math.BigDecimal.ZERO)))
+            .cast("double").as("total"),
           sum(col("is_month_end")).cast("long").as("n_month_end_days"))
     },
     Some("""WITH spine AS (
@@ -513,15 +515,18 @@ object TemporalOps extends QueryPack {
            |  SELECT d, dayofweek(d) + 1 AS dow,
            |    CAST(dayofweek(d) + 1 IN (1, 7) AS INT) AS is_weekend,
            |    CAST(last_day(d) = d AS INT) AS is_month_end
-           |  FROM spine)
-           |SELECT dow, is_weekend, count(od) AS n_orders,
-           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           |  FROM spine),
+           |perday AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS od, count(*) AS n,
+           |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+           |  FROM orders GROUP BY 1)
+           |SELECT dow, is_weekend,
+           |  CAST(sum(coalesce(n, 0)) AS BIGINT) AS n_orders,
+           |  CAST(sum(coalesce(tot, 0)) AS DOUBLE) AS total,
            |  CAST(sum(is_month_end) AS BIGINT) AS n_month_end_days
-           |FROM flags LEFT JOIN
-           |  (SELECT CAST(o_orderdate AS DATE) AS od, o_totalprice FROM orders) o
-           |  ON d = od
+           |FROM flags LEFT JOIN perday ON d = od
            |GROUP BY dow, is_weekend""".stripMargin),
-    doc = "Generated date spine + fact join: calendar conventions pinned, horizon-sized broadcast (temporal #10).")
+    doc = "Generated date spine + per-day fact aggregate: calendar conventions pinned, broadcast-able join (temporal #10).")
 
   // ---- T11: named-timezone battery -------------------------------------------
   // IANA-zone conversions pinned across engines: whole-hour offset with DST
@@ -713,9 +718,12 @@ object TemporalOps extends QueryPack {
   // session_window takes a gap EXPRESSION — each event contributes
   // [ts, ts+gap(event)) and overlapping windows merge, so the session end
   // is max(ts+gap), not last-event+constant. The oracle restates exactly
-  // that with a running max-end island scan (new session iff ts >= every
-  // prior event's window end). Same scale shape as t3: one shuffle by
-  // user, merging state bounded per key.
+  // that with a running max-end island scan: a new session starts iff ts
+  // lands STRICTLY past every prior event's window end — an event exactly
+  // AT the boundary merges (verified against Spark's session_window; the
+  // same at-boundary-merges convention as t3's `diff > gap` oracle and the
+  // streaming sessionizer's `diff <= gap`). Same scale shape as t3: one
+  // shuffle by user, merging state bounded per key.
   private val t16 = GQuery(
     "t16_session_window_dynamic_gap",
     (s, dir) =>
@@ -740,7 +748,7 @@ object TemporalOps extends QueryPack {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
            |  FROM ev),
            |fl AS (
-           |  SELECT *, CASE WHEN prev_end IS NULL OR us >= prev_end
+           |  SELECT *, CASE WHEN prev_end IS NULL OR us > prev_end
            |                 THEN 1 ELSE 0 END AS brk
            |  FROM o),
            |isl AS (
