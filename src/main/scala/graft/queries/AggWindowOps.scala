@@ -283,11 +283,14 @@ object AggWindowOps extends QueryPack {
         .orderBy(col("s_acctbal").desc, col("s_suppkey"))
       val tier1 = sup.withColumn("rn", row_number().over(w1)).filter(col("rn") <= 3)
         .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"), lit("tier1").as("tier"))
-      // Residual = complement of tier1 (left_anti); tier2 windows over it.
+      // Residual = complement of tier1 (left_anti). The global tier-2 cut
+      // is orderBy+limit — a distributed TakeOrdered (per-partition top-10
+      // then a 10-row merge), never an unpartitioned window over the whole
+      // residual table (the w4 anti-pattern the header bans); the
+      // (acctbal, suppkey) total order makes the cut deterministic.
       val resid = sup.join(tier1.select(col("s_suppkey").as("k")),
         sup("s_suppkey") === col("k"), "left_anti")
-      val w2w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
-      val tier2 = resid.withColumn("rn", row_number().over(w2w)).filter(col("rn") <= 10)
+      val tier2 = resid.orderBy(col("s_acctbal").desc, col("s_suppkey")).limit(10)
         .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"), lit("tier2").as("tier"))
       tier1.union(tier2)
     },
@@ -598,8 +601,8 @@ object AggWindowOps extends QueryPack {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
         count(lit(1)).as("n"),
-        grouping(col("l_returnflag")).as("g_flag"),
-        grouping(col("l_linestatus")).as("g_status")),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status")),
     Some("""SELECT l_returnflag, l_linestatus,
            |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            |  count(*) AS n,
@@ -696,16 +699,19 @@ object AggWindowOps extends QueryPack {
     doc = "Array battery: set ops, dedup, slice, flatten, membership, position (F7/§2.8).")
 
   // ---- ST1: tumbling-window aggregate (batch twin of the streaming path) ---------------------------
+  // THE SAME EventStream.windowedCounts plan the streaming runner
+  // incrementalizes (EventStreamSpec proves stream == batch on it) — the
+  // oracle gate and the streaming path now check one definition, so an
+  // edit to either is caught by both.
   private val st1 = GQuery(
     "st1_tumbling_window_agg",
     (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
-        .select(unix_timestamp(col("window.start")).as("win_start"),
-          col("event_type"), col("n"), col("total")),
+      graft.streaming.EventStream.windowedCounts(t(s, dir, "events"))
+        .select(unix_timestamp(col("win_start")).as("win_start"),
+          col("event_type"), col("n"), round(col("total"), 4).as("total")),
     Some("""SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
-           |  event_type, count(*) AS n, round(sum(value), 4) AS total
+           |  event_type, count(*) AS n,
+           |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
            |FROM events GROUP BY 1, 2""".stripMargin),
     doc = "5-minute tumbling window aggregate; same plan drives streaming (§2.9).")
 
@@ -1013,7 +1019,7 @@ object AggWindowOps extends QueryPack {
           quarter(col("d")).as("qtr"),
           month(col("d")).as("mo"),
           dayofmonth(col("d")).as("dom"),
-          (weekday(col("d")) + 1).as("isodow"),
+          (weekday(col("d")) + 1).cast("int").as("isodow"),
           to_date(date_trunc("month", col("d"))).as("month_start"),
           last_day(col("d")).as("month_end"),
           datediff(col("d"), lit("1995-01-01").cast("date")).as("days_since_95"),
@@ -1283,7 +1289,9 @@ object AggWindowOps extends QueryPack {
         array_join(slice(expr("regexp_extract_all(text, '\\\\b[a-z]*e\\\\b', 0)"),
           1, 5), "|").as("e_words5"),
         regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
-        regexp_extract(col("text"), "([a-z]+)$", 1).as("last_word")),
+        // \z, not $: Java's $ also matches before a trailing newline,
+        // DuckDB/RE2's $ only at end of text — \z pins the common meaning
+        regexp_extract(col("text"), "([a-z]+)\\z", 1).as("last_word")),
     Some("""SELECT doc_id,
            |  regexp_extract(text, '\b(s[a-z]+)', 1) AS first_s_word,
            |  len(text) - len(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels,
@@ -1481,10 +1489,14 @@ object AggWindowOps extends QueryPack {
     (s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "events").select(col("event_id"), col("user_id"),
-        size(collect_set(col("event_type")).over(w)).as("n_types_seen"),
-        array_join(array_sort(collect_set(col("event_type")).over(w)), "|")
-          .as("types_sig"))
+      // one collect_set evaluation: WindowExec keeps a separate running
+      // buffer per window function, so deriving both outputs from one set
+      // halves the per-partition state and per-row set updates
+      t(s, dir, "events")
+        .withColumn("_seen", collect_set(col("event_type")).over(w))
+        .select(col("event_id"), col("user_id"),
+          size(col("_seen")).as("n_types_seen"),
+          array_join(array_sort(col("_seen")), "|").as("types_sig"))
     },
     Some("""SELECT event_id, user_id,
            |  CAST(count(DISTINCT event_type) OVER w AS INT) AS n_types_seen,

@@ -31,7 +31,11 @@ object EventStream {
   def windowedCounts(events: DataFrame, watermark: Boolean = false): DataFrame = {
     val in = if (watermark) events.withWatermark("ts", "10 minutes") else events
     in.groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .agg(count(lit(1)).as("n"),
+        // decimal accumulation (the slidingCounts discipline): a raw double
+        // sum merges partials in partition order and can flip a rounding
+        // boundary run-to-run
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total"))
   }
