@@ -11,8 +11,11 @@ import graft.core.{GQuery, QueryPack, Tables}
   * Scale notes (100 TB posture):
   *   - latest-snapshot filters (S4/S5) are two-pass: a tiny aggregate that can
   *     be broadcast, then a pushable equality filter — no global sort;
-  *   - every dimension side here is broadcast explicitly (`broadcast(...)`) so
-  *     the fact scan never shuffles for the join;
+  *   - BOUNDED dimension sides are broadcast explicitly (`broadcast(...)`)
+  *     so the fact scan never shuffles for those joins; corpus-scaled sides
+  *     (customer in j3/j4/q13, the q5/j7 scaling sides) are deliberately
+  *     left to AQE, which broadcasts them while small and shuffles when
+  *     they are not — hinting those would regress the 100 TB posture;
   *   - all ranking windows are partitioned by a key (except W4, documented in
   *     [[AggWindowOps]]) so state is bounded per partition.
   */
@@ -382,16 +385,29 @@ object RelationalOps extends QueryPack {
     "j6_cross_join_constants",
     (s, dir) => {
       val o = t(s, dir, "orders")
-      val avgRow = o.agg(avg(col("o_totalprice")).as("global_avg"))
+      // decimal-exact threshold (the q22/x1 discipline): avg() over
+      // fractional doubles merges partials in partition order, and a row
+      // within an ulp of the cut could flip n_above between engines; the
+      // ratio average sums 9-digit decimal terms for the same reason
+      val avgRow = o.agg(
+        (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("global_avg"))
       o.crossJoin(broadcast(avgRow))
         .filter(col("o_totalprice") > col("global_avg"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_above"),
-          round(avg(col("o_totalprice") / col("global_avg")), 6).as("avg_ratio"))
+          round(sum(round(col("o_totalprice") / col("global_avg"), 9)
+              .cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
+            .as("avg_ratio"))
     },
-    Some("""WITH g AS (SELECT avg(o_totalprice) AS global_avg FROM orders)
+    Some("""WITH g AS (
+           |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |           / count(*) AS global_avg
+           |  FROM orders)
            |SELECT o_orderpriority, count(*) AS n_above,
-           |  round(avg(o_totalprice / global_avg), 6) AS avg_ratio
+           |  round(CAST(sum(CAST(round(o_totalprice / global_avg, 9)
+           |                      AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+           |    AS avg_ratio
            |FROM orders CROSS JOIN g
            |WHERE o_totalprice > global_avg
            |GROUP BY o_orderpriority""".stripMargin),
@@ -413,13 +429,19 @@ object RelationalOps extends QueryPack {
     * salt value — only the shuffle distribution. */
   private[graft] def saltedJoin(fact: DataFrame, dim: DataFrame,
       keys: Seq[String], salts: Int, saltBy: Seq[String]): DataFrame = {
-    val saltedFact = fact.withColumn("salt",
+    require(salts > 0, s"salts must be positive, got $salts")
+    // reserved internal name, guarded: silently overwriting (then dropping)
+    // a caller's own column of the same name would corrupt results
+    val saltCol = "__graft_salt"
+    require(!fact.columns.contains(saltCol) && !dim.columns.contains(saltCol),
+      s"inputs must not carry the reserved column '$saltCol'")
+    val saltedFact = fact.withColumn(saltCol,
       pmod(hash(saltBy.map(col): _*), lit(salts)))
-    val saltedDim = dim.withColumn("salt",
+    val saltedDim = dim.withColumn(saltCol,
       explode(expr(s"sequence(0, ${salts - 1})")))
     // hint forces the shuffled hash join (Catalyst would otherwise
     // broadcast the tiny dim and hide the salting effect being shown)
-    saltedFact.join(saltedDim.hint("shuffle_hash"), keys :+ "salt").drop("salt")
+    saltedFact.join(saltedDim.hint("shuffle_hash"), keys :+ saltCol).drop(saltCol)
   }
 
   private val x1 = GQuery(
@@ -460,17 +482,23 @@ object RelationalOps extends QueryPack {
       // (and Bench's warm reps) pay ONLY the join, which is the number x2
       // exists to demonstrate — the one-time bucket write is the amortized
       // setup cost, not part of the steady-state join time.
-      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
-        s"${sys.props("java.io.tmpdir")}/graft-buckets")
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       s.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets")
       val Buckets = 8
-      def ensure(table: String, src: String, key: String): Unit =
-        if (!s.catalog.tableExists(s"graft_buckets.$table"))
+      // both checks (the s14 discipline): with a persistent metastore the
+      // catalog entry can outlive a reclaimed scratch dir — rebuild when
+      // either is missing, or the scan fails forever on a stale entry
+      def ensure(table: String, src: String, key: String): Unit = {
+        val path = Tables.scratchPath(dir, table.stripSuffix(s"_$tag"))
+        if (!s.catalog.tableExists(s"graft_buckets.$table") ||
+            !Tables.successMarkerExists(path)) {
+          s.sql(s"DROP TABLE IF EXISTS graft_buckets.$table")
           t(s, dir, src).write.mode("overwrite")
-            .option("path", s"$wh/$table")
+            .option("path", path)
             .bucketBy(Buckets, key).sortBy(key)
             .saveAsTable(s"graft_buckets.$table")
+        }
+      }
       // first-build guarded like every scratch write: two concurrent builds
       // of the SAME dir must not race the check-then-create
       Tables.scratchWriteLock.synchronized {
@@ -501,17 +529,21 @@ object RelationalOps extends QueryPack {
     * partition-pruning demos x3 (static) and x4 (dynamic). */
   private def partitionedOrders(s: SparkSession, dir: String): String =
     Tables.scratchWriteLock.synchronized {
-      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
-        s"${sys.props("java.io.tmpdir")}/graft-buckets")
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       s.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets")
       val tbl = s"graft_buckets.orders_part_$tag"
-      if (!s.catalog.tableExists(tbl))
+      val path = Tables.scratchPath(dir, "orders_part")
+      // both checks (the s14 discipline): a catalog entry outliving a
+      // reclaimed scratch dir must trigger a rebuild, not a permanent
+      // FileNotFound on the partition scan
+      if (!s.catalog.tableExists(tbl) || !Tables.successMarkerExists(path)) {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
         t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
           .write.mode("overwrite")
-          .option("path", s"$wh/orders_part_$tag")
+          .option("path", path)
           .partitionBy("o_year")
           .saveAsTable(tbl)
+      }
       tbl
     }
 
@@ -1805,11 +1837,9 @@ object RelationalOps extends QueryPack {
   private val s14 = GQuery(
     "s14_ctas_catalog_sink",
     (s, dir) => {
-      val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
-        s"${sys.props("java.io.tmpdir")}/graft-buckets")
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val table = s"graft_ctas_orders_$tag"
-      val path = s"$wh/ctas_orders_$tag"
+      val path = Tables.scratchPath(dir, "ctas_orders")
       Tables.scratchWriteLock.synchronized {
         // both checks: with a persistent metastore a catalog entry can
         // outlive a reclaimed scratch dir — rebuild when either is missing
