@@ -75,6 +75,7 @@ object MartModels {
       col("sgp"), col("replvl"), col("sgpar"), col("value"))
     val base = hit.union(pit)
     val rosters = in("src_fangraphs_opening_day_rosters").as("rost")
+      .filter(col("playerid") =!= "") // '' spine-key guard (StageModels rule)
       .join(in("stg_mpd_player_id_map").as("ids"),
         col("rost.playerid") === col("ids.idfangraphs"))
       .filter(concat(col("rost.playerid"), col("rost.pos")) =!= "19755SP")

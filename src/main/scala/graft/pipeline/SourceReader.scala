@@ -76,10 +76,18 @@ object SourceReader {
     .withColumn("_filename", element_at(split(pathCol, "/"), -1))
     .withColumn("_loaddatetime", current_timestamp())
 
-  /** S4 latest-snapshot filter: keep rows of the max `_ptkey`. Two-phase
-    * (tiny agg broadcast + pushable equality filter) instead of a sorted scan. */
+  /** S4 latest-snapshot filter: keep rows of the newest snapshot. Two-phase
+    * (tiny agg broadcast + pushable equality filter) instead of a sorted
+    * scan. Ordering runs over a ZERO-PADDED derivation of the path
+    * components, never the raw `_ptkey`: the reference-parity `_ptkey`
+    * concatenates unpadded month/day, so a lexicographic max would pick
+    * '202655' (May 5) over '2026510' (May 10) — silently serving a stale
+    * snapshot from the 10th of any month on. `_ptkey` values themselves are
+    * untouched (parity). */
   def latestSnapshot(df: DataFrame): DataFrame = {
-    val maxKey = df.agg(max(col("_ptkey")).as("_max_ptkey"))
-    df.join(broadcast(maxKey), col("_ptkey") === col("_max_ptkey")).drop("_max_ptkey")
+    val ord = concat(lpad(col("year"), 4, "0"),
+      lpad(col("month"), 2, "0"), lpad(col("day"), 2, "0"))
+    val maxKey = df.agg(max(ord).as("_max_ptord"))
+    df.join(broadcast(maxKey), ord === col("_max_ptord")).drop("_max_ptord")
   }
 }

@@ -21,8 +21,11 @@ object StageModels {
         col("underdog") =!= "" || col("razzballid") =!= "" || col("bpid") =!= "")
       .select(
         players("id"),
-        concat(element_at(split(col("players"), ", "), 2), lit(" "),
-          element_at(split(col("players"), ", "), 1)).as("name"),
+        // try_element_at: one malformed name without ", " must yield a
+        // null name (the reference's Presto element_at semantics), not
+        // abort the DAG with ANSI INVALID_ARRAY_INDEX
+        concat(expr("try_element_at(split(players, ', '), 2)"), lit(" "),
+          expr("try_element_at(split(players, ', '), 1)")).as("name"),
         players("team"), players("pos"),
         col("mlbid"), col("idfangraphs"), col("underdog"), col("razzballid"), col("bpid"))
       .distinct()
@@ -36,11 +39,18 @@ object StageModels {
   private def hittingPerPa(src: DataFrame, ids: DataFrame, joinCol: String,
       suffix: String): DataFrame = {
     val pa = col("pa").cast("double")
-    val stats = hitStats.map(c => (col(c).cast("double") / pa).as(c)) ++
+    // nullif-style zero guard (the P8 discipline sgpFactors already uses):
+    // a 0-PA row must rate as null, not abort the model under ANSI
+    // DIVIDE_BY_ZERO
+    val paSafe = when(pa =!= 0.0, pa)
+    val stats = hitStats.map(c => (col(c).cast("double") / paSafe).as(c)) ++
       hitRates.map(c => col(c).cast("double").as(c)) ++
-      Seq((col("bb").cast("double") / pa).as("bb_r"),
-        (col("hbp").cast("double") / pa).as("hbp_r"))
-    src.join(ids, src(joinCol) === ids(if (joinCol == "razzid") "razzballid" else "idfangraphs"))
+      Seq((col("bb").cast("double") / paSafe).as("bb_r"),
+        (col("hbp").cast("double") / paSafe).as("hbp_r"))
+    // the id spine keeps '' for vendors a player lacks; an empty-keyed
+    // source row must never equi-join the whole ''-keyed spine slice
+    src.filter(src(joinCol) =!= "")
+      .join(ids, src(joinCol) === ids(if (joinCol == "razzid") "razzballid" else "idfangraphs"))
       .select(Seq(ids("id"), ids("name"), ids("team"),
         regexp_replace(col("_filename"), suffix + "$", "").as("proj_system"),
         pa.as("pa")) ++ stats: _*)
@@ -65,22 +75,24 @@ object StageModels {
   private def pitchingPerIp(src: DataFrame, ids: DataFrame, joinCol: String,
       kCol: String, hasPer9: Boolean): DataFrame = {
     val ip = col("ip").cast("double")
+    val ipSafe = when(ip =!= 0.0, ip) // zero-IP guard, same as hittingPerPa
     val per9 =
       if (hasPer9) Seq(col("k_per_9").cast("double").as("k_per_9"),
         col("bb_per_9").cast("double").as("bb_per_9"))
-      else Seq((col(kCol).cast("double") / ip * 9).as("k_per_9"),
-        (col("bb").cast("double") / ip * 9).as("bb_per_9"))
-    src.join(ids, src(joinCol) === ids(if (joinCol == "razzid") "razzballid" else "idfangraphs"))
+      else Seq((col(kCol).cast("double") / ipSafe * 9).as("k_per_9"),
+        (col("bb").cast("double") / ipSafe * 9).as("bb_per_9"))
+    src.filter(src(joinCol) =!= "") // '' spine-key guard, same as hittingPerPa
+      .join(ids, src(joinCol) === ids(if (joinCol == "razzid") "razzballid" else "idfangraphs"))
       .select(Seq(ids("id"), ids("name"), ids("team"),
         regexp_replace(col("_filename"), "-pitch\\.csv$", "").as("proj_system"),
         ip.as("ip"),
-        (col("er").cast("double") / ip).as("er_r"),
-        (col("h").cast("double") / ip).as("h_r"),
-        (col("bb").cast("double") / ip).as("bb_r"),
-        (col("w").cast("double") / ip).as("w_r"),
-        (col("qs").cast("double") / ip).as("qs_r"),
-        (col(kCol).cast("double") / ip).as("k_r"),
-        (col("sv").cast("double") / ip).as("sv_r"),
+        (col("er").cast("double") / ipSafe).as("er_r"),
+        (col("h").cast("double") / ipSafe).as("h_r"),
+        (col("bb").cast("double") / ipSafe).as("bb_r"),
+        (col("w").cast("double") / ipSafe).as("w_r"),
+        (col("qs").cast("double") / ipSafe).as("qs_r"),
+        (col(kCol).cast("double") / ipSafe).as("k_r"),
+        (col("sv").cast("double") / ipSafe).as("sv_r"),
         col("era").cast("double").as("era"),
         col("whip").cast("double").as("whip")) ++ per9: _*)
       .withColumnRenamed("er_r", "er").withColumnRenamed("h_r", "h")
@@ -105,8 +117,12 @@ object StageModels {
     * per-(file, league) category ranking windows (W1; ERA/WHIP ascend). */
   val rankedStandings: Model = Model("stg_nfbc_ranked_standings",
     Seq("src_nfbc_standings"))((_, in) => {
+    // team appended as the tiebreaker: tied stat values are real (two
+    // teams can share a win count), and row_number over a tie would
+    // otherwise assign ranks by shuffle arrival order — nondeterministic
+    // under the golden-digest gate
     def w(c: org.apache.spark.sql.Column) =
-      Window.partitionBy(col("_filename"), col("league")).orderBy(c)
+      Window.partitionBy(col("_filename"), col("league")).orderBy(c, col("team"))
     in("src_nfbc_standings").select(
       col("rank"), col("team"), col("owners"), col("league"),
       col("points").cast("double").as("points"),

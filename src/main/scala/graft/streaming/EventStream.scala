@@ -60,12 +60,17 @@ object EventStream {
   def fromFileSource(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
-  /** Start the windowed aggregation into an in-memory sink (tests/serving). */
+  /** Start the windowed aggregation into an in-memory sink (tests/serving).
+    * COMPLETE mode: the memory sink replaces the table each trigger, so a
+    * window spanning several micro-batches appears once with its final
+    * counts — Update mode would APPEND each batch's revision and a reader
+    * summing the table would double-count (state is unbounded by the
+    * watermark in complete mode; fine for the bounded corpora this serves). */
   def startWindowed(events: DataFrame, queryName: String): StreamingQuery =
     windowedCounts(events, watermark = true).writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode(OutputMode.Update())
+      .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
       .start()
 
@@ -270,15 +275,17 @@ object EventStream {
 
   /** `foreachBatch` merge sink: each micro-batch upserts into a versioned
     * parquet table via [[graft.pipeline.Incremental.upsert]] — the streaming
-    * face of the dbt incremental materialization. Plain parquet cannot be
-    * overwritten while being read, so each merge lands a NEW version dir
-    * `v=<batchId>` built from the latest version < batchId; a retried batch
-    * deterministically rebuilds its own version from the same predecessor
-    * (idempotent), and readers always see a complete version. This is the
-    * manual core of what a transactional table format does with a commit
-    * log; at 100 TB the version list would live in a metastore, not a
-    * directory listing.
-    */
+    * face of the dbt incremental materialization. Each merge STAGES the new
+    * state and publishes it with the atomic WAP rename, tagged with the
+    * batch id ([[graft.pipeline.VersionedTable.writeAuditPublish]]): a
+    * direct `v=<n>` write would expose the half-written directory as the
+    * newest version to a concurrent [[latestVersion]] reader and leave a
+    * corrupt latest on crash. The riding `_batch-<id>` marker makes
+    * replays idempotent — a re-offered batch after a crash between publish
+    * and checkpoint commit is skipped, never re-merged. This is the manual
+    * core of what a transactional table format does with a commit log; at
+    * 100 TB the version list would live in a metastore, not a directory
+    * listing. */
   def startUpsertToParquet(events: DataFrame, tableDir: String,
       checkpoint: String, keys: Seq[String] = Seq("user_id")): StreamingQuery =
     events.withWatermark("ts", "10 minutes").writeStream
@@ -286,14 +293,17 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val versions = graft.pipeline.VersionedTable.versions(tableDir)
-          .filter(_ < batchId)
-        val base =
-          if (versions.isEmpty) batch.limit(0)
-          else spark.read.parquet(s"$tableDir/v=${versions.max}")
-        graft.pipeline.Incremental
-          .upsert(base, batch.toDF(), keys, "ts", "event_id")
-          .write.mode("overwrite").parquet(s"$tableDir/v=$batchId")
+        val vt = graft.pipeline.VersionedTable
+        if (!vt.publishedBatchIds(tableDir).contains(batchId.toString)) {
+          val versions = vt.versions(tableDir)
+          val base =
+            if (versions.isEmpty) batch.limit(0)
+            else spark.read.parquet(s"$tableDir/v=${versions.max}")
+          val merged = graft.pipeline.Incremental
+            .upsert(base, batch.toDF(), keys, "ts", "event_id")
+          vt.writeAuditPublish(spark, tableDir, merged,
+            batchId = Some(batchId.toString))(_ => Nil): Unit
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -312,18 +322,23 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val versions = graft.pipeline.VersionedTable.versions(tableDir)
-          .filter(_ < batchId)
-        val changes = batch.toDF().select(col("user_id"), col(attr), col("ts"),
-          col("event_id"))
-        val history =
-          if (versions.isEmpty)
-            graft.pipeline.Incremental.scd2Rebuild(changes.limit(0),
-              Seq("user_id"), attr, "ts", "event_id")
-          else spark.read.parquet(s"$tableDir/v=${versions.max}")
-        graft.pipeline.Incremental
-          .scd2Apply(history, changes, Seq("user_id"), attr, "ts", "event_id")
-          .write.mode("overwrite").parquet(s"$tableDir/v=$batchId")
+        val vt = graft.pipeline.VersionedTable
+        // same staged-publish + batch-marker protocol as the upsert sink:
+        // no reader ever observes a partial version, replays skip
+        if (!vt.publishedBatchIds(tableDir).contains(batchId.toString)) {
+          val versions = vt.versions(tableDir)
+          val changes = batch.toDF().select(col("user_id"), col(attr), col("ts"),
+            col("event_id"))
+          val history =
+            if (versions.isEmpty)
+              graft.pipeline.Incremental.scd2Rebuild(changes.limit(0),
+                Seq("user_id"), attr, "ts", "event_id")
+            else spark.read.parquet(s"$tableDir/v=${versions.max}")
+          val next = graft.pipeline.Incremental
+            .scd2Apply(history, changes, Seq("user_id"), attr, "ts", "event_id")
+          vt.writeAuditPublish(spark, tableDir, next,
+            batchId = Some(batchId.toString))(_ => Nil): Unit
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -406,19 +421,27 @@ object EventStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(userId, s.start, s.lastSeen, s.nEvents, s.total))
+            Iterator.single(SessionOut(userId, s.start / 1000, s.lastSeen / 1000,
+              s.nEvents, s.total))
           } else {
-            val events = batch.toSeq.sortBy(_.ts.getTime)
+            // (ts, event_id) sort — ts alone leaves tied rows in shuffle
+            // order and the double total would fold nondeterministically;
+            // state keeps MILLISECOND timestamps (truncating to seconds
+            // before the gap compare would merge sessions the native
+            // session_window twin splits on sub-second feeds); emitted
+            // bounds stay epoch seconds
+            val events = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             events.foreach { e =>
-              val t = e.ts.getTime / 1000
+              val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.lastSeen <= gapSeconds =>
+                case Some(s) if t - s.lastSeen <= gapSeconds * 1000 =>
                   cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
                     total = s.total + e.value))
                 case Some(s) =>
-                  closed ::= SessionOut(userId, s.start, s.lastSeen, s.nEvents, s.total)
+                  closed ::= SessionOut(userId, s.start / 1000, s.lastSeen / 1000,
+                    s.nEvents, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -426,7 +449,7 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastSeen * 1000 + gapSeconds * 1000)
+              state.setTimeoutTimestamp(s.lastSeen + gapSeconds * 1000)
             }
             closed.reverseIterator
           }
@@ -466,9 +489,15 @@ object EventStream {
         if (profile.exists()) profile.get()
         else UserProfileState(0L, 0L, Long.MinValue)
       rows.foreach { e =>
+        // decimal(18,4) HALF_UP scaling, matching the batch face
+        // userProfile exactly: math.round rounds toward +infinity, which
+        // differs from the decimal cast on negative midpoints (-0.00005)
+        val scaled = java.math.BigDecimal.valueOf(e.value)
+          .setScale(4, java.math.RoundingMode.HALF_UP)
+          .movePointRight(4).longValueExact()
         st = UserProfileState(
           st.n_events + 1,
-          st.total_scaled + math.round(e.value * 10000.0),
+          st.total_scaled + scaled,
           math.max(st.last_seen, e.ts.getTime / 1000))
       }
       profile.update(st)
@@ -503,13 +532,14 @@ object EventStream {
       var closed = List.empty[SessionOut]
       var cur = if (sess.exists()) Some(sess.get()) else None
       events.foreach { e =>
-        val t = e.ts.getTime / 1000
+        val t = e.ts.getTime // millis — same gap discipline as sessionize
         cur match {
-          case Some(st) if t - st.lastSeen <= gapSeconds =>
+          case Some(st) if t - st.lastSeen <= gapSeconds * 1000 =>
             cur = Some(st.copy(lastSeen = t, nEvents = st.nEvents + 1,
               total = st.total + e.value))
           case Some(st) =>
-            closed ::= SessionOut(key, st.start, st.lastSeen, st.nEvents, st.total)
+            closed ::= SessionOut(key, st.start / 1000, st.lastSeen / 1000,
+              st.nEvents, st.total)
             cur = Some(SessionState(t, t, 1, e.value))
           case None =>
             cur = Some(SessionState(t, t, 1, e.value))
@@ -521,7 +551,7 @@ object EventStream {
         // API keeps every registered timer, unlike GroupState's single
         // timeout)
         getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts))
-        getHandle.registerTimer(st.lastSeen * 1000 + gapSeconds * 1000)
+        getHandle.registerTimer(st.lastSeen + gapSeconds * 1000)
       }
       closed.reverseIterator
     }
@@ -532,7 +562,8 @@ object EventStream {
       if (sess.exists()) {
         val st = sess.get()
         sess.clear()
-        Iterator.single(SessionOut(key, st.start, st.lastSeen, st.nEvents, st.total))
+        Iterator.single(SessionOut(key, st.start / 1000, st.lastSeen / 1000,
+          st.nEvents, st.total))
       } else Iterator.empty
   }
 

@@ -270,7 +270,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     "stg_fg_proj_preseason_hitting_per_pa" -> "213ce43dd9179e8093ba21b64f6c9c4e",
     "stg_fg_proj_preseason_pitching_per_ip" -> "71d8e91efe7bb99403f0a7d5bc960f4c",
     "stg_mpd_player_id_map" -> "67ab260daf200db9928d817b200441cf",
-    "stg_nfbc_ranked_standings" -> "643f2b2ea634cbeb6e72b6083207c23a",
+    "stg_nfbc_ranked_standings" -> "b92f615769bef9a1989a8481fefd626b",
     "stg_nfbc_sgp_factors" -> "2e388e2275d46c766e4686940eab97e5",
     "stg_nfbc_sgp_inputs" -> "5304425ddbac28ad46930346a76fb902",
     "stg_proj_preseason_hitting_agg" -> "0e9316fa29715008b0f273a76d53a16d",
