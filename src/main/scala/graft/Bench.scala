@@ -39,10 +39,14 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      // queries may cache intermediates; drop them so reps measure the
-      // full pipeline and later queries aren't slowed by eviction thrash
+      // the measured window ends BEFORE cache teardown — unpersisting a
+      // query's intermediates is bench bookkeeping, not query work, and
+      // its size-dependent cost would feed noise into the 2x detector
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // queries may cache intermediates; drop them so later queries
+      // aren't slowed by eviction thrash
       spark.catalog.clearCache()
-      if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      if (ok) Some(elapsed) else None
     }
 
   private def median(xs: Seq[Double]): Double =
@@ -101,8 +105,14 @@ object Bench {
       .mkString("[", ",", "]")
     val reruns = adjudicated.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // partially-failing queries: some reps failed but at least one passed —
+    // a median over the survivors would otherwise look healthy and the
+    // breakage would live only in uncaptured stderr
+    val flaky = firstPass.collect {
+      case (k, ss) if ss.nonEmpty && ss.size < Reps => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val total = adjudicated.collect { case (_, v, _) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reruns":$reruns,"reps":$Reps,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"reruns":$reruns,"reps":$Reps,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line to a file: the driver captures only the
     // stdout TAIL, which has truncated past rounds' per-query entries —

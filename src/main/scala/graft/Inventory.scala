@@ -20,7 +20,12 @@ object Inventory {
     sb.append("Regenerate: `sbt \"runMain graft.Inventory\"`.\n")
     groups.foreach { case (prefix, qs) =>
       sb.append(s"\n## ${prefix.toUpperCase}-series\n\n")
-      qs.sortBy(_.name).foreach { q =>
+      // numeric series order (a2 before a10), not lexicographic
+      qs.sortBy { q =>
+        val m = "^([a-z]+)([0-9]+)".r.findFirstMatchIn(q.name)
+        (m.map(_.group(1)).getOrElse(q.name),
+          m.map(_.group(2).toInt).getOrElse(0), q.name)
+      }.foreach { q =>
         val gate = if (q.oracle.isDefined) "oracle" else "rows-only"
         sb.append(s"- `${q.name}` [$gate] — ${q.doc}\n")
       }

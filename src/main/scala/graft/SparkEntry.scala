@@ -22,12 +22,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("a1_groupby_aggregates")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(q => q.name -> q.run).toMap
+  /** One entry per implemented operator from SURVEY.md §2. The uniqueness
+    * guard makes a duplicate registration a loud failure — toMap's
+    * last-wins would otherwise silently shadow one implementation while
+    * Inventory still lists both. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val m = registry.map(q => q.name -> q.run).toMap
+    require(m.size == registry.size, {
+      val dups = registry.groupBy(_.name).filter(_._2.size > 1).keys
+      s"duplicate query names in the registry: ${dups.mkString(", ")}"
+    })
+    m
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  val oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -32,10 +32,17 @@ final class SourceModels(dataRoot: String,
       case "latest" => latestSnapshot(withPathMeta(raw))
       case "per_file" =>
         // newest snapshot PER FILE via rank() so differently-dated format
-        // files all survive (S5/W2 — reference src_nfbc_adp.sql)
-        val w = Window.partitionBy(col("_filename")).orderBy(col("_ptkey").desc)
+        // files all survive (S5/W2 — reference src_nfbc_adp.sql). Ordering
+        // runs over the ZERO-PADDED path components, not the raw _ptkey:
+        // the unpadded parity key ranks '202629' (Feb 9) above '2026210'
+        // (Feb 10) lexicographically — the same latent staleness
+        // latestSnapshot guards against. The helper rank is dropped — it
+        // is an implementation detail, not part of the source schema.
+        val ord = concat(lpad(col("year"), 4, "0"),
+          lpad(col("month"), 2, "0"), lpad(col("day"), 2, "0"))
+        val w = Window.partitionBy(col("_filename")).orderBy(ord.desc)
         withPathMeta(raw).withColumn("_rnk", rank().over(w))
-          .filter(col("_rnk") === 1)
+          .filter(col("_rnk") === 1).drop("_rnk")
       case "none" => withPathMeta(raw) // keep ALL history (S6 — standings)
     }
   }

@@ -261,7 +261,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     "src_fangraphs_projections_preseason_hitting" -> "609d4c9cab47b24f70a9c954030e4776",
     "src_fangraphs_projections_preseason_pitching" -> "46334b97bd1942e4b6ce4ed075ffe410",
     "src_mpd_player_id_map" -> "6671f8dd911d4370e42fa53d2b14aad5",
-    "src_nfbc_adp" -> "cc9fdc8e48d771c8f31fbde29bbee0ee",
+    "src_nfbc_adp" -> "cd42f76eee1327c546ff7b57705cdd56",
     "src_nfbc_players" -> "d716aa531c849efe960c7c7341300e75",
     "src_nfbc_standings" -> "4f5f3bad7953390a8047e66b8152ff9a",
     "src_razzball_projections_preseason_hitting" -> "a9fa94ca16560e8c14bcda498c91e075",
