@@ -1968,10 +1968,44 @@ object AggWindowOps extends QueryPack {
            |FROM documents""".stripMargin),
     doc = "URL battery: parse_url part extraction + encode/decode round trip (F27/§2.8).")
 
+  // ---- F33: VARIANT semi-structured battery (Spark 4 open type) -------------
+  // The modern semi-structured path: parse JSON text ONCE into Spark 4's
+  // binary VARIANT encoding, then take several TYPED extractions from the
+  // parsed value — at 100 TB this beats per-field get_json_object calls
+  // (each re-parses the text) the way shredded storage beats string
+  // columns; every extraction is a codegen'd path walk over the binary
+  // form, map-only. The battery pins: top-level typed get, nested
+  // object/array paths over a constructed document, the try_ null-out on
+  // a missing path (ANSI variant_get would error), and a string-typed
+  // cast — each against the oracle's arithmetic ground truth, so the
+  // VALUES are checked engine-independently (DuckDB has no variant; it
+  // derives the same numbers from the JSON source directly).
+  private val f33 = GQuery(
+    "f33_variant_shred",
+    (s, dir) => {
+      val ev = t(s, dir, "events").filter(col("event_id") < 2000)
+        .withColumn("k", expr("variant_get(parse_json(props), '$.k', 'int')"))
+      ev.withColumn("v", expr("parse_json(" +
+          "concat('{\"arr\": [1, ', k * 2, '], \"obj\": {\"d\": ', k * 3, '}}'))"))
+        .select(col("event_id"), col("k"),
+          expr("variant_get(v, '$.arr[1]', 'long')").as("arr1"),
+          expr("variant_get(v, '$.obj.d', 'long')").as("obj_d"),
+          expr("try_variant_get(v, '$.obj.missing', 'long')").as("missing"),
+          expr("variant_get(v, '$.arr[0]', 'string')").as("one_str"))
+    },
+    Some("""SELECT event_id,
+           |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           |  CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS arr1,
+           |  CAST(json_extract_string(props, '$.k') AS BIGINT) * 3 AS obj_d,
+           |  CAST(NULL AS BIGINT) AS missing,
+           |  '1' AS one_str
+           |FROM events WHERE event_id < 2000""".stripMargin),
+    doc = "VARIANT battery: parse once, typed nested/array extraction, try_ null-out (F33/§2.8, Spark 4 open type).")
+
   override val all: Seq[GQuery] =
     Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a11, a12, a13, a14, a15, a16, a17, a18,
       w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7, u8, u9,
       f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16, f17, f18,
-      f19, f20, f21, f27, f28, f29, f30, f31, f32,
+      f19, f20, f21, f27, f28, f29, f30, f31, f32, f33,
       st1, st2, st3, st4, st5, st6, st7)
 }

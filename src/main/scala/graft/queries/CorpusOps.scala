@@ -905,6 +905,50 @@ object CorpusOps extends QueryPack {
     }.mkString("\nUNION ALL\n")),
     doc = "One-pass column profiling: nulls/distincts/min/max/byte widths for every column in a single Expand aggregate (corpus QA).")
 
+  // ---- D53: robust per-source outlier gate (median/MAD) ----------------------
+  // The length-anomaly screen a curation pipeline runs per source: a mean/
+  // stddev z-score is itself dragged by the outliers it hunts, so the
+  // robust form uses the MEDIAN and the Median Absolute Deviation —
+  // |x - med| > 3 * 1.4826 * MAD (1.4826 scales MAD to sigma under
+  // normality). Two grouped exact-percentile aggregates (per-source state,
+  // never global) with the tiny per-source stats broadcast back between
+  // them — at corpus scale each pass is one shuffle by source. Exact
+  // interpolated percentile is cross-engine gateable (the a21 precedent):
+  // integer inputs make every median a representable half, the per-row
+  // deviation arithmetic is bit-identical IEEE, and the counts are ints —
+  // no rounding anywhere.
+  private val d53 = GQuery(
+    "d53_mad_outlier_gate",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val med = d.groupBy(col("source"))
+        .agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val withDev = d.join(broadcast(med), Seq("source"))
+        .withColumn("dev", abs(col("n_chars").cast("double") - col("med")))
+      val mad = withDev.groupBy(col("source"))
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      withDev.join(broadcast(mad), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          min(col("med")).as("med"), min(col("mad")).as("mad"),
+          sum((col("dev") > lit(3.0) * lit(1.4826) * col("mad")).cast("long"))
+            .as("n_outliers"))
+    },
+    Some("""WITH med AS (
+           |  SELECT source, median(n_chars) AS med FROM documents GROUP BY 1),
+           |dev AS (
+           |  SELECT d.source, abs(CAST(d.n_chars AS DOUBLE) - m.med) AS dev, m.med
+           |  FROM documents d JOIN med m USING (source)),
+           |mad AS (SELECT source, median(dev) AS mad FROM dev GROUP BY 1)
+           |SELECT dev.source, count(*) AS n,
+           |  min(dev.med) AS med, min(mad.mad) AS mad,
+           |  CAST(sum(CAST(dev.dev > 3.0 * 1.4826 * mad.mad AS INT)) AS BIGINT)
+           |    AS n_outliers
+           |FROM dev JOIN mad USING (source)
+           |GROUP BY dev.source""".stripMargin),
+    doc = "Robust outlier gate: per-source median/MAD screen, |x-med| > 3*1.4826*MAD (corpus QA #2).")
+
   override val all: Seq[GQuery] =
-    Seq(d12, d13, d14, d15, d16, d17, d18, d19, d35, d36, d38, d40, d42, d44, d52)
+    Seq(d12, d13, d14, d15, d16, d17, d18, d19, d35, d36, d38, d40, d42, d44,
+      d52, d53)
 }
