@@ -1644,8 +1644,56 @@ object TextOps extends QueryPack {
             |FROM runs GROUP BY 1, 2""".stripMargin),
     doc = "Shared-span evidence: longest contiguous shingle run per near-dup pair via the diagonal trick (dedup #8).")
 
+  // ---- D54: tokenizer vocabulary coverage / OOV rate --------------------------
+  // The acceptance test every tokenizer swap runs before a training
+  // launch: with a FIXED vocabulary (here: the corpus top-500 by
+  // frequency, deterministically tie-broken — a stand-in for a shipped
+  // tokenizer's vocab file), what fraction of each document's tokens are
+  // out-of-vocabulary, and what corpus-level coverage does the vocab buy?
+  // Scale shape: the vocab is bounded by construction (broadcast), the
+  // membership test is a broadcast LEFT SEMI-style join flag on the token
+  // stream (no shuffle of the corpus), and the per-doc/per-corpus rates
+  // are one hash aggregate — exact integer counts; the single
+  // rate division is two exact ints into one IEEE double, gateable
+  // unrounded.
+  private val d54 = GQuery(
+    "d54_oov_rate",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), explode(words(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("tok")).limit(500)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+          countDistinct(when(col("in_vocab").isNull, col("tok"))).as("n_oov_types"),
+          (sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).cast("double")
+            / count(lit(1))).as("oov_rate"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |t2 AS (SELECT * FROM toks WHERE tok <> ''),
+           |vocab AS (
+           |  SELECT tok FROM (
+           |    SELECT tok, count(*) AS tf FROM t2 GROUP BY tok
+           |    ORDER BY tf DESC, tok LIMIT 500) v),
+           |flagged AS (
+           |  SELECT t2.source, t2.tok,
+           |    CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END AS oov
+           |  FROM t2 LEFT JOIN vocab ON t2.tok = vocab.tok)
+           |SELECT source, count(*) AS n_tokens,
+           |  CAST(sum(oov) AS BIGINT) AS n_oov,
+           |  count(DISTINCT CASE WHEN oov = 1 THEN tok END) AS n_oov_types,
+           |  CAST(CAST(sum(oov) AS BIGINT) AS DOUBLE) / count(*) AS oov_rate
+           |FROM flagged GROUP BY source""".stripMargin),
+    doc = "Tokenizer-vocab OOV screen: top-500 vocab coverage per source, exact counts + one-division rate (text #23).")
+
   override val all: Seq[GQuery] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26,
       d27, d28, d29, d30, d31, d32, d33, d34, d37, d41, d45, d46, d47, d48, d49,
-      d50, d51)
+      d50, d51, d54)
 }
