@@ -86,6 +86,53 @@ object HiddenPartitioning {
     }
   }
 
+  /** `year(ts)`: the coarsest calendar grain (int year). */
+  final case class YearT(source: String) extends Transform {
+    val partCol = s"_p_year_$source"
+    def writeExpr: Column = year(col(source))
+    def monotonic = true
+    def litExpr(l: Expression): Expression =
+      org.apache.spark.sql.catalyst.expressions.Year(
+        Cast(l, DateType, Some(SQLConf.get.sessionLocalTimeZone)))
+    private[HiddenPartitioning] def describe(n: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+      n.put("kind", "year"); n.put("source", source): Unit
+    }
+  }
+
+  /** `month(ts)`: partition by month-start date (calendar month grain). */
+  final case class MonthT(source: String) extends Transform {
+    val partCol = s"_p_month_$source"
+    def writeExpr: Column = trunc(to_date(col(source)), "month")
+    def monotonic = true
+    def litExpr(l: Expression): Expression =
+      org.apache.spark.sql.catalyst.expressions.TruncDate(
+        Cast(l, DateType, Some(SQLConf.get.sessionLocalTimeZone)),
+        Literal("month"))
+    private[HiddenPartitioning] def describe(n: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+      n.put("kind", "month"); n.put("source", source): Unit
+    }
+  }
+
+  /** `hour(ts)`: hours since epoch (exact integer floor-division — the
+    * pmod form matches floor for any sign, and the value is a clean long
+    * directory name rather than a timestamp). */
+  final case class HourT(source: String) extends Transform {
+    val partCol = s"_p_hour_$source"
+    def writeExpr: Column = expr(
+      s"(cast($source AS LONG) - pmod(cast($source AS LONG), 3600L)) div 3600L")
+    def monotonic = true
+    def litExpr(l: Expression): Expression = {
+      import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Subtract => CSub}
+      val secs = Cast(l, org.apache.spark.sql.types.LongType)
+      // (secs - pmod(secs, 3600)) is exactly divisible, so integral
+      // division equals the floor the write side computes
+      IntegralDivide(CSub(secs, Pmod(secs, Literal(3600L))), Literal(3600L))
+    }
+    private[HiddenPartitioning] def describe(n: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+      n.put("kind", "hour"); n.put("source", source): Unit
+    }
+  }
+
   /** `bucket(n, c)`: partition by `pmod(hash(c), n)` — hash distribution
     * for high-cardinality keys. Equality/IN predicates only. */
   final case class BucketT(n: Int, source: String) extends Transform {
@@ -202,6 +249,9 @@ object HiddenPartitioning {
           t.get("kind").asText() match {
             case "identity" => IdentityT(src)
             case "day" => DayT(src)
+            case "year" => YearT(src)
+            case "month" => MonthT(src)
+            case "hour" => HourT(src)
             case "bucket" => BucketT(t.get("n").asInt(), src)
             case "truncate" => TruncateT(t.get("width").asInt(), src)
             case k => throw new IllegalArgumentException(s"unknown transform kind '$k'")

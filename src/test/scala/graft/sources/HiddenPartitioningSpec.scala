@@ -157,6 +157,33 @@ class HiddenPartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pq.count() == 20)
   }
 
+  test("calendar-grain transforms (year/month/hour) derive ranges and prune") {
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val path = java.nio.file.Files.createTempDirectory("graft-hp-cal").toString
+    HiddenPartitioning.write(ev, path, Seq(
+      HiddenPartitioning.MonthT("ts"), HiddenPartitioning.HourT("ts")))
+    val (_, filesAll) = scanOf(HiddenPartitioning.read(spark, path))
+
+    // an hour-grain slice: raw-ts range predicates must reach the hour
+    // partitions (the January corpus spans ~720 hour partitions)
+    val q = HiddenPartitioning.read(spark, path)
+      .filter(col("ts") >= "2024-01-05" && col("ts") < "2024-01-06")
+    val (scan, files) = scanOf(q)
+    assert(scan.partitionFilters.nonEmpty, "month+hour ranges must derive")
+    assert(files < filesAll, s"calendar pruning must skip files ($files vs $filesAll)")
+    val want = ev.filter(col("ts") >= "2024-01-05" && col("ts") < "2024-01-06").count()
+    assert(q.count() == want, "pruned rows must equal the raw filter")
+
+    // year transform: equality on a ts literal derives the int year
+    val py = java.nio.file.Files.createTempDirectory("graft-hp-year").toString
+    HiddenPartitioning.write(ev, py, Seq(HiddenPartitioning.YearT("ts")))
+    val qy = HiddenPartitioning.read(spark, py)
+      .filter(col("ts") >= "2024-01-10")
+    val (scanY, _) = scanOf(qy)
+    assert(scanY.partitionFilters.nonEmpty, "year range must derive")
+    assert(qy.count() == ev.filter(col("ts") >= "2024-01-10").count())
+  }
+
   test("spec file is the commit marker and round-trips every transform kind") {
     val s = spark
     import s.implicits._
@@ -166,7 +193,9 @@ class HiddenPartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!HiddenPartitioning.exists(path))
     val transforms = Seq(
       HiddenPartitioning.DayT("ts"), HiddenPartitioning.BucketT(4, "k"),
-      HiddenPartitioning.TruncateT(1, "c"), HiddenPartitioning.IdentityT("k"))
+      HiddenPartitioning.TruncateT(1, "c"), HiddenPartitioning.IdentityT("k"),
+      HiddenPartitioning.YearT("ts"), HiddenPartitioning.MonthT("ts"),
+      HiddenPartitioning.HourT("ts"))
     HiddenPartitioning.write(df, path, transforms)
     assert(HiddenPartitioning.exists(path))
     assert(HiddenPartitioning.spec(spark, path).get == transforms,
