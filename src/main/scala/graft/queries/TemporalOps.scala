@@ -761,6 +761,51 @@ object TemporalOps extends QueryPack {
            |FROM isl GROUP BY user_id, sess""".stripMargin),
     doc = "Session windows with per-event dynamic gaps: merged end = max(ts+gap), islands oracle (temporal #16).")
 
+  // ---- T17: time-weighted average (TWAP) --------------------------------------
+  // The mean that respects DURATION, not sample count: each observation
+  // holds until the next one, so its weight is the interval length — the
+  // standard TWAP/monitoring aggregate for irregularly-sampled series
+  // (a plain avg over-weights bursts of rapid events). One per-user lead()
+  // window derives the hold durations (bounded state), the last
+  // observation carries no interval and is excluded on both engines, and
+  // the weighted sum follows the decimal-term discipline (round 6, sum
+  // DECIMAL, ONE double division by the exact integer duration total).
+  // Durations weight in WHOLE SECONDS (truncating div, identical both
+  // engines; sub-second gaps weight 0 and drop): micro-weighted decimal
+  // sums exceed 2^53, where the two engines' decimal->double conversions
+  // round differently in the last ulp — second-weighted sums stay exactly
+  // double-representable, so the division operands are bit-identical.
+  private val t17 = GQuery(
+    "t17_time_weighted_avg",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      micros(s, dir)
+        .withColumn("nus", lead(col("us"), 1).over(w))
+        .filter(col("nus").isNotNull)
+        .withColumn("dur", expr("(nus - us) div 1000000L"))
+        .filter(col("dur") > 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dur")).as("total_s"),
+          (sum(round(col("value") * col("dur"), 6).cast("decimal(28,6)"))
+            .cast("double") / sum(col("dur"))).as("twap"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+           |seq AS (
+           |  SELECT user_id, value, us,
+           |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nus
+           |  FROM ev),
+           |iv AS (SELECT user_id, value, (nus - us) // 1000000 AS dur
+           |       FROM seq WHERE nus IS NOT NULL),
+           |iv2 AS (SELECT * FROM iv WHERE dur > 0)
+           |SELECT user_id, count(*) AS n_intervals,
+           |  CAST(sum(dur) AS BIGINT) AS total_s,
+           |  CAST(sum(CAST(round(value * dur, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           |    / CAST(sum(dur) AS BIGINT) AS twap
+           |FROM iv2 GROUP BY user_id""".stripMargin),
+    doc = "Time-weighted average: hold-until-next weighting via lead(), decimal-summed second weights (temporal #17).")
+
   override val all: Seq[GQuery] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16)
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17)
 }

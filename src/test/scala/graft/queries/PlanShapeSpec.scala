@@ -153,6 +153,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"year predicate must be a PartitionFilter, not a data filter:\n$scanLine")
   }
 
+  test("s15: raw-column filters derive hidden-partition filters (day + bucket)") {
+    // the hidden-partitioning contract: the query references ONLY source
+    // columns (ts, user_id), yet the scan must carry partition predicates
+    // on the DERIVED columns the optimizer rule injected
+    val p = plan("s15_hidden_partitioning")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("_p_day_ts"),
+      s"the ts range must derive a day partition filter:\n$scanLine")
+    assert(scanLine.contains("_p_bucket16_user_id"),
+      s"the user IN-list must derive a bucket partition filter:\n$scanLine")
+  }
+
   test("x4: fact scan carries a dynamic pruning expression from the dim filter") {
     val p = plan("x4_dynamic_partition_pruning").toLowerCase
     assert(p.contains("dynamicpruning"),
