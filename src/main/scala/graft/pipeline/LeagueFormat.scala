@@ -11,6 +11,7 @@ final case class LeagueFormat(
     key: String,             // model-name suffix: "oc" | "50s"
     standingsFile: String,   // mart_sgp_factors row selector
     adpFile: String,         // ADP join literal (J5)
+    percentilesKey: String,  // servingPercentiles :format token (filename word 2)
     teams: Int,              // pool sizing unit (12-team leagues throughout)
     // hitting AVG smoothing: ((h + lgH) / (ab + lgAb) - lgAvg) / sgp_avg
     lgH: Double, lgAb: Double, lgAvg: Double,
@@ -31,7 +32,7 @@ object LeagueFormat {
     * …values_oc.sql:17; mart_preseason_overall_rankings_oc.sql:122 */
   val Oc: LeagueFormat = LeagueFormat(
     key = "oc", standingsFile = "NFBC OC 2025 Overall Standings.csv",
-    adpFile = "OC_ADP.tsv", teams = 12,
+    adpFile = "OC_ADP.tsv", percentilesKey = "OC", teams = 12,
     lgH = 1765.0, lgAb = 6958.0, lgAvg = 0.2536,
     lgEr = 487.0, lgIp = 1163.0, lgEra = 3.7707,
     lgHbb = 1398.0, lgWhip = 1.2022)
@@ -40,7 +41,7 @@ object LeagueFormat {
     * mart_preseason_overall_rankings_50s.sql:122 */
   val Fifties: LeagueFormat = LeagueFormat(
     key = "50s", standingsFile = "NFBC 50s 2025 Overall Standings.csv",
-    adpFile = "Fifties_ADP.tsv", teams = 12,
+    adpFile = "Fifties_ADP.tsv", percentilesKey = "50s", teams = 12,
     lgH = 1725.0, lgAb = 6805.0, lgAvg = 0.2535,
     lgEr = 474.0, lgIp = 1131.0, lgEra = 3.774,
     lgHbb = 1359.0, lgWhip = 1.201)

@@ -84,7 +84,9 @@ object MartModels {
       .filter(col("_filename") === f.adpFile)
       .select(col("playerid").as("adp_playerid"), col("adp"),
         col("min_pick"), col("max_pick"))
-    val wRank = Window.orderBy(col("value").desc)
+    // id tiebreak: equal-value players would otherwise rank in shuffle
+    // order under the golden-digest gate (the rep-lvl pool discipline)
+    val wRank = Window.orderBy(col("value").desc, col("id"))
     base
       .join(adp, base("id") === col("adp_playerid"), "left")
       .join(rosters, base("id") === col("rost_id"), "left")
@@ -95,7 +97,7 @@ object MartModels {
         col("max_pick").cast("int").as("max_pick"),
         (col("adp").cast(DoubleType) - col("rank")).as("rank_diff"),
         col("projected_opening_day_status")): _*)
-      .orderBy(col("value").desc)
+      .orderBy(col("value").desc, col("id"))
   })
 
   val all: Seq[Model] = Seq(sgpFactors, sgpPercentiles) ++

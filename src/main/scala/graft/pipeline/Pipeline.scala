@@ -73,7 +73,17 @@ object Pipeline {
     * session-unique and dropped after analysis ([[graft.core.Tables.sqlOn]])
     * and the format string binds as a typed `:format` parameter — the same
     * side-effect-free discipline the registry enforces (no fixed-name views,
-    * no string-interpolated SQL). */
+    * no string-interpolated SQL).
+    *
+    * `format` is the FILENAME token ("OC"/"50s"), not the model-name key
+    * ("oc"/"50s") — pass [[LeagueFormat.percentilesKey]], never
+    * `LeagueFormat.key`: for OC the two differ only by case, so the wrong
+    * one returns zero rows silently (the typed overload below makes the
+    * mistake unrepresentable). */
+  def servingPercentiles(spark: SparkSession, percentiles: DataFrame,
+      format: LeagueFormat): DataFrame =
+    servingPercentiles(spark, percentiles, format.percentilesKey)
+
   def servingPercentiles(spark: SparkSession, percentiles: DataFrame,
       format: String): DataFrame =
     graft.core.Tables.sqlOnArgs(spark, Map("format" -> format),
@@ -128,6 +138,12 @@ object Pipeline {
     * (id, name, adp, min_pick, max_pick). The 1-row total attaches via a
     * broadcast cross join — the j6 constants pattern. */
   def draftPickProbabilities(players: DataFrame, currentPick: Int): DataFrame = {
+    // the rankings mart LEFT-joins ADP, so undrafted players carry null
+    // adp/min_pick/max_pick; every when-branch below would evaluate null
+    // for them (a SILENT exclusion from the distribution). Filter them
+    // explicitly — the app's model is defined only over ADP-listed players.
+    val listed = players.filter(
+      col("adp").isNotNull && col("min_pick").isNotNull && col("max_pick").isNotNull)
     val cp = lit(currentPick.toDouble)
     val stdDev = greatest((col("max_pick") - col("min_pick")) / 3.0, lit(3.0))
     val base = exp(lit(-0.5) * pow((cp - col("adp")) / stdDev, 2))
@@ -139,7 +155,7 @@ object Pipeline {
         .when(cp >= col("max_pick") - 2,
           base * (lit(1) + (lit(2) - (col("max_pick") - cp)) * 0.5))
         .otherwise(base)
-    val weighted = players.withColumn("raw_prob", raw)
+    val weighted = listed.withColumn("raw_prob", raw)
     val total = weighted.agg(sum(col("raw_prob")).as("_total"))
     weighted.crossJoin(broadcast(total))
       .withColumn("prob", col("raw_prob") / col("_total"))
@@ -163,10 +179,15 @@ object Pipeline {
     // first, then the id order makes the surviving cut deterministic.
     val positive = probs.filter(col("prob") > 0)
       .withColumn("cum", sum(col("prob")).over(w))
+    // ONE materialization per pick: collect the candidate row driver-side
+    // (serving-scale) instead of isEmpty + a second execution of the
+    // window plan; the fallback query runs only on the empty edge
     val hit = positive.filter(col("cum") >= u)
       .orderBy(col("cum"), col("id")).limit(1).drop("cum")
-    if (hit.isEmpty)
+    val rows = hit.collect()
+    if (rows.isEmpty)
       positive.orderBy(col("cum").desc, col("id")).limit(1).drop("cum")
-    else hit
+    else hit.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), hit.schema)
   }
 }

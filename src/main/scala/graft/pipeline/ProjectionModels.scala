@@ -106,14 +106,12 @@ object ProjectionModels {
           .when(col("pos").like("%1B%"), "1B")
           .when(col("pos").like("%SS%"), "SS")
           .otherwise("UT"))
+      // derived from position (same branch ORDER by construction) — a
+      // second like-ladder here could silently desynchronize the two
       .withColumn("pos_group",
-        when(col("pos").like("%C%"), "C")
-          .when(col("pos").like("%2B%"), "MI")
-          .when(col("pos").like("%OF%"), "OF")
-          .when(col("pos").like("%3B%"), "CI")
-          .when(col("pos").like("%1B%"), "CI")
-          .when(col("pos").like("%SS%"), "MI")
-          .otherwise("UT"))
+        when(col("position").isin("2B", "SS"), "MI")
+          .when(col("position").isin("1B", "3B"), "CI")
+          .otherwise(col("position")))
       .withColumn("r_sgp", col("r") / col("sgp_r"))
       .withColumn("hr_sgp", col("hr") / col("sgp_hr"))
       .withColumn("rbi_sgp", col("rbi") / col("sgp_rbi"))
@@ -163,19 +161,21 @@ object ProjectionModels {
     Seq(s"stg_proj_preseason_hitting_sgp_${f.key}"))((_, in) => {
     val sgp = in(s"stg_proj_preseason_hitting_sgp_${f.key}")
     val t = f.teams
-    val wPos = Window.partitionBy(col("position")).orderBy(col("sgp").desc)
+    // id tiebreak: equal-sgp players at a pool cutoff would otherwise
+    // enter in shuffle order, flapping replvl/sgpar/value run-to-run
+    val wPos = Window.partitionBy(col("position")).orderBy(col("sgp").desc, col("id"))
     val base = sgp.withColumn("pos_rank", row_number().over(wPos))
       .withColumn("include_in_pool",
         when(col("position").isin("1B", "2B", "3B", "SS") && col("pos_rank") <= t, "Y")
           .when(col("position") === "OF" && col("pos_rank") <= t * 5, "Y")
           .when(col("position") === "C" && col("pos_rank") <= t * 2, "Y")
           .otherwise("N"))
-    val wGroup = Window.partitionBy(col("pos_group")).orderBy(col("sgp").desc)
+    val wGroup = Window.partitionBy(col("pos_group")).orderBy(col("sgp").desc, col("id"))
     val remaining = base.filter(col("include_in_pool") === "N")
       .withColumn("gr_rank", row_number().over(wGroup))
       .withColumn("include_in_pool_mi_ci",
         when(col("pos_group").isin("MI", "CI") && col("gr_rank") <= t, "Y").otherwise("N"))
-    val wAll = Window.orderBy(col("sgp").desc)
+    val wAll = Window.orderBy(col("sgp").desc, col("id"))
     val remainingUt = remaining.filter(col("include_in_pool_mi_ci") === "N")
       .withColumn("ut_rank", row_number().over(wAll))
       .withColumn("include_in_pool_ut", when(col("ut_rank") <= t, "Y").otherwise("N"))
@@ -198,13 +198,15 @@ object ProjectionModels {
     Seq(s"stg_proj_preseason_pitching_sgp_${f.key}"))((_, in) => {
     val sgp = in(s"stg_proj_preseason_pitching_sgp_${f.key}")
     val t = f.teams
-    val wPos = Window.partitionBy(col("position")).orderBy(col("sgp").desc)
+    // id tiebreak: equal-sgp players at a pool cutoff would otherwise
+    // enter in shuffle order, flapping replvl/sgpar/value run-to-run
+    val wPos = Window.partitionBy(col("position")).orderBy(col("sgp").desc, col("id"))
     val base = sgp.withColumn("pos_rank", row_number().over(wPos))
       .withColumn("include_in_pool",
         when(col("position") === "SP" && col("pos_rank") <= t * 6, "Y")
           .when(col("position") === "RP" && col("pos_rank") <= t * 2, "Y")
           .otherwise("N"))
-    val wAll = Window.orderBy(col("sgp").desc)
+    val wAll = Window.orderBy(col("sgp").desc, col("id"))
     val remaining = base.filter(col("include_in_pool") === "N")
       .withColumn("p_rank", row_number().over(wAll))
       .withColumn("include_in_pool_p", when(col("p_rank") <= t, "Y").otherwise("N"))

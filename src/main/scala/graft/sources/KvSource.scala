@@ -53,6 +53,9 @@ object KvStore {
   def write(df: DataFrame, dir: String, key: String, buckets: Int): Unit = {
     require(buckets > 0, "buckets must be positive")
     require(df.columns.contains(key), s"key column '$key' not in ${df.columns.toSeq}")
+    require(!df.columns.contains("__b"),
+      "'__b' is the reserved bucket column: a user column of that name " +
+        "would be silently overwritten by the bucket id and read back null")
     df.schema.fields.foreach(f => require(SupportedTypes.contains(f.dataType),
       s"graft-kv does not support ${f.dataType} (column '${f.name}'); " +
         s"supported: ${SupportedTypes.map(_.simpleString).mkString(", ")}"))

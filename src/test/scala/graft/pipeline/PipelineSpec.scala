@@ -253,8 +253,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   // intended semantics change:
   //   sbt "runMain graft.pipeline.GoldenGen"
   private val golden = Map(
-    "mart_preseason_overall_rankings_50s" -> "40643492e64b84283135b1ca3cd6d04f",
-    "mart_preseason_overall_rankings_oc" -> "1fcd69dd74ee9084812264ecd3dd230c",
+    "mart_preseason_overall_rankings_50s" -> "9047755f5e7757e31627934f10a72619",
+    "mart_preseason_overall_rankings_oc" -> "7e03c13e22364e8733cea8355b27ed2c",
     "mart_sgp_factors" -> "1ebb116d35257adf1684659bfd5b949c",
     "mart_sgp_percentiles" -> "8c54b0439f0c56618abd911b40c392b4",
     "src_fangraphs_opening_day_rosters" -> "05f062d76f3075827799f98b75b1db34",
