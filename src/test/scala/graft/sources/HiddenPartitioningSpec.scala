@@ -184,6 +184,29 @@ class HiddenPartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qy.count() == ev.filter(col("ts") >= "2024-01-10").count())
   }
 
+  test("null source values: layout keeps them, derivation stays consistent") {
+    val s = spark
+    import s.implicits._
+    // null ts lands in the hive default partition; a raw-ts range filter
+    // excludes null rows by SQL semantics, and the derived partition
+    // predicate excludes the default partition the same way — the two
+    // filters can never disagree on a row
+    val df = Seq(
+      (1L, Some(java.sql.Timestamp.valueOf("2026-01-02 10:00:00"))),
+      (2L, Some(java.sql.Timestamp.valueOf("2026-02-03 11:00:00"))),
+      (3L, None)).toDF("k", "ts")
+    val path = java.nio.file.Files.createTempDirectory("graft-hp-null").toString
+    HiddenPartitioning.write(df, path, Seq(HiddenPartitioning.DayT("ts")))
+    val back = HiddenPartitioning.read(spark, path)
+    assert(back.count() == 3, "null-ts rows must survive the layout round trip")
+    assert(back.filter(col("ts").isNull).select("k").head().getLong(0) == 3L)
+    val q = back.filter(col("ts") >= lit("2026-01-01"))
+    val (scan, _) = scanOf(q)
+    assert(scan.partitionFilters.nonEmpty)
+    assert(q.select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "the pruned result must equal SQL semantics: null ts never matches a range")
+  }
+
   test("spec file is the commit marker and round-trips every transform kind") {
     val s = spark
     import s.implicits._
