@@ -1908,6 +1908,54 @@ object RelationalOps extends QueryPack {
            |GROUP BY event_type""".stripMargin),
     doc = "Hidden partitioning: day+bucket transform layout, raw-column filters prune via derived partition predicates (S15/§2.1).")
 
+  // ---- S16: partition-spec evolution -------------------------------------------
+  // The other half of the Iceberg partitioning contract (dbt_project.yml:
+  // 40-43): a long-lived table RE-partitions as volume grows, and the files
+  // already written stay under their original spec. Here the first half of
+  // January lands under day(ts); the spec then evolves to day(ts) +
+  // bucket(16, user_id) and the second half appends under it. The query
+  // filters raw columns across the evolution boundary: the optimizer pushes
+  // the filter into both era branches and HiddenPartitionPruning derives
+  // each era's OWN predicates — day ranges in era 0, day ranges AND bucket
+  // IN in era 1. At 100 TB this is what lets a table migrate day->hour
+  // without rewriting history, with every era still pruned.
+  // HiddenPartitioningSpec proves the per-era fewer-files mechanics; this
+  // query pins the semantics: the two-era union hash-equals the oracle's
+  // single-table full-scan filter. Skip-if-exists under scratchOnce with
+  // manifest + current-era _SUCCESS as the completion check.
+  private val s16 = GQuery(
+    "s16_partition_spec_evolution",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val hpDir = Tables.scratchOnce(dir, "hp_events_evo",
+          done = graft.sources.HiddenPartitioning.evolvedExists(_, 1)) { path =>
+        val ev = t(s, dir, "events")
+        graft.sources.HiddenPartitioning.write(
+          ev.filter(col("ts") < "2024-01-16"), path,
+          Seq(graft.sources.HiddenPartitioning.DayT("ts")))
+        graft.sources.HiddenPartitioning.evolveSpec(s, path, Seq(
+          graft.sources.HiddenPartitioning.DayT("ts"),
+          graft.sources.HiddenPartitioning.BucketT(16, "user_id"))): Unit
+        graft.sources.HiddenPartitioning.append(
+          ev.filter(col("ts") >= "2024-01-16"), path)
+      }
+      graft.sources.HiddenPartitioning.read(s, hpDir)
+        .filter(col("ts") >= "2024-01-12" && col("ts") < "2024-01-22" &&
+          col("user_id").isin(5L, 17L, 42L, 99L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"),
+          min(col("event_id")).as("min_event"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM events
+           |WHERE ts >= '2024-01-12' AND ts < '2024-01-22'
+           |  AND user_id IN (5, 17, 42, 99)
+           |GROUP BY event_type""".stripMargin),
+    doc = "Partition-spec evolution: day-era files and day+bucket-era files answer one boundary-spanning query, each era pruned under its own spec (S16/§2.1).")
+
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
   // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
@@ -1933,7 +1981,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)

@@ -74,42 +74,61 @@ object HiddenPartitioning {
     }
   }
 
-  /** `day(ts)`: partition by the session-timezone calendar day. */
+  /** The calendar transforms are defined over UTC — the Iceberg rule, and
+    * for the same reason: the write session's timezone is not recorded in
+    * the data, so a session-tz-dependent derivation lets a reader in a
+    * different zone compute a partition value the writer never did, and the
+    * derived range predicate NARROWS (silently dropping qualifying rows —
+    * the one violation the soundness contract forbids). Write side: the UTC
+    * calendar day of an instant is pure epoch arithmetic,
+    * `floordiv(unix_seconds, 86400)` rendered as a DATE — no
+    * session-timezone dependence at all (the pmod form is exact floor for
+    * any sign, and nested floors over positive divisors compose, so the
+    * sub-second truncation of `cast(ts AS LONG)` agrees with the read
+    * side's direct micros→days cast). Read side: `Cast(lit, DateType,
+    * Some("UTC"))` — the same UTC calendar day. The spec file records
+    * `"timezone":"UTC"` explicitly; a legacy spec without the field is UTC
+    * (every writer session in this repo pins UTC). */
+  private def utcDayExpr(source: String): Column = expr(
+    s"date_add(DATE'1970-01-01', cast((cast(`$source` AS LONG) - " +
+      s"pmod(cast(`$source` AS LONG), 86400L)) div 86400L AS INT))")
+  private val UTC = Some("UTC")
+
+  /** `day(ts)`: partition by the UTC calendar day. */
   final case class DayT(source: String) extends Transform {
     val partCol = s"_p_day_$source"
-    def writeExpr: Column = to_date(col(source))
+    def writeExpr: Column = utcDayExpr(source)
     def monotonic = true
-    def litExpr(l: Expression): Expression =
-      Cast(l, DateType, Some(SQLConf.get.sessionLocalTimeZone))
+    def litExpr(l: Expression): Expression = Cast(l, DateType, UTC)
     private[HiddenPartitioning] def describe(n: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
-      n.put("kind", "day"); n.put("source", source): Unit
+      n.put("kind", "day"); n.put("source", source); n.put("timezone", "UTC"): Unit
     }
   }
 
-  /** `year(ts)`: the coarsest calendar grain (int year). */
+  /** `year(ts)`: the coarsest calendar grain (int UTC year). `year()` over
+    * a DATE is pure calendar arithmetic — the timezone dependence ends at
+    * [[utcDayExpr]]. */
   final case class YearT(source: String) extends Transform {
     val partCol = s"_p_year_$source"
-    def writeExpr: Column = year(col(source))
+    def writeExpr: Column = year(utcDayExpr(source))
     def monotonic = true
     def litExpr(l: Expression): Expression =
-      org.apache.spark.sql.catalyst.expressions.Year(
-        Cast(l, DateType, Some(SQLConf.get.sessionLocalTimeZone)))
+      org.apache.spark.sql.catalyst.expressions.Year(Cast(l, DateType, UTC))
     private[HiddenPartitioning] def describe(n: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
-      n.put("kind", "year"); n.put("source", source): Unit
+      n.put("kind", "year"); n.put("source", source); n.put("timezone", "UTC"): Unit
     }
   }
 
-  /** `month(ts)`: partition by month-start date (calendar month grain). */
+  /** `month(ts)`: partition by UTC month-start date (calendar month grain). */
   final case class MonthT(source: String) extends Transform {
     val partCol = s"_p_month_$source"
-    def writeExpr: Column = trunc(to_date(col(source)), "month")
+    def writeExpr: Column = trunc(utcDayExpr(source), "month")
     def monotonic = true
     def litExpr(l: Expression): Expression =
       org.apache.spark.sql.catalyst.expressions.TruncDate(
-        Cast(l, DateType, Some(SQLConf.get.sessionLocalTimeZone)),
-        Literal("month"))
+        Cast(l, DateType, UTC), Literal("month"))
     private[HiddenPartitioning] def describe(n: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
-      n.put("kind", "month"); n.put("source", source): Unit
+      n.put("kind", "month"); n.put("source", source); n.put("timezone", "UTC"): Unit
     }
   }
 
@@ -166,16 +185,14 @@ object HiddenPartitioning {
   }
 
   private val SpecFile = "_partition_spec.json"
+  private val ManifestFile = "_table_specs.json"
 
-  /** Write `df` laid out by the derived partition values of `transforms`.
-    * The spec file is written LAST through the Hadoop FileSystem — its
-    * presence is the commit marker ([[exists]]), same discipline as the KV
-    * snapshot's META file. */
-  def write(df: DataFrame, path: String, transforms: Seq[Transform]): Unit = {
+  /** `df` plus the derived partition columns of `transforms`. */
+  private def derive(df: DataFrame, transforms: Seq[Transform]): DataFrame = {
     require(transforms.nonEmpty, "declare at least one partition transform")
     transforms.foreach(t => require(df.columns.contains(t.source),
       s"transform source '${t.source}' not in ${df.columns.toSeq}"))
-    val derived = transforms.foldLeft(df) { (d, t) =>
+    transforms.foldLeft(df) { (d, t) =>
       val e = t match {
         // truncate resolves against the frame's type for the string/numeric split
         case TruncateT(w, src) => d.schema(src).dataType match {
@@ -186,9 +203,10 @@ object HiddenPartitioning {
       }
       d.withColumn(t.partCol, e)
     }
-    derived.write.mode("overwrite")
-      .partitionBy(transforms.map(_.partCol): _*).parquet(path)
-    val spark = df.sparkSession
+  }
+
+  private def writeSpecFile(spark: SparkSession, path: String,
+      transforms: Seq[Transform]): Unit = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     val arr = root.putArray("transforms")
@@ -197,7 +215,21 @@ object HiddenPartitioning {
     val out = fs.create(new Path(path, SpecFile), true)
     out.write(root.toString.getBytes("UTF-8"))
     out.close()
-    specCache.put(normalize(spark, path), Some(transforms))
+    // drop any stale fingerprint; the next spec() lookup re-reads the file
+    specCache.remove(normalize(spark, path)): Unit
+  }
+
+  /** Create (or fully replace) the table: `df` laid out by the derived
+    * partition values of `transforms`. The overwrite clears any prior
+    * content INCLUDING evolved-era directories and the spec manifest — a
+    * full rewrite starts the spec history over at era 0. The spec file is
+    * written LAST through the Hadoop FileSystem — its presence is the
+    * commit marker ([[exists]]), same discipline as the KV snapshot's META
+    * file. */
+  def write(df: DataFrame, path: String, transforms: Seq[Transform]): Unit = {
+    derive(df, transforms).write.mode("overwrite")
+      .partitionBy(transforms.map(_.partCol): _*).parquet(path)
+    writeSpecFile(df.sparkSession, path, transforms)
   }
 
   /** True when `path` holds a COMPLETE hidden-partitioned table (the spec
@@ -208,18 +240,181 @@ object HiddenPartitioning {
     new Path(path).getFileSystem(conf).exists(new Path(path, SpecFile))
   }
 
-  /** The user-facing read: source columns only — the derived partition
-    * columns are physical layout, not schema. Filters on source columns
-    * still prune ([[HiddenPartitionPruning]] runs below the projection). */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  /** [[graft.core.Tables.scratchOnce]] done-check for a build that ends with
+    * an append under an evolved spec: the manifest names a current spec of
+    * at least `minSpecId` AND that era's directory carries a completed write
+    * (`_SUCCESS`). A crash anywhere in the write → evolve → append sequence
+    * leaves this false, so the artifact is rebuilt from scratch (the
+    * rebuild's full overwrite clears the partial history). */
+  def evolvedExists(path: String, minSpecId: Int): Boolean = {
+    val spark = SparkSession.active
+    manifest(spark, path) match {
+      case Some((current, eras)) if current >= minSpecId =>
+        eras.find(_.id == current).exists { era =>
+          val p = new Path(era.path(path), "_SUCCESS")
+          p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+        }
+      case _ => false
+    }
+  }
+
+  // ---- partition-spec evolution -----------------------------------------------
+  // Iceberg's other partitioning contract: a long-lived table RE-partitions
+  // as its volume grows (day -> hour is the classic), and the files already
+  // written under the old spec stay exactly where they are — only future
+  // writes use the new layout. Re-expressed over plain parquet: each spec
+  // "era" is its own directory (era 0 at the table root for compatibility
+  // with pre-evolution tables, era N>0 under `_era-<N>`), each carrying its
+  // own `_partition_spec.json`, and a root manifest `_table_specs.json`
+  // records the era list and which spec is current. The `_era-` name is
+  // deliberate: Spark's file listing skips `_`-prefixed entries WITHOUT an
+  // `=` in the name, so a legacy reader scanning the root sees only era-0
+  // files (derived partition dirs like `_p_day_ts=...` survive the filter
+  // precisely because they contain `=`).
+  //
+  // Reads union the eras; the optimizer pushes a raw-column filter through
+  // the union into every branch, and [[HiddenPartitionPruning]] resolves
+  // each branch's OWN spec (the era directory is the relation's root path),
+  // so one `WHERE ts >= X` prunes day directories in the day era and hour
+  // directories in the hour era — per-era pruning with zero extra rule code.
+  //
+  // Commit discipline: [[evolveSpec]] writes the new era's spec file first,
+  // the manifest LAST via temp-file + rename (the manifest is the evolution
+  // commit). Evolution is an administrative operation — callers serialize
+  // it, like every other DDL in this engine.
+
+  private final case class Era(id: Int, dir: String) {
+    def path(root: String): String = if (dir.isEmpty) root else s"$root/$dir"
+  }
+
+  /** (current spec id, eras) from the root manifest, if the table has
+    * evolved. Read fresh on every call — evolution is rare and the file is
+    * tiny; staleness here would route appends to a dead spec. */
+  private def manifest(spark: SparkSession, root: String): Option[(Int, Seq[Era])] = {
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val f = new Path(root, ManifestFile)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toByteArray
+      } finally in.close()
+      val node = new ObjectMapper().readTree(bytes)
+      val eras = node.get("eras")
+      Some((node.get("current").asInt(),
+        (0 until eras.size()).map { i =>
+          val e = eras.get(i)
+          Era(e.get("id").asInt(), e.get("dir").asText())
+        }))
+    }
+  }
+
+  private def writeManifest(spark: SparkSession, root: String, current: Int,
+      eras: Seq[Era]): Unit = {
+    val mapper = new ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("current", current): Unit
+    val arr = node.putArray("eras")
+    eras.foreach { e =>
+      val o = arr.addObject()
+      o.put("id", e.id); o.put("dir", e.dir): Unit
+    }
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(root, s".${ManifestFile}.tmp-${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    out.write(node.toString.getBytes("UTF-8"))
+    out.close()
+    val dst = new Path(root, ManifestFile)
+    // local FS rename overwrites atomically; an FS that refuses an existing
+    // destination (HDFS) gets delete + retry — evolution is admin-serialized
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(dst, false)
+      require(fs.rename(tmp, dst), s"manifest commit rename failed under $root")
+    }
+  }
+
+  /** Change the table's partition spec: future [[append]]s land under
+    * `transforms` in a fresh era directory; every file already written
+    * stays under its original spec and keeps pruning by it. Returns the new
+    * spec id. */
+  def evolveSpec(spark: SparkSession, path: String,
+      transforms: Seq[Transform]): Int = {
+    require(transforms.nonEmpty, "declare at least one partition transform")
+    require(exists(path), s"cannot evolve a table that was never written: $path")
+    val (_, eras) = manifest(spark, path).getOrElse((0, Seq(Era(0, ""))))
+    val id = eras.map(_.id).max + 1
+    val era = Era(id, s"_era-$id")
+    // era spec first (the era's own marker), manifest last (the commit)
+    writeSpecFile(spark, era.path(path), transforms)
+    writeManifest(spark, path, id, eras :+ era)
+    id
+  }
+
+  /** Append rows under the table's CURRENT spec (post-evolution appends land
+    * in the newest era's directory; a never-evolved table appends at the
+    * root). The appended frame must carry the same source schema as the
+    * table — eras are unioned by name at read. */
+  def append(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val (current, eras) = manifest(spark, path).getOrElse((0, Seq(Era(0, ""))))
+    val eraPath = eras.find(_.id == current)
+      .getOrElse(throw new IllegalStateException(
+        s"manifest names current spec $current but lists no such era"))
+      .path(path)
+    val ts = spec(spark, eraPath).getOrElse(
+      throw new IllegalArgumentException(s"no $SpecFile under $eraPath"))
+    derive(df, ts).write.mode("append")
+      .partitionBy(ts.map(_.partCol): _*).parquet(eraPath)
+  }
+
+  /** True when the era directory holds any data entry (Spark's listing
+    * rule: `_`/`.`-prefixed names are skipped unless they contain `=`) — an
+    * evolved-but-never-appended era must not reach `spark.read.parquet`,
+    * which cannot infer a schema from zero files. */
+  private def eraHasData(spark: SparkSession, p: String): Boolean = {
+    val hp = new Path(p)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(hp) && fs.listStatus(hp).exists { st =>
+      val n = st.getPath.getName
+      (!n.startsWith("_") && !n.startsWith(".")) || n.contains("=")
+    }
+  }
+
+  /** One era's frame: source columns only — the derived partition columns
+    * are physical layout, not schema. */
+  private def readEra(spark: SparkSession, path: String): DataFrame = {
     val ts = spec(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no $SpecFile under $path"))
     spark.read.parquet(path).drop(ts.map(_.partCol): _*)
   }
 
-  // one spec read per table per JVM; artifacts are immutable-once-committed
+  /** The user-facing read: source columns only, all eras unioned. Filters
+    * on source columns still prune — per era, under each era's own spec
+    * ([[HiddenPartitionPruning]] runs below the projection and the union). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    manifest(spark, path) match {
+      case None => readEra(spark, path)
+      case Some((_, eras)) =>
+        val frames = eras.map(_.path(path))
+          .filter(p => spec(spark, p).isDefined && eraHasData(spark, p))
+          .map(readEra(spark, _))
+        require(frames.nonEmpty, s"no readable era under $path")
+        frames.reduce(_.unionByName(_))
+    }
+
+  // Spec parses are cached per table per JVM, but a cache hit is honored
+  // only while the spec file's (mtime, length) fingerprint is unchanged —
+  // write() is mode("overwrite"), so another process CAN legally replace
+  // the table (and its spec) under a long-lived JVM; an unconditional cache
+  // would then derive predicates from the dead spec (unsound pruning). The
+  // fingerprint check is one FileSystem metadata call per lookup — the
+  // cache still saves the read+parse, which is the real cost.
   private val specCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[Seq[Transform]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Option[Seq[Transform]])]()
 
   private def normalize(spark: SparkSession, path: String): String = {
     val p = new Path(path)
@@ -227,12 +422,22 @@ object HiddenPartitioning {
       .makeQualified(p).toString
   }
 
-  private[sources] def spec(spark: SparkSession, path: String): Option[Seq[Transform]] =
-    specCache.computeIfAbsent(normalize(spark, path), _ => {
-      val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-      val f = new Path(path, SpecFile)
-      if (!fs.exists(f)) None
-      else {
+  /** (mtime:length) fingerprint of the spec file, or "absent". */
+  private def fingerprint(fs: org.apache.hadoop.fs.FileSystem, f: Path): String =
+    try {
+      val st = fs.getFileStatus(f)
+      s"${st.getModificationTime}:${st.getLen}"
+    } catch { case _: java.io.FileNotFoundException => "absent" }
+
+  private[sources] def spec(spark: SparkSession, path: String): Option[Seq[Transform]] = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val f = new Path(path, SpecFile)
+    val fp = fingerprint(fs, f)
+    val key = normalize(spark, path)
+    val cached = specCache.get(key)
+    if (cached != null && cached._1 == fp) cached._2
+    else {
+      val v = if (fp == "absent") None else {
         val in = fs.open(f)
         val bytes = try {
           val buf = new java.io.ByteArrayOutputStream()
@@ -241,24 +446,38 @@ object HiddenPartitioning {
           while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
           buf.toByteArray
         } finally in.close()
-        val root = new ObjectMapper().readTree(bytes)
-        val ts = root.get("transforms")
-        Some((0 until ts.size()).map { i =>
-          val t = ts.get(i)
-          val src = t.get("source").asText()
-          t.get("kind").asText() match {
-            case "identity" => IdentityT(src)
-            case "day" => DayT(src)
-            case "year" => YearT(src)
-            case "month" => MonthT(src)
-            case "hour" => HourT(src)
-            case "bucket" => BucketT(t.get("n").asInt(), src)
-            case "truncate" => TruncateT(t.get("width").asInt(), src)
-            case k => throw new IllegalArgumentException(s"unknown transform kind '$k'")
-          }
-        })
+        Some(parseSpec(bytes))
       }
-    })
+      specCache.put(key, (fp, v))
+      v
+    }
+  }
+
+  private def parseSpec(bytes: Array[Byte]): Seq[Transform] = {
+    val root = new ObjectMapper().readTree(bytes)
+    val ts = root.get("transforms")
+    (0 until ts.size()).map { i =>
+      val t = ts.get(i)
+      val src = t.get("source").asText()
+      val kind = t.get("kind").asText()
+      // calendar transforms are UTC-only (Iceberg's rule); a spec claiming
+      // another zone is from an incompatible writer — refuse, never narrow
+      val tzNode = t.get("timezone")
+      if (tzNode != null && tzNode.asText() != "UTC")
+        throw new IllegalArgumentException(
+          s"unsupported '$kind' timezone '${tzNode.asText()}' (UTC only)")
+      kind match {
+        case "identity" => IdentityT(src)
+        case "day" => DayT(src)
+        case "year" => YearT(src)
+        case "month" => MonthT(src)
+        case "hour" => HourT(src)
+        case "bucket" => BucketT(t.get("n").asInt(), src)
+        case "truncate" => TruncateT(t.get("width").asInt(), src)
+        case k => throw new IllegalArgumentException(s"unknown transform kind '$k'")
+      }
+    }
+  }
 
   private val registerLock = new Object
 
@@ -314,13 +533,31 @@ object HiddenPartitionPruning extends Rule[LogicalPlan] {
   }
 
   /** Transform a comparison literal and cast it to the INFERRED partition
-    * column type (partition discovery may narrow, e.g. long -> int); an
-    * uncastable literal (ANSI overflow) derives nothing — pruning is
-    * optional, correctness is not. */
+    * column type (partition discovery may narrow, e.g. long -> int); a
+    * literal that does not survive that cast derives nothing — pruning is
+    * optional, correctness is not. Two hardenings beyond try/catch:
+    *   - a null transform result derives nothing (an `= NULL` conjunct
+    *     would prune EVERYTHING — the worst possible narrowing);
+    *   - the cast is verified by ROUND TRIP (cast back and compare), not by
+    *     expecting a throw: under `spark.sql.ansi.enabled=false` a
+    *     narrowing numeric cast WRAPS instead of throwing, which would
+    *     silently fold to a wrong literal. Spark 4 defaults ANSI on, but
+    *     soundness must not hinge on a session conf. */
   private def folded(t: Transform, l: Literal, to: org.apache.spark.sql.types.DataType): Option[Literal] =
     try {
-      val e = Cast(t.litExpr(l), to, Some(SQLConf.get.sessionLocalTimeZone))
-      Some(Literal.create(e.eval(null), to))
+      val transformed = t.litExpr(l)
+      val raw = transformed.eval(null)
+      if (raw == null) None
+      else {
+        val tz = Some(SQLConf.get.sessionLocalTimeZone)
+        val castVal = Cast(Literal.create(raw, transformed.dataType), to, tz).eval(null)
+        if (castVal == null) None
+        else {
+          val back = Cast(Literal.create(castVal, to), transformed.dataType, tz).eval(null)
+          if (back != null && back == raw) Some(Literal.create(castVal, to))
+          else None
+        }
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def deriveOne(c: Expression, t: Transform, partAttr: Attribute): Option[Expression] = {

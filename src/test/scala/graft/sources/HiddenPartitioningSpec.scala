@@ -207,6 +207,134 @@ class HiddenPartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the pruned result must equal SQL semantics: null ts never matches a range")
   }
 
+  test("spec evolution: both eras readable, each pruned under its own spec") {
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val path = java.nio.file.Files.createTempDirectory("graft-hp-evo").toString
+    val cut = "2024-01-16"
+    // era 0: day grain over the first half of January
+    HiddenPartitioning.write(ev.filter(col("ts") < cut), path,
+      Seq(HiddenPartitioning.DayT("ts")))
+    // the table re-partitions day -> hour as volume grows (the classic)
+    val id = HiddenPartitioning.evolveSpec(spark, path,
+      Seq(HiddenPartitioning.HourT("ts")))
+    assert(id == 1)
+    HiddenPartitioning.append(ev.filter(col("ts") >= cut), path)
+
+    val back = HiddenPartitioning.read(spark, path)
+    assert(back.count() == ev.count(), "both eras must be read")
+    assert(back.columns.sorted.toSeq == ev.columns.sorted.toSeq,
+      "derived columns of every era must be hidden")
+
+    // per-era totals from the filesystem (the public API reads eras united)
+    def parquetFiles(p: java.io.File, skip: String => Boolean): Int = {
+      val kids = Option(p.listFiles()).getOrElse(Array.empty)
+      kids.count(f => f.isFile && f.getName.endsWith(".parquet")) +
+        kids.filter(f => f.isDirectory && !skip(f.getName))
+          .map(parquetFiles(_, _ => false)).sum
+    }
+    val era0Files = parquetFiles(new java.io.File(path), _.startsWith("_era-"))
+    val era1Files = parquetFiles(new java.io.File(s"$path/_era-1"), _ => false)
+
+    // a raw-ts range spanning the evolution boundary must prune BOTH eras
+    val q = back.filter(col("ts") >= "2024-01-14" && col("ts") < "2024-01-18")
+    q.collect(): Unit
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.size == 2, s"one scan per era, got ${scans.size}")
+    val byEra = scans.map { s =>
+      val root = s.relation.location.rootPaths.head.toString
+      (root.contains("_era-1"), s)
+    }.toMap
+    val s0 = byEra(false); val s1 = byEra(true)
+    assert(s0.partitionFilters.nonEmpty, "era-0 day predicates must derive")
+    assert(s1.partitionFilters.nonEmpty, "era-1 hour predicates must derive")
+    assert(s0.metrics("numFiles").value < era0Files,
+      s"era 0 must prune (${s0.metrics("numFiles").value} vs $era0Files)")
+    assert(s1.metrics("numFiles").value < era1Files,
+      s"era 1 must prune (${s1.metrics("numFiles").value} vs $era1Files)")
+    // differential: per-era pruning must not change a single row
+    val got = q.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = ev.filter(col("ts") >= "2024-01-14" && col("ts") < "2024-01-18")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "the boundary-spanning slice must be non-trivial")
+
+    // appends route to the CURRENT era: era-1 holds exactly the second half
+    assert(spark.read.parquet(s"$path/_era-1").count() ==
+      ev.filter(col("ts") >= cut).count())
+  }
+
+  test("a replaced table's new spec is honored — no stale cache") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (i % 5, i.toLong)).toDF("grp", "x")
+    val path = java.nio.file.Files.createTempDirectory("graft-hp-stale").toString
+    HiddenPartitioning.write(df, path, Seq(HiddenPartitioning.IdentityT("grp")))
+    // warm the cache through a pruned read
+    val (scan0, _) = scanOf(HiddenPartitioning.read(spark, path).filter(col("grp") === 2))
+    assert(scan0.partitionFilters.nonEmpty)
+    // another writer legally replaces the table under a different spec
+    HiddenPartitioning.write(df, path, Seq(HiddenPartitioning.BucketT(4, "x")))
+    assert(HiddenPartitioning.spec(spark, path).get ==
+      Seq(HiddenPartitioning.BucketT(4, "x")),
+      "the cache must re-read a replaced spec file")
+    val q = HiddenPartitioning.read(spark, path).filter(col("x") === 7L)
+    val (scan1, _) = scanOf(q)
+    assert(scan1.partitionFilters.nonEmpty, "the NEW spec must derive")
+    assert(q.count() == 1)
+    // the old spec must no longer derive anything
+    val (scanOld, _) = scanOf(HiddenPartitioning.read(spark, path).filter(col("grp") === 2))
+    assert(scanOld.partitionFilters.isEmpty, "the dead spec must not derive")
+  }
+
+  test("calendar transforms are UTC-pinned: a reader in another zone never narrows") {
+    val s = spark
+    import s.implicits._
+    // rows around a UTC day boundary (explicit epoch instants — no parse tz)
+    val df = Seq(
+      (1L, new java.sql.Timestamp(1704834000000L)), // 2024-01-09T21:00Z
+      (2L, new java.sql.Timestamp(1704794400000L)), // 2024-01-09T10:00Z
+      (3L, new java.sql.Timestamp(1704862800000L))  // 2024-01-10T05:00Z
+    ).toDF("k", "ts")
+    val path = java.nio.file.Files.createTempDirectory("graft-hp-tz").toString
+    HiddenPartitioning.write(df, path, Seq(HiddenPartitioning.DayT("ts")))
+
+    // a session nine hours AHEAD of the writer: Tokyo's calendar day of the
+    // cut instant (20:00Z) is already Jan 10 — a session-tz derivation would
+    // prune the Jan 9 partition and lose row 1 (21:00Z qualifies)
+    val tokyo = spark.newSession()
+    tokyo.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    HiddenPartitioning.register(tokyo)
+    val cut = new java.sql.Timestamp(1704830400000L) // 2024-01-09T20:00Z
+    val q = HiddenPartitioning.read(tokyo, path).filter(col("ts") >= lit(cut))
+    val got = q.select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 3L),
+      s"UTC-pinned day transform must keep the boundary row: got $got")
+    q.collect(): Unit
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty, "the UTC derivation must still prune")
+  }
+
+  test("a wrapping (non-ANSI) literal cast derives nothing instead of narrowing") {
+    val noAnsi = spark.newSession()
+    noAnsi.conf.set("spark.sql.ansi.enabled", "false")
+    HiddenPartitioning.register(noAnsi)
+    import noAnsi.implicits._
+    val df = (1 to 400).map(i => (i.toLong, s"v$i")).toDF("n", "v")
+    val path = java.nio.file.Files.createTempDirectory("graft-hp-wrap").toString
+    HiddenPartitioning.write(df, path, Seq(HiddenPartitioning.TruncateT(100, "n")))
+    // partition discovery infers _p_trunc100_n as INT; the long literal 2^32
+    // wraps to 0 under non-ANSI cast — the old catch-on-throw guard would
+    // fold it and prune every partition above 0, dropping all 400 rows
+    val q = HiddenPartitioning.read(noAnsi, path)
+      .filter(col("n") < lit(4294967296L))
+    assert(q.count() == 400,
+      "a wrapped literal must derive nothing, never a narrowed predicate")
+  }
+
   test("spec file is the commit marker and round-trips every transform kind") {
     val s = spark
     import s.implicits._
