@@ -50,20 +50,29 @@ object SourceConfig {
   // absorbed into the table map would weaken the fail-fast contract
   private val TableKeys = Set("path", "columns", "sep", "snapshot", "path_meta")
 
-  /** Drop a trailing `# comment`, but only where the `#` sits OUTSIDE any
-    * quoted span — `path: "a#b"` keeps its value intact instead of being
-    * silently truncated to `"a`. */
+  /** Drop a trailing `# comment`, following YAML's two rules the naive scan
+    * gets wrong: a `#` only opens a comment OUTSIDE any quoted span AND when
+    * preceded by whitespace (or start of line) — `path: a#b` is a value, not
+    * a truncation point — and inside a double-quoted span a backslash
+    * escapes the next character, so `"a\"b#c"` does not flip the quote state
+    * early (the regression class this function exists to prevent). */
   private def stripComment(l: String): String = {
     var inSingle = false; var inDouble = false
     val sb = new StringBuilder
     var i = 0
     while (i < l.length) {
       val c = l.charAt(i)
-      if (c == '"' && !inSingle) inDouble = !inDouble
-      else if (c == '\'' && !inDouble) inSingle = !inSingle
-      else if (c == '#' && !inSingle && !inDouble) return sb.toString
-      sb.append(c)
-      i += 1
+      if (inDouble && c == '\\' && i + 1 < l.length) {
+        sb.append(c).append(l.charAt(i + 1))
+        i += 2
+      } else {
+        if (c == '"' && !inSingle) inDouble = !inDouble
+        else if (c == '\'' && !inDouble) inSingle = !inSingle
+        else if (c == '#' && !inSingle && !inDouble &&
+            (i == 0 || l.charAt(i - 1).isWhitespace)) return sb.toString
+        sb.append(c)
+        i += 1
+      }
     }
     sb.toString
   }
@@ -146,12 +155,15 @@ object SourceConfig {
     }.toSeq
   }
 
-  /** Strip one layer of quotes and decode the `\t` escape (the only escape
-    * the format needs — TSV separators). */
+  /** Strip one layer of quotes and decode the two escapes the format needs:
+    * `\t` (TSV separators) and, for values that were double-quoted, `\"`
+    * (the escape [[stripComment]] honors when scanning quote state). */
   private def unquote(s: String): String = {
-    val u = if (s.length >= 2 &&
-      (s.head == '"' && s.last == '"' || s.head == '\'' && s.last == '\''))
+    val doubleQuoted = s.length >= 2 && s.head == '"' && s.last == '"'
+    val u = if (doubleQuoted ||
+      (s.length >= 2 && s.head == '\'' && s.last == '\''))
       s.substring(1, s.length - 1) else s
-    u.replace("\\t", "\t")
+    val t = u.replace("\\t", "\t")
+    if (doubleQuoted) t.replace("\\\"", "\"") else t
   }
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import java.io.File
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Versioned parquet table protocol shared by the streaming merge/SCD2 sinks
@@ -21,10 +21,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VersionedTable {
 
-  def versions(tableDir: String): Seq[Long] =
-    Option(new File(tableDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong).sorted.toSeq
+  // Every filesystem touch resolves through the Hadoop FileSystem of the
+  // path's scheme — a java.io.File check on an hdfs:// or s3a:// tableDir is
+  // silently always-false/always-empty, which turns the replay-idempotency
+  // guard (publishedBatchIds) into a no-op and re-publishes replayed batches
+  // (duplicate rows). Same discipline as Tables.successMarkerExists.
+  private def fsFor(dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(SparkSession.active.sessionState.newHadoopConf()), p)
+  }
+
+  /** Children of `dir`, or empty when it does not exist yet. */
+  private def ls(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    try fs.listStatus(dir).toSeq
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+
+  def versions(tableDir: String): Seq[Long] = {
+    val (fs, root) = fsFor(tableDir)
+    ls(fs, root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
+  }
 
   /** Latest version, or a specific retained one (time travel). */
   def read(spark: SparkSession, tableDir: String, version: Option[Long] = None): DataFrame = {
@@ -54,11 +71,12 @@ object VersionedTable {
   }
 
   /** Data bytes of one version (sum of its parquet part files). */
-  def bytes(tableDir: String, version: Long): Long =
-    Option(new File(s"$tableDir/v=$version").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.length).sum
+  def bytes(tableDir: String, version: Long): Long = {
+    val (fs, _) = fsFor(tableDir)
+    ls(fs, new Path(s"$tableDir/v=$version"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+  }
 
   /** Size-targeted compaction, optionally CLUSTERING the rewrite: file count
     * is derived from the version's actual bytes / `targetBytes` (the
@@ -122,24 +140,24 @@ object VersionedTable {
     spark.read.parquet(stagingDir(tableDir, token))
 
   /** Atomically publish a staged candidate: allocate the next version id
-    * and move the token directory into the `v=` namespace with one rename.
-    * Returns the published version id. */
+    * and move the token directory into the `v=` namespace with one rename
+    * (atomic on POSIX and HDFS; an object store without atomic rename needs
+    * its committer's equivalent). Returns the published version id. */
   def publish(tableDir: String, token: String): Long = publishLock.synchronized {
-    val from = new File(stagingDir(tableDir, token))
-    require(from.isDirectory, s"no staged candidate '$token' under $tableDir")
+    val (fs, _) = fsFor(tableDir)
+    val from = new Path(stagingDir(tableDir, token))
+    require(fs.exists(from) && fs.getFileStatus(from).isDirectory,
+      s"no staged candidate '$token' under $tableDir")
     val v = versions(tableDir).lastOption.fold(0L)(_ + 1)
-    val to = new File(s"$tableDir/v=$v")
-    require(from.renameTo(to), s"atomic publish rename failed for '$token'")
+    require(fs.rename(from, new Path(s"$tableDir/v=$v")),
+      s"atomic publish rename failed for '$token'")
     v
   }
 
   /** Drop a staged candidate that failed its audit. */
   def abort(tableDir: String, token: String): Unit = {
-    def rm(f: File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new File(stagingDir(tableDir, token)))
+    val (fs, _) = fsFor(tableDir)
+    fs.delete(new Path(stagingDir(tableDir, token)), true): Unit
   }
 
   /** The full WAP cycle: stage `df`, run `audit` against the STAGED read
@@ -162,7 +180,8 @@ object VersionedTable {
     val token = stage(spark, tableDir, df)
     batchId.foreach { id =>
       require(!id.contains('/'), s"batch id must be a file-name-safe token: '$id'")
-      new File(stagingDir(tableDir, token), s"_batch-$id").createNewFile(): Unit
+      val (fs, _) = fsFor(tableDir)
+      fs.create(new Path(stagingDir(tableDir, token), s"_batch-$id"), true).close()
     }
     val violations = try audit(readStaged(spark, tableDir, token))
     catch { case e: Throwable => abort(tableDir, token); throw e }
@@ -175,52 +194,48 @@ object VersionedTable {
     * id appears here iff its publish rename committed, with no window in
     * which a published batch is missing its marker. Scan cost is one listing
     * per retained version — version-count-bounded, not data-bounded. */
-  def publishedBatchIds(tableDir: String): Set[String] =
-    Option(new File(tableDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .flatMap(v => Option(v.listFiles()).getOrElse(Array.empty))
-      .filter(_.getName.startsWith("_batch-"))
-      .map(_.getName.stripPrefix("_batch-")).toSet
+  def publishedBatchIds(tableDir: String): Set[String] = {
+    val (fs, root) = fsFor(tableDir)
+    ls(fs, root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .flatMap(v => ls(fs, v.getPath))
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_batch-"))
+      .map(_.stripPrefix("_batch-")).toSet
+  }
 
   /** Time-based snapshot expiry — the `expire_snapshots(older_than)`
     * maintenance face, complementing the count-based [[vacuum]]: retire
-    * every version whose publish time (directory mtime) is older than
-    * `olderThanMillis`, ALWAYS retaining at least the newest `keepLast`
-    * regardless of age (a quiet table must never expire its only data).
-    * Returns the removed version ids. Time travel window = versions newer
-    * than the horizon, exactly the retention contract a lakehouse table
-    * service runs on a schedule. */
-  def expireSnapshots(tableDir: String, olderThanMillis: Long,
+    * every version whose publish time (directory mtime) is before the
+    * ABSOLUTE cutoff instant `horizonEpochMillis` (epoch millis — pass
+    * `System.currentTimeMillis() - age`, not an age; the name says what the
+    * value is so an age passed by mistake fails the signature review, not
+    * silently expires nothing), ALWAYS retaining at least the newest
+    * `keepLast` regardless of age (a quiet table must never expire its only
+    * data). Returns the removed version ids. Time travel window = versions
+    * newer than the horizon, exactly the retention contract a lakehouse
+    * table service runs on a schedule. */
+  def expireSnapshots(tableDir: String, horizonEpochMillis: Long,
       keepLast: Int = 1): Seq[Long] = {
     require(keepLast >= 1, "must retain at least the newest version")
+    val (fs, _) = fsFor(tableDir)
     val vs = versions(tableDir)
     val protectedIds = vs.takeRight(keepLast).toSet
     val drop = vs.filter { v =>
       !protectedIds(v) &&
-        new File(s"$tableDir/v=$v").lastModified() < olderThanMillis
+        fs.getFileStatus(new Path(s"$tableDir/v=$v"))
+          .getModificationTime < horizonEpochMillis
     }
-    drop.foreach { v =>
-      def rm(f: File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new File(s"$tableDir/v=$v"))
-    }
+    drop.foreach(v => fs.delete(new Path(s"$tableDir/v=$v"), true): Unit)
     drop
   }
 
   /** Delete all but the newest `keep` versions; returns what was removed. */
   def vacuum(tableDir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, "must retain at least the newest version")
-    val vs = versions(tableDir)
-    val drop = vs.dropRight(keep)
-    drop.foreach { v =>
-      def rm(f: File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new File(s"$tableDir/v=$v"))
-    }
+    val (fs, _) = fsFor(tableDir)
+    val drop = versions(tableDir).dropRight(keep)
+    drop.foreach(v => fs.delete(new Path(s"$tableDir/v=$v"), true): Unit)
     drop
   }
 }

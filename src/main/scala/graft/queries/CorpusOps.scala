@@ -865,6 +865,13 @@ object CorpusOps extends QueryPack {
   // document body; the min/max legs run as ordinary partial aggregates
   // (one candidate value per partition, not per row).
   private val d52Cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+  // string columns' min/max run over a 64-char prefix: the aggregate's
+  // state is one candidate VALUE per partition, and for a document-body
+  // column that value is a full body — megabyte comparison state shuffled
+  // corpus-wide for a profile cell. A profile needs the ordering locality
+  // of the value, not the body; 64 chars is identical for every short
+  // column and bounds the wide ones. The oracle truncates the same way.
+  private val d52StringCols = Set("text", "lang", "source")
   private val d52 = GQuery(
     "d52_column_profile",
     (s, dir) => {
@@ -874,11 +881,13 @@ object CorpusOps extends QueryPack {
         val distinctKey = // wide columns dedup by content hash, never by body
           if (c == "text") when(col(c).isNotNull, xxhash64(col(c)))
           else col(c)
+        val rangeKey = // bounded min/max comparison state for string columns
+          if (d52StringCols(c)) substring(col(c), 1, 64) else col(c)
         Seq(
           count(col(c)).as(s"${c}__nn"),
           countDistinct(distinctKey).as(s"${c}__nd"),
-          min(col(c)).cast("string").as(s"${c}__min"),
-          max(col(c)).cast("string").as(s"${c}__max"),
+          min(rangeKey).cast("string").as(s"${c}__min"),
+          max(rangeKey).cast("string").as(s"${c}__max"),
           sum(expr(s"octet_length(cast($c AS STRING))")).cast("bigint")
             .as(s"${c}__bytes"))
       } :+ count(lit(1)).as("n_rows")
@@ -893,11 +902,12 @@ object CorpusOps extends QueryPack {
           (col("total_bytes").cast("double") / col("non_null")).as("avg_bytes"))
     },
     Some(d52Cols.map { c =>
+      val rk = if (d52StringCols(c)) s"substring($c, 1, 64)" else c
       s"""SELECT '$c' AS col_name,
          |  (SELECT count(*) FROM documents) AS n_rows,
          |  (SELECT count(*) FROM documents) - count($c) AS n_nulls,
          |  count(DISTINCT $c) AS n_distinct,
-         |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s,
+         |  CAST(min($rk) AS VARCHAR) AS min_s, CAST(max($rk) AS VARCHAR) AS max_s,
          |  CAST(sum(strlen(CAST($c AS VARCHAR))) AS BIGINT) AS total_bytes,
          |  CAST(CAST(sum(strlen(CAST($c AS VARCHAR))) AS BIGINT) AS DOUBLE)
          |    / count($c) AS avg_bytes

@@ -141,4 +141,26 @@ class SourceConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spec.sep == "#")
     assert(spec.source == "s" && spec.name == "t")
   }
+
+  test("YAML comment rules: escaped quotes and mid-token '#' do not truncate") {
+    // an escaped quote inside a double-quoted value must not flip the quote
+    // state early, and a '#' not preceded by whitespace is part of the value
+    val cfg =
+      """version: 2
+        |sources:
+        |  - name: s
+        |    tables:
+        |      - name: t
+        |        path: "a\"b#c/d"   # value with an escaped quote before '#'
+        |        columns: [x]
+        |      - name: u
+        |        path: ref#42/data  # unquoted value with a mid-token '#'
+        |        columns: [x]
+        |""".stripMargin
+    val specs = SourceConfig.parse(cfg)
+    assert(specs.head.path == "a\"b#c/d",
+      s"escaped quote flipped the quote state: ${specs.head.path}")
+    assert(specs(1).path == "ref#42/data",
+      s"a '#' without preceding whitespace is a value char: ${specs(1).path}")
+  }
 }

@@ -240,14 +240,14 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // v=0 and v=1 are "a week old"; v=2 and v=3 are fresh
     Seq(0L, 1L).foreach(v =>
       assert(new java.io.File(s"$tbl/v=$v").setLastModified(now - 7L * 86400 * 1000)))
-    val dropped = VersionedTable.expireSnapshots(tbl, olderThanMillis = now - 86400 * 1000)
+    val dropped = VersionedTable.expireSnapshots(tbl, horizonEpochMillis = now - 86400 * 1000)
     assert(dropped == Seq(0L, 1L), s"only the aged versions expire: $dropped")
     assert(VersionedTable.versions(tbl) == Seq(2L, 3L))
     // retention floor: even if EVERYTHING is older than the horizon, the
     // newest keepLast versions survive — a quiet table keeps its data
     Seq(2L, 3L).foreach(v =>
       assert(new java.io.File(s"$tbl/v=$v").setLastModified(now - 7L * 86400 * 1000)))
-    val dropped2 = VersionedTable.expireSnapshots(tbl, olderThanMillis = now, keepLast = 1)
+    val dropped2 = VersionedTable.expireSnapshots(tbl, horizonEpochMillis = now, keepLast = 1)
     assert(dropped2 == Seq(2L), s"keepLast must protect the newest: $dropped2")
     assert(VersionedTable.versions(tbl) == Seq(3L))
     assert(VersionedTable.read(s, tbl).count() === 1)

@@ -766,4 +766,92 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.pipeline.VersionedTable.versions(tbl).size == vsBefore + 1,
       "exactly one new segment for the one new file")
   }
+
+  test("crash window 1: staged-but-unpublished batch re-publishes exactly once on restart") {
+    // Fault injection for the window between the marker write and the
+    // publish rename: the JVM dies with a fully-staged candidate (marker
+    // inside it) and no v= directory. The filesystem state below is exactly
+    // that snapshot. The contract: the batch counts as UNpublished (the
+    // marker only counts after it rides the rename), so the restarted query
+    // re-processes it and publishes exactly once — the orphaned candidate
+    // never surfaces to a reader and never double-counts.
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-crashwin1").toString
+    val (in, tbl) = (s"$root/in", s"$root/table")
+    val rows = (1 to 6).map(i => (i.toLong,
+      new Timestamp(1700000000000L + i * 1000L), i.toLong, "view", i * 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(in)
+
+    val vt = graft.pipeline.VersionedTable
+    val doomed = rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val token = vt.stage(sp, tbl, doomed)
+    assert(new java.io.File(s"$tbl/_staging/$token/_batch-0").createNewFile())
+    assert(vt.publishedBatchIds(tbl).isEmpty,
+      "a staged batch must NOT read as published — that would drop it forever")
+    assert(vt.versions(tbl).isEmpty)
+
+    // restart from a checkpoint that never saw batch 0
+    val stream = sp.readStream.schema(EventStream.eventSchema).parquet(in)
+    val q = EventStream.startAuditedAppend(stream, tbl, s"$root/quar",
+      s"$root/ckpt")(_ => Nil)
+    q.processAllAvailable(); q.stop()
+
+    assert(vt.versions(tbl) == Seq(0L),
+      s"exactly one published segment, got ${vt.versions(tbl)}")
+    assert(vt.publishedBatchIds(tbl) == Set("0"))
+    assert(EventStream.readAuditedTable(sp, tbl).count() === 6,
+      "the re-published batch must appear exactly once — no torn/double rows")
+    // the orphaned candidate is still on disk, and still invisible
+    assert(new java.io.File(s"$tbl/_staging/$token").isDirectory)
+  }
+
+  test("crash window 2: published batch whose checkpoint commit was lost is skipped on restart") {
+    // Fault injection for the window between the publish rename and the
+    // checkpoint commit: the segment IS published (marker rode the rename)
+    // but the streaming runtime never recorded batch 0 as done, so a
+    // restart re-offers the same batch id with the same data. The
+    // publishedBatchIds guard must skip it — re-running the write would
+    // append the rows twice.
+    // a real crash restarts in a fresh JVM, where Spark's checkpoint
+    // metadata cache is empty — disable it so the in-process restart is
+    // faithful (with it on, the deleted commit file trips the
+    // concurrent-queries guard instead of a replay)
+    val sp = spark.newSession()
+    sp.conf.set("spark.sql.streaming.metadataCache.enabled", "false")
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-crashwin2").toString
+    val (in, tbl) = (s"$root/in", s"$root/table")
+    (1 to 5).map(i => (i.toLong,
+      new Timestamp(1700000000000L + i * 1000L), i.toLong, "click", i * 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(in)
+    def run(): Unit = {
+      val stream = sp.readStream.schema(EventStream.eventSchema).parquet(in)
+      val q = EventStream.startAuditedAppend(stream, tbl, s"$root/quar",
+        s"$root/ckpt")(_ => Nil)
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val vt = graft.pipeline.VersionedTable
+    assert(vt.versions(tbl) == Seq(0L))
+    assert(EventStream.readAuditedTable(sp, tbl).count() === 5)
+
+    // the crash: offsets/0 exists (the batch was planned), commits/0 never
+    // landed (the JVM died right after the publish rename)
+    val commit = new java.io.File(s"$root/ckpt/commits/0")
+    assert(commit.isFile, "precondition: the first run committed batch 0")
+    assert(commit.delete())
+    // the local FS keeps a checksum shadow; a lost commit loses both
+    new java.io.File(s"$root/ckpt/commits/.0.crc").delete(): Unit
+
+    run() // re-offers batch 0 with identical content
+    assert(vt.versions(tbl) == Seq(0L),
+      s"a replayed published batch must not mint a new version: ${vt.versions(tbl)}")
+    assert(vt.publishedBatchIds(tbl) == Set("0"))
+    assert(EventStream.readAuditedTable(sp, tbl).count() === 5,
+      "a replayed published batch must not duplicate rows")
+  }
 }
