@@ -126,8 +126,8 @@ object CorpusOps extends QueryPack {
   /** (doc, lbl) membership of every doc that has at least one near-dup edge:
     * the d2 pairs turned into an undirected edge list and collapsed by
     * [[connectedComponents]]. Shared by d12 (cluster stats) and d16 (apply). */
-  private def dupComponents(docs: DataFrame): DataFrame = {
-    val jp = TextOps.jaccardPairs(docs, 0.5, TextOps.DfCap)
+  private def dupComponents(s: SparkSession, dir: String): DataFrame = {
+    val jp = TextOps.jaccardPairsShared(s, dir, 0.5, TextOps.DfCap)
       .select(col("doc_a"), col("doc_b"))
     val edges = jp.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(jp.select(col("doc_b").as("u"), col("doc_a").as("v")))
@@ -137,7 +137,7 @@ object CorpusOps extends QueryPack {
   private val d12 = GQuery(
     "d12_dedup_components",
     (s, dir) =>
-      dupComponents(t(s, dir, "documents"))
+      dupComponents(s, dir)
         .groupBy(col("lbl").as("component"))
         .agg(count(lit(1)).as("csize"), max(col("doc")).as("max_doc")),
     Some(s"""WITH RECURSIVE $componentsSqlCtes
@@ -160,7 +160,7 @@ object CorpusOps extends QueryPack {
     "d16_dedup_apply",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val drops = dupComponents(docs)
+      val drops = dupComponents(s, dir)
         .filter(col("doc") =!= col("lbl"))
         .select(col("doc").as("doc_id"))
       docs.join(drops, Seq("doc_id"), "left_anti")
@@ -192,7 +192,7 @@ object CorpusOps extends QueryPack {
       val docs = t(s, dir, "documents")
       val w = Window.partitionBy(col("lbl"))
         .orderBy(col("n_chars").desc, col("doc"))
-      dupComponents(docs)
+      dupComponents(s, dir)
         .join(docs.select(col("doc_id").as("doc"), col("n_chars")), Seq("doc"))
         .withColumn("rn", row_number().over(w))
         .groupBy(col("lbl").as("component"))

@@ -157,7 +157,12 @@ object TextOps extends QueryPack {
     * na, nb). Jaccard and overlap-coefficient faces derive their measure
     * from these exact integers; the expensive index/bucket work is written
     * once. */
-  private def pairStats(docs: DataFrame, dfCap: Long): DataFrame = {
+  private def pairStats(docs: DataFrame, dfCap: Long): DataFrame =
+    pairStatsWithHandle(docs, dfCap)._1
+
+  /** [[pairStats]] plus the cached postings handle, so a caller that
+    * materializes the result can unpersist the intermediate. */
+  private def pairStatsWithHandle(docs: DataFrame, dfCap: Long): (DataFrame, DataFrame) = {
     // cache the narrow (doc_id, hv) table — two longs/row — since the heavy
     // set, the bucket index, and the per-doc sizes all derive from it
     val ex0 = hashedShingles(docs).cache()
@@ -179,36 +184,94 @@ object TextOps extends QueryPack {
     // no broadcast hint: `sizes` is one row PER DOCUMENT (unbounded at corpus
     // scale) while `pairs` is bounded by the bucket combinatorics — AQE
     // broadcasts whichever side is actually small at runtime
-    pairs
+    val result = pairs
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         col("sa.n").as("na"), col("sb.n").as("nb"))
+    (result, ex0)
+  }
+
+  /** The near-dup EVIDENCE TABLE — [[pairStats]] materialized once per
+    * (scale dir, DF cap) under the scratch warehouse and read back by every
+    * consumer. Six queries derive from the identical capped-index pair
+    * list (d2 jaccard, d46 containment, d12/d16/d36 components, d47 span
+    * evidence); per-query rebuilds recomputed the corpus-wide shingle
+    * explode + bucket join five extra times (~17 s of the sf0.1 bench,
+    * VERDICT r6). A production dedup run does exactly this: the pair list
+    * is a pipeline ARTIFACT, built by one job and consumed by many — the
+    * x2 bucketing discipline applied to dedup evidence. Deterministic
+    * content (exact integers, set semantics), so skip-if-exists is sound;
+    * the cap is part of the artifact name, so a cap change can never reuse
+    * stale evidence. */
+  /** The artifact keeps only pairs whose OVERLAP COEFFICIENT clears this
+    * floor. Overlap >= jaccard for every pair (min(na,nb) <= na+nb-inter),
+    * so the floor is lossless for any jaccard- OR overlap-thresholded
+    * consumer with threshold >= the floor — while cutting the stored pair
+    * list from every co-bucketed pair (quadratic-ish noise: one shared
+    * shingle makes a "pair") to actual near-dup evidence, ~20x fewer rows
+    * at sf0.1. Callers assert their threshold clears it. */
+  private[queries] val PairFloor = 0.5
+
+  private[queries] def pairStatsTable(s: SparkSession, dir: String,
+      dfCap: Long): DataFrame = {
+    val tag = s"cap${dfCap}_ov${(PairFloor * 100).toInt}"
+    val path = Tables.scratchOnce(dir, s"neardup_pairs_$tag") { p =>
+      val (ps, ex0) = pairStatsWithHandle(t(s, dir, "documents"), dfCap)
+      // no coalesce: it would cap the UPSTREAM join stages' parallelism;
+      // AQE already collapses the post-filter output to few partitions
+      try ps
+        .filter(col("inter").cast("double") / least(col("na"), col("nb"))
+          >= lit(PairFloor))
+        .write.mode("overwrite").parquet(p)
+      finally ex0.unpersist(): Unit
+    }
+    s.read.parquet(path)
+  }
+
+  private def jaccardFrom(ps: DataFrame, threshold: Double): DataFrame =
+    ps.withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  private def overlapFrom(ps: DataFrame, threshold: Double): DataFrame =
+    ps.withColumn("overlap",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("overlap") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("overlap"), 6).as("overlap"),
+        least(col("na"), col("nb")).as("n_small"))
+
+  /** d2's jaccard pairs served from the shared evidence artifact. */
+  private[queries] def jaccardPairsShared(s: SparkSession, dir: String,
+      threshold: Double, dfCap: Long): DataFrame = {
+    require(threshold >= PairFloor,
+      s"threshold $threshold below the artifact's overlap floor $PairFloor")
+    jaccardFrom(pairStatsTable(s, dir, dfCap), threshold)
+  }
+
+  /** d46's containment pairs served from the shared evidence artifact. */
+  private[queries] def overlapPairsShared(s: SparkSession, dir: String,
+      threshold: Double, dfCap: Long): DataFrame = {
+    require(threshold >= PairFloor,
+      s"threshold $threshold below the artifact's overlap floor $PairFloor")
+    overlapFrom(pairStatsTable(s, dir, dfCap), threshold)
   }
 
   private[queries] def jaccardPairs(docs: DataFrame, threshold: Double,
       dfCap: Long): DataFrame =
-    pairStats(docs, dfCap)
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    jaccardFrom(pairStats(docs, dfCap), threshold)
 
   /** Overlap coefficient |A∩B| / min(|A|,|B|) — the asymmetric measure that
     * catches CONTAINMENT duplication (a short doc quoted whole inside a long
     * one), which Jaccard structurally under-scores when sizes differ. */
   private[queries] def overlapPairs(docs: DataFrame, threshold: Double,
       dfCap: Long): DataFrame =
-    pairStats(docs, dfCap)
-      .withColumn("overlap",
-        col("inter").cast("double") / least(col("na"), col("nb")))
-      .filter(col("overlap") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("overlap"), 6).as("overlap"),
-        least(col("na"), col("nb")).as("n_small"))
+    overlapFrom(pairStats(docs, dfCap), threshold)
 
   private val d2 = GQuery(
     "d2_dedup_ngram_jaccard",
-    (s, dir) => jaccardPairs(t(s, dir, "documents"), 0.5, DfCap),
+    (s, dir) => jaccardPairsShared(s, dir, 0.5, DfCap),
     Some(exactJaccardOracle(0.5, DfCap)),
     doc = "3-word-shingle Jaccard >= 0.5 via DF-capped shared-shingle join (dedup #2).")
 
@@ -1565,7 +1628,7 @@ object TextOps extends QueryPack {
   // identical exact integers), so the scale shape is d2's.
   private val d46 = GQuery(
     "d46_containment_dedup",
-    (s, dir) => overlapPairs(t(s, dir, "documents"), 0.8, DfCap),
+    (s, dir) => overlapPairsShared(s, dir, 0.8, DfCap),
     Some(cappedPairOracle(DfCap,
       """round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap,
         |  least(sa.n, sb.n) AS n_small""".stripMargin,
@@ -1587,7 +1650,7 @@ object TextOps extends QueryPack {
     "d47_shared_span_dedup",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = jaccardPairs(docs, 0.5, DfCap).select(col("doc_a"), col("doc_b"))
+      val pairs = jaccardPairsShared(s, dir, 0.5, DfCap).select(col("doc_a"), col("doc_b"))
       val psh0 = hashedShinglesPos(docs)
       val heavy = psh0.select(col("doc_id"), col("hv")).distinct()
         .groupBy(col("hv")).agg(count(lit(1)).as("df"))
