@@ -95,13 +95,76 @@ final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.
     done.toSeq
   }
 
+  /** Upstream closure (transitive in-graph dependencies, excluding `n`). */
+  private def ancestorsOf(n: String): Set[String] = {
+    val seen = mutable.Set[String]()
+    def walk(m: String): Unit =
+      byName.get(m).foreach(_.deps.foreach { d =>
+        if (byName.contains(d) && seen.add(d)) walk(d)
+      })
+    walk(n)
+    seen.toSet
+  }
+
+  private lazy val childrenOf: Map[String, Seq[String]] =
+    models.flatMap(m => m.deps.filter(byName.contains).map(_ -> m.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  /** Downstream closure (transitive dependents, excluding `n`). */
+  private def descendantsOf(n: String): Set[String] = {
+    val seen = mutable.Set[String]()
+    def walk(m: String): Unit =
+      childrenOf.getOrElse(m, Nil).foreach(c => if (seen.add(c)) walk(c))
+    walk(n)
+    seen.toSet
+  }
+
+  /** dbt-style node selection (the `--select` face the reference operates
+    * by, `app/app.py:448`): each selector is a model name or `*` glob,
+    * optionally wrapped in the graph operators `+name` (the model plus its
+    * upstream closure) and `name+` (plus its downstream dependents; both
+    * may combine as `+name+`). Selectors union. A selector matching nothing
+    * fails fast — a typo must break the run, not silently build nothing.
+    * Returns the selected set in topological order. */
+  def selectNodes(selectors: Seq[String]): Seq[String] = {
+    require(selectors.nonEmpty, "empty selector list")
+    val names = models.map(_.name)
+    val picked = selectors.flatMap { raw =>
+      val up = raw.startsWith("+")
+      val down = raw.length > 1 && raw.endsWith("+")
+      val pat = raw.stripPrefix("+").stripSuffix("+")
+      require(pat.nonEmpty, s"selector '$raw' names no model")
+      val rx = pat.split("\\*", -1)
+        .map(java.util.regex.Pattern.quote).mkString(".*")
+      val base = names.filter(_.matches(rx))
+      require(base.nonEmpty, s"selector '$raw' matches no model")
+      base.flatMap(b => Set(b) ++
+        (if (up) ancestorsOf(b) else Set.empty) ++
+        (if (down) descendantsOf(b) else Set.empty))
+    }.toSet
+    topoOrder.filter(picked)
+  }
+
   /** Builds every model; returns the materialized (or composed) frames. */
   def run(spark: SparkSession, materializeDir: Option[String] = None): Map[String, DataFrame] =
     runAs(spark, materializeDir.fold[Materialization](Materialization.Compose)(
       Materialization.ParquetDir))
 
-  /** Builds every model under the given materialization mode. */
-  def runAs(spark: SparkSession, mat: Materialization): Map[String, DataFrame] = {
+  /** Builds the models matched by `select` (all of them when empty) under
+    * the given materialization mode; returns only the selected frames.
+    *
+    * dbt semantics, mapped to one engine: a selected model's unselected
+    * ancestors are not skipped — refs must resolve — but they are only
+    * COMPOSED (lazy frames Catalyst fuses into the selected builds), never
+    * materialized; in dbt they would be pre-existing warehouse tables.
+    * Models outside every selected model's upstream closure are not even
+    * built. `+model` pulls the ancestors INTO the selection, materializing
+    * the full lineage — the reference's `dbt build --select` workflow. */
+  def runAs(spark: SparkSession, mat: Materialization,
+      select: Seq[String] = Nil): Map[String, DataFrame] = {
+    val selected: Set[String] =
+      if (select.isEmpty) topoOrder.toSet else selectNodes(select).toSet
+    val needed: Set[String] = selected ++ selected.flatMap(ancestorsOf)
     val built = mutable.LinkedHashMap[String, DataFrame]()
     def resolve(n: String): DataFrame =
       built.getOrElse(n, sources.getOrElse(n,
@@ -112,11 +175,11 @@ final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.
       case _ => None
     }
     schemaOfOpt.foreach(schemaOf =>
-      topoOrder.map(schemaOf).distinct.foreach(db =>
+      topoOrder.filter(selected).map(schemaOf).distinct.foreach(db =>
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")))
-    topoOrder.foreach { n =>
+    topoOrder.filter(needed).foreach { n =>
       val df = byName(n).build(spark, resolve)
-      built(n) = mat match {
+      built(n) = if (!selected(n)) df else mat match {
         case Materialization.ParquetDir(dir) =>
           val path = s"$dir/$n"
           df.write.mode("overwrite").parquet(path)
@@ -149,6 +212,6 @@ final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.
         case Materialization.Compose => df
       }
     }
-    built.toMap
+    built.filter { case (n, _) => selected(n) }.toMap
   }
 }

@@ -22,10 +22,19 @@ object Pipeline {
   def runner(dataRoot: String): DagRunner = new DagRunner(models(dataRoot))
 
   /** Build every model. `materializeDir=Some(dir)` gives dbt-style per-model
-    * table materialization; `None` lets Catalyst fuse across the whole DAG. */
+    * table materialization; `None` lets Catalyst fuse across the whole DAG.
+    *
+    * `select` is the reference's operational unit (`dbt build --select`,
+    * `app/app.py:448`): names/globs with the `+` graph operators —
+    * `"mart_*"` builds the marts (upstream refs composed lazily),
+    * `"+mart_sgp_factors"` materializes that mart's full upstream lineage,
+    * nothing else is built. Empty = the whole DAG. */
   def run(spark: SparkSession, dataRoot: String,
-      materializeDir: Option[String] = None): Map[String, DataFrame] =
-    runner(dataRoot).run(spark, materializeDir)
+      materializeDir: Option[String] = None,
+      select: Seq[String] = Nil): Map[String, DataFrame] =
+    runner(dataRoot).runAs(spark,
+      materializeDir.fold[Materialization](Materialization.Compose)(
+        Materialization.ParquetDir), select)
 
   /** dbt_project.yml:38-51 semantics: materialize every model as a catalog
     * table in its layer's database (source / stage / main), queryable as

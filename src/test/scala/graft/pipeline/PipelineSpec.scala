@@ -294,6 +294,57 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     "stg_razzball_proj_preseason_hitting_per_pa" -> "888f33ce69c2dde828db4829c296dd97",
     "stg_razzball_proj_preseason_pitching_per_ip" -> "acf58f9a6fe3fdc158e4817a3303392f")
 
+  test("dbt-style selection builds exactly the closure and nothing else") {
+    val runner = Pipeline.runner(root)
+    val byName = Pipeline.models(root).map(m => m.name -> m).toMap
+
+    // +model: the model plus its upstream closure, topologically ordered
+    val closure = runner.selectNodes(Seq("+mart_sgp_factors"))
+    assert(closure.last == "mart_sgp_factors")
+    val cs = closure.toSet
+    closure.foreach(n => byName(n).deps.filter(byName.contains).foreach(d =>
+      assert(cs(d), s"closure property violated: $n's dep $d not selected")))
+    assert(!cs("mart_preseason_overall_rankings_oc"),
+      "an unrelated mart must stay outside the closure")
+
+    val dir = Files.createTempDirectory("graft-sel").toString
+    val built = Pipeline.run(spark, root, Some(dir),
+      select = Seq("+mart_sgp_factors"))
+    assert(built.keySet == cs, "returned frames must equal the selection")
+    val written = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(written == cs,
+      s"materialized exactly the closure (extra: ${written.diff(cs)}, missing: ${cs.diff(written)})")
+    // a selected build equals the same model from the full run
+    assert(built("mart_sgp_factors").collect().toSet ==
+      out("mart_sgp_factors").collect().toSet)
+
+    // bare glob: the marts materialize; upstream refs compose lazily and
+    // are NOT written — dbt's "refs resolve against the warehouse"
+    val dir2 = Files.createTempDirectory("graft-sel2").toString
+    val martNames = byName.keySet.filter(_.startsWith("mart_"))
+    val marts = Pipeline.run(spark, root, Some(dir2), select = Seq("mart_*"))
+    assert(marts.keySet == martNames)
+    assert(new java.io.File(dir2).listFiles().map(_.getName).toSet == martNames,
+      "a bare glob must materialize only its matches")
+    // lazily-composed upstream = fused plans: double sums may differ in
+    // low-order bits (the fused-mode test's caveat), so compare values with
+    // tolerance over the joined id set
+    val sel = marts("mart_preseason_overall_rankings_oc")
+      .select(col("id"), col("value").as("value_s"))
+    val full = out("mart_preseason_overall_rankings_oc").select("id", "value")
+    val joined = full.join(sel, Seq("id")).collect()
+    assert(joined.length == full.count(), "same id set as the full run")
+    joined.foreach(r =>
+      assert(math.abs(r.getAs[Double]("value") - r.getAs[Double]("value_s")) < 1e-9))
+
+    // name+ pulls downstream dependents (the mart->stage back-edge is real)
+    val down = runner.selectNodes(Seq("mart_sgp_factors+")).toSet
+    assert(down.contains("stg_proj_preseason_hitting_sgp_oc"),
+      "dependents across the mart->stage back-edge must be downstream")
+    // a typo must break the run, not silently build nothing
+    intercept[IllegalArgumentException](runner.selectNodes(Seq("mart_sgp_factorz")))
+  }
+
   test("golden digests: all 40 models match checked-in content hashes") {
     assert(GoldenGen.gated.toSet == golden.keySet,
       "gated-model list drifted from the golden map — rerun GoldenGen")

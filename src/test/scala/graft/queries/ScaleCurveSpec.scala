@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Measures the scaling claims SCALE.md argues: the heaviest registry
+  * queries run at sf0.01 and sf0.1 (10x the data) and every time ratio must
+  * stay inside a superlinearity budget. A linear operator lands near 10x
+  * minus fixed overheads (usually well under); a quadratic one lands near
+  * 100x. The budget of 25x leaves room for shuffle-log factors and host
+  * jitter while still failing hard on accidental all-pairs joins,
+  * unbounded windows, or plan blowups — the failure classes the plan-shape
+  * sweeps catch structurally, enforced here by measurement.
+  *
+  * Methodology mirrors graft.Bench: local[32], noop-sink writes (evaluates
+  * every output column), one warm run (JVM/codegen + scratch artifacts)
+  * then best-of-2 timed. Host contention inflates both scales of one run
+  * roughly uniformly (BASELINE.md's variance caveat), so the RATIO
+  * self-normalizes; the sf0.01 denominator is floored at 0.2 s so scheduler
+  * jitter on a tiny run cannot manufacture a violation.
+  *
+  * g6 is deliberately absent: its input is k-bounded by an explicit scale
+  * contract (GraphOps), not corpus-proportional, so a cross-sf ratio would
+  * measure the contract, not the operator.
+  */
+class ScaleCurveSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** The sf0.1 heavy hitters (r6 bench top list), one per operator family. */
+  private val Queries = Seq(
+    "d36_dedup_keep_best", "d16_dedup_apply", "d12_dedup_components",
+    "d47_shared_span_dedup", "d2_dedup_ngram_jaccard",
+    "d3_dedup_minhash_lsh", "d4_dedup_simhash",
+    "d35_perplexity_gate", "d17_bigram_logprob",
+    "e11_ann_ivf_pq_rerank", "e6_knn_graph", "m7_media_phash_neardup")
+
+  private val SuperlinearityBudget = 25.0
+  private val DenomFloorSec = 0.2
+
+  private def timeOnce(name: String, sfDir: String): Double = {
+    val fn = graft.SparkEntry.queries(name)
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val dt = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache()
+    dt
+  }
+
+  test("10x data stays inside the superlinearity budget on the heavy queries", graft.Slow) {
+    val rows = Queries.map { q =>
+      timeOnce(q, "/root/testdata/sf0.01") // warm: codegen + scratch artifacts
+      val t001 = math.min(timeOnce(q, "/root/testdata/sf0.01"),
+        timeOnce(q, "/root/testdata/sf0.01"))
+      timeOnce(q, "/root/testdata/sf0.1")
+      val t01 = math.min(timeOnce(q, "/root/testdata/sf0.1"),
+        timeOnce(q, "/root/testdata/sf0.1"))
+      val ratio = t01 / math.max(t001, DenomFloorSec)
+      info(f"$q%-28s sf0.01 $t001%6.2f s   sf0.1 $t01%6.2f s   ratio ${ratio}%5.1fx")
+      (q, t001, t01, ratio)
+    }
+    // print a paste-ready SCALE.md table
+    println("| query | sf0.01 s | sf0.1 s | ratio |")
+    println("|---|---|---|---|")
+    rows.foreach { case (q, a, b, r) => println(f"| $q | $a%.2f | $b%.2f | ${r}%.1fx |") }
+    rows.foreach { case (q, _, _, r) =>
+      assert(r <= SuperlinearityBudget,
+        f"$q scaled ${r}%.1fx on 10x data (budget ${SuperlinearityBudget}x) — superlinear")
+    }
+  }
+}
