@@ -352,6 +352,12 @@ object VectorOps extends QueryPack {
   // reconstruction norm sqrt(sum |c_m|^2). No exact re-rank on purpose: the
   // measured recall@10 vs e1 (SimilaritySpec, floor + info line) is the
   // honest cost of 128x compression on these uniform synthetic vectors.
+  //
+  // Two PQ faces share these constants: e10 trains on an integer grid so
+  // its whole composition replays in the DuckDB oracle (hash-gated); e11
+  // keeps the double-precision codebooks below (its cosine k-means coarse
+  // quantizer is not integer-replayable, so its gate stays the measured
+  // recall floor + replay tests).
 
   private val PqM = 4
   private val PqSub = 16
@@ -405,37 +411,173 @@ object VectorOps extends QueryPack {
     cents
   }
 
+  // The e10 pipeline is INTEGER-EXACT end to end so the whole composition —
+  // codebook training included — replays in the DuckDB oracle and sits under
+  // the driver hash gate (the d40/g1 unrolled-replay discipline, applied to
+  // an ANN composite):
+  //   - inputs quantize to a power-of-two grid (float * 4096 is an exponent
+  //     shift — EXACT — and floor(x + 0.5) is the cross-engine-safe
+  //     round-half-up);
+  //   - Lloyd assignment is an argmin of exact integer L2 with a cell
+  //     tie-break; centroids round back to the grid via ONE correctly-
+  //     rounded IEEE division + floor(+0.5) per dim, so every round's state
+  //     is integers both engines agree on bit-for-bit;
+  //   - seeding orders by md5(vec_id) — a hash both engines share (xxhash64
+  //     is Spark-only);
+  //   - ADC partial dots and norms are exact BIGINTs (all < 2^53, so even a
+  //     HUGEINT->DOUBLE cast is exact); the final score is three correctly-
+  //     rounded ops (two sqrts, one multiply, one divide) on identical
+  //     inputs, ranked with a unique nid tie-break BEFORE the 6-digit
+  //     display rounding.
+  private val PqGrid = 4096.0
+
+  /** (vec_id, m, q): every vector quantized to the integer grid and exploded
+    * into its M subspace slices. */
+  private def pqSubspacesQ(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        expr(s"transform(v, x -> cast(floor(x * $PqGrid + 0.5d) AS BIGINT))").as("qfull"))
+      .select(col("vec_id"), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"),
+          expr(s"slice(qfull, ${m * PqSub + 1}, $PqSub)").as("q"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.q").as("q"))
+
+  /** Map-only nearest-centroid assign, exact integer L2; ties go to the
+    * lowest cell (array_min on (d, cell) is lexicographic). */
+  private def pqAssignAllQ(subAll: DataFrame,
+      cents: Seq[(Int, Int, Seq[Long])]): DataFrame = {
+    val byM = cents.groupBy(_._1).map { case (m, cs) =>
+      m -> cs.map { case (_, c, v) => (c, v) }.toSeq
+    }
+    val centMap = typedLit(byM)
+    val scored = transform(element_at(centMap, col("m")), c => struct(
+      aggregate(zip_with(col("q"), c.getField("_2"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d"),
+      c.getField("_1").as("cell")))
+    subAll.withColumn("_pick", array_min(scored))
+      .select(col("vec_id"), col("m"), col("_pick.cell").as("cell"), col("q"))
+  }
+
+  /** Integer-grid Lloyd rounds for all M codebooks in one dataflow (the e5
+    * driver-collected pattern; collected state is M*K centroids of PqSub
+    * longs — planning-scale). Seeds are the k md5-lowest vec_ids (cells
+    * 0..k-1 in that order); empty cells drop out of the next round on both
+    * engines identically. */
+  private def pqTrainAllQ(subAll: DataFrame, k: Int, iters: Int): Seq[(Int, Int, Seq[Long])] = {
+    val session = subAll.sparkSession
+    import session.implicits._
+    def collectCents(df: DataFrame): Seq[(Int, Int, Seq[Long])] =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2))).toSeq
+    // k-bounded driver collect, same class as e5's centroid collects
+    val seedIds = subAll.select(col("vec_id")).distinct()
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    val seedDf = seedIds.zipWithIndex.toDF("vec_id", "cell")
+    var cents = collectCents(
+      subAll.join(broadcast(seedDf), Seq("vec_id"))
+        .select(col("m"), col("cell"), col("q").as("cv")))
+    (0 until iters).foreach { _ =>
+      cents = collectCents(
+        pqAssignAllQ(subAll, cents)
+          .select(col("m"), col("cell"), posexplode(col("q")).as(Seq("i", "x")))
+          .groupBy(col("m"), col("cell"), col("i"))
+          .agg(floor(sum(col("x")).cast("double") / count(lit(1)) + lit(0.5d))
+            .cast("long").as("c"))
+          .groupBy(col("m"), col("cell"))
+          .agg(expr("transform(sort_array(collect_list(struct(i, c))), p -> p.c)").as("cv")))
+    }
+    cents
+  }
+
+  private def e10OracleAssign(cents: String, out: String): String =
+    s"""$out AS (SELECT vec_id, m, cell FROM (
+       |  SELECT qv.vec_id, qv.m, c.cell,
+       |    row_number() OVER (PARTITION BY qv.vec_id, qv.m
+       |      ORDER BY sum((qv.q - c.c) * (qv.q - c.c)), c.cell) AS arn
+       |  FROM qv JOIN $cents c ON c.m = qv.m AND c.i = qv.i
+       |  GROUP BY qv.vec_id, qv.m, c.cell) WHERE arn = 1)""".stripMargin
+
+  private def e10OracleRecompute(assign: String, out: String): String =
+    s"""$out AS (
+       |  SELECT a.m, a.cell, qv.i,
+       |    CAST(floor(CAST(sum(qv.q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+       |  FROM $assign a JOIN qv ON qv.vec_id = a.vec_id AND qv.m = a.m
+       |  GROUP BY a.m, a.cell, qv.i)""".stripMargin
+
   private val e10 = GQuery(
     "e10_ann_pq_adc",
     (s, dir) => {
-      import s.implicits._
       val emb = embDouble(s, dir)
-      val subAll = pqSubspaces(emb)
-      val books = pqTrainAll(subAll, PqK, iters = 2)
-      val codes = pqAssignAll(subAll, books)
+      val subAll = pqSubspacesQ(emb)
+      val books = pqTrainAllQ(subAll, PqK, iters = 2)
+      val codes = pqAssignAllQ(subAll, books)
         .select(col("vec_id").as("nid"), col("m"), col("cell"))
+      import s.implicits._
       val centDf = books.toDF("m", "cell", "cv")
       val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      // ADC tables: per (qid, m, cell) partial dot + centroid norm piece
+        .select(col("vec_id").as("qid"),
+          expr(s"transform(v, x -> cast(floor(x * $PqGrid + 0.5d) AS BIGINT))").as("qv"))
+        .withColumn("qn2", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+      // ADC tables: per (qid, m, cell) partial dot + centroid norm piece —
+      // exact BIGINTs, a 10 x 4 x 16 = 640-row broadcast
       val cdots = q.crossJoin(broadcast(centDf))
         .select(col("qid"), col("m"), col("cell"),
-          call_function("graft_dot",
-            expr(s"slice(qv, m * $PqSub + 1, $PqSub)"), col("cv")).as("pdot"),
-          call_function("graft_dot", col("cv"), col("cv")).as("cn2"),
-          call_function("graft_dot", col("qv"), col("qv")).as("qn2"))
+          expr(s"aggregate(zip_with(slice(qv, m * $PqSub + 1, $PqSub), cv," +
+            " (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("pdot"),
+          expr("aggregate(cv, 0L, (acc, x) -> acc + x * x)").as("cn2"),
+          col("qn2"))
       val scored = codes.join(broadcast(cdots), Seq("m", "cell"))
         .filter(col("qid") =!= col("nid"))
         .groupBy(col("qid"), col("nid"))
-        .agg((sum(col("pdot"))
-          / (sqrt(max(col("qn2"))) * sqrt(sum(col("cn2"))))).as("sim_approx"))
+        .agg((sum(col("pdot")).cast("double")
+          / (sqrt(max(col("qn2")).cast("double"))
+            * sqrt(sum(col("cn2")).cast("double")))).as("sim_approx"))
       val w = Window.partitionBy(col("qid")).orderBy(col("sim_approx").desc, col("nid"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
         .select(col("qid"), col("nid"),
           round(col("sim_approx"), 6).as("sim_approx"), col("rn"))
     },
-    None,
-    doc = "Product quantization (4x16-dim, 16-centroid L2 codebooks) + ADC top-10 (similarity #10).")
+    Some(s"""WITH raw AS (
+           |  SELECT vec_id, unnest(embedding) AS x,
+           |         generate_subscripts(embedding, 1) AS pos
+           |  FROM embeddings),
+           |qv AS (
+           |  SELECT vec_id, (pos - 1) // $PqSub AS m, (pos - 1) % $PqSub AS i,
+           |    CAST(floor(CAST(x AS DOUBLE) * $PqGrid + 0.5) AS BIGINT) AS q
+           |  FROM raw),
+           |seeds AS (
+           |  SELECT vec_id,
+           |    CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell
+           |  FROM (SELECT DISTINCT vec_id FROM embeddings
+           |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK)),
+           |c0 AS (SELECT s.cell, qv.m, qv.i, qv.q AS c
+           |       FROM qv JOIN seeds s USING (vec_id)),
+           |${e10OracleAssign("c0", "a1")},
+           |${e10OracleRecompute("a1", "c1")},
+           |${e10OracleAssign("c1", "a2")},
+           |${e10OracleRecompute("a2", "c2")},
+           |${e10OracleAssign("c2", "codes")},
+           |qn AS (SELECT vec_id AS qid, sum(q * q) AS qn2
+           |       FROM qv WHERE vec_id < 10 GROUP BY 1),
+           |cn AS (SELECT m, cell, sum(c * c) AS cn2 FROM c2 GROUP BY 1, 2),
+           |cd AS (SELECT qv.vec_id AS qid, c.m, c.cell, sum(qv.q * c.c) AS pdot
+           |       FROM qv JOIN c2 c ON c.m = qv.m AND c.i = qv.i
+           |       WHERE qv.vec_id < 10 GROUP BY 1, 2, 3),
+           |sc AS (
+           |  SELECT cd.qid, k.vec_id AS nid,
+           |    CAST(sum(cd.pdot) AS DOUBLE) /
+           |      (sqrt(CAST(max(qn.qn2) AS DOUBLE)) * sqrt(CAST(sum(cn.cn2) AS DOUBLE))) AS sim
+           |  FROM codes k
+           |  JOIN cd ON cd.m = k.m AND cd.cell = k.cell
+           |  JOIN qn ON qn.qid = cd.qid
+           |  JOIN cn ON cn.m = k.m AND cn.cell = k.cell
+           |  WHERE cd.qid <> k.vec_id
+           |  GROUP BY 1, 2)
+           |SELECT qid, nid, round(sim, 6) AS sim_approx, rn FROM (
+           |  SELECT qid, nid, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+           |  FROM sc) sub
+           |WHERE rn <= 10""".stripMargin),
+    doc = "Product quantization (4x16-dim, 16-centroid integer-grid codebooks) + ADC top-10, training replayed exactly in the oracle (similarity #10).")
 
   // ---- E11: the full serving stack — IVF prune + PQ ADC + exact rerank ------
   // The composition a production vector store actually runs (FAISS's
