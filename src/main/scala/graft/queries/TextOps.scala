@@ -1755,8 +1755,87 @@ object TextOps extends QueryPack {
            |FROM flagged GROUP BY source""".stripMargin),
     doc = "Tokenizer-vocab OOV screen: top-500 vocab coverage per source, exact counts + one-division rate (text #23).")
 
+  // ---- D55: intra-document repetition filters (Gopher-style) ------------------
+  // The OTHER repetition axis next to cross-document dedup (d1/d2/d3): a
+  // single document repeating ITSELF — boilerplate loops, templated spans,
+  // decoding artifacts — which the Gopher/MassiveText quality rules screen
+  // with n-gram repetition fractions (Rae et al. 2021, public). Two of the
+  // battery here, exact-arithmetic so the whole screen sits under the hash
+  // gate:
+  //   - top-2-gram fraction: characters covered by occurrences of the most
+  //     frequent word 2-gram / document characters (threshold 0.20);
+  //   - duplicate-5-gram fraction: 5-gram positions whose gram occurs more
+  //     than once / all 5-gram positions (threshold 0.15).
+  // Ties on the top gram break to the lexicographically smallest (the
+  // deterministic-argmax discipline); short documents yield NULL fractions
+  // and pass. Scale shape: per-doc explode -> hash aggregates keyed by
+  // (doc_id, gram) — map-side combinable, no window over the corpus, output
+  // one row per document.
+  private val d55 = GQuery(
+    "d55_gopher_repetition",
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("tl"),
+          split(col("text"), " ").as("w"))
+        .withColumn("nw", size(col("w")))
+      val g2 = base.filter(col("nw") >= 2).select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1)," +
+          " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("g"))
+      val c2 = g2.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val wTop = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))
+      val top2 = c2.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("g").as("top2_gram"), col("c").as("c2"))
+      val g5 = base.filter(col("nw") >= 5).select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 4), i -> concat_ws(' '," +
+          " element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)," +
+          " element_at(w, i + 3), element_at(w, i + 4)))")).as("g"))
+      val d5 = g5.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).cast("long").as("dup_pos"),
+          sum(col("c")).cast("long").as("tot_pos"))
+      base.select(col("doc_id"), col("tl"), col("nw"))
+        .join(top2, Seq("doc_id"), "left")
+        .join(d5, Seq("doc_id"), "left")
+        .withColumn("top2_frac",
+          (col("c2") * length(col("top2_gram"))).cast("double") / col("tl"))
+        .withColumn("dup5_frac", col("dup_pos").cast("double") / col("tot_pos"))
+        .withColumn("keep", (coalesce(col("top2_frac") <= 0.2, lit(true)) &&
+          coalesce(col("dup5_frac") <= 0.15, lit(true))).cast("int"))
+        .select(col("doc_id"), col("nw").as("n_words"), col("top2_gram"),
+          col("top2_frac"), col("dup5_frac"), col("keep"))
+    },
+    Some("""WITH w AS (
+           |  SELECT doc_id, length(text) AS tl, string_split(text, ' ') AS w
+           |  FROM documents),
+           |sh AS (SELECT doc_id, tl, len(w) AS nw,
+           |  [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS g2s,
+           |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+           |   for i in range(1, len(w) - 3)] AS g5s
+           |  FROM w),
+           |c2 AS (SELECT doc_id, g, count(*) AS c
+           |       FROM (SELECT doc_id, unnest(g2s) AS g FROM sh) GROUP BY 1, 2),
+           |top2 AS (SELECT doc_id, g AS top2_gram, c FROM (
+           |  SELECT doc_id, g, c,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+           |  FROM c2) WHERE rn = 1),
+           |c5 AS (SELECT doc_id, g, count(*) AS c
+           |       FROM (SELECT doc_id, unnest(g5s) AS g FROM sh) GROUP BY 1, 2),
+           |d5 AS (SELECT doc_id,
+           |         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_pos,
+           |         CAST(sum(c) AS BIGINT) AS tot_pos
+           |       FROM c5 GROUP BY 1)
+           |SELECT sh.doc_id, CAST(sh.nw AS INT) AS n_words, top2.top2_gram,
+           |  CAST(top2.c * length(top2.top2_gram) AS DOUBLE) / sh.tl AS top2_frac,
+           |  CAST(d5.dup_pos AS DOUBLE) / d5.tot_pos AS dup5_frac,
+           |  CAST((coalesce(CAST(top2.c * length(top2.top2_gram) AS DOUBLE) / sh.tl <= 0.2, TRUE)
+           |    AND coalesce(CAST(d5.dup_pos AS DOUBLE) / d5.tot_pos <= 0.15, TRUE)) AS INT) AS keep
+           |FROM sh
+           |LEFT JOIN top2 ON top2.doc_id = sh.doc_id
+           |LEFT JOIN d5 ON d5.doc_id = sh.doc_id""".stripMargin),
+    doc = "Gopher-style intra-doc repetition screen: top-2-gram coverage + duplicate-5-gram fraction, exact arithmetic (text #22).")
+
   override val all: Seq[GQuery] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d10, d11, d20, d21, d22, d23, d24, d25, d26,
       d27, d28, d29, d30, d31, d32, d33, d34, d37, d41, d45, d46, d47, d48, d49,
-      d50, d51, d54)
+      d50, d51, d54, d55)
 }

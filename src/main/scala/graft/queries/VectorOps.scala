@@ -124,8 +124,8 @@ object VectorOps extends QueryPack {
            |WHERE rn <= 10""".stripMargin),
     doc = "Brute-force cosine top-10 per query vector (similarity #1).")
 
-  // ---- E2: hyperplane-LSH bucketed ANN (the scale path; rows-only check) ----------
-  // 150 signed random hyperplanes -> 30 bands x 5 bits. Band width trades
+  // ---- E2: hyperplane-LSH bucketed ANN (the scale path; hash-gated) ----------
+  // 150 signed hyperplanes -> 30 bands x 5 bits. Band width trades
   // recall vs pruning: this corpus's true top-10 neighbors sit at sim
   // 0.4-0.6 (bit-agreement p = 1 - acos(sim)/pi ~ 0.63-0.70), so per-band
   // hit probability is p^5 ~ 0.10-0.17 and 30 OR-ed bands give per-neighbor
@@ -135,32 +135,47 @@ object VectorOps extends QueryPack {
   // one 64-bit signature, so the plane count is not capped at 64 and
   // widening bands is a constant-change; the (band, bh) shuffle key is what
   // scales the bucket join.
+  //
+  // The bucketing is EXACTLY replayable in the DuckDB oracle (the e10
+  // integer-replay discipline): the ±1 planes derive from md5 — a hash both
+  // engines share — instead of a JVM PRNG, and projections run on the
+  // power-of-two integer grid, so every sign bit is an exact-integer
+  // comparison both engines agree on. Only the final cosine over bucket
+  // mates is float math, rounded to 6 digits before the rank cutoff (the
+  // e1 discipline).
   private val Planes = 150
   private val BandBits = 5
   private val Dim = 64
+  /** plane(p)(d) = +1 iff the top bit of md5("lsh:p:d") is 0 — the same
+    * test the oracle spells `substring(md5(...), 1, 1) BETWEEN '0' AND '7'`. */
   private val planeW: Array[Array[Int]] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(Planes, Dim)(if (rnd.nextBoolean()) 1 else -1)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(Planes, Dim) { (p, d) =>
+      val h = digest.digest(s"lsh:$p:$d".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1 else -1
+    }
   }
 
   /** (vec_id, band, bh) LSH bucket entries — shared by e2 and its recall
     * test. The plane matrix is a compile-time constant, so the whole
     * signature computation is a MAP-ONLY expression: `transform` over the
-    * literal plane array with the fused `graft_dot` kernel gives all 150
-    * projections per row inside whole-stage codegen — no explode, no
-    * broadcast join, no re-aggregation shuffle. At cluster scale this means
-    * signatures cost one narrow pass over the vectors; only the tiny
-    * (vec_id, band, bh) triples ever shuffle. */
+    * literal plane array gives all 150 exact-integer projections per row —
+    * no explode, no broadcast join, no re-aggregation shuffle. At cluster
+    * scale this means signatures cost one narrow pass over the vectors;
+    * only the tiny (vec_id, band, bh) triples ever shuffle. */
   private[queries] def lshBands(s: SparkSession, dir: String): DataFrame = {
     val emb = embDouble(s, dir)
-    val planesSql = planeW.map(r => r.map(w => s"${w}d").mkString("array(", ",", ")"))
+    val planesSql = planeW.map(r => r.map(w => s"${w}L").mkString("array(", ",", ")"))
       .mkString("array(", ",", ")")
     val bands = Planes / BandBits
     val bhExpr = (0 until BandBits).map(r =>
       s"(CASE WHEN element_at(proj, b * $BandBits + $r + 1) > 0" +
         s" THEN ${1L << r}L ELSE 0L END)").mkString(" + ")
     emb.select(col("vec_id"),
-        expr(s"transform($planesSql, w -> graft_dot(v, w))").as("proj"))
+        expr("transform(v, x -> cast(floor(x * 4096.0d + 0.5d) AS BIGINT))").as("qv"))
+      .select(col("vec_id"),
+        expr(s"transform($planesSql, w -> aggregate(zip_with(qv, w," +
+          " (a, b) -> a * b), 0L, (acc, x) -> acc + x))").as("proj"))
       .select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, $bhExpr as bh))"))
         .as("x"))
@@ -184,8 +199,48 @@ object VectorOps extends QueryPack {
       rankTopK(withV, 10)
         .select(col("qid"), col("nid"), col("sim"), col("rn"))
     },
-    None,
-    doc = "Sign-LSH bucketed ANN (30 bands x 5 bits); scores only bucket mates (similarity #2).")
+    Some(s"""WITH qv AS (
+           |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+           |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 4096.0 + 0.5) AS BIGINT) AS q
+           |  FROM embeddings),
+           |planes AS (
+           |  SELECT p, d, CASE WHEN substring(md5('lsh:' || p || ':' || d), 1, 1)
+           |                    BETWEEN '0' AND '7' THEN 1 ELSE -1 END AS w
+           |  FROM generate_series(0, ${Planes - 1}) t1(p),
+           |       generate_series(0, ${Dim - 1}) t2(d)),
+           |proj AS (
+           |  SELECT qv.vec_id, pl.p, sum(qv.q * pl.w) AS pr
+           |  FROM qv JOIN planes pl ON pl.d = qv.d GROUP BY 1, 2),
+           |bands AS (
+           |  SELECT vec_id, p // $BandBits AS band,
+           |    sum(CASE WHEN pr > 0 THEN 1::BIGINT << (p % $BandBits) ELSE 0 END) AS bh
+           |  FROM proj GROUP BY 1, 2),
+           |cand AS (
+           |  SELECT DISTINCT b1.vec_id AS qid, b2.vec_id AS nid
+           |  FROM bands b1 JOIN bands b2 ON b1.band = b2.band AND b1.bh = b2.bh
+           |  WHERE b1.vec_id < 10 AND b1.vec_id <> b2.vec_id),
+           |e AS (
+           |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+           |         generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings),
+           |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+           |dots AS (
+           |  SELECT cand.qid, cand.nid, sum(a.x * b.x) AS dp
+           |  FROM cand
+           |  JOIN e a ON a.vec_id = cand.qid
+           |  JOIN e b ON b.vec_id = cand.nid AND b.i = a.i
+           |  GROUP BY 1, 2),
+           |sims AS (
+           |  SELECT qid, nid, round(dp / (nq.nrm * nc.nrm), 6) AS sim
+           |  FROM dots
+           |  JOIN norms nq ON qid = nq.vec_id
+           |  JOIN norms nc ON nid = nc.vec_id)
+           |SELECT qid, nid, sim, rn FROM (
+           |  SELECT qid, nid, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+           |  FROM sims) sub
+           |WHERE rn <= 10""".stripMargin),
+    doc = "Sign-LSH bucketed ANN (30 bands x 5 bits, md5-derived planes, integer-grid signatures replayed in the oracle); scores only bucket mates (similarity #2).")
 
   // ---- E3: per-label centroids (IVF coarse quantizer building block) --------------
   private val e3 = GQuery(
@@ -279,38 +334,116 @@ object VectorOps extends QueryPack {
   // the IVF/ball-pruning operators (e4/e8/d9 accept any cell column) —
   // tighter radii mean more pruning.
 
-  /** Map-only nearest-centroid assign against a collected centroid matrix.
-    * Tie-break matches the former window form: highest sim, then lowest cell
-    * (array_max is lexicographic on (sim, -cell)). */
-  private def assignToCells(emb: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    val centLit = typedLit(cents)
+  /** Map-only nearest-centroid assign against a collected INTEGER-GRID
+    * centroid matrix, in cosine geometry: csim = dot / (|qv| * |c|) where
+    * the dot and both squared norms are exact integers and the two sqrts,
+    * the multiply and the divide are single correctly-rounded IEEE ops — so
+    * the double is BIT-IDENTICAL in any engine and the argmax (highest sim,
+    * then lowest cell; array_max is lexicographic on (sim, -cell)) replays
+    * exactly. Expects the quantized frame from [[quantized]]. */
+  private def assignToCellsQ(q: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    val centLit = typedLit(cents.map { case (c, v) => (c, v, v.map(x => x * x).sum) })
     val scored = transform(centLit, c => struct(
-      call_function("graft_cosine", col("v"), c.getField("_2")).as("s"),
+      (aggregate(zip_with(col("qv"), c.getField("_2"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).cast("double")
+        / (sqrt(col("qn2").cast("double")) * sqrt(c.getField("_3").cast("double")))).as("s"),
       (-c.getField("_1")).as("nc")))
-    emb.withColumn("_pick", array_max(scored))
-      .select(col("vec_id"), (-col("_pick.nc")).cast("int").as("cell"), col("v"))
+    q.withColumn("_pick", array_max(scored))
+      .select(col("vec_id"), (-col("_pick.nc")).cast("int").as("cell"),
+        col("v"), col("qv"), col("qn2"))
   }
+
+  /** emb plus its integer-grid shadow (the e10 quantization: power-of-two
+    * scale is exact, floor(+0.5) is the cross-engine round-half-up). */
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("v"),
+        expr("transform(v, x -> cast(floor(x * 4096.0d + 0.5d) AS BIGINT))").as("qv"))
+      .withColumn("qn2", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
 
   /** (vec_id, label, v) -> (vec_id, label := cell id, v). `initSeed` shifts
     * which k vectors seed Lloyd's rounds (0 = the registry default) — the
     * multi-seed recall gate in SimilaritySpec measures how sensitive the
-    * trained cells are to initialization. */
+    * trained cells are to initialization.
+    *
+    * Training state is integer-exact end to end (the e10 replay
+    * discipline): vectors quantize to the 4096 grid, assignment compares
+    * bit-identical csim doubles built from exact integer dots/norms, and
+    * recomputed centroids round back to the grid via one correctly-rounded
+    * division + floor(+0.5) per dim. Seeds order by md5 (a hash both
+    * engines share — xxhash64 is Spark-only), keeping their vec_id as the
+    * cell id. The whole loop therefore replays in a DuckDB oracle, which
+    * puts the e5/e8 compositions under the driver hash gate. */
   private[queries] def kmeansCells(emb: DataFrame, k: Int, iters: Int,
       initSeed: Long = 0L): DataFrame = {
-    def collectCents(df: DataFrame): Seq[(Int, Seq[Double])] =
-      df.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-    def recompute(assigned: DataFrame): DataFrame = centroids(assigned, Seq("cell"))
-    // hash-spread deterministic init: k seeds picked by vec_id hash order —
-    // reproducible like lowest-ids, but spread across the corpus instead of
-    // clumped in whatever region low ids happen to share
-    var cents = collectCents(
-      emb.orderBy(expr(s"xxhash64(vec_id + $initSeed)"), col("vec_id")).limit(k)
-        .select(col("vec_id").cast("int").as("cell"), col("v").as("cv")))
+    val q = quantized(emb)
+    def recomputeQ(assigned: DataFrame): Seq[(Int, Seq[Long])] =
+      assigned.select(col("cell"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1)) + lit(0.5d))
+          .cast("long").as("c"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(sort_array(collect_list(struct(i, c))), p -> p.c)").as("cv"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq
+    var cents = q
+      .orderBy(md5((col("vec_id") + initSeed).cast("string")), col("vec_id")).limit(k)
+      .select(col("vec_id").cast("int").as("cell"), col("qv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq
     (0 until iters).foreach { _ =>
-      cents = collectCents(recompute(assignToCells(emb, cents)))
+      cents = recomputeQ(assignToCellsQ(q, cents))
     }
-    assignToCells(emb, cents).select(col("vec_id"), col("cell").as("label"), col("v"))
+    assignToCellsQ(q, cents).select(col("vec_id"), col("cell").as("label"), col("v"))
   }
+
+  /** DuckDB CTE chain replaying [[kmeansCells]] (k=8, iters=3, seed 0)
+    * exactly — integer-grid vectors, md5-ordered seeds, three unrolled
+    * assign/recompute rounds — ending in `lab(vec_id, cell)`, plus the
+    * double-precision long form `qv(vec_id, i, x, q)` and norms `vn` the
+    * e5/e8 faces score with. Shared so the two oracles can never drift. */
+  private def kmeansOracleCtes: String = {
+    def cnorm(c: String, out: String) =
+      s"$out AS (SELECT cell, sum(c * c) AS cn2 FROM $c GROUP BY 1)"
+    def assign(cents: String, cn: String, out: String) =
+      s"""$out AS (SELECT vec_id, cell FROM (
+         |  SELECT qv.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+         |      CAST(sum(qv.q * c.c) AS DOUBLE) /
+         |        (sqrt(CAST(max(qn.qn2) AS DOUBLE)) * sqrt(CAST(max(n.cn2) AS DOUBLE))) DESC,
+         |      c.cell) AS arn
+         |  FROM qv JOIN $cents c ON c.i = qv.i
+         |  JOIN qn ON qn.vec_id = qv.vec_id
+         |  JOIN $cn n ON n.cell = c.cell
+         |  GROUP BY qv.vec_id, c.cell) WHERE arn = 1)""".stripMargin
+    def recompute(a: String, out: String) =
+      s"""$out AS (
+         |  SELECT a.cell, qv.i,
+         |    CAST(floor(CAST(sum(qv.q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+         |  FROM $a a JOIN qv ON qv.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    val rounds = (1 to 3).map(r =>
+      Seq(assign(s"kc${r - 1}", s"kn${r - 1}", s"ka$r"),
+        recompute(s"ka$r", s"kc$r"), cnorm(s"kc$r", s"kn$r")).mkString(",\n"))
+    (Seq(
+      """qv AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 4096.0 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings)""".stripMargin,
+      "qn AS (SELECT vec_id, sum(q * q) AS qn2 FROM qv GROUP BY 1)",
+      "vn AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM qv GROUP BY 1)",
+      """seeds AS (
+        |  SELECT CAST(vec_id AS INT) AS cell, vec_id
+        |  FROM (SELECT DISTINCT vec_id FROM embeddings
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8))""".stripMargin,
+      "kc0 AS (SELECT s.cell, qv.i, qv.q AS c FROM qv JOIN seeds s USING (vec_id))",
+      cnorm("kc0", "kn0")) ++ rounds :+
+      assign("kc3", "kn3", "lab")).mkString(",\n")
+  }
+
+  /** Per-cell double-precision centroids of the final labels + their norms
+    * (the scoring side of e5/e8, not the training state). */
+  private val kmeansCentroidCtes: String =
+    """cvd AS (SELECT l.cell, qv.i, avg(qv.x) AS cx
+      |        FROM lab l JOIN qv ON qv.vec_id = l.vec_id GROUP BY 1, 2),
+      |cvn AS (SELECT cell, sqrt(sum(cx * cx)) AS cn FROM cvd GROUP BY 1)""".stripMargin
 
   private val e5 = GQuery(
     "e5_kmeans_cells",
@@ -323,8 +456,20 @@ object VectorOps extends QueryPack {
         .agg(count(lit(1)).as("n"),
           round(avg(cosine("v", "cv")), 6).as("mean_sim_to_centroid"))
     },
-    None,
-    doc = "k-means coarse quantizer (k=8, 3 Lloyd rounds) + cell cohesion stats (similarity #5).")
+    Some(s"""WITH $kmeansOracleCtes,
+           |$kmeansCentroidCtes,
+           |simr AS (
+           |  SELECT l.vec_id, l.cell,
+           |    sum(qv.x * cvd.cx) / (max(vn.nrm) * max(cvn.cn)) AS sim
+           |  FROM lab l
+           |  JOIN qv ON qv.vec_id = l.vec_id
+           |  JOIN cvd ON cvd.cell = l.cell AND cvd.i = qv.i
+           |  JOIN vn ON vn.vec_id = l.vec_id
+           |  JOIN cvn ON cvn.cell = l.cell
+           |  GROUP BY 1, 2)
+           |SELECT cell, count(*) AS n, round(avg(sim), 6) AS mean_sim_to_centroid
+           |FROM simr GROUP BY cell""".stripMargin),
+    doc = "k-means coarse quantizer (k=8, 3 Lloyd rounds on the integer grid, training replayed exactly in the oracle) + cell cohesion stats (similarity #5).")
 
   // ---- E8: the composed IVF stack — probe over k-means cells ---------------
   // e4 proves the probe machinery over GIVEN labels; e5 proves the k-means
@@ -337,8 +482,42 @@ object VectorOps extends QueryPack {
   private val e8 = GQuery(
     "e8_ann_ivf_kmeans",
     (s, dir) => ivfProbe(kmeansCells(embDouble(s, dir), k = 8, iters = 3), nprobe = 2),
-    None,
-    doc = "IVF probe over trained k-means cells — the composed coarse-quantizer stack (similarity #8).")
+    Some(s"""WITH $kmeansOracleCtes,
+           |$kmeansCentroidCtes,
+           |qq AS (SELECT * FROM qv WHERE vec_id < 10),
+           |qc AS (
+           |  SELECT q.vec_id AS qid, c.cell,
+           |    round(sum(q.x * c.cx) / (max(vn.nrm) * max(cn.cn)), 6) AS csim
+           |  FROM qq q
+           |  JOIN cvd c ON c.i = q.i
+           |  JOIN vn ON vn.vec_id = q.vec_id
+           |  JOIN cvn cn ON cn.cell = c.cell
+           |  GROUP BY 1, 2),
+           |probes AS (SELECT qid, cell FROM (
+           |  SELECT qid, cell,
+           |    row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cell) AS prn
+           |  FROM qc) WHERE prn <= 2),
+           |cand AS (
+           |  SELECT p.qid, l.vec_id AS nid
+           |  FROM probes p JOIN lab l ON l.cell = p.cell
+           |  WHERE l.vec_id <> p.qid),
+           |dots AS (
+           |  SELECT cand.qid, cand.nid, sum(a.x * b.x) AS dp
+           |  FROM cand
+           |  JOIN qv a ON a.vec_id = cand.qid
+           |  JOIN qv b ON b.vec_id = cand.nid AND b.i = a.i
+           |  GROUP BY 1, 2),
+           |sims AS (
+           |  SELECT qid, nid, round(dp / (nq.nrm * nc.nrm), 6) AS sim
+           |  FROM dots
+           |  JOIN vn nq ON qid = nq.vec_id
+           |  JOIN vn nc ON nid = nc.vec_id)
+           |SELECT qid, nid, sim, rn FROM (
+           |  SELECT qid, nid, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+           |  FROM sims) sub
+           |WHERE rn <= 10""".stripMargin),
+    doc = "IVF probe over trained k-means cells (training replayed exactly in the oracle) — the composed coarse-quantizer stack (similarity #8).")
 
   // ---- E10: product quantization + ADC scoring ------------------------------
   // The memory-compression quadrant of the serving stack (e4/e8 cover cell
