@@ -532,63 +532,14 @@ object VectorOps extends QueryPack {
   // measured recall@10 vs e1 (SimilaritySpec, floor + info line) is the
   // honest cost of 128x compression on these uniform synthetic vectors.
   //
-  // Two PQ faces share these constants: e10 trains on an integer grid so
-  // its whole composition replays in the DuckDB oracle (hash-gated); e11
-  // keeps the double-precision codebooks below (its cosine k-means coarse
-  // quantizer is not integer-replayable, so its gate stays the measured
-  // recall floor + replay tests).
+  // Both PQ faces (e10 raw ADC, e11's IVF-pruned ADC + rerank) train on the
+  // integer grid, so codebook training replays in their DuckDB oracles and
+  // both sit under the driver hash gate alongside the measured recall
+  // floors.
 
   private val PqM = 4
   private val PqSub = 16
   private val PqK = 16
-
-  /** (vec_id, m, v): every vector exploded into its M subspace slices — the
-    * frame ALL subspaces train and assign on in one pass. */
-  private def pqSubspaces(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), explode(array((0 until PqM).map(m =>
-      struct(lit(m).as("m"),
-        expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("v"))): _*)).as("s"))
-      .select(col("vec_id"), col("s.m").as("m"), col("s.v").as("v"))
-
-  /** Map-only nearest-centroid assign for EVERY subspace at once: the
-    * per-subspace codebooks ride one map literal keyed by `m`; argmin of L2
-    * distance == argmax of 2*dot(v,c) - |c|^2. Output (vec_id, m, cell). */
-  private def pqAssignAll(subAll: DataFrame,
-      cents: Seq[(Int, Int, Seq[Double])]): DataFrame = {
-    val byM = cents.groupBy(_._1).map { case (m, cs) =>
-      m -> cs.map { case (_, c, v) => (c, v, v.map(x => x * x).sum) }.toSeq
-    }
-    val centMap = typedLit(byM)
-    val scored = transform(element_at(centMap, col("m")), c => struct(
-      (lit(2.0) * call_function("graft_dot", col("v"), c.getField("_2"))
-        - c.getField("_3")).as("s"),
-      (-c.getField("_1")).as("nc")))
-    subAll.withColumn("_pick", array_max(scored))
-      .select(col("vec_id"), col("m"),
-        (-col("_pick.nc")).cast("int").as("cell"), col("v"))
-  }
-
-  /** L2 Lloyd rounds for ALL M codebooks in one dataflow (the e5
-    * driver-collected-centroid pattern): each iteration is ONE scan of the
-    * exploded subspace frame — assign via the map literal, recompute as a
-    * per-(m, cell, dim) mean — instead of M per-subspace scans. Collected
-    * state is M*K centroids of PqSub doubles: planning-scale. Returns
-    * (m, cell, centroid) rows. */
-  private def pqTrainAll(subAll: DataFrame, k: Int, iters: Int): Seq[(Int, Int, Seq[Double])] = {
-    def collectCents(df: DataFrame): Seq[(Int, Int, Seq[Double])] =
-      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
-    // deterministic init: the SAME k hash-spread vec_ids seed every subspace
-    var cents = collectCents(
-      subAll.join(broadcast(
-          subAll.select(col("vec_id")).distinct()
-            .orderBy(expr("xxhash64(vec_id)"), col("vec_id")).limit(k)),
-          Seq("vec_id"))
-        .select(col("m"), col("vec_id").cast("int").as("cell"), col("v").as("cv")))
-    (0 until iters).foreach { _ =>
-      cents = collectCents(centroids(pqAssignAll(subAll, cents), Seq("m", "cell")))
-    }
-    cents
-  }
 
   // The e10 pipeline is INTEGER-EXACT end to end so the whole composition —
   // codebook training included — replays in the DuckDB oracle and sits under
@@ -667,20 +618,42 @@ object VectorOps extends QueryPack {
     cents
   }
 
-  private def e10OracleAssign(cents: String, out: String): String =
+  /** PQ-replay CTE builders, parameterized by the subspace frame name
+    * (`sub` must expose (vec_id, m, i, q)) so e10 (its own `qv`) and e11
+    * (an `sv` view derived from the k-means chain's `qv`) share them. */
+  private def pqOracleAssign(sub: String, cents: String, out: String): String =
     s"""$out AS (SELECT vec_id, m, cell FROM (
-       |  SELECT qv.vec_id, qv.m, c.cell,
-       |    row_number() OVER (PARTITION BY qv.vec_id, qv.m
-       |      ORDER BY sum((qv.q - c.c) * (qv.q - c.c)), c.cell) AS arn
-       |  FROM qv JOIN $cents c ON c.m = qv.m AND c.i = qv.i
-       |  GROUP BY qv.vec_id, qv.m, c.cell) WHERE arn = 1)""".stripMargin
+       |  SELECT $sub.vec_id, $sub.m, c.cell,
+       |    row_number() OVER (PARTITION BY $sub.vec_id, $sub.m
+       |      ORDER BY sum(($sub.q - c.c) * ($sub.q - c.c)), c.cell) AS arn
+       |  FROM $sub JOIN $cents c ON c.m = $sub.m AND c.i = $sub.i
+       |  GROUP BY $sub.vec_id, $sub.m, c.cell) WHERE arn = 1)""".stripMargin
 
-  private def e10OracleRecompute(assign: String, out: String): String =
+  private def pqOracleRecompute(sub: String, assign: String, out: String): String =
     s"""$out AS (
-       |  SELECT a.m, a.cell, qv.i,
-       |    CAST(floor(CAST(sum(qv.q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
-       |  FROM $assign a JOIN qv ON qv.vec_id = a.vec_id AND qv.m = a.m
-       |  GROUP BY a.m, a.cell, qv.i)""".stripMargin
+       |  SELECT a.m, a.cell, $sub.i,
+       |    CAST(floor(CAST(sum($sub.q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+       |  FROM $assign a JOIN $sub ON $sub.vec_id = a.vec_id AND $sub.m = a.m
+       |  GROUP BY a.m, a.cell, $sub.i)""".stripMargin
+
+  /** The unrolled PQ training chain over subspace frame `sub` with
+    * CTE-name prefix `p`: seeds (md5-lowest vec_ids as cells 0..k-1),
+    * two Lloyd rounds, final codes in `${p}codes`, centroid norms in
+    * `${p}cn` (from `${p}c2`). */
+  private def pqOracleChain(sub: String, p: String): String = Seq(
+    s"""${p}s AS (
+       |  SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell
+       |  FROM (SELECT DISTINCT vec_id FROM embeddings
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK))""".stripMargin,
+    s"${p}c0 AS (SELECT s.cell, $sub.m, $sub.i, $sub.q AS c FROM $sub JOIN ${p}s s USING (vec_id))",
+    pqOracleAssign(sub, s"${p}c0", s"${p}a1"),
+    pqOracleRecompute(sub, s"${p}a1", s"${p}c1"),
+    pqOracleAssign(sub, s"${p}c1", s"${p}a2"),
+    pqOracleRecompute(sub, s"${p}a2", s"${p}c2"),
+    pqOracleAssign(sub, s"${p}c2", s"${p}codes"),
+    s"${p}cn AS (SELECT m, cell, sum(c * c) AS cn2 FROM ${p}c2 GROUP BY 1, 2)"
+  ).mkString(",\n")
 
   private val e10 = GQuery(
     "e10_ann_pq_adc",
@@ -723,32 +696,20 @@ object VectorOps extends QueryPack {
            |  SELECT vec_id, (pos - 1) // $PqSub AS m, (pos - 1) % $PqSub AS i,
            |    CAST(floor(CAST(x AS DOUBLE) * $PqGrid + 0.5) AS BIGINT) AS q
            |  FROM raw),
-           |seeds AS (
-           |  SELECT vec_id,
-           |    CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell
-           |  FROM (SELECT DISTINCT vec_id FROM embeddings
-           |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK)),
-           |c0 AS (SELECT s.cell, qv.m, qv.i, qv.q AS c
-           |       FROM qv JOIN seeds s USING (vec_id)),
-           |${e10OracleAssign("c0", "a1")},
-           |${e10OracleRecompute("a1", "c1")},
-           |${e10OracleAssign("c1", "a2")},
-           |${e10OracleRecompute("a2", "c2")},
-           |${e10OracleAssign("c2", "codes")},
+           |${pqOracleChain("qv", "pq")},
            |qn AS (SELECT vec_id AS qid, sum(q * q) AS qn2
            |       FROM qv WHERE vec_id < 10 GROUP BY 1),
-           |cn AS (SELECT m, cell, sum(c * c) AS cn2 FROM c2 GROUP BY 1, 2),
            |cd AS (SELECT qv.vec_id AS qid, c.m, c.cell, sum(qv.q * c.c) AS pdot
-           |       FROM qv JOIN c2 c ON c.m = qv.m AND c.i = qv.i
+           |       FROM qv JOIN pqc2 c ON c.m = qv.m AND c.i = qv.i
            |       WHERE qv.vec_id < 10 GROUP BY 1, 2, 3),
            |sc AS (
            |  SELECT cd.qid, k.vec_id AS nid,
            |    CAST(sum(cd.pdot) AS DOUBLE) /
            |      (sqrt(CAST(max(qn.qn2) AS DOUBLE)) * sqrt(CAST(sum(cn.cn2) AS DOUBLE))) AS sim
-           |  FROM codes k
+           |  FROM pqcodes k
            |  JOIN cd ON cd.m = k.m AND cd.cell = k.cell
            |  JOIN qn ON qn.qid = cd.qid
-           |  JOIN cn ON cn.m = k.m AND cn.cell = k.cell
+           |  JOIN pqcn cn ON cn.m = k.m AND cn.cell = k.cell
            |  WHERE cd.qid <> k.vec_id
            |  GROUP BY 1, 2)
            |SELECT qid, nid, round(sim, 6) AS sim_approx, rn FROM (
@@ -786,23 +747,29 @@ object VectorOps extends QueryPack {
         .join(cells.select(col("vec_id").as("nid"), col("label")), Seq("label"))
         .filter(col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"))
-      // PQ: codebooks + 4-byte codes over the corpus (one exploded-subspace
-      // pass trains all M codebooks), ADC tables per query
-      val subAll = pqSubspaces(emb)
-      val books = pqTrainAll(subAll, PqK, iters = 2)
-      val codes = pqAssignAll(subAll, books)
+      // PQ: integer-grid codebooks + 4-byte codes over the corpus (one
+      // exploded-subspace pass trains all M codebooks — the e10 machinery,
+      // so the training replays exactly in the oracle), ADC tables per query
+      val subAll = pqSubspacesQ(emb)
+      val books = pqTrainAllQ(subAll, PqK, iters = 2)
+      val codes = pqAssignAllQ(subAll, books)
         .select(col("vec_id").as("nid"), col("m"), col("cell"))
       val centDf = books.toDF("m", "cell", "cv")
-      val cdots = q.crossJoin(broadcast(centDf))
+      val qq = q.select(col("qid"),
+        expr(s"transform(qv, x -> cast(floor(x * $PqGrid + 0.5d) AS BIGINT))").as("qiv"))
+      val cdots = qq.crossJoin(broadcast(centDf))
         .select(col("qid"), col("m"), col("cell"),
-          call_function("graft_dot",
-            expr(s"slice(qv, m * $PqSub + 1, $PqSub)"), col("cv")).as("pdot"),
-          call_function("graft_dot", col("cv"), col("cv")).as("cn2"))
-      // ADC over IVF survivors only, keep rerankDepth per query
+          expr(s"aggregate(zip_with(slice(qiv, m * $PqSub + 1, $PqSub), cv," +
+            " (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("pdot"),
+          expr("aggregate(cv, 0L, (acc, x) -> acc + x * x)").as("cn2"))
+      // ADC over IVF survivors only (exact-integer partial dots; the
+      // query-norm factor is constant per qid and drops out of the rank),
+      // keep rerankDepth per query
       val adc = cand.join(codes, Seq("nid"))
         .join(broadcast(cdots), Seq("qid", "m", "cell"))
         .groupBy(col("qid"), col("nid"))
-        .agg((sum(col("pdot")) / sqrt(sum(col("cn2")))).as("adc_score"))
+        .agg((sum(col("pdot")).cast("double")
+          / sqrt(sum(col("cn2")).cast("double"))).as("adc_score"))
       val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc_score").desc, col("nid"))
       val shortlist = adc.withColumn("arn", row_number().over(wAdc))
         .filter(col("arn") <= rerankDepth)
@@ -814,8 +781,59 @@ object VectorOps extends QueryPack {
           .withColumn("sim", round(cosine("qv", "nv"), 6)), 10)
         .select(col("qid"), col("nid"), col("sim"), col("rn"))
     },
-    None,
-    doc = "IVF prune + PQ ADC shortlist + exact top-150 rerank — the composed serving stack (similarity #11).")
+    Some(s"""WITH $kmeansOracleCtes,
+           |$kmeansCentroidCtes,
+           |qq AS (SELECT * FROM qv WHERE vec_id < 10),
+           |qc AS (
+           |  SELECT q.vec_id AS qid, c.cell,
+           |    round(sum(q.x * c.cx) / (max(vn.nrm) * max(cn.cn)), 6) AS csim
+           |  FROM qq q
+           |  JOIN cvd c ON c.i = q.i
+           |  JOIN vn ON vn.vec_id = q.vec_id
+           |  JOIN cvn cn ON cn.cell = c.cell
+           |  GROUP BY 1, 2),
+           |probes AS (SELECT qid, cell FROM (
+           |  SELECT qid, cell,
+           |    row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cell) AS prn
+           |  FROM qc) WHERE prn <= 4),
+           |ivfcand AS (
+           |  SELECT p.qid, l.vec_id AS nid
+           |  FROM probes p JOIN lab l ON l.cell = p.cell
+           |  WHERE l.vec_id <> p.qid),
+           |sv AS MATERIALIZED (SELECT vec_id, i // $PqSub AS m, i % $PqSub AS i, q FROM qv),
+           |${pqOracleChain("sv", "pq")},
+           |pd AS (SELECT sv.vec_id AS qid, c.m, c.cell, sum(sv.q * c.c) AS pdot
+           |       FROM sv JOIN pqc2 c ON c.m = sv.m AND c.i = sv.i
+           |       WHERE sv.vec_id < 10 GROUP BY 1, 2, 3),
+           |adc AS (
+           |  SELECT iv.qid, k.vec_id AS nid,
+           |    CAST(sum(pd.pdot) AS DOUBLE) / sqrt(CAST(sum(cn.cn2) AS DOUBLE)) AS adc_score
+           |  FROM ivfcand iv
+           |  JOIN pqcodes k ON k.vec_id = iv.nid
+           |  JOIN pd ON pd.qid = iv.qid AND pd.m = k.m AND pd.cell = k.cell
+           |  JOIN pqcn cn ON cn.m = k.m AND cn.cell = k.cell
+           |  GROUP BY 1, 2),
+           |shortlist AS (SELECT qid, nid FROM (
+           |  SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY adc_score DESC, nid) AS arn
+           |  FROM adc) WHERE arn <= 150),
+           |dots AS (
+           |  SELECT s.qid, s.nid, sum(a.x * b.x) AS dp
+           |  FROM shortlist s
+           |  JOIN qv a ON a.vec_id = s.qid
+           |  JOIN qv b ON b.vec_id = s.nid AND b.i = a.i
+           |  GROUP BY 1, 2),
+           |sims AS (
+           |  SELECT qid, nid, round(dp / (nq.nrm * nc.nrm), 6) AS sim
+           |  FROM dots
+           |  JOIN vn nq ON qid = nq.vec_id
+           |  JOIN vn nc ON nid = nc.vec_id)
+           |SELECT qid, nid, sim, rn FROM (
+           |  SELECT qid, nid, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+           |  FROM sims) sub
+           |WHERE rn <= 10""".stripMargin),
+    doc = "IVF prune + PQ ADC shortlist + exact top-150 rerank, every training stage replayed exactly in the oracle — the composed serving stack (similarity #11).")
 
   // ---- E9: truncated-dimension ANN (Matryoshka-style prefix search) ---------
   // Score on only the first 16 of 64 dims: 4x less arithmetic and candidate
@@ -1252,6 +1270,72 @@ object VectorOps extends QueryPack {
   // SQL oracle — the greedy argmax recursion isn't ANSI-expressible — the
   // gate is SimilaritySpec's independent driver-side replay of the exact
   // selection plus slate-invariant checks.
+  /** The e14 oracle unrolls the ten greedy selection rounds as CTEs: each
+    * round recomputes maxsim(candidate) = max pair-sim to the picks so far
+    * (equal to the query's incremental `greatest` fold), anti-joins the
+    * picked set out, and takes the per-query argmax with the nid tie-break.
+    * Every compared double is bit-identical to the engine's
+    * ([[exactCos]] + literal arithmetic `0.7 * rel - (1 - 0.7) * maxsim`,
+    * where `(1 - 0.7)` reproduces the Scala-side `1 - lambda` double), so
+    * the sequential selection replays exactly. */
+  private def e14OracleSql: String = {
+    val rounds = (1 to 10).map { r =>
+      if (r == 1)
+        """p1 AS (SELECT qid, nid AS pnid FROM (
+          |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+          |    ORDER BY 0.7 * rel - (1 - 0.7) * 0.0 DESC, nid) AS prn
+          |  FROM cand) WHERE prn = 1),
+          |pall1 AS MATERIALIZED (SELECT qid, pnid, 1 AS rank FROM p1)""".stripMargin
+      else
+        s"""ms$r AS (SELECT c.qid, c.nid, max(cp.psim) AS maxsim
+           |  FROM cand c
+           |  JOIN pall${r - 1} p ON p.qid = c.qid
+           |  JOIN cp ON cp.qid = c.qid AND cp.nid = c.nid AND cp.mid = p.pnid
+           |  GROUP BY 1, 2),
+           |p$r AS (SELECT qid, nid AS pnid FROM (
+           |  SELECT c.qid, c.nid, row_number() OVER (PARTITION BY c.qid
+           |    ORDER BY 0.7 * c.rel - (1 - 0.7) * coalesce(ms$r.maxsim, 0.0) DESC, c.nid) AS prn
+           |  FROM cand c
+           |  LEFT JOIN ms$r ON ms$r.qid = c.qid AND ms$r.nid = c.nid
+           |  ANTI JOIN pall${r - 1} pp ON pp.qid = c.qid AND pp.pnid = c.nid) WHERE prn = 1),
+           |pall$r AS MATERIALIZED (SELECT * FROM pall${r - 1}
+           |  UNION ALL SELECT qid, pnid, $r AS rank FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS MATERIALIZED (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 4096.0 + 0.5) AS BIGINT) AS q
+       |  FROM embeddings),
+       |qn AS MATERIALIZED (SELECT vec_id, sum(q * q) AS qn2 FROM qv GROUP BY 1),
+       |dq AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.q * b.q) AS d
+       |  FROM qv a JOIN qv b ON b.i = a.i AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10 GROUP BY 1, 2),
+       |rel0 AS (
+       |  SELECT qid, nid,
+       |    CAST(d AS DOUBLE) /
+       |      (sqrt(CAST(na.qn2 AS DOUBLE)) * sqrt(CAST(nb.qn2 AS DOUBLE))) AS rel
+       |  FROM dq JOIN qn na ON na.vec_id = qid JOIN qn nb ON nb.vec_id = nid),
+       |cand AS MATERIALIZED (SELECT qid, nid, rel FROM (
+       |  SELECT qid, nid, rel,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS srn
+       |  FROM rel0) WHERE srn <= 30),
+       |cpd AS (
+       |  SELECT a.qid, a.nid, b.nid AS mid, sum(x.q * y.q) AS d
+       |  FROM cand a
+       |  JOIN cand b ON b.qid = a.qid AND b.nid <> a.nid
+       |  JOIN qv x ON x.vec_id = a.nid
+       |  JOIN qv y ON y.vec_id = b.nid AND y.i = x.i
+       |  GROUP BY 1, 2, 3),
+       |cp AS MATERIALIZED (
+       |  SELECT qid, nid, mid,
+       |    CAST(d AS DOUBLE) /
+       |      (sqrt(CAST(na.qn2 AS DOUBLE)) * sqrt(CAST(nb.qn2 AS DOUBLE))) AS psim
+       |  FROM cpd JOIN qn na ON na.vec_id = nid JOIN qn nb ON nb.vec_id = mid),
+       |$rounds
+       |SELECT p.qid, p.rank, p.pnid AS nid, round(c.rel, 6) AS rel
+       |FROM pall10 p JOIN cand c ON c.qid = p.qid AND c.nid = p.pnid""".stripMargin
+  }
+
   private val e14 = GQuery(
     "e14_mmr_diversified_topk",
     (s, dir) => {
@@ -1262,25 +1346,41 @@ object VectorOps extends QueryPack {
       mmrSelect(cand.localCheckpoint(), candPairs.localCheckpoint(),
         k = 10, lambda = 0.7)
     },
-    None,
-    doc = "MMR diversified top-10 from exact top-30 shortlists, lambda=0.7, replay-gated (similarity #14).")
+    Some(e14OracleSql),
+    doc = "MMR diversified top-10 from exact top-30 shortlists, lambda=0.7, greedy rounds replayed exactly in the oracle (similarity #14).")
 
-  /** e14's shortlist + in-shortlist pair sims (shared with the spec gate). */
+  /** Bit-identical-in-any-engine cosine over the integer-grid shadow: the
+    * dot and both squared norms are exact integers, the two sqrts, multiply
+    * and divide are single correctly-rounded ops (the assignToCellsQ
+    * argument — no multi-term double sum anywhere). */
+  private def exactCos(av: String, an2: String, bv: String, bn2: String): Column =
+    expr(s"aggregate(zip_with($av, $bv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+      .cast("double") /
+      (sqrt(col(an2).cast("double")) * sqrt(col(bn2).cast("double")))
+
+  /** e14's shortlist + in-shortlist pair sims (shared with the spec gate).
+    * Sims come from [[exactCos]] over the quantized shadow, so the
+    * shortlist cut, every pairwise sim, and therefore every greedy MMR
+    * argmax is bit-identical in the DuckDB oracle — what lets the whole
+    * sequential selection sit under the driver hash gate. */
   private[queries] def mmrInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val emb = embDouble(s, dir)
+    val emb = quantized(embDouble(s, dir))
     val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("qn2").as("qqn2"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    val cand = emb.select(col("vec_id").as("nid"), col("v").as("nv"))
+    val cand = emb.select(col("vec_id").as("nid"), col("qv").as("nqv"),
+        col("qn2").as("nqn2"))
       .crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", cosine("qv", "nv"))
+      .withColumn("sim", exactCos("qqv", "qqn2", "nqv", "nqn2"))
       .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 30)
-      .select(col("qid"), col("nid"), col("sim").as("rel"), col("nv").as("v"))
-    val candPairs = cand.select(col("qid"), col("nid"), col("v"))
-      .join(cand.select(col("qid"), col("nid").as("mid"), col("v").as("mv")), Seq("qid"))
+      .select(col("qid"), col("nid"), col("sim").as("rel"), col("nqv"), col("nqn2"))
+    val candPairs = cand.select(col("qid"), col("nid"), col("nqv"), col("nqn2"))
+      .join(cand.select(col("qid"), col("nid").as("mid"), col("nqv").as("mqv"),
+        col("nqn2").as("mqn2")), Seq("qid"))
       .filter(col("nid") =!= col("mid"))
-      .select(col("qid"), col("nid"), col("mid"), cosine("v", "mv").as("psim"))
+      .select(col("qid"), col("nid"), col("mid"),
+        exactCos("nqv", "nqn2", "mqv", "mqn2").as("psim"))
     (cand, candPairs)
   }
 
