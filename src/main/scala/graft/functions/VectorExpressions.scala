@@ -138,14 +138,18 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
 
 /** Optimizer rule: rewrite the composed higher-order-function dot product
   *   `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v)`
-  * into the fused [[DotProduct]] kernel. Users keep writing the declarative
-  * form; the plan gets the tight loop (same ascending fold → same result).
+  * into the fused [[DotProduct]] kernel (double arrays) or [[QDotProduct]]
+  * (bigint arrays, zero spelled `0L`), and the squared-norm fold
+  *   `aggregate(a, 0L, (acc, x) -> acc + x * x)`
+  * into [[QNorm2]]. Users keep writing the declarative form; the plan gets
+  * the tight loop (same ascending fold → same result; long sums are exact,
+  * so the integer rewrites are trivially bit-identical).
   *
   * The match is exact, not shape-based: the Multiply operands must be
   * precisely the zip_with lambda's two (distinct) parameters and the Add
   * operands precisely the merge lambda's two parameters — `(x, y) -> x * x`
   * or `(acc, v) -> acc + acc` must NOT rewrite — and the finalize lambda
-  * must be the identity on its own parameter. [[DotProduct]] replicates
+  * must be the identity on its own parameter. The kernels replicate
   * zip_with's null/length-pad semantics, so no type-level nullability guard
   * is needed: the rewrite is sound for every input.
   */
@@ -153,14 +157,24 @@ object RewriteVectorFolds extends org.apache.spark.sql.catalyst.rules.Rule[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions._
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.types.LongType
 
   private def isZero(e: Expression): Boolean = e match {
     case Literal(0.0, DoubleType) => true
     case Cast(Literal(0, _), DoubleType, _, _) => true
     case _ => false
   }
+  private def isZeroL(e: Expression): Boolean = e match {
+    case Literal(0L, LongType) => true
+    case Cast(Literal(0, _), LongType, _, _) => true
+    case _ => false
+  }
   private def isDoubleArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
     case _ => false
   }
 
@@ -176,20 +190,58 @@ object RewriteVectorFolds extends org.apache.spark.sql.catalyst.rules.Rule[
     case _ => false
   }
 
+  /** Finalize lambda is the identity on its own parameter. */
+  private def isIdentityFinish(fin: Expression, finArgs: Seq[NamedExpression]): Boolean =
+    (fin, finArgs) match {
+      case (f: NamedLambdaVariable, Seq(fa: NamedLambdaVariable)) => fa.exprId == f.exprId
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
         ZipWith(a, b, LambdaFunction(Multiply(ml, mr, _), zipArgs, _)),
         zero,
         LambdaFunction(Add(al, ar, _), mergeArgs, _),
-        LambdaFunction(fin: NamedLambdaVariable, finArgs, _))
+        LambdaFunction(fin, finArgs, _))
       if isZero(zero) && isDoubleArray(a) && isDoubleArray(b) &&
         usesBothParams(ml, mr, zipArgs) &&
         usesBothParams(al, ar, mergeArgs) &&
-        (finArgs match {
-          case Seq(fa: NamedLambdaVariable) => fa.exprId == fin.exprId
-          case _ => false
-        }) =>
+        isIdentityFinish(fin, finArgs) =>
       DotProduct(a, b)
+    // the same fold over BIGINT arrays with a 0L zero — the integer-grid
+    // dot product the hash-gated ANN queries rank on
+    case ArrayAggregate(
+        ZipWith(a, b, LambdaFunction(Multiply(ml, mr, _), zipArgs, _)),
+        zero,
+        LambdaFunction(Add(al, ar, _), mergeArgs, _),
+        LambdaFunction(fin, finArgs, _))
+      if isZeroL(zero) && isLongArray(a) && isLongArray(b) &&
+        usesBothParams(ml, mr, zipArgs) &&
+        usesBothParams(al, ar, mergeArgs) &&
+        isIdentityFinish(fin, finArgs) =>
+      QDotProduct(a, b)
+    // squared-norm fold `aggregate(a, 0L, (acc, x) -> acc + x * x)`: the
+    // Multiply operands must BOTH be the element parameter and the other
+    // Add operand the accumulator parameter (either Add order)
+    case ArrayAggregate(
+        a,
+        zero,
+        LambdaFunction(Add(al, ar, _), Seq(accP: NamedLambdaVariable, elemP: NamedLambdaVariable), _),
+        LambdaFunction(fin, finArgs, _))
+      if isZeroL(zero) && isLongArray(a) && accP.exprId != elemP.exprId &&
+        isIdentityFinish(fin, finArgs) && {
+          def isAcc(e: Expression) = e match {
+            case v: NamedLambdaVariable => v.exprId == accP.exprId
+            case _ => false
+          }
+          def isSq(e: Expression) = e match {
+            case Multiply(x1: NamedLambdaVariable, x2: NamedLambdaVariable, _) =>
+              x1.exprId == elemP.exprId && x2.exprId == elemP.exprId
+            case _ => false
+          }
+          (isAcc(al) && isSq(ar)) || (isSq(al) && isAcc(ar))
+        } =>
+      QNorm2(a)
   }
 }
 
@@ -219,6 +271,10 @@ object GraftFunctions {
   private[functions] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> binary("graft_dot", DotProduct),
     "graft_cosine" -> binary("graft_cosine", CosineSimilarity),
+    "graft_qdot" -> binary("graft_qdot", QDotProduct),
+    "graft_ql2" -> binary("graft_ql2", QL2Distance),
+    "graft_qnorm2" -> unary("graft_qnorm2", QNorm2),
+    "graft_qmatmul" -> binary("graft_qmatmul", QMatVec),
     "graft_nfc" -> unary("graft_nfc", NfcNormalize),
     "graft_nfkc" -> unary("graft_nfkc", NfkcNormalize),
     "graft_strip_accents" -> unary("graft_strip_accents", StripAccents))
@@ -250,6 +306,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     val info = Map(
       "graft_dot" -> classOf[DotProduct], "graft_cosine" -> classOf[CosineSimilarity],
+      "graft_qdot" -> classOf[QDotProduct], "graft_ql2" -> classOf[QL2Distance],
+      "graft_qnorm2" -> classOf[QNorm2], "graft_qmatmul" -> classOf[QMatVec],
       "graft_nfc" -> classOf[NfcNormalize], "graft_nfkc" -> classOf[NfkcNormalize],
       "graft_strip_accents" -> classOf[StripAccents])
     GraftFunctions.fns.foreach { case (name, builder) =>

@@ -174,8 +174,11 @@ object VectorOps extends QueryPack {
     emb.select(col("vec_id"),
         expr("transform(v, x -> cast(floor(x * 4096.0d + 0.5d) AS BIGINT))").as("qv"))
       .select(col("vec_id"),
-        expr(s"transform($planesSql, w -> aggregate(zip_with(qv, w," +
-          " (a, b) -> a * b), 0L, (acc, x) -> acc + x))").as("proj"))
+        // graft_qmatmul: all 150 projections in one fused primitive loop —
+        // the foldable plane matrix unpacks to long[][] once per task
+        // instead of paying the higher-order-lambda toll per plane per row
+        // (bit-identical: exact long sums, same ascending fold)
+        expr(s"graft_qmatmul(qv, $planesSql)").as("proj"))
       .select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, $bhExpr as bh))"))
         .as("x"))
@@ -344,8 +347,7 @@ object VectorOps extends QueryPack {
   private def assignToCellsQ(q: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame = {
     val centLit = typedLit(cents.map { case (c, v) => (c, v, v.map(x => x * x).sum) })
     val scored = transform(centLit, c => struct(
-      (aggregate(zip_with(col("qv"), c.getField("_2"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x).cast("double")
+      (call_function("graft_qdot", col("qv"), c.getField("_2")).cast("double")
         / (sqrt(col("qn2").cast("double")) * sqrt(c.getField("_3").cast("double")))).as("s"),
       (-c.getField("_1")).as("nc")))
     q.withColumn("_pick", array_max(scored))
@@ -358,7 +360,7 @@ object VectorOps extends QueryPack {
   private def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("v"),
         expr("transform(v, x -> cast(floor(x * 4096.0d + 0.5d) AS BIGINT))").as("qv"))
-      .withColumn("qn2", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("qn2", expr("graft_qnorm2(qv)"))
 
   /** (vec_id, label, v) -> (vec_id, label := cell id, v). `initSeed` shifts
     * which k vectors seed Lloyd's rounds (0 = the registry default) — the
@@ -376,20 +378,32 @@ object VectorOps extends QueryPack {
   private[queries] def kmeansCells(emb: DataFrame, k: Int, iters: Int,
       initSeed: Long = 0L): DataFrame = {
     val q = quantized(emb)
-    def recomputeQ(assigned: DataFrame): Seq[(Int, Seq[Long])] =
-      assigned.select(col("cell"), posexplode(col("qv")).as(Seq("i", "x")))
-        .groupBy(col("cell"), col("i"))
-        .agg(floor(sum(col("x")).cast("double") / count(lit(1)) + lit(0.5d))
-          .cast("long").as("c"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(sort_array(collect_list(struct(i, c))), p -> p.c)").as("cv"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq
+    // WIDTH-WISE recompute: one groupBy(cell) with d per-dim long sums
+    // instead of posexplode + two shuffles. Map-side partials are k×(d+1)
+    // longs — at corpus scale this never shuffles d× the data the explode
+    // form did. Long sums are exact and order-insensitive, and the
+    // per-dim floor(sum/n + 0.5) runs the SAME correctly-rounded op chain
+    // (long→double exact below 2^53, one divide, floor) driver-side, so
+    // collected centroids are bit-identical to the explode form's.
+    // dimensionality comes from the collected seeds (kmeansCells accepts any
+    // vector width — the spec fixtures run 8-dim corpora)
+    def recomputeQ(assigned: DataFrame, dims: Int): Seq[(Int, Seq[Long])] = {
+      val sums = (0 until dims).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+      assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect().map { r =>
+          val n = r.getLong(1)
+          (r.getInt(0),
+            (0 until dims).map(i => math.floor(r.getLong(2 + i).toDouble / n + 0.5d).toLong))
+        }.toSeq
+    }
     var cents = q
       .orderBy(md5((col("vec_id") + initSeed).cast("string")), col("vec_id")).limit(k)
       .select(col("vec_id").cast("int").as("cell"), col("qv"))
       .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq
+    val vdims = cents.head._2.length
     (0 until iters).foreach { _ =>
-      cents = recomputeQ(assignToCellsQ(q, cents))
+      cents = recomputeQ(assignToCellsQ(q, cents), vdims)
     }
     assignToCellsQ(q, cents).select(col("vec_id"), col("cell").as("label"), col("v"))
   }
@@ -580,8 +594,7 @@ object VectorOps extends QueryPack {
     }
     val centMap = typedLit(byM)
     val scored = transform(element_at(centMap, col("m")), c => struct(
-      aggregate(zip_with(col("q"), c.getField("_2"),
-        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d"),
+      call_function("graft_ql2", col("q"), c.getField("_2")).as("d"),
       c.getField("_1").as("cell")))
     subAll.withColumn("_pick", array_min(scored))
       .select(col("vec_id"), col("m"), col("_pick.cell").as("cell"), col("q"))
@@ -605,15 +618,19 @@ object VectorOps extends QueryPack {
     var cents = collectCents(
       subAll.join(broadcast(seedDf), Seq("vec_id"))
         .select(col("m"), col("cell"), col("q").as("cv")))
+    // width-wise recompute, same argument as kmeansCells.recomputeQ: one
+    // groupBy(m, cell) with PqSub exact long sums replaces posexplode plus
+    // a second shuffle; the per-dim floor(sum/n + 0.5) chain is identical
+    val subSums = (0 until PqSub).map(i => sum(element_at(col("q"), i + 1)).as(s"s$i"))
     (0 until iters).foreach { _ =>
-      cents = collectCents(
-        pqAssignAllQ(subAll, cents)
-          .select(col("m"), col("cell"), posexplode(col("q")).as(Seq("i", "x")))
-          .groupBy(col("m"), col("cell"), col("i"))
-          .agg(floor(sum(col("x")).cast("double") / count(lit(1)) + lit(0.5d))
-            .cast("long").as("c"))
-          .groupBy(col("m"), col("cell"))
-          .agg(expr("transform(sort_array(collect_list(struct(i, c))), p -> p.c)").as("cv")))
+      cents = pqAssignAllQ(subAll, cents)
+        .groupBy(col("m"), col("cell"))
+        .agg(count(lit(1)).as("n"), subSums: _*)
+        .collect().map { r =>
+          val n = r.getLong(2)
+          (r.getInt(0), r.getInt(1),
+            (0 until PqSub).map(i => math.floor(r.getLong(3 + i).toDouble / n + 0.5d).toLong): Seq[Long])
+        }.toSeq
     }
     cents
   }
@@ -668,14 +685,13 @@ object VectorOps extends QueryPack {
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"),
           expr(s"transform(v, x -> cast(floor(x * $PqGrid + 0.5d) AS BIGINT))").as("qv"))
-        .withColumn("qn2", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+        .withColumn("qn2", expr("graft_qnorm2(qv)"))
       // ADC tables: per (qid, m, cell) partial dot + centroid norm piece —
       // exact BIGINTs, a 10 x 4 x 16 = 640-row broadcast
       val cdots = q.crossJoin(broadcast(centDf))
         .select(col("qid"), col("m"), col("cell"),
-          expr(s"aggregate(zip_with(slice(qv, m * $PqSub + 1, $PqSub), cv," +
-            " (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("pdot"),
-          expr("aggregate(cv, 0L, (acc, x) -> acc + x * x)").as("cn2"),
+          expr(s"graft_qdot(slice(qv, m * $PqSub + 1, $PqSub), cv)").as("pdot"),
+          expr("graft_qnorm2(cv)").as("cn2"),
           col("qn2"))
       val scored = codes.join(broadcast(cdots), Seq("m", "cell"))
         .filter(col("qid") =!= col("nid"))
@@ -759,9 +775,8 @@ object VectorOps extends QueryPack {
         expr(s"transform(qv, x -> cast(floor(x * $PqGrid + 0.5d) AS BIGINT))").as("qiv"))
       val cdots = qq.crossJoin(broadcast(centDf))
         .select(col("qid"), col("m"), col("cell"),
-          expr(s"aggregate(zip_with(slice(qiv, m * $PqSub + 1, $PqSub), cv," +
-            " (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("pdot"),
-          expr("aggregate(cv, 0L, (acc, x) -> acc + x * x)").as("cn2"))
+          expr(s"graft_qdot(slice(qiv, m * $PqSub + 1, $PqSub), cv)").as("pdot"),
+          expr("graft_qnorm2(cv)").as("cn2"))
       // ADC over IVF survivors only (exact-integer partial dots; the
       // query-norm factor is constant per qid and drops out of the rank),
       // keep rerankDepth per query
@@ -1043,15 +1058,13 @@ object VectorOps extends QueryPack {
         .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
         .withColumn("q", transform(col("v"),
           x => floor(x / col("scale") + lit(0.5)).cast("long")))
-        .withColumn("n2", aggregate(transform(col("q"), x => x * x),
-          lit(0L), (acc, x) => acc + x))
+        .withColumn("n2", call_function("graft_qnorm2", col("q")))
       val qs = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
       val c = emb.select(col("vec_id").as("nid"), col("q").as("nq"), col("n2").as("nn2"))
       val sims = c.crossJoin(broadcast(qs))
         .filter(col("qid") =!= col("nid"))
-        .withColumn("dp", aggregate(zip_with(col("qq"), col("nq"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x))
+        .withColumn("dp", call_function("graft_qdot", col("qq"), col("nq")))
         .withColumn("sim", round(col("dp").cast("double") /
           (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))), 6))
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
@@ -1354,8 +1367,7 @@ object VectorOps extends QueryPack {
     * and divide are single correctly-rounded ops (the assignToCellsQ
     * argument — no multi-term double sum anywhere). */
   private def exactCos(av: String, an2: String, bv: String, bn2: String): Column =
-    expr(s"aggregate(zip_with($av, $bv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
-      .cast("double") /
+    expr(s"graft_qdot($av, $bv)").cast("double") /
       (sqrt(col(an2).cast("double")) * sqrt(col(bn2).cast("double")))
 
   /** e14's shortlist + in-shortlist pair sims (shared with the spec gate).
