@@ -72,10 +72,27 @@ object Tables {
       write: String => Unit): String = {
     val path = scratchPath(dir, name)
     scratchWriteLock.synchronized {
-      if (!done(path)) write(path)
+      if (!done(path)) {
+        val t0 = System.nanoTime()
+        write(path)
+        artifactLedger.put(name, Some((System.nanoTime() - t0) / 1e9))
+      } else if (!artifactLedger.containsKey(name)) {
+        artifactLedger.put(name, None)
+      }
     }
     path
   }
+
+  /** Build ledger for scratch artifacts touched by this JVM: name →
+    * Some(build seconds) when [[scratchOnce]] actually ran the write (cold)
+    * or None when the `_SUCCESS` marker pre-existed (warm). `graft.Bench`
+    * reports it as the `artifacts` field so the cold build cost of shared
+    * evidence/index artifacts is a first-class bench fact instead of
+    * vanishing into whichever query touches the artifact first (or into no
+    * committed number at all once scratch is warm). */
+  val artifactLedger = new java.util.concurrent.ConcurrentHashMap[String, Option[Double]]()
+  import scala.jdk.CollectionConverters._
+  def artifactReport: Map[String, Option[Double]] = artifactLedger.asScala.toMap
 
   /** Default [[scratchOnce]] completion check: the write's `_SUCCESS` marker,
     * resolved through the Hadoop FileSystem of the path's scheme — the

@@ -164,8 +164,13 @@ object TextOps extends QueryPack {
     * materializes the result can unpersist the intermediate. */
   private def pairStatsWithHandle(docs: DataFrame, dfCap: Long): (DataFrame, DataFrame) = {
     // cache the narrow (doc_id, hv) table — two longs/row — since the heavy
-    // set, the bucket index, and the per-doc sizes all derive from it
-    val ex0 = hashedShingles(docs).cache()
+    // set, the bucket index, and the per-doc sizes all derive from it.
+    // DISK_ONLY: this table is CORPUS-SIZED (shingles × docs); at 100 TB it
+    // must never compete with execution memory — it's read three times
+    // sequentially inside one artifact build and unpersisted right after,
+    // exactly the access pattern disk-backed storage is for.
+    val ex0 = hashedShingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val heavy = ex0.groupBy(col("hv")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
     val ex = ex0.join(broadcast(heavy), Seq("hv"), "left_anti")

@@ -87,8 +87,9 @@ object HiddenPartitioning {
     * sub-second truncation of `cast(ts AS LONG)` agrees with the read
     * side's direct micros→days cast). Read side: `Cast(lit, DateType,
     * Some("UTC"))` — the same UTC calendar day. The spec file records
-    * `"timezone":"UTC"` explicitly; a legacy spec without the field is UTC
-    * (every writer session in this repo pins UTC). */
+    * `"timezone":"UTC"` explicitly; a calendar spec WITHOUT the field is
+    * refused at parse (pre-UTC-pinning writers derived calendar parts in
+    * their session zone — assuming UTC could narrow derived predicates). */
   private def utcDayExpr(source: String): Column = expr(
     s"date_add(DATE'1970-01-01', cast((cast(`$source` AS LONG) - " +
       s"pmod(cast(`$source` AS LONG), 86400L)) div 86400L AS INT))")
@@ -232,12 +233,18 @@ object HiddenPartitioning {
     writeSpecFile(df.sparkSession, path, transforms)
   }
 
-  /** True when `path` holds a COMPLETE hidden-partitioned table (the spec
-    * file is written last). Use as [[graft.core.Tables.scratchOnce]]'s
-    * `done` check. */
+  /** True when `path` holds a COMPLETE hidden-partitioned table the CURRENT
+    * reader accepts: the spec file (written last — the commit marker) is
+    * present AND parses. A present-but-refused spec (pre-UTC-pinning
+    * writer, unknown transform kind) reports false so a scratchOnce
+    * consumer rebuilds the table under the current writer — [[write]] is a
+    * full overwrite, so the rebuild is clean. Use as
+    * [[graft.core.Tables.scratchOnce]]'s `done` check. */
   def exists(path: String): Boolean = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    new Path(path).getFileSystem(conf).exists(new Path(path, SpecFile))
+    new Path(path).getFileSystem(conf).exists(new Path(path, SpecFile)) &&
+      (try spec(SparkSession.active, path).isDefined
+       catch { case _: IllegalArgumentException => false })
   }
 
   /** [[graft.core.Tables.scratchOnce]] done-check for a build that ends with
@@ -293,7 +300,31 @@ object HiddenPartitioning {
   private def manifest(spark: SparkSession, root: String): Option[(Int, Seq[Era])] = {
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
     val f = new Path(root, ManifestFile)
-    if (!fs.exists(f)) None
+    // An absent manifest next to existing _era-* directories means we raced
+    // [[writeManifest]]'s delete→rename window (an FS whose rename refuses
+    // an existing destination, e.g. HDFS) — or the table is torn. Returning
+    // None here would silently fall back to era-0 only and DROP evolved-era
+    // rows, so retry through the (milliseconds-wide) window and then refuse
+    // loudly rather than narrow.
+    var exists = fs.exists(f)
+    if (!exists) {
+      val rootP = new Path(root)
+      def erasPresent = fs.exists(rootP) && fs.listStatus(rootP).exists { st =>
+        st.isDirectory && st.getPath.getName.startsWith("_era-")
+      }
+      if (erasPresent) {
+        var attempts = 0
+        while (!exists && attempts < 10) {
+          Thread.sleep(25)
+          exists = fs.exists(f)
+          attempts += 1
+        }
+        require(exists, s"table at $root has _era-* directories but no " +
+          s"$ManifestFile after retries — torn evolution commit; refusing " +
+          "to read a subset of eras")
+      }
+    }
+    if (!exists) None
     else {
       val in = fs.open(f)
       val bytes = try {
@@ -380,7 +411,13 @@ object HiddenPartitioning {
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(hp) && fs.listStatus(hp).exists { st =>
       val n = st.getPath.getName
-      (!n.startsWith("_") && !n.startsWith(".")) || n.contains("=")
+      // Spark's InMemoryFileIndex rule EXACTLY: '.'-prefixed names are
+      // filtered unconditionally; '_'-prefixed names survive only when they
+      // contain '=' (partition dirs). A '.'-prefixed name containing '='
+      // must NOT count as data — it would pass this check and then fail in
+      // spark.read.parquet with an empty-schema error instead of the era
+      // being skipped.
+      !n.startsWith(".") && (!n.startsWith("_") || n.contains("="))
     }
   }
 
@@ -461,11 +498,25 @@ object HiddenPartitioning {
       val src = t.get("source").asText()
       val kind = t.get("kind").asText()
       // calendar transforms are UTC-only (Iceberg's rule); a spec claiming
-      // another zone is from an incompatible writer — refuse, never narrow
+      // another zone is from an incompatible writer — refuse, never narrow.
+      // A calendar spec LACKING the field is equally untrusted: a
+      // pre-UTC-pinning writer derived day/month/year in its session
+      // timezone, and assuming UTC would silently reinterpret the layout
+      // (derived predicates could narrow). Refuse those too — every writer
+      // this library ships records the field.
+      // "hour" is NOT calendar: hours-since-epoch is pure zone-free epoch
+      // arithmetic, and its spec carries no timezone field by design
       val tzNode = t.get("timezone")
+      val isCalendar = Set("day", "year", "month").contains(kind)
       if (tzNode != null && tzNode.asText() != "UTC")
         throw new IllegalArgumentException(
           s"unsupported '$kind' timezone '${tzNode.asText()}' (UTC only)")
+      if (isCalendar && tzNode == null)
+        throw new IllegalArgumentException(
+          s"spec for '$kind($src)' lacks a timezone field — written by a " +
+            "pre-UTC-pinning writer whose session zone is unknown; refusing " +
+            "the calendar transform (rewrite the table, or add " +
+            "\"timezone\":\"UTC\" if the writer session was UTC)")
       kind match {
         case "identity" => IdentityT(src)
         case "day" => DayT(src)
