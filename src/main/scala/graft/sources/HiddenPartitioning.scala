@@ -189,7 +189,7 @@ object HiddenPartitioning {
   private val ManifestFile = "_table_specs.json"
 
   /** `df` plus the derived partition columns of `transforms`. */
-  private def derive(df: DataFrame, transforms: Seq[Transform]): DataFrame = {
+  private[sources] def derive(df: DataFrame, transforms: Seq[Transform]): DataFrame = {
     require(transforms.nonEmpty, "declare at least one partition transform")
     transforms.foreach(t => require(df.columns.contains(t.source),
       s"transform source '${t.source}' not in ${df.columns.toSeq}"))
@@ -206,7 +206,7 @@ object HiddenPartitioning {
     }
   }
 
-  private def writeSpecFile(spark: SparkSession, path: String,
+  private[sources] def writeSpecFile(spark: SparkSession, path: String,
       transforms: Seq[Transform]): Unit = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
@@ -385,6 +385,67 @@ object HiddenPartitioning {
     id
   }
 
+  /** Iceberg's `rewrite_data_files` applied to the era history: rewrite
+    * every row of every NON-current era under the CURRENT spec into one
+    * fresh era directory, then commit a manifest listing only the current
+    * era and the compacted era — the old eras are retired (their
+    * directories become unreferenced garbage, deleted last). After
+    * compaction the whole table prunes under the current spec; the rows are
+    * identical, so any predicate returns exactly what it returned before
+    * (HiddenPartitioningSpec proves this equivalence).
+    *
+    * Commit discipline mirrors [[evolveSpec]]: compacted DATA and its spec
+    * file land first (an unreferenced era is invisible — the manifest only
+    * reads listed eras), the manifest rename is the commit, old-era
+    * deletion is post-commit garbage collection. A crash at any point
+    * leaves a readable table: before the manifest commit readers see the
+    * old layout (compacted era ignored); after it they see the new one
+    * (old dirs ignored). Like evolution, compaction is admin-serialized.
+    *
+    * Returns the compacted era's id, or `current` unchanged when the old
+    * eras held no rows (they are still retired). */
+  def compactEras(spark: SparkSession, path: String): Int = {
+    val (current, eras) = manifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"table at $path has no era history — nothing to compact"))
+    val currentEra = eras.find(_.id == current).getOrElse(
+      throw new IllegalStateException(
+        s"manifest names current spec $current but lists no such era"))
+    val old = eras.filterNot(_.id == current)
+    require(old.nonEmpty, s"only the current era is listed under $path")
+    val curSpec = spec(spark, currentEra.path(path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no $SpecFile under current era ${currentEra.path(path)}"))
+    val withData = old.map(_.path(path))
+      .filter(p => spec(spark, p).isDefined && eraHasData(spark, p))
+    val newEras =
+      if (withData.isEmpty) Seq(currentEra)
+      else {
+        val rows = withData.map(readEra(spark, _)).reduce(_.unionByName(_))
+        val compacted = Era(eras.map(_.id).max + 1, s"_era-${eras.map(_.id).max + 1}")
+        writeSpecFile(spark, compacted.path(path), curSpec)
+        derive(rows, curSpec).write.mode("append")
+          .partitionBy(curSpec.map(_.partCol): _*).parquet(compacted.path(path))
+        Seq(currentEra, compacted).sortBy(_.id)
+      }
+    writeManifest(spark, path, current, newEras)
+    // post-commit GC: retired era directories (era 0 lives at the ROOT —
+    // delete only its partition dirs, keeping the manifest, the era
+    // subdirectories and the root spec file, which doubles as the
+    // table-exists commit marker)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    old.foreach { e =>
+      if (e.dir.isEmpty) {
+        fs.listStatus(new Path(path)).foreach { st =>
+          if (st.isDirectory && st.getPath.getName.contains("=") &&
+            !st.getPath.getName.startsWith("_era-"))
+            fs.delete(st.getPath, true): Unit
+        }
+      } else fs.delete(new Path(e.path(path)), true): Unit
+    }
+    newEras.map(_.id).max
+  }
+
   /** Append rows under the table's CURRENT spec (post-evolution appends land
     * in the newest era's directory; a never-evolved table appends at the
     * root). The appended frame must carry the same source schema as the
@@ -406,7 +467,7 @@ object HiddenPartitioning {
     * rule: `_`/`.`-prefixed names are skipped unless they contain `=`) — an
     * evolved-but-never-appended era must not reach `spark.read.parquet`,
     * which cannot infer a schema from zero files. */
-  private def eraHasData(spark: SparkSession, p: String): Boolean = {
+  private[sources] def eraHasData(spark: SparkSession, p: String): Boolean = {
     val hp = new Path(p)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(hp) && fs.listStatus(hp).exists { st =>
@@ -423,7 +484,7 @@ object HiddenPartitioning {
 
   /** One era's frame: source columns only — the derived partition columns
     * are physical layout, not schema. */
-  private def readEra(spark: SparkSession, path: String): DataFrame = {
+  private[sources] def readEra(spark: SparkSession, path: String): DataFrame = {
     val ts = spec(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no $SpecFile under $path"))
     spark.read.parquet(path).drop(ts.map(_.partCol): _*)

@@ -1,0 +1,270 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import HiddenPartitioning.Transform
+
+/** Snapshot-versioned, hidden-partitioned table — the two facilities
+  * ([[graft.pipeline.VersionedTable]]'s WAP/time-travel protocol and
+  * [[HiddenPartitioning]]'s spec'd layout/pruning) composed the way a real
+  * Iceberg table is BOTH at once: immutable era data directories, each with
+  * its own partition spec and pruned under it, referenced by tiny
+  * per-snapshot manifests that publish atomically.
+  *
+  * Layout (cf. Iceberg metadata/manifest split — snapshots reference data
+  * files, they never copy them):
+  * {{{
+  *   table/
+  *     data/era-<k>/              immutable once some snapshot references it
+  *       _partition_spec.json     the era's own spec (written FIRST)
+  *       <derived partition dirs>
+  *     v=<n>/_snapshot.json       {"eras":["era-0",...]}  — the snapshot
+  *     v=<n>/_batch-<id>          optional replay-idempotency marker
+  *     _staging/<token>/          staged snapshot manifests (WAP)
+  * }}}
+  *
+  * Commit discipline: era DATA lands first — an era no snapshot references
+  * is invisible, so a crash mid-write leaves garbage, never a torn table.
+  * The snapshot manifest is staged under `_staging` and published by ONE
+  * atomic rename into `v=<n>` (the commit), with the version id allocated
+  * under a lock so concurrent publishes cannot collide. Readers resolve the
+  * requested (or latest) snapshot and union exactly its listed eras; since
+  * era directories are immutable and snapshots never change after publish,
+  * time travel is exact under concurrent appends, spec evolution AND
+  * compaction.
+  *
+  * The CURRENT spec of a snapshot is the spec of its highest-numbered era —
+  * evolution appends an (initially empty) era carrying the new spec, and
+  * compaction's rewritten era carries the current spec, so the invariant
+  * holds across both.
+  *
+  * Scale note: one era per append batch keeps this implementation's commit
+  * unit a directory; a production table references individual FILES in the
+  * manifest instead, so appends don't multiply listable units — [[compact]]
+  * is the corrective here, folding the era history back to one directory
+  * per spec, exactly like Iceberg's `rewrite_data_files`.
+  */
+object VersionedHiddenTable {
+
+  private val SnapshotFile = "_snapshot.json"
+  private val publishLock = new Object
+  private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def ls(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    try fs.listStatus(dir).toSeq
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+
+  def versions(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val (fs, root) = fsFor(spark, tableDir)
+    ls(fs, root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
+        fs.exists(new Path(st.getPath, SnapshotFile)))
+      .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
+  }
+
+  private def eraPath(tableDir: String, era: String) = s"$tableDir/data/$era"
+
+  /** Era names (`era-<k>`) listed by snapshot `v`. */
+  private def snapshotEras(spark: SparkSession, tableDir: String, v: Long): Seq[String] = {
+    val (fs, _) = fsFor(spark, tableDir)
+    val f = new Path(s"$tableDir/v=$v", SnapshotFile)
+    val in = fs.open(f)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      var n = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toByteArray
+    } finally in.close()
+    val eras = new ObjectMapper().readTree(bytes).get("eras")
+    (0 until eras.size()).map(eras.get(_).asText())
+  }
+
+  /** Next unused era number — scans `data/` (NOT just the latest snapshot:
+    * compaction and unpublished staged appends may already hold higher
+    * numbers whose reuse would corrupt an immutable era). */
+  private def nextEraId(spark: SparkSession, tableDir: String): Int = {
+    val (fs, _) = fsFor(spark, tableDir)
+    val used = ls(fs, new Path(s"$tableDir/data"))
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("era-") => n.stripPrefix("era-").toInt }
+    if (used.isEmpty) 0 else used.max + 1
+  }
+
+  /** Write one new era directory: spec file first, data after. Returns the
+    * era name. Invisible until a snapshot referencing it publishes. */
+  private def writeEra(spark: SparkSession, tableDir: String, df: DataFrame,
+      transforms: Seq[Transform]): String = {
+    val era = s"era-${nextEraId(spark, tableDir)}"
+    val p = eraPath(tableDir, era)
+    HiddenPartitioning.writeSpecFile(spark, p, transforms)
+    HiddenPartitioning.derive(df, transforms).write.mode("append")
+      .partitionBy(transforms.map(_.partCol): _*).parquet(p)
+    era
+  }
+
+  /** Union read over an explicit era list (the snapshot's or a staged
+    * candidate's), each era pruned under its own spec by
+    * [[HiddenPartitionPruning]]. */
+  private def readEras(spark: SparkSession, tableDir: String, eras: Seq[String]): DataFrame = {
+    val frames = eras.map(eraPath(tableDir, _))
+      .filter(p => HiddenPartitioning.eraHasData(spark, p))
+      .map(HiddenPartitioning.readEra(spark, _))
+    require(frames.nonEmpty, s"no readable era among $eras under $tableDir")
+    frames.reduce(_.unionByName(_))
+  }
+
+  /** Stage a snapshot manifest; returns the staging token. */
+  private def stageSnapshot(spark: SparkSession, tableDir: String,
+      eras: Seq[String], batchId: Option[String]): String = {
+    val token = s"w${stageSeq.incrementAndGet()}-${System.nanoTime()}"
+    val dir = new Path(s"$tableDir/_staging/$token")
+    val (fs, _) = fsFor(spark, tableDir)
+    val mapper = new ObjectMapper()
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("eras")
+    eras.foreach(arr.add)
+    val out = fs.create(new Path(dir, SnapshotFile), false)
+    out.write(node.toString.getBytes("UTF-8"))
+    out.close()
+    batchId.foreach { id =>
+      require(!id.contains('/'), s"batch id must be a file-name-safe token: '$id'")
+      fs.create(new Path(dir, s"_batch-$id"), true).close()
+    }
+    token
+  }
+
+  /** Atomic publish: allocate the next version id under the lock and rename
+    * the staged manifest directory into `v=<n>` — marker and manifest ride
+    * the same rename. */
+  private def publish(spark: SparkSession, tableDir: String, token: String): Long =
+    publishLock.synchronized {
+      val (fs, _) = fsFor(spark, tableDir)
+      val from = new Path(s"$tableDir/_staging/$token")
+      require(fs.exists(from), s"no staged snapshot '$token' under $tableDir")
+      val v = versions(spark, tableDir).lastOption.fold(0L)(_ + 1)
+      require(fs.rename(from, new Path(s"$tableDir/v=$v")),
+        s"atomic snapshot publish rename failed for '$token'")
+      v
+    }
+
+  private def abort(spark: SparkSession, tableDir: String, token: String): Unit = {
+    val (fs, _) = fsFor(spark, tableDir)
+    fs.delete(new Path(s"$tableDir/_staging/$token"), true): Unit
+  }
+
+  /** Create the table: era-0 under `transforms`, snapshot v=0. */
+  def create(spark: SparkSession, tableDir: String, df: DataFrame,
+      transforms: Seq[Transform]): Long = {
+    require(versions(spark, tableDir).isEmpty, s"table already exists: $tableDir")
+    val era = writeEra(spark, tableDir, df, transforms)
+    publish(spark, tableDir, stageSnapshot(spark, tableDir, Seq(era), None))
+  }
+
+  /** The current spec = the spec of the snapshot's highest-numbered era. */
+  private def currentSpec(spark: SparkSession, tableDir: String,
+      eras: Seq[String]): Seq[Transform] = {
+    val top = eras.maxBy(_.stripPrefix("era-").toInt)
+    HiddenPartitioning.spec(spark, eraPath(tableDir, top)).getOrElse(
+      throw new IllegalStateException(s"era $top under $tableDir has no spec file"))
+  }
+
+  /** WAP append under the snapshot's current spec: new era staged as data,
+    * snapshot manifest staged, `audit` runs against the STAGED composite
+    * read (exactly what readers would see), publish iff clean. Returns the
+    * published version (Right) or the violations (Left — the staged
+    * snapshot is aborted; the orphan era is unreferenced garbage for
+    * [[vacuum]]). */
+  def append(spark: SparkSession, tableDir: String, df: DataFrame,
+      batchId: Option[String] = None)(
+      audit: DataFrame => Seq[String] = _ => Nil): Either[Seq[String], Long] = {
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"cannot append to a table that was never created: $tableDir")
+    val eras = snapshotEras(spark, tableDir, vs.max)
+    val era = writeEra(spark, tableDir, df, currentSpec(spark, tableDir, eras))
+    val staged = eras :+ era
+    val token = stageSnapshot(spark, tableDir, staged, batchId)
+    val violations = try audit(readEras(spark, tableDir, staged))
+    catch { case e: Throwable => abort(spark, tableDir, token); throw e }
+    if (violations.isEmpty) Right(publish(spark, tableDir, token))
+    else { abort(spark, tableDir, token); Left(violations) }
+  }
+
+  /** Evolve the partition spec: publish a snapshot whose new highest era
+    * carries `transforms` (data-less until the next [[append]] — readers
+    * skip empty eras). Rows already written keep their original layout and
+    * keep pruning under it. Returns the published version. */
+  def evolveSpec(spark: SparkSession, tableDir: String,
+      transforms: Seq[Transform]): Long = {
+    require(transforms.nonEmpty, "declare at least one partition transform")
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"cannot evolve a table that was never created: $tableDir")
+    val eras = snapshotEras(spark, tableDir, vs.max)
+    val era = s"era-${nextEraId(spark, tableDir)}"
+    HiddenPartitioning.writeSpecFile(spark, eraPath(tableDir, era), transforms)
+    publish(spark, tableDir, stageSnapshot(spark, tableDir, eras :+ era, None))
+  }
+
+  /** Latest (or time-travel) read: union of the snapshot's eras, source
+    * columns only, each era pruned under its own spec. */
+  def read(spark: SparkSession, tableDir: String, version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no snapshots under $tableDir")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"snapshot $v not retained (have ${vs.mkString(",")})")
+    readEras(spark, tableDir, snapshotEras(spark, tableDir, v))
+  }
+
+  /** Iceberg's `rewrite_data_files`: rewrite ALL rows of the latest
+    * snapshot under its current spec into ONE fresh era and publish a
+    * snapshot referencing only that era. Older snapshots still reference
+    * the old eras — time travel is untouched until [[vacuum]] reclaims
+    * them. Returns the published version. */
+  def compact(spark: SparkSession, tableDir: String): Long = {
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no snapshots under $tableDir")
+    val eras = snapshotEras(spark, tableDir, vs.max)
+    val spec = currentSpec(spark, tableDir, eras)
+    val era = writeEra(spark, tableDir, readEras(spark, tableDir, eras), spec)
+    publish(spark, tableDir, stageSnapshot(spark, tableDir, Seq(era), None))
+  }
+
+  /** Retire all but the newest `keep` snapshots, then delete era
+    * directories no retained snapshot references (and stale staged
+    * candidates) — reference-counted GC, the only operation that destroys
+    * data. Returns the dropped snapshot ids. */
+  def vacuum(spark: SparkSession, tableDir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must retain at least the latest snapshot")
+    val (fs, _) = fsFor(spark, tableDir)
+    val vs = versions(spark, tableDir)
+    val drop = vs.dropRight(keep)
+    drop.foreach(v => fs.delete(new Path(s"$tableDir/v=$v"), true): Unit)
+    val referenced = versions(spark, tableDir)
+      .flatMap(snapshotEras(spark, tableDir, _)).toSet
+    ls(fs, new Path(s"$tableDir/data"))
+      .filter(st => !referenced.contains(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true): Unit)
+    fs.delete(new Path(s"$tableDir/_staging"), true): Unit
+    drop
+  }
+
+  /** Batch ids of all PUBLISHED snapshots — the replay-idempotency test for
+    * [[append]] callers (the marker rides the publish rename, so there is
+    * no window in which a published batch looks unpublished). */
+  def publishedBatchIds(spark: SparkSession, tableDir: String): Set[String] = {
+    val (fs, root) = fsFor(spark, tableDir)
+    ls(fs, root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .flatMap(st => ls(fs, st.getPath))
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("_batch-") => n.stripPrefix("_batch-") }
+      .toSet
+  }
+}
