@@ -119,7 +119,10 @@ object Bench {
     // entries carry the build seconds this run absorbed; "warm" entries
     // name the artifacts whose build cost is NOT in any median above.
     val artifacts = graft.core.Tables.artifactReport.toSeq.sortBy(_._1).map {
-      case (n, Some(sec)) => "\"" + n + "\":{\"status\":\"cold\",\"build_sec\":" + f"$sec%.3f" + "}"
+      // Locale.ROOT: f"" uses the JVM default locale — a comma-decimal
+      // locale would emit 0,123 and corrupt the JSON line.
+      case (n, Some(sec)) => "\"" + n + "\":{\"status\":\"cold\",\"build_sec\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec)) + "}"
       case (n, None) => "\"" + n + "\":{\"status\":\"warm\"}"
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"reruns":$reruns,"reps":$Reps,"artifacts":$artifacts,"sf":"$sfDir"}"""

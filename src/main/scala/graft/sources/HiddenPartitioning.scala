@@ -300,19 +300,27 @@ object HiddenPartitioning {
   private def manifest(spark: SparkSession, root: String): Option[(Int, Seq[Era])] = {
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
     val f = new Path(root, ManifestFile)
-    // An absent manifest next to existing _era-* directories means we raced
-    // [[writeManifest]]'s delete→rename window (an FS whose rename refuses
-    // an existing destination, e.g. HDFS) — or the table is torn. Returning
-    // None here would silently fall back to era-0 only and DROP evolved-era
-    // rows, so retry through the (milliseconds-wide) window and then refuse
-    // loudly rather than narrow.
+    // An absent manifest next to an _era-* directory HOLDING DATA means we
+    // raced [[writeManifest]]'s delete→rename window (an FS whose rename
+    // refuses an existing destination, e.g. HDFS) — or the table is torn.
+    // Returning None there would silently fall back to era-0 only and DROP
+    // evolved-era rows, so retry through the (milliseconds-wide) window and
+    // then refuse loudly rather than narrow. But an _era-* directory that is
+    // EMPTY or spec-only is a different story: a crash in [[evolveSpec]]
+    // between the era's spec file and the first manifest write leaves
+    // exactly that (on a table that never evolved before, there is no
+    // manifest at all), and the committed data — the root era — is
+    // complete. Refusing would brick a readable table; fall back to the
+    // root era instead (the orphan dir is inert until a re-run of
+    // evolveSpec supersedes it).
     var exists = fs.exists(f)
     if (!exists) {
       val rootP = new Path(root)
-      def erasPresent = fs.exists(rootP) && fs.listStatus(rootP).exists { st =>
-        st.isDirectory && st.getPath.getName.startsWith("_era-")
+      def erasWithData = fs.exists(rootP) && fs.listStatus(rootP).exists { st =>
+        st.isDirectory && st.getPath.getName.startsWith("_era-") &&
+          eraHasData(spark, st.getPath.toString)
       }
-      if (erasPresent) {
+      if (erasWithData) {
         var attempts = 0
         while (!exists && attempts < 10) {
           Thread.sleep(25)
@@ -416,6 +424,16 @@ object HiddenPartitioning {
     val curSpec = spec(spark, currentEra.path(path)).getOrElse(
       throw new IllegalArgumentException(
         s"no $SpecFile under current era ${currentEra.path(path)}"))
+    // Refuse-loudly, mirroring manifest(): an old era that HOLDS DATA but
+    // has no parseable spec file is a torn commit — rewriting would skip
+    // its rows and the post-commit GC below would then DESTROY them.
+    // (The read path already skips such eras, so nothing is lost by
+    // stopping here; repair the spec file, then compact.)
+    val torn = old.filter(e =>
+      eraHasData(spark, e.path(path)) && spec(spark, e.path(path)).isEmpty)
+    require(torn.isEmpty,
+      s"refusing to compact $path: era(s) ${torn.map(_.dir).mkString(", ")} " +
+        s"hold data but no parseable $SpecFile — torn commit, repair first")
     val withData = old.map(_.path(path))
       .filter(p => spec(spark, p).isDefined && eraHasData(spark, p))
     val newEras =

@@ -143,16 +143,45 @@ object VersionedHiddenTable {
 
   /** Atomic publish: allocate the next version id under the lock and rename
     * the staged manifest directory into `v=<n>` — marker and manifest ride
-    * the same rename. */
+    * the same rename.
+    *
+    * The JVM-local lock serializes publishers in ONE process; across
+    * processes the commit is guarded by verifying the manifest landed at
+    * the TOP of `v=<n>` after the rename. Hadoop's local FS rename onto an
+    * existing directory reports success but moves the source INSIDE it
+    * (`v=<n>/<token>/_snapshot.json`) — without the check, two concurrent
+    * publishers would both "succeed" and the loser's snapshot would be
+    * invisible to [[versions]], silently dropping its append. On a nested
+    * landing the rename is undone and the publish retried under the next
+    * id. Publish and [[vacuum]] remain admin-serialized operations — this
+    * guard turns a silent cross-process loss into a correct retry (or a
+    * loud failure), not a concurrency license. */
   private def publish(spark: SparkSession, tableDir: String, token: String): Long =
     publishLock.synchronized {
       val (fs, _) = fsFor(spark, tableDir)
       val from = new Path(s"$tableDir/_staging/$token")
       require(fs.exists(from), s"no staged snapshot '$token' under $tableDir")
-      val v = versions(spark, tableDir).lastOption.fold(0L)(_ + 1)
-      require(fs.rename(from, new Path(s"$tableDir/v=$v")),
-        s"atomic snapshot publish rename failed for '$token'")
-      v
+      var v = versions(spark, tableDir).lastOption.fold(0L)(_ + 1)
+      var attempts = 0
+      while (attempts < 64) {
+        attempts += 1
+        val dst = new Path(s"$tableDir/v=$v")
+        if (fs.exists(dst)) {
+          // raced an external publisher that already took this id
+          v += 1
+        } else {
+          require(fs.rename(from, dst),
+            s"atomic snapshot publish rename failed for '$token'")
+          if (fs.exists(new Path(dst, SnapshotFile))) return v
+          // rename landed NESTED inside a concurrently-created v=<n>:
+          // undo (move our staged dir back out) and retry under a fresh id
+          require(fs.rename(new Path(dst, token), from),
+            s"could not undo nested publish of '$token' under v=$v")
+          v += 1
+        }
+      }
+      throw new IllegalStateException(
+        s"publish of '$token' under $tableDir lost ${attempts} version races; giving up")
     }
 
   private def abort(spark: SparkSession, tableDir: String, token: String): Unit = {
@@ -239,7 +268,11 @@ object VersionedHiddenTable {
   /** Retire all but the newest `keep` snapshots, then delete era
     * directories no retained snapshot references (and stale staged
     * candidates) — reference-counted GC, the only operation that destroys
-    * data. Returns the dropped snapshot ids. */
+    * data. Returns the dropped snapshot ids.
+    *
+    * ADMIN-SERIALIZED: clearing `_staging` wholesale destroys any append
+    * staged but not yet published — never run vacuum concurrently with
+    * writers (the same rule as Iceberg's `remove_orphan_files`). */
   def vacuum(spark: SparkSession, tableDir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, "must retain at least the latest snapshot")
     val (fs, _) = fsFor(spark, tableDir)

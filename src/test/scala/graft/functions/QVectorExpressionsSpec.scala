@@ -67,6 +67,76 @@ class QVectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(8) == 23L, "2*4 + 3*5 = 23")
   }
 
+  test("graft_qmatmul (fast path) matches the composed transform of graft_qdot exactly") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(31)
+    // foldable P x d plane literal — the registry shape (lshBands' matrix)
+    val planes = (0 until 17).map(_ =>
+      Array.fill(48)((rnd.nextInt(8193) - 4096).toLong).mkString("array(", "L,", "L)"))
+      .mkString("array(", ",", ")")
+    (1 to 200).map(i => (i.toLong, Array.fill(48)((rnd.nextInt(8193) - 4096).toLong)))
+      .toDF("id", "q").createOrReplaceTempView("qmv")
+    val bad = sp.sql(
+      s"""SELECT graft_qmatmul(q, $planes) AS k,
+         |       transform($planes, w -> graft_qdot(q, w)) AS c
+         |FROM qmv""".stripMargin)
+      .filter("k IS DISTINCT FROM c").count()
+    assert(bad == 0, s"$bad rows: fused kernel differs from the composed transform")
+  }
+
+  test("graft_qmatmul generic path (non-foldable planes) matches the fast path") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(37)
+    val planeRows = Array.fill(9)(Array.fill(32)((rnd.nextInt(8193) - 4096).toLong))
+    val planesLit = planeRows.map(_.mkString("array(", "L,", "L)"))
+      .mkString("array(", ",", ")")
+    // carry the SAME matrix as a per-row column: right is non-foldable, so
+    // foldedPlanes stays null and every row walks evalGeneric
+    (1 to 100).map(i => (i.toLong, Array.fill(32)((rnd.nextInt(8193) - 4096).toLong),
+      planeRows)).toDF("id", "q", "pm").createOrReplaceTempView("qmg")
+    val df = sp.sql(
+      s"""SELECT graft_qmatmul(q, pm) AS generic,
+         |       graft_qmatmul(q, $planesLit) AS fast,
+         |       transform(pm, w -> graft_qdot(q, w)) AS composed
+         |FROM qmg""".stripMargin)
+    assert(df.filter("generic IS DISTINCT FROM fast").count() == 0,
+      "generic path must equal the foldable fast path")
+    assert(df.filter("generic IS DISTINCT FROM composed").count() == 0,
+      "generic path must equal the composed transform")
+  }
+
+  test("graft_qmatmul per-plane null semantics and the null-v divergence") {
+    // per-plane: length mismatch or a null element in EITHER side -> that
+    // plane's entry is NULL, the others still compute (both paths)
+    val r = spark.sql(
+      """SELECT
+        |  graft_qmatmul(array(2L, 3L),
+        |    array(array(4L, 5L), array(1L), CAST(NULL AS ARRAY<BIGINT>),
+        |          array(1L, CAST(NULL AS BIGINT)), array(10L, 1L))) AS fastish,
+        |  graft_qmatmul(array(1L, CAST(NULL AS BIGINT)),
+        |    array(array(4L, 5L), array(7L, 8L))) AS vnullelem,
+        |  graft_qmatmul(CAST(NULL AS ARRAY<BIGINT>), array(array(1L, 2L))) AS vnull,
+        |  transform(array(array(1L, 2L)),
+        |    w -> graft_qdot(CAST(NULL AS ARRAY<BIGINT>), w)) AS vnull_composed
+        |""".stripMargin).first()
+    // NOTE: a matrix literal with a NULL plane or null element is NOT
+    // foldable-clean, so column 0 actually exercises the generic walk; the
+    // pure fast path is pinned by the two equivalence tests above.
+    val a = r.getSeq[Any](0)
+    assert(a == Seq(23L, null, null, null, 23L),
+      s"per-plane null/mismatch semantics: $a")
+    val b = r.getSeq[Any](1)
+    assert(b == Seq(null, null), s"null element in v nulls every plane: $b")
+    // the documented divergence: the kernel is null-intolerant in v (NULL
+    // in -> NULL out); the composed transform captures v in the lambda and
+    // yields an all-null ARRAY instead. No registry data carries null
+    // vectors; this test pins both behaviors.
+    assert(r.isNullAt(2), "kernel: NULL v -> NULL result")
+    assert(r.getSeq[Any](3) == Seq(null), "composed: NULL v -> array of nulls")
+  }
+
   test("optimizer rule rewrites long folds into graft_qdot / graft_qnorm2") {
     val sp = spark
     sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -77,13 +77,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"join inputs must be exchange-free (bucketing co-locates):\n${p.take(1500)}")
   }
 
-  test("plan hygiene sweep: no cartesian/nested-loop joins outside constant attaches", graft.Slow) {
-    // The only sanctioned nested-loop shapes are deliberate broadcast
-    // attaches of metadata-scale relations (1-row constants, the 10-query
-    // probe side, K centroids). Everything else must plan as hash/merge
-    // joins — a BNLJ on data-scale inputs is the O(n^2) scale-killer this
-    // sweep exists to catch.
-    val constantAttach = Set(
+  // The only sanctioned nested-loop shapes are deliberate broadcast
+  // attaches of metadata-scale relations (1-row constants, the 10-query
+  // probe side, K centroids). Everything else must plan as hash/merge
+  // joins — a BNLJ on data-scale inputs is the O(n^2) scale-killer the
+  // hygiene sweep exists to catch. Shared by the Slow full sweep and the
+  // fast new-query backstop below.
+  private val constantAttach = Set(
       "j6_cross_join_constants", // 1-row constants relation, by design
       "e1_ann_bruteforce_topk",  // 10-query probe side broadcast (exactness baseline)
       "e7_ann_int8_quantized",   // same 10-query probe side, quantized scoring
@@ -105,44 +105,86 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "d38_domain_resample",     // 1-row target-mass attach onto the per-source counts
       "e15_hybrid_rrf_retrieval", // e1's 10-query probe broadcast + d30's 1-row stats attach
       "e16_ann_binary_hamming",   // same 10-query probe side broadcast, sign-bit signatures
-      "d48_hll_sketch_union")     // 1-row global-sketch-estimate attach onto per-source rows
-    val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
-      spark.catalog.clearCache()
-      val cart = if (p.contains("CartesianProduct")) Seq(s"$name:cartesian") else Nil
-      val bnlj = if (!constantAttach(name) && p.contains("BroadcastNestedLoopJoin"))
-        Seq(s"$name:bnlj") else Nil
-      cart ++ bnlj
-    }
+      "d48_hll_sketch_union",     // 1-row global-sketch-estimate attach onto per-source rows
+      "e11s_ann_serving")         // e11's serving face: 10-query probe x 64-row codebook ADC attach
+
+  // Sanctioned global (empty-partitionSpec) windows — provably bounded
+  // inputs only:
+  //   w4/o1-style: beneath a Limit, or fed by a TakeOrdered (bounded rows);
+  //   d15: the recursive prefix scan's base level — input already reduced
+  //        by fanout^2 (one row per 10^4 docs), and the recursion depth is
+  //        the dial if that ever grows;
+  //   scalar attaches: windows over 1-row aggregates.
+  private val boundedGlobal = Set(
+    "w4_global_rownumber",      // TakeOrdered bounds the window input
+    "o1_orderby_limit",         // global sort+limit shape, bounded output
+    "w3_topk_cascade",          // cascaded pools, each pool limit-bounded
+    "d15_pack_token_budget")    // prefix-scan base level: corpus/fanout^2 rows
+
+  /** Both hygiene checks (join shapes + global windows) for one query.
+    * Returns offender tags; empty = clean. */
+  private def hygieneOffenders(name: String): Seq[String] = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    val physical = df.queryExecution.executedPlan.toString
+    val logical = df.queryExecution.optimizedPlan
+    spark.catalog.clearCache()
+    val cart = if (physical.contains("CartesianProduct")) Seq(s"$name:cartesian") else Nil
+    val bnlj = if (!constantAttach(name) && physical.contains("BroadcastNestedLoopJoin"))
+      Seq(s"$name:bnlj") else Nil
+    val globalWindow = logical.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }.nonEmpty
+    val win = if (globalWindow && !boundedGlobal(name)) Seq(s"$name:global-window") else Nil
+    cart ++ bnlj ++ win
+  }
+
+  test("plan hygiene sweep: no cartesian/nested-loop joins outside constant attaches", graft.Slow) {
+    val offenders = graft.SparkEntry.queries.keys.toSeq.flatMap(n =>
+      hygieneOffenders(n).filterNot(_.endsWith(":global-window")))
     assert(offenders.isEmpty, s"non-hash join shapes: ${offenders.mkString(", ")}")
   }
 
   test("window hygiene sweep: no single-partition window over corpus-proportional input", graft.Slow) {
     // A Window with an empty partitionSpec funnels its whole input through
     // ONE task — the d15-round-2 scale trap. Sweep every registry plan's
-    // optimized logical tree; the only sanctioned global windows are over
-    // provably bounded inputs:
-    //   w4/o1-style: beneath a Limit, or fed by a TakeOrdered (bounded rows);
-    //   d15: the recursive prefix scan's base level — input already reduced
-    //        by fanout^2 (one row per 10^4 docs), and the recursion depth is
-    //        the dial if that ever grows;
-    //   scalar attaches: windows over 1-row aggregates.
-    val boundedGlobal = Set(
-      "w4_global_rownumber",      // TakeOrdered bounds the window input
-      "o1_orderby_limit",         // global sort+limit shape, bounded output
-      "w3_topk_cascade",          // cascaded pools, each pool limit-bounded
-      "d15_pack_token_budget")    // prefix-scan base level: corpus/fanout^2 rows
-    val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
-      spark.catalog.clearCache()
-      val hasGlobalWindow = plan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window
-          if w.partitionSpec.isEmpty => w
-      }.nonEmpty
-      if (hasGlobalWindow && !boundedGlobal(name)) Seq(name) else Nil
-    }
+    // optimized logical tree.
+    val offenders = graft.SparkEntry.queries.keys.toSeq.flatMap(n =>
+      hygieneOffenders(n).filter(_.endsWith(":global-window")))
     assert(offenders.isEmpty,
       s"unbounded single-partition windows in: ${offenders.mkString(", ")}")
+  }
+
+  test("hygiene backstop: whitelists resolve; queries new since the last full sweep are swept now") {
+    // The round-8 lesson: a registry addition whose plan carries a
+    // sanctioned-but-unwhitelisted BNLJ only failed in the Slow sweep,
+    // which wasn't run. This FAST test closes that window:
+    //   1. every whitelist entry must name a live registry query (no
+    //      stale/typo'd entries silently sanctioning nothing);
+    //   2. any query not recorded in swept-registry.txt (the roster of the
+    //      last green Slow sweep) gets BOTH hygiene checks inline, so a
+    //      brand-new query is plan-swept in the fast loop the moment it is
+    //      registered. After running the Slow sweeps green, refresh the
+    //      roster from /tmp/swept-registry-current.txt (written here).
+    val registry = graft.SparkEntry.queries.keySet
+    val staleWhitelist = (constantAttach ++ boundedGlobal).diff(registry)
+    assert(staleWhitelist.isEmpty,
+      s"whitelist entries name no registry query: ${staleWhitelist.mkString(", ")}")
+    val sweptFile = new java.io.File("src/test/resources/swept-registry.txt")
+    val swept =
+      if (sweptFile.exists())
+        scala.io.Source.fromFile(sweptFile).getLines().map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty[String]
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/swept-registry-current.txt"),
+      registry.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val fresh = registry.diff(swept).toSeq.sorted
+    assert(fresh.size <= 12,
+      s"${fresh.size} queries missing from swept-registry.txt — run the Slow " +
+        "sweeps and cp /tmp/swept-registry-current.txt src/test/resources/swept-registry.txt")
+    val offenders = fresh.flatMap(hygieneOffenders)
+    assert(offenders.isEmpty,
+      s"hygiene offenses in queries added since the last full sweep: ${offenders.mkString(", ")}")
   }
 
   test("x3: year filter becomes a partition filter — non-matching files never scanned") {

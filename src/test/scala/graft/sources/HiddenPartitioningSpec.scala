@@ -352,4 +352,119 @@ class HiddenPartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(HiddenPartitioning.spec(spark, path).get == transforms,
       "the parsed spec must reconstruct the declared transforms exactly")
   }
+
+  test("torn evolveSpec (spec-only era, no manifest): readers fall back to the root era") {
+    // crash window: evolveSpec wrote _era-1/_partition_spec.json but died
+    // before the FIRST manifest write — the committed data (the root era)
+    // is complete, so reads must keep working, appends must keep landing at
+    // the root, and nothing may refuse
+    val s = spark
+    import s.implicits._
+    val df = (1 to 50).map(i => (i % 5, i.toLong)).toDF("grp", "x")
+    val path = java.nio.file.Files.createTempDirectory("graft-hp-torn1").toString
+    HiddenPartitioning.write(df, path, Seq(HiddenPartitioning.IdentityT("grp")))
+    // simulate the torn evolution: era spec file exists, manifest never written
+    HiddenPartitioning.writeSpecFile(spark, s"$path/_era-1",
+      Seq(HiddenPartitioning.BucketT(4, "x")))
+    val back = HiddenPartitioning.read(spark, path)
+    assert(back.count() == 50, "root era must stay readable through the orphan")
+    HiddenPartitioning.append((51 to 60).map(i => (i % 5, i.toLong)).toDF("grp", "x"), path)
+    assert(HiddenPartitioning.read(spark, path).count() == 60,
+      "appends must keep landing under the root spec")
+    // a RE-RUN evolution supersedes the orphan (fresh era id) and commits
+    val id = HiddenPartitioning.evolveSpec(spark, path,
+      Seq(HiddenPartitioning.BucketT(4, "x")))
+    assert(id >= 1)
+    HiddenPartitioning.append(Seq((0, 99L)).toDF("grp", "x"), path)
+    assert(HiddenPartitioning.read(spark, path).count() == 61)
+  }
+
+  test("torn manifest next to an era HOLDING DATA still refuses (no silent row drop)") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 50).map(i => (i % 5, i.toLong)).toDF("grp", "x")
+    val path = java.nio.file.Files.createTempDirectory("graft-hp-torn2").toString
+    HiddenPartitioning.write(df, path, Seq(HiddenPartitioning.IdentityT("grp")))
+    val id = HiddenPartitioning.evolveSpec(spark, path,
+      Seq(HiddenPartitioning.BucketT(4, "x")))
+    HiddenPartitioning.append((51 to 60).map(i => (i % 5, i.toLong)).toDF("grp", "x"), path)
+    // now the evolved era holds rows; losing the manifest means a plain
+    // fallback would DROP them — that must refuse loudly
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_table_specs.json"), false)
+    val e = intercept[IllegalArgumentException] {
+      HiddenPartitioning.read(spark, path).count()
+    }
+    assert(e.getMessage.contains("torn"), s"must name the torn commit: ${e.getMessage}")
+    assert(id == 1)
+  }
+
+  test("compactEras folds old eras under the current spec; pruning and rows unchanged") {
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val path = java.nio.file.Files.createTempDirectory("graft-hp-compact").toString
+    val (c1, c2) = ("2024-01-12", "2024-01-20")
+    HiddenPartitioning.write(ev.filter(col("ts") < c1), path,
+      Seq(HiddenPartitioning.DayT("ts")))
+    HiddenPartitioning.evolveSpec(spark, path, Seq(HiddenPartitioning.MonthT("ts")))
+    HiddenPartitioning.append(ev.filter(col("ts") >= c1 && col("ts") < c2), path)
+    HiddenPartitioning.evolveSpec(spark, path, Seq(HiddenPartitioning.HourT("ts")))
+    HiddenPartitioning.append(ev.filter(col("ts") >= c2), path)
+
+    def slice(df: DataFrame) =
+      df.filter(col("ts") >= "2024-01-10" && col("ts") < "2024-01-22")
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = slice(ev)
+    assert(slice(HiddenPartitioning.read(spark, path)) == want)
+    val scansBefore = {
+      val q = HiddenPartitioning.read(spark, path)
+        .filter(col("ts") >= "2024-01-10" && col("ts") < "2024-01-22")
+      q.collect(): Unit
+      q.queryExecution.executedPlan.collect { case sc: FileSourceScanExec => sc }.size
+    }
+    assert(scansBefore == 3, "three eras pre-compaction")
+
+    val compactedId = HiddenPartitioning.compactEras(spark, path)
+    assert(compactedId == 3, "compacted rows land in a fresh era")
+    val after = HiddenPartitioning.read(spark, path)
+    assert(after.count() == ev.count(), "compaction must preserve every row")
+    assert(slice(after) == want, "pruned slice identical after compaction")
+    val q2 = after.filter(col("ts") >= "2024-01-10" && col("ts") < "2024-01-22")
+    q2.collect(): Unit
+    val scans2 = q2.queryExecution.executedPlan.collect {
+      case sc: FileSourceScanExec => sc }
+    assert(scans2.size == 2, "current era + ONE compacted era after folding")
+    assert(scans2.forall(_.partitionFilters.nonEmpty),
+      "both surviving eras prune under the (hour) current spec")
+    // retired directories are gone; re-compacting folds the previous fold
+    // (the current era is the append target and is never folded)
+    assert(!new java.io.File(s"$path/_era-1").exists(),
+      "retired era directories are garbage-collected post-commit")
+    assert(HiddenPartitioning.compactEras(spark, path) == 4)
+    assert(HiddenPartitioning.read(spark, path).count() == ev.count(),
+      "re-compaction preserves every row")
+  }
+
+  test("compactEras refuses when an old era holds data without a parseable spec") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 80).map(i => (i % 5, i.toLong)).toDF("grp", "x")
+    val path = java.nio.file.Files.createTempDirectory("graft-hp-ctorn").toString
+    HiddenPartitioning.write(df.filter(col("x") <= 40), path,
+      Seq(HiddenPartitioning.IdentityT("grp")))
+    HiddenPartitioning.evolveSpec(spark, path, Seq(HiddenPartitioning.BucketT(4, "x")))
+    HiddenPartitioning.append(df.filter(col("x") > 40 && col("x") <= 60), path)
+    HiddenPartitioning.evolveSpec(spark, path, Seq(HiddenPartitioning.BucketT(8, "x")))
+    HiddenPartitioning.append(df.filter(col("x") > 60), path)
+    // tear an OLD era: its rows exist but its spec file is gone
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_era-1/_partition_spec.json"), false)
+    val e = intercept[IllegalArgumentException] {
+      HiddenPartitioning.compactEras(spark, path)
+    }
+    assert(e.getMessage.contains("torn"), e.getMessage)
+    assert(new java.io.File(s"$path/_era-1").exists(),
+      "a refused compaction must delete NOTHING")
+  }
 }

@@ -1,0 +1,208 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The snapshot × hidden-partitioning composition (the full Iceberg-style
+  * contract, cf. reference `dbt_project.yml:40-43`): WAP appends, spec
+  * evolution, per-era pruning through the composite read, compaction that
+  * preserves time travel, reference-counted vacuum, replay idempotency.
+  * Every mutation is checked differentially — a versioning bug that drops
+  * or duplicates rows is worse than no versioning at all. */
+class VersionedHiddenTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    HiddenPartitioning.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-vht-$tag").toString
+
+  private def events: DataFrame = graft.core.Tables.load(spark, dir, "events")
+  private def half(df: DataFrame, r: Int): DataFrame =
+    df.filter(pmod(col("event_id"), lit(2)) === r)
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+
+  /** Total files read across ALL scans of an executed plan (the composite
+    * read unions one scan per era). */
+  private def filesRead(df: DataFrame): Long = {
+    df.collect(): Unit
+    df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.metrics("numFiles").value
+    }.sum
+  }
+
+  private def dataEras(t: String): Seq[String] = {
+    val p = new Path(s"$t/data")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName).sorted.toSeq
+  }
+
+  test("create + WAP append + time travel: composite read is exact per snapshot") {
+    val t = tmp("rt")
+    val ev = events
+    val (h1, h2) = (half(ev, 0), half(ev, 1))
+    val v0 = VersionedHiddenTable.create(spark, t, h1,
+      Seq(HiddenPartitioning.DayT("ts")))
+    assert(v0 == 0L)
+    val v1 = VersionedHiddenTable.append(spark, t, h2)()
+    assert(v1 == Right(1L))
+    val latest = VersionedHiddenTable.read(spark, t)
+    assert(latest.columns.sorted.toSeq == ev.columns.sorted.toSeq,
+      s"derived partition columns must stay hidden: ${latest.columns.toSeq}")
+    assert(ids(latest) == ids(ev), "latest snapshot must hold both halves")
+    assert(ids(VersionedHiddenTable.read(spark, t, Some(0L))) == ids(h1),
+      "time travel to v0 must see exactly the pre-append rows")
+  }
+
+  test("WAP: a failing audit publishes nothing; vacuum reclaims the orphan era") {
+    val t = tmp("wap")
+    val ev = events
+    val (h1, h2) = (half(ev, 0), half(ev, 1))
+    VersionedHiddenTable.create(spark, t, h1, Seq(HiddenPartitioning.DayT("ts")))
+    // the audit sees the STAGED composite (what readers WOULD see) and vetoes
+    var auditSawRows = -1L
+    val res = VersionedHiddenTable.append(spark, t, h2) { staged =>
+      auditSawRows = staged.count()
+      Seq("rowcount jumped beyond the contract")
+    }
+    assert(res == Left(Seq("rowcount jumped beyond the contract")))
+    assert(auditSawRows == ev.count(), "audit must run against the staged composite")
+    assert(VersionedHiddenTable.versions(spark, t) == Seq(0L),
+      "a vetoed append must publish no snapshot")
+    assert(ids(VersionedHiddenTable.read(spark, t)) == ids(h1),
+      "readers must still see only the committed rows")
+    assert(dataEras(t).size == 2, "the staged era's data dir is orphaned garbage")
+    VersionedHiddenTable.vacuum(spark, t, keep = 1)
+    assert(dataEras(t) == Seq("era-0"), "vacuum must reclaim the unreferenced era")
+    assert(ids(VersionedHiddenTable.read(spark, t)) == ids(h1),
+      "vacuum must not touch referenced data")
+    // an audit that THROWS aborts the staged snapshot and rethrows
+    val boom = intercept[RuntimeException] {
+      VersionedHiddenTable.append(spark, t, h2) { _ => throw new RuntimeException("boom") }
+    }
+    assert(boom.getMessage == "boom")
+    assert(VersionedHiddenTable.versions(spark, t) == Seq(0L))
+  }
+
+  test("evolveSpec: later appends land under the new spec; each era prunes under its own") {
+    val t = tmp("evolve")
+    val ev = events
+    val (h1, h2) = (half(ev, 0), half(ev, 1))
+    VersionedHiddenTable.create(spark, t, h1, Seq(HiddenPartitioning.DayT("ts")))
+    VersionedHiddenTable.evolveSpec(spark, t, Seq(HiddenPartitioning.BucketT(16, "user_id")))
+    assert(ids(VersionedHiddenTable.read(spark, t)) == ids(h1),
+      "the evolution snapshot is data-identical (its new era is empty)")
+    assert(VersionedHiddenTable.append(spark, t, h2)().isRight)
+    val composite = VersionedHiddenTable.read(spark, t)
+    assert(ids(composite) == ids(ev))
+    // a raw user_id equality must prune bucket dirs in the NEW era while the
+    // old (day-partitioned) era reads fully — fewer files than the full scan
+    val user = ev.select("user_id").head().getLong(0)
+    val allFiles = filesRead(VersionedHiddenTable.read(spark, t))
+    val prunedByUser = VersionedHiddenTable.read(spark, t)
+      .filter(col("user_id") === lit(user))
+    assert(filesRead(prunedByUser) < allFiles,
+      "user filter must bucket-prune the evolved era")
+    // and a ts range must day-prune the OLD era symmetric-ly
+    val b = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val (lo, hi) = (b.getTimestamp(0), b.getTimestamp(1))
+    val cut = new java.sql.Timestamp(lo.getTime + (hi.getTime - lo.getTime) / 2)
+    val prunedByTs = VersionedHiddenTable.read(spark, t).filter(col("ts") >= lit(cut))
+    assert(filesRead(prunedByTs) < allFiles, "ts filter must day-prune the old era")
+    // differential: pruning changes nothing
+    assert(ids(prunedByUser) == ids(ev.filter(col("user_id") === lit(user))))
+    assert(ids(prunedByTs) == ids(ev.filter(col("ts") >= lit(cut))))
+  }
+
+  test("compact folds the era history; old snapshots time-travel until vacuumed") {
+    val t = tmp("compact")
+    val ev = events
+    val (h1, h2) = (half(ev, 0), half(ev, 1))
+    VersionedHiddenTable.create(spark, t, h1, Seq(HiddenPartitioning.DayT("ts")))
+    VersionedHiddenTable.evolveSpec(spark, t, Seq(HiddenPartitioning.BucketT(16, "user_id")))
+    VersionedHiddenTable.append(spark, t, h2)()
+    val before = ids(VersionedHiddenTable.read(spark, t))
+    val erasBefore = dataEras(t).size
+    val vc = VersionedHiddenTable.compact(spark, t)
+    assert(ids(VersionedHiddenTable.read(spark, t)) == before,
+      "compaction must not change a single row")
+    assert(ids(VersionedHiddenTable.read(spark, t, Some(vc))) == before)
+    // the compacted snapshot references ONE era; the old eras stay on disk
+    // because older snapshots still reference them
+    assert(ids(VersionedHiddenTable.read(spark, t, Some(0L))) == ids(h1),
+      "pre-compaction snapshots must still time-travel exactly")
+    assert(dataEras(t).size == erasBefore + 1,
+      "compaction writes a fresh era and destroys nothing")
+    // the whole table now prunes under the CURRENT (bucket) spec
+    val user = ev.select("user_id").head().getLong(0)
+    val allFiles = filesRead(VersionedHiddenTable.read(spark, t))
+    val pruned = VersionedHiddenTable.read(spark, t).filter(col("user_id") === lit(user))
+    assert(filesRead(pruned) < allFiles, "compacted table must bucket-prune everywhere")
+    assert(ids(pruned) == ids(ev.filter(col("user_id") === lit(user))))
+    // vacuum retires history: only the compacted era survives
+    val dropped = VersionedHiddenTable.vacuum(spark, t, keep = 1)
+    assert(dropped.nonEmpty)
+    assert(VersionedHiddenTable.versions(spark, t) == Seq(vc))
+    assert(dataEras(t).size == 1, "only the compacted era is still referenced")
+    assert(ids(VersionedHiddenTable.read(spark, t)) == before,
+      "vacuum must not touch the live snapshot")
+    intercept[IllegalArgumentException] {
+      VersionedHiddenTable.read(spark, t, Some(0L))
+    }
+  }
+
+  test("batch-id markers ride the publish: replay detection is exact") {
+    val t = tmp("batch")
+    val ev = events
+    val (h1, h2) = (half(ev, 0), half(ev, 1))
+    VersionedHiddenTable.create(spark, t, h1, Seq(HiddenPartitioning.DayT("ts")))
+    assert(VersionedHiddenTable.publishedBatchIds(spark, t).isEmpty)
+    VersionedHiddenTable.append(spark, t, h2, batchId = Some("b-17"))()
+    assert(VersionedHiddenTable.publishedBatchIds(spark, t) == Set("b-17"))
+    // the caller's replay guard: skip when the id is already published
+    val replayed = VersionedHiddenTable.publishedBatchIds(spark, t).contains("b-17")
+    assert(replayed, "a published batch must be visible to the replay check")
+    // a VETOED append's marker must NOT appear (it rode the aborted stage)
+    VersionedHiddenTable.append(spark, t, h2, batchId = Some("b-18")) { _ => Seq("no") }
+    assert(VersionedHiddenTable.publishedBatchIds(spark, t) == Set("b-17"),
+      "an aborted append leaves no published batch marker")
+  }
+
+  test("publish skips a foreign v=<n> directory instead of nesting into it") {
+    val t = tmp("race")
+    val ev = events
+    val (h1, h2) = (half(ev, 0), half(ev, 1))
+    VersionedHiddenTable.create(spark, t, h1, Seq(HiddenPartitioning.DayT("ts")))
+    // simulate an external publisher (or crashed debris) occupying v=1:
+    // a bare rename would move the staged dir INSIDE it and silently lose
+    // the append — publish must detect and take the next id instead
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new Path(s"$t/v=1"))
+    val res = VersionedHiddenTable.append(spark, t, h2)()
+    assert(res == Right(2L), s"publish must step over the occupied id: $res")
+    assert(ids(VersionedHiddenTable.read(spark, t)) == ids(ev),
+      "the stepped-over publish must lose nothing")
+    assert(!fs.exists(new Path(s"$t/v=1/_snapshot.json")) &&
+      fs.exists(new Path(s"$t/v=2/_snapshot.json")),
+      "the manifest must land at the TOP of its own version dir")
+  }
+}
