@@ -1956,6 +1956,78 @@ object RelationalOps extends QueryPack {
            |GROUP BY event_type""".stripMargin),
     doc = "Partition-spec evolution: day-era files and day+bucket-era files answer one boundary-spanning query, each era pruned under its own spec (S16/§2.1).")
 
+  // ---- S17: snapshot versioning x hidden partitioning (the full contract) ------
+  // The composition the reference's storage layer actually is
+  // (dbt_project.yml:40-43 — Iceberg tables: snapshots AND hidden
+  // partitioning at once): era data directories each pruned under their own
+  // spec, referenced by tiny per-snapshot manifests that publish atomically.
+  // The build walks the whole lifecycle — create(day spec) → evolveSpec
+  // (day+bucket) → WAP append with a batch-id marker → compact (rewrite the
+  // era history under the current spec; older snapshots keep their eras) —
+  // and the query then reads TWO snapshots of the same table: the latest
+  // (post-compaction) and time-travel v0 (pre-evolution). Hash-matching the
+  // oracle's two plain-filter recomputations proves, in one gate, that the
+  // append added exactly the second half, the compaction rewrote without
+  // disturbing a row, and v0 still reads exactly its original era set.
+  // VersionedHiddenTableSpec proves the fewer-files pruning + vacuum + race
+  // mechanics; this query pins the end-to-end semantics under the driver's
+  // hash gate. Skip-if-exists via completedThrough(v=3): a crash anywhere
+  // in the lifecycle rebuilds from a clean dir.
+  private val s17 = GQuery(
+    "s17_versioned_hidden",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val vhtDir = Tables.scratchOnce(dir, "vht_events",
+          done = VHT.completedThrough(_, 3L)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        val ev = t(s, dir, "events")
+        VHT.create(s, path, ev.filter(col("ts") < "2024-01-16"),
+          Seq(graft.sources.HiddenPartitioning.DayT("ts"))): Unit
+        VHT.evolveSpec(s, path, Seq(
+          graft.sources.HiddenPartitioning.DayT("ts"),
+          graft.sources.HiddenPartitioning.BucketT(16, "user_id"))): Unit
+        // the consumer replay pattern: skip an already-published batch id
+        if (!VHT.publishedBatchIds(s, path).contains("jan-back-half")) {
+          VHT.append(s, path, ev.filter(col("ts") >= "2024-01-16"),
+            batchId = Some("jan-back-half"))() match {
+            case Right(_) => ()
+            case Left(violations) => throw new IllegalStateException(
+              s"s17 WAP audit vetoed the append: ${violations.mkString("; ")}")
+          }
+        }
+        VHT.compact(s, path): Unit
+      }
+      def slice(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .filter(col("ts") >= "2024-01-12" && col("ts") < "2024-01-22" &&
+          col("user_id").isin(5L, 17L, 42L, 99L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"),
+          min(col("event_id")).as("min_event"))
+        .withColumn("snapshot", lit(tag))
+      slice(VHT.read(s, vhtDir), "latest")
+        .unionByName(slice(VHT.read(s, vhtDir, Some(0L)), "v0"))
+    },
+    Some("""SELECT 'latest' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM events
+           |WHERE ts >= '2024-01-12' AND ts < '2024-01-22'
+           |  AND user_id IN (5, 17, 42, 99)
+           |GROUP BY event_type
+           |UNION ALL
+           |SELECT 'v0' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM events
+           |WHERE ts >= '2024-01-12' AND ts < '2024-01-22' AND ts < '2024-01-16'
+           |  AND user_id IN (5, 17, 42, 99)
+           |GROUP BY event_type""".stripMargin),
+    doc = "Versioned hidden-partitioned table: create/evolve/WAP-append/compact lifecycle, latest + time-travel snapshots hash-checked in one query (S17/§2.1).")
+
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
   // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
@@ -1981,7 +2053,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)

@@ -99,8 +99,9 @@ object VersionedHiddenTable {
   }
 
   /** Write one new era directory: spec file first, data after. Returns the
-    * era name. Invisible until a snapshot referencing it publishes. */
-  private def writeEra(spark: SparkSession, tableDir: String, df: DataFrame,
+    * era name. Invisible until a snapshot referencing it publishes.
+    * (`private[graft]`: fault-injection tests build torn commit states.) */
+  private[graft] def writeEra(spark: SparkSession, tableDir: String, df: DataFrame,
       transforms: Seq[Transform]): String = {
     val era = s"era-${nextEraId(spark, tableDir)}"
     val p = eraPath(tableDir, era)
@@ -121,8 +122,9 @@ object VersionedHiddenTable {
     frames.reduce(_.unionByName(_))
   }
 
-  /** Stage a snapshot manifest; returns the staging token. */
-  private def stageSnapshot(spark: SparkSession, tableDir: String,
+  /** Stage a snapshot manifest; returns the staging token.
+    * (`private[graft]`: fault-injection tests build torn commit states.) */
+  private[graft] def stageSnapshot(spark: SparkSession, tableDir: String,
       eras: Seq[String], batchId: Option[String]): String = {
     val token = s"w${stageSeq.incrementAndGet()}-${System.nanoTime()}"
     val dir = new Path(s"$tableDir/_staging/$token")
@@ -214,10 +216,31 @@ object VersionedHiddenTable {
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
       batchId: Option[String] = None)(
       audit: DataFrame => Seq[String] = _ => Nil): Either[Seq[String], Long] = {
+    require(versions(spark, tableDir).nonEmpty,
+      s"cannot append to a table that was never created: $tableDir")
+    appendOrCreate(spark, tableDir, df, Nil, batchId)(audit)
+  }
+
+  /** [[append]] that also CREATES the table on first use — the entry point
+    * for unattended writers (streaming sinks can't order a separate
+    * `create` call ahead of their first micro-batch). An existing table
+    * appends under its current spec and `transforms` is ignored; a fresh
+    * table's first era is laid out under `transforms`. Same WAP contract as
+    * [[append]]: the audit runs against the staged composite, a veto (or a
+    * throw) publishes nothing. */
+  def appendOrCreate(spark: SparkSession, tableDir: String, df: DataFrame,
+      transforms: Seq[Transform], batchId: Option[String] = None)(
+      audit: DataFrame => Seq[String] = _ => Nil): Either[Seq[String], Long] = {
     val vs = versions(spark, tableDir)
-    require(vs.nonEmpty, s"cannot append to a table that was never created: $tableDir")
-    val eras = snapshotEras(spark, tableDir, vs.max)
-    val era = writeEra(spark, tableDir, df, currentSpec(spark, tableDir, eras))
+    val eras = if (vs.isEmpty) Nil else snapshotEras(spark, tableDir, vs.max)
+    val spec =
+      if (eras.nonEmpty) currentSpec(spark, tableDir, eras)
+      else {
+        require(transforms.nonEmpty,
+          s"first write to $tableDir must declare at least one partition transform")
+        transforms
+      }
+    val era = writeEra(spark, tableDir, df, spec)
     val staged = eras :+ era
     val token = stageSnapshot(spark, tableDir, staged, batchId)
     val violations = try audit(readEras(spark, tableDir, staged))
@@ -286,6 +309,25 @@ object VersionedHiddenTable {
       .foreach(st => fs.delete(st.getPath, true): Unit)
     fs.delete(new Path(s"$tableDir/_staging"), true): Unit
     drop
+  }
+
+  /** [[graft.core.Tables.scratchOnce]] done-check: snapshot `minVersion` is
+    * published and every data-holding era the LATEST snapshot references
+    * carries a completed write (`_SUCCESS`) — a crash anywhere in a
+    * create → evolve → append → compact build leaves this false, so the
+    * artifact is rebuilt (builders delete the dir first; [[create]] refuses
+    * a non-empty table). */
+  def completedThrough(tableDir: String, minVersion: Long): Boolean = {
+    val spark = SparkSession.active
+    val vs = versions(spark, tableDir)
+    vs.nonEmpty && vs.max >= minVersion && {
+      val (fs, _) = fsFor(spark, tableDir)
+      snapshotEras(spark, tableDir, vs.max).forall { era =>
+        val p = eraPath(tableDir, era)
+        !HiddenPartitioning.eraHasData(spark, p) ||
+          fs.exists(new Path(p, "_SUCCESS"))
+      }
+    }
   }
 
   /** Batch ids of all PUBLISHED snapshots — the replay-idempotency test for

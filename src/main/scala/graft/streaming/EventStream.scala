@@ -344,27 +344,30 @@ object EventStream {
       .start()
 
   /** Quality-gated streaming ingestion — the WAP cycle on the streaming
-    * path: each micro-batch lands COMPLETELY in invisible staging, the
-    * audit runs against the staged bytes, a passing batch publishes as the
-    * next version (one atomic rename,
-    * [[graft.pipeline.VersionedTable.writeAuditPublish]]), and a failing
-    * batch is quarantined under `quarantineDir/batch=<id>` with its
-    * violations in `_violations.txt` while the stream keeps going — bad
-    * data pauses NOTHING and readers can never observe an unaudited row.
-    * Replays are idempotent: the batch id is written as an `_batch-<id>`
-    * marker INTO the staged candidate, so it rides the atomic publish
-    * rename into `v=<n>` — marker and commit are the same filesystem
-    * operation, and a restarted query re-offering a batch skips it iff the
-    * publish actually committed ([[graft.pipeline.VersionedTable.publishedBatchIds]]).
-    * A marker written after the rename would leave a crash window where a
-    * published batch re-publishes on restart (duplicate rows); quarantine
-    * rewrites are already idempotent — the batch overwrites its own dir.
+    * path, stored as a [[graft.sources.VersionedHiddenTable]] (the full
+    * snapshot × hidden-partitioning composition is the sink's storage face,
+    * not a side demo): each micro-batch lands COMPLETELY as an invisible
+    * era directory day-partitioned by `ts`, the audit runs against the
+    * staged composite read (exactly what readers would see post-commit), a
+    * passing batch publishes the next snapshot (one atomic manifest
+    * rename), and a failing batch is quarantined under
+    * `quarantineDir/batch=<id>` with its violations in `_violations.txt`
+    * while the stream keeps going — bad data pauses NOTHING and readers can
+    * never observe an unaudited row. Replays are idempotent: the batch id
+    * rides the snapshot's publish rename as an `_batch-<id>` marker —
+    * marker and commit are the same filesystem operation, and a restarted
+    * query re-offering a batch skips it iff the publish actually committed
+    * ([[graft.sources.VersionedHiddenTable.publishedBatchIds]]). A marker
+    * written after the rename would leave a crash window where a published
+    * batch re-publishes on restart (duplicate rows); quarantine rewrites
+    * are already idempotent — the batch overwrites its own dir.
     *
     * Read contract: unlike the upsert/SCD2 sinks (where the latest version
-    * IS the table), each published version here is an APPEND SEGMENT — the
-    * table is the union of published versions ([[readAuditedTable]]), which
-    * is how append-only commit logs behave: per-batch cost stays
-    * batch-sized, never table-sized. */
+    * IS the table), each era here is an APPEND SEGMENT — the latest
+    * snapshot references them all ([[readAuditedTable]]), per-batch cost
+    * stays batch-sized, and a `ts` predicate prunes day directories inside
+    * every era. Old snapshots time-travel; `compact`/`vacuum` bound the
+    * era/snapshot history (the 100 TB operational loop). */
   def startAuditedAppend(events: DataFrame, tableDir: String,
       quarantineDir: String, checkpoint: String)(
       audit: DataFrame => Seq[String]): StreamingQuery =
@@ -372,11 +375,12 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!graft.pipeline.VersionedTable.publishedBatchIds(tableDir)
+        val vht = graft.sources.VersionedHiddenTable
+        if (!vht.publishedBatchIds(batch.sparkSession, tableDir)
             .contains(batchId.toString)) {
-          graft.pipeline.VersionedTable
-            .writeAuditPublish(batch.sparkSession, tableDir, batch.toDF(),
-              batchId = Some(batchId.toString))(audit) match {
+          vht.appendOrCreate(batch.sparkSession, tableDir, batch.toDF(),
+            Seq(graft.sources.HiddenPartitioning.DayT("ts")),
+            batchId = Some(batchId.toString))(audit) match {
             case Left(violations) =>
               batch.write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId")
               java.nio.file.Files.write(
@@ -389,11 +393,15 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** The audited append table: the union of all PUBLISHED segments. The
-    * `v=*` glob never matches `_staging`, so an in-flight batch is
-    * invisible until its atomic publish rename. */
-  def readAuditedTable(spark: SparkSession, tableDir: String): DataFrame =
-    spark.read.parquet(s"$tableDir/v=*")
+  /** The audited append table: the latest snapshot's composite read (every
+    * published segment era, source columns only). An in-flight batch is an
+    * unreferenced era — invisible until its snapshot's atomic publish
+    * rename. Registers [[graft.sources.HiddenPartitioning]]'s pruning rule
+    * so a raw `ts` predicate prunes day directories in every era. */
+  def readAuditedTable(spark: SparkSession, tableDir: String): DataFrame = {
+    graft.sources.HiddenPartitioning.register(spark)
+    graft.sources.VersionedHiddenTable.read(spark, tableDir)
+  }
 
   /** Latest materialized version of a [[startUpsertToParquet]] table. */
   def latestVersion(spark: SparkSession, tableDir: String): DataFrame =

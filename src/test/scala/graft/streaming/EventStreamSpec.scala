@@ -747,24 +747,32 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val report = java.nio.file.Files.readString(
       java.nio.file.Paths.get(qDirs.head.getPath, "_violations.txt"))
     assert(report == "5 error-type rows", s"violation report: $report")
-    // the batch-id marker lives INSIDE each published segment (it rode the
+    // the batch-id marker lives INSIDE each published snapshot (it rode the
     // publish rename) — marker and commit are atomic, so there is no crash
     // window in which a published batch could be re-offered and re-published
     val segs = new java.io.File(tbl).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
     assert(segs.nonEmpty && segs.forall(
         _.listFiles().exists(_.getName.startsWith("_batch-"))),
-      "every published segment must carry its batch-id marker")
+      "every published snapshot must carry its batch-id marker")
     assert(!new java.io.File(s"$tbl/_published_batches").exists(),
       "no separate post-publish marker dir — that design had a crash window")
+    // the sink's storage face is the versioned hidden-partitioned table:
+    // every published era is day-partitioned by ts, hidden from the reader
+    assert(EventStream.readAuditedTable(sp, tbl).columns.toSet ==
+      EventStream.eventSchema.fieldNames.toSet,
+      "derived partition columns must stay hidden from the stream's readers")
     // replay idempotency: a restarted query with one NEW file appends only
     // the new rows — published batches are never re-published
-    val vsBefore = graft.pipeline.VersionedTable.versions(tbl).size
+    val vht = graft.sources.VersionedHiddenTable
+    val vsBefore = vht.versions(sp, tbl).size
     land(3, "view", 300)
     run()
     assert(EventStream.readAuditedTable(sp, tbl).count() === 20)
-    assert(graft.pipeline.VersionedTable.versions(tbl).size == vsBefore + 1,
-      "exactly one new segment for the one new file")
+    assert(vht.versions(sp, tbl).size == vsBefore + 1,
+      "exactly one new snapshot for the one new file")
+    // pre-append snapshots still time-travel (the good rows before the late file)
+    assert(vht.read(sp, tbl, Some(vht.versions(sp, tbl).max - 1)).count() === 17)
   }
 
   test("crash window 1: staged-but-unpublished batch re-publishes exactly once on restart") {
@@ -784,14 +792,17 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("append").parquet(in)
 
-    val vt = graft.pipeline.VersionedTable
+    val vht = graft.sources.VersionedHiddenTable
     val doomed = rows
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val token = vt.stage(sp, tbl, doomed)
-    assert(new java.io.File(s"$tbl/_staging/$token/_batch-0").createNewFile())
-    assert(vt.publishedBatchIds(tbl).isEmpty,
+    // the exact crash snapshot: era data fully written, snapshot manifest
+    // staged WITH its batch marker, publish rename never ran
+    val era = vht.writeEra(sp, tbl, doomed,
+      Seq(graft.sources.HiddenPartitioning.DayT("ts")))
+    val token = vht.stageSnapshot(sp, tbl, Seq(era), Some("0"))
+    assert(vht.publishedBatchIds(sp, tbl).isEmpty,
       "a staged batch must NOT read as published — that would drop it forever")
-    assert(vt.versions(tbl).isEmpty)
+    assert(vht.versions(sp, tbl).isEmpty)
 
     // restart from a checkpoint that never saw batch 0
     val stream = sp.readStream.schema(EventStream.eventSchema).parquet(in)
@@ -799,13 +810,20 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"$root/ckpt")(_ => Nil)
     q.processAllAvailable(); q.stop()
 
-    assert(vt.versions(tbl) == Seq(0L),
-      s"exactly one published segment, got ${vt.versions(tbl)}")
-    assert(vt.publishedBatchIds(tbl) == Set("0"))
+    assert(vht.versions(sp, tbl) == Seq(0L),
+      s"exactly one published snapshot, got ${vht.versions(sp, tbl)}")
+    assert(vht.publishedBatchIds(sp, tbl) == Set("0"))
     assert(EventStream.readAuditedTable(sp, tbl).count() === 6,
       "the re-published batch must appear exactly once — no torn/double rows")
-    // the orphaned candidate is still on disk, and still invisible
+    // the orphaned candidate (staged manifest AND its era) is still on
+    // disk, still invisible, and reclaimable by vacuum
     assert(new java.io.File(s"$tbl/_staging/$token").isDirectory)
+    assert(new java.io.File(s"$tbl/data").listFiles().count(_.isDirectory) == 2,
+      "the orphan era and the re-published era coexist")
+    vht.vacuum(sp, tbl, keep = 1)
+    assert(new java.io.File(s"$tbl/data").listFiles().count(_.isDirectory) == 1,
+      "vacuum reclaims the orphan era")
+    assert(EventStream.readAuditedTable(sp, tbl).count() === 6)
   }
 
   test("crash window 2: published batch whose checkpoint commit was lost is skipped on restart") {
@@ -835,8 +853,8 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.processAllAvailable(); q.stop()
     }
     run()
-    val vt = graft.pipeline.VersionedTable
-    assert(vt.versions(tbl) == Seq(0L))
+    val vht = graft.sources.VersionedHiddenTable
+    assert(vht.versions(sp, tbl) == Seq(0L))
     assert(EventStream.readAuditedTable(sp, tbl).count() === 5)
 
     // the crash: offsets/0 exists (the batch was planned), commits/0 never
@@ -848,9 +866,9 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     new java.io.File(s"$root/ckpt/commits/.0.crc").delete(): Unit
 
     run() // re-offers batch 0 with identical content
-    assert(vt.versions(tbl) == Seq(0L),
-      s"a replayed published batch must not mint a new version: ${vt.versions(tbl)}")
-    assert(vt.publishedBatchIds(tbl) == Set("0"))
+    assert(vht.versions(sp, tbl) == Seq(0L),
+      s"a replayed published batch must not mint a new version: ${vht.versions(sp, tbl)}")
+    assert(vht.publishedBatchIds(sp, tbl) == Set("0"))
     assert(EventStream.readAuditedTable(sp, tbl).count() === 5,
       "a replayed published batch must not duplicate rows")
   }
