@@ -80,4 +80,66 @@ class ScaleCurveSpec extends AnyFunSuite with BeforeAndAfterAll {
         f"$q scaled ${r}%.1fx on 10x data (budget ${SuperlinearityBudget}x) — superlinear")
     }
   }
+
+  /** The SECOND measured decade (sf0.1 → sf1, 100× the small-test scale):
+    * the dedup/ANN scale paths whose caps and banding are exactly the
+    * things another 10× could break. sf1 is the deterministic amplified
+    * corpus ([[graft.tools.ScaleUp]]) — ~10% exact clones, ~30% near-dups,
+    * ~60% distinct — living under the JVM temp dir (the driver corpus is
+    * read-only). Only `documents`/`embeddings` exist there, which covers
+    * every query below.
+    *
+    * Shared scratch artifacts (the near-dup pair evidence, the trained ANN
+    * index) are deleted per scale before the warm pass, so each scale's
+    * warm run IS the cold artifact build and `Tables.artifactReport`
+    * captures its seconds — the artifact BUILD ratio is asserted under the
+    * same budget as the query ratios (it is the true scale path for
+    * d2/d46/d47 and e11s). */
+  test("sf0.1 -> sf1: dedup/ANN scale paths and artifact builds stay inside the budget", graft.Slow) {
+    val sf01 = "/root/testdata/sf0.1"
+    val sf1 = graft.tools.ScaleUp.ensure(spark, sf01)
+    val queries = Seq("d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
+      "d4_dedup_simhash", "e2_ann_lsh_bucketed", "e11s_ann_serving")
+
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete(): Unit
+    }
+    def clearScratch(dir: String): Unit = {
+      val mangled = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-buckets")
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(s"_$mangled"))
+        .foreach(deleteRec)
+    }
+    def leg(dir: String): (Map[String, Double], Map[String, Double]) = {
+      clearScratch(dir)
+      graft.core.Tables.artifactLedger.clear()
+      queries.foreach(timeOnce(_, dir)) // warm pass pays the cold artifact builds
+      val builds = graft.core.Tables.artifactReport.collect {
+        case (n, Some(sec)) => n -> sec }
+      val times = queries.map(q => q ->
+        math.min(timeOnce(q, dir), timeOnce(q, dir))).toMap
+      (times, builds)
+    }
+    val (t01, b01) = leg(sf01)
+    val (t1, b1) = leg(sf1)
+
+    println("| query | sf0.1 s | sf1 s | ratio |")
+    println("|---|---|---|---|")
+    val rows = queries.map { q =>
+      val r = t1(q) / math.max(t01(q), DenomFloorSec)
+      println(f"| $q | ${t01(q)}%.2f | ${t1(q)}%.2f | ${r}%.1fx |")
+      (q, r)
+    }
+    val buildRows = b1.keySet.intersect(b01.keySet).toSeq.sorted.map { n =>
+      val r = b1(n) / math.max(b01(n), DenomFloorSec)
+      println(f"| artifact:$n | ${b01(n)}%.2f | ${b1(n)}%.2f | ${r}%.1fx |")
+      (s"artifact:$n", r)
+    }
+    (rows ++ buildRows).foreach { case (q, r) =>
+      assert(r <= SuperlinearityBudget,
+        f"$q scaled ${r}%.1fx on 10x data (budget ${SuperlinearityBudget}x) — superlinear")
+    }
+  }
 }
