@@ -28,6 +28,12 @@ object Graft {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // INT64 micros, not Spark's legacy INT96: INT96 is deprecated in the
+      // parquet spec, carries NO usable min/max stats (undefined column
+      // order), and every lakehouse table format forbids it — with micros,
+      // [[graft.sources.StatsFileSkipping]] can prune files on timestamp
+      // predicates. Values read back identically either way.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.shuffle.partitions",
         shufflePartitions.getOrElse(cores).toString)
       .getOrCreate()

@@ -316,6 +316,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => RewriteVectorFolds)
     ext.injectOptimizerRule(_ => graft.sources.HiddenPartitionPruning)
+    ext.injectOptimizerRule(_ => graft.sources.StatsFileSkipping)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)
   }

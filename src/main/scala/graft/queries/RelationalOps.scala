@@ -2028,6 +2028,51 @@ object RelationalOps extends QueryPack {
            |GROUP BY event_type""".stripMargin),
     doc = "Versioned hidden-partitioned table: create/evolve/WAP-append/compact lifecycle, latest + time-travel snapshots hash-checked in one query (S17/§2.1).")
 
+  // ---- S18: file-level stats skipping (Iceberg manifest stats contract) -------
+  // The third leg of the Iceberg storage contract (dbt_project.yml:40-43):
+  // partition pruning (s15), spec evolution (s16), snapshots (s17) — and
+  // per-DATA-FILE min/max stats that let the planner skip files inside the
+  // surviving partitions. The build lays events out day-partitioned with
+  // user-range-clustered write tasks, so each day directory holds files
+  // covering narrow user_id spans; HiddenPartitioning.write harvests
+  // per-file footer stats into `_file_stats.json`. The query filters BOTH
+  // dimensions: HiddenPartitionPruning keeps only the two day directories,
+  // then StatsFileSkipping drops the in-day files whose user_id range
+  // cannot match — at plan time, before any task is scheduled (at 100 TB
+  // that is the difference between "schedule 1000 tasks that each read one
+  // footer and return nothing" and "schedule none of them").
+  // FileStatsSpec proves the fewer-files mechanics and the soundness edges
+  // (nulls, stale manifests, type domains); this query pins the semantics
+  // under the driver's hash gate: the stats-pruned scan must hash-equal the
+  // oracle's full-scan filter.
+  private val s18 = GQuery(
+    "s18_stats_skipping_scan",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val hpDir = Tables.scratchOnce(dir, "hp_events_stats",
+          done = graft.sources.HiddenPartitioning.exists) { path =>
+        val ev = t(s, dir, "events").repartitionByRange(8, col("user_id"))
+        graft.sources.HiddenPartitioning.write(ev, path,
+          Seq(graft.sources.HiddenPartitioning.DayT("ts")))
+      }
+      graft.sources.HiddenPartitioning.read(s, hpDir)
+        .filter(col("ts") >= "2024-01-08" && col("ts") < "2024-01-10" &&
+          col("user_id").between(10L, 40L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"),
+          min(col("user_id")).as("min_user"),
+          max(col("user_id")).as("max_user"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(user_id) AS min_user, max(user_id) AS max_user
+           |FROM events
+           |WHERE ts >= '2024-01-08' AND ts < '2024-01-10'
+           |  AND user_id BETWEEN 10 AND 40
+           |GROUP BY event_type""".stripMargin),
+    doc = "File-level stats skipping: footer-harvested per-file min/max prune files inside surviving day partitions at plan time (S18/§2.1).")
+
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
   // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
@@ -2053,7 +2098,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)

@@ -230,6 +230,10 @@ object HiddenPartitioning {
   def write(df: DataFrame, path: String, transforms: Seq[Transform]): Unit = {
     derive(df, transforms).write.mode("overwrite")
       .partitionBy(transforms.map(_.partCol): _*).parquet(path)
+    // footer-harvested per-file stats before the spec commit marker: a crash
+    // here leaves a table [[exists]] reports incomplete, so no reader ever
+    // sees data without the stats its writer intended
+    FileStats.write(df.sparkSession, path)
     writeSpecFile(df.sparkSession, path, transforms)
   }
 
@@ -444,6 +448,7 @@ object HiddenPartitioning {
         writeSpecFile(spark, compacted.path(path), curSpec)
         derive(rows, curSpec).write.mode("append")
           .partitionBy(curSpec.map(_.partCol): _*).parquet(compacted.path(path))
+        FileStats.write(spark, compacted.path(path))
         Seq(currentEra, compacted).sortBy(_.id)
       }
     writeManifest(spark, path, current, newEras)
@@ -479,6 +484,11 @@ object HiddenPartitioning {
       throw new IllegalArgumentException(s"no $SpecFile under $eraPath"))
     derive(df, ts).write.mode("append")
       .partitionBy(ts.map(_.partCol): _*).parquet(eraPath)
+    // regenerate the era's file-stats manifest to cover the appended files
+    // (footer-only). A crash before this line leaves the new files unlisted
+    // — [[StatsFileSkipping]] keeps unlisted files, so the table stays
+    // correct and merely skips less until the next append rewrites it.
+    FileStats.write(spark, eraPath)
   }
 
   /** True when the era directory holds any data entry (Spark's listing
@@ -611,13 +621,16 @@ object HiddenPartitioning {
 
   private val registerLock = new Object
 
-  /** Idempotent session-local registration of the pruning rule (the
-    * cluster-wide face is `GraftExtensions`). Thread-safe — same guarded
-    * read-modify-write as `GraftFunctions.register`. */
+  /** Idempotent session-local registration of the pruning rule and its
+    * file-granular companion [[StatsFileSkipping]] (the cluster-wide face is
+    * `GraftExtensions`). Thread-safe — same guarded read-modify-write as
+    * `GraftFunctions.register`. */
   def register(spark: SparkSession): Unit = registerLock.synchronized {
-    if (!spark.experimental.extraOptimizations.contains(HiddenPartitionPruning))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ HiddenPartitionPruning
+    Seq(HiddenPartitionPruning, StatsFileSkipping).foreach { rule =>
+      if (!spark.experimental.extraOptimizations.contains(rule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ rule
+    }
   }
 }
 

@@ -80,5 +80,10 @@ object Layout {
         .drop("__z")
         .write.mode("overwrite").parquet(path)
     }
+    // the payoff of the clustered layout: every file now covers a small
+    // rectangle in (c1, c2)-space, so the footer-harvested per-file stats
+    // let [[StatsFileSkipping]] drop files at PLAN time for filters on
+    // either dimension — not merely row groups at task time
+    FileStats.write(df.sparkSession, path)
   }
 }

@@ -108,6 +108,10 @@ object VersionedHiddenTable {
     HiddenPartitioning.writeSpecFile(spark, p, transforms)
     HiddenPartitioning.derive(df, transforms).write.mode("append")
       .partitionBy(transforms.map(_.partCol): _*).parquet(p)
+    // per-file stats land with the era data, BEFORE any snapshot publishes a
+    // reference to it — readers of a published snapshot always see the era's
+    // complete stats manifest
+    FileStats.write(spark, p)
     era
   }
 
