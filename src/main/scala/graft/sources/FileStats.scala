@@ -92,6 +92,11 @@ object FileStats {
     walk(root).filter(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Total bytes of the scan-visible parquet files under `root` — the
+    * size-targeted compaction sizing input. */
+  private[sources] def dataBytes(fs: FileSystem, root: Path): Long =
+    dataFiles(fs, root).map(_.getLen).sum
+
   /** Comparable-domain tag of a parquet primitive column, or None when the
     * column is excluded from skipping (float/double/decimal/INT96/unsigned —
     * see the object doc for why each is out). */

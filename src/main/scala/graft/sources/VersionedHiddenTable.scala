@@ -282,13 +282,39 @@ object VersionedHiddenTable {
     * snapshot under its current spec into ONE fresh era and publish a
     * snapshot referencing only that era. Older snapshots still reference
     * the old eras — time travel is untouched until [[vacuum]] reclaims
-    * them. Returns the published version. */
-  def compact(spark: SparkSession, tableDir: String): Long = {
+    * them. Returns the published version.
+    *
+    * With `clusterBy`, the rewrite is Iceberg's rewrite-with-SORT-ORDER:
+    * rows range-partition on the cluster keys into `ceil(bytes /
+    * targetBytes)` write tasks (file count from the snapshot's ACTUAL
+    * bytes — the over-128MB sizing a table service does, the
+    * `VersionedTable.compactBySize` discipline), so inside every derived
+    * partition directory each task's file covers a narrow, pairwise-
+    * disjoint cluster-key span. That is exactly the layout
+    * [[StatsFileSkipping]] monetizes: after a clustered compaction,
+    * key-range predicates skip most files at plan time — the maintenance
+    * operation that turns an append-ordered table into a skippable one
+    * without changing a row. */
+  def compact(spark: SparkSession, tableDir: String,
+      clusterBy: Seq[String] = Nil, targetBytes: Long = 128L << 20): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
     val vs = versions(spark, tableDir)
     require(vs.nonEmpty, s"no snapshots under $tableDir")
     val eras = snapshotEras(spark, tableDir, vs.max)
     val spec = currentSpec(spark, tableDir, eras)
-    val era = writeEra(spark, tableDir, readEras(spark, tableDir, eras), spec)
+    val rows = readEras(spark, tableDir, eras)
+    val shaped =
+      if (clusterBy.isEmpty) rows
+      else {
+        val (fs, _) = fsFor(spark, tableDir)
+        val total = eras.map(e =>
+          FileStats.dataBytes(fs, new Path(eraPath(tableDir, e)))).sum
+        val nFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+        import org.apache.spark.sql.functions.col
+        rows.repartitionByRange(nFiles, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
+      }
+    val era = writeEra(spark, tableDir, shaped, spec)
     publish(spark, tableDir, stageSnapshot(spark, tableDir, Seq(era), None))
   }
 

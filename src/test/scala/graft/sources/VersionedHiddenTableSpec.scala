@@ -170,6 +170,31 @@ class VersionedHiddenTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("clustered compaction: rewrite range-partitions the cluster key, so stats skip files") {
+    val t = tmp("cluster")
+    val ev = events.drop("props")
+    // append-ordered layout: every file spans the full user range, so a
+    // user predicate can skip nothing before the rewrite
+    VersionedHiddenTable.create(spark, t, half(ev, 0), Seq(HiddenPartitioning.DayT("ts")))
+    VersionedHiddenTable.append(spark, t, half(ev, 1))()
+    val before = ids(VersionedHiddenTable.read(spark, t))
+    val pred = col("user_id").between(10L, 30L)
+    // tiny targetBytes forces several output files so the skip is observable
+    val vc = VersionedHiddenTable.compact(spark, t,
+      clusterBy = Seq("user_id"), targetBytes = 64L << 10)
+    assert(ids(VersionedHiddenTable.read(spark, t)) == before,
+      "clustered compaction must not change a single row")
+    val total = filesRead(VersionedHiddenTable.read(spark, t))
+    val hit = filesRead(VersionedHiddenTable.read(spark, t).filter(pred))
+    assert(total > 2, s"sizing must split the rewrite into several files: $total")
+    assert(hit < total,
+      s"clustered rewrite must make the key predicate skip files: $hit of $total")
+    assert(ids(VersionedHiddenTable.read(spark, t, Some(vc)).filter(pred)) ==
+      ids(ev.filter(pred)), "skipping after the rewrite must stay lossless")
+    // pre-rewrite snapshots still time-travel exactly
+    assert(ids(VersionedHiddenTable.read(spark, t, Some(0L))) == ids(half(ev, 0)))
+  }
+
   test("batch-id markers ride the publish: replay detection is exact") {
     val t = tmp("batch")
     val ev = events
