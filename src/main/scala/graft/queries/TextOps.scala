@@ -876,12 +876,19 @@ object TextOps extends QueryPack {
   // ---- D23: Misra–Gries heavy hitters (bounded-memory frequent tokens) -----
   // d10's exact top-100 shuffles one row per DISTINCT token; at web-corpus
   // vocabulary that is billions of rows. The MG sketch holds k counters per
-  // partial, reduces map-side, and merges in O(k) — every token with
-  // frequency > n/(k+1) is guaranteed present (FreqSketchSpec proves the
-  // guarantees against exact counts). Estimates depend on the merge tree, so
-  // this is a rows-only registry entry: the certified-heavy FILTER is
-  // guaranteed sound (est <= true), but borderline membership is not
-  // deterministic across partitionings.
+  // partial, reduces map-side, and merges in O(k) — and the mergeable-
+  // summaries bound (est >= true - n/(k+1), ANY merge tree) guarantees
+  // every token with true frequency > n/(k+1) SURVIVES the sketch
+  // (FreqSketchSpec proves the guarantees against exact counts). The
+  // classic two-pass certify makes the output engine-deterministic and
+  // therefore hashable: pass 1's <= k survivors (a merge-order-dependent
+  // SUPERSET of the true heavy hitters) semi-join the token stream for
+  // EXACT counts, and the integer filter cnt*(k+1) > n keeps exactly the
+  // true heavy hitters — so the oracle is a plain GROUP BY ... HAVING,
+  // while the engine never shuffles more than k candidate tokens plus one
+  // broadcast. (Until round 9 this was a rows-only entry because pass 1's
+  // estimates ride the merge tree; certifying with pass 2 is what turns
+  // the sketch into a gateable operator.)
   private val d23 = GQuery(
     "d23_heavy_hitters_sketch",
     (s, dir) => {
@@ -889,14 +896,27 @@ object TextOps extends QueryPack {
       val toks = t(s, dir, "documents")
         .select(explode(words(col("text"))).as("tok"))
         .filter(col("tok") =!= "")
+      // pass 1: candidates (<= 50 rows) + the exact stream length
       val agg = toks.agg(sketch(col("tok")).as("mg"), count(lit(1)).as("n"))
-      agg.select(explode(col("mg")).as(Seq("tok", "est")), col("n"))
-        .filter(col("est") > col("n") / lit(51.0))
-        .select(col("tok"), col("est"))
-        .orderBy(col("est").desc, col("tok"))
+      val cands = agg.select(explode(col("mg")).as(Seq("tok", "est")), col("n"))
+      // pass 2: exact counts of the candidates only — broadcast semi-join,
+      // map-side filter, O(k) aggregate state
+      toks.join(broadcast(cands.select(col("tok"), col("n"))), Seq("tok"))
+        .groupBy(col("tok"), col("n"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * lit(51L) > col("n")) // integer-exact threshold
+        .select(col("tok"), col("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
     },
-    None,
-    doc = "Misra-Gries frequent tokens: O(k) state, certified-heavy output (text #10).")
+    Some("""WITH toks AS (
+           |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+           |t2 AS (SELECT tok FROM toks WHERE tok <> ''),
+           |n AS (SELECT count(*) AS n FROM t2)
+           |SELECT tok, count(*) AS cnt
+           |FROM t2, n GROUP BY tok, n.n
+           |HAVING count(*) * 51 > n
+           |ORDER BY cnt DESC, tok""".stripMargin),
+    doc = "Misra-Gries heavy hitters, two-pass certified: O(k) sketch survivors re-counted exactly, output == GROUP BY HAVING (text #10).")
 
   // ---- D24: quality-classifier inference (linear model scoring) ------------
   // The production successor to d6's hand-tuned thresholds: a trained
