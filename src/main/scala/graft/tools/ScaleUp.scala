@@ -70,6 +70,21 @@ object ScaleUp {
           |END AS embedding""".stripMargin,
         "label")
 
+  /** Amplified events: ids remapped to a disjoint space per copy, the
+    * timestamp shifted by `copy` seconds (stays inside the same calendar
+    * days, so a day-partitioned layout keeps its directory count and a
+    * fixed day-range predicate keeps its selectivity), user/value/type
+    * carried verbatim (the user_id domain must not grow — a fixed
+    * user-range predicate's selectivity is the thing the skipping scale
+    * measurement holds constant). Reads must come through
+    * `graft.core.Tables.load` (the source file is TIMESTAMP(NANOS)). */
+  private def amplifyEvents(df: DataFrame, copies: Int): DataFrame =
+    df.select(explode(sequence(lit(0), lit(copies - 1))).as("copy"), col("*"))
+      .select(
+        (col("event_id") + col("copy") * lit(IdStride)).as("event_id"),
+        expr("timestampadd(SECOND, copy, ts)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+
   /** Build (or reuse) the amplified corpus; returns its directory, laid out
     * like a test-data scale dir (`<out>/documents.parquet`, …). */
   def ensure(spark: SparkSession, srcDir: String, copies: Int = 10,
@@ -84,6 +99,9 @@ object ScaleUp {
     if (!done("embeddings"))
       amplifyEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), copies)
         .repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (!done("events"))
+      amplifyEvents(graft.core.Tables.load(spark, srcDir, "events"), copies)
+        .repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
     out
   }
 
@@ -96,7 +114,7 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val out = ensure(spark, src, copies)
-    Seq("documents", "embeddings").foreach { t =>
+    Seq("documents", "embeddings", "events").foreach { t =>
       println(s"$out/$t.parquet: " +
         spark.read.parquet(s"$out/$t.parquet").count() + " rows")
     }
