@@ -516,7 +516,7 @@ object StatsFileSkipping
   extends org.apache.spark.sql.catalyst.rules.Rule[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
 
-  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, StartsWith}
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or => COr, StartsWith}
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
   import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
   import FileStats.FileRec
@@ -635,7 +635,39 @@ object StatsFileSkipping
         val p = l.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
         colCheck(n)(c => FileStats.startsWithMay(c, p))
       }
+    // a disjunction may match iff either branch may — but only when BOTH
+    // branches are provable; one unmodeled branch makes the whole OR
+    // unmodeled (it alone could admit the row)
+    case COr(l, r) =>
+      for { cl <- compile(l); cr <- compile(r) }
+        yield (rec: FileRec) => cl(rec) || cr(rec)
+    // `col != v`: only a file whose every non-null value IS v (min==max==v)
+    // or that holds no non-null value at all can prove no row passes —
+    // NULLs never satisfy != either, so they don't block the skip
+    case Not(EqualTo(x, l: Literal)) => notEqual(x, l)
+    case Not(EqualTo(l: Literal, x)) => notEqual(x, l)
     case _ => None
+  }
+
+  private def notEqual(x: Expression, l: Literal): Option[Check] =
+    attrOf(x).flatMap { case (n, dt) =>
+      if (l.value == null) Some((_: FileRec) => false) // `col != NULL`: no row
+      else for {
+        kind <- FileStats.kindOfSpark(dt)
+        v <- FileStats.toDomain(l.value, l.dataType)
+      } yield colCheck(n)(c =>
+        if (c.kind != kind) true
+        else c.mm match {
+          case "nul" => false
+          case "unk" => true
+          case "ex" => !(domEq(c.min, v, kind) && domEq(c.max, v, kind))
+        })
+    }
+
+  private def domEq(a: Any, b: Any, kind: String): Boolean = kind match {
+    case "string" => java.util.Arrays.equals(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    case _ => a.asInstanceOf[Long] == b.asInstanceOf[Long]
   }
 
   private def nullSafe(x: Expression, l: Literal): Option[Check] =

@@ -265,6 +265,27 @@ class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     lossless(r, spark.read.parquet(plainPath), pred)
   }
 
+  test("OR disjunctions and != skip when both sides are provable") {
+    // four exact files [0,25)[25,50)[50,75)[75,100), plus one constant file
+    val path = tmp("graft-fs-or")
+    spark.range(0, 100, 1, 4).select(col("id")).write.mode("overwrite").parquet(path)
+    spark.range(0, 10).select(lit(777L).as("id")).coalesce(1)
+      .write.mode("append").parquet(path)
+    FileStats.write(spark, path)
+    val r = spark.read.parquet(path)
+    // OR of two provable ranges: middle files skip
+    val or = r.filter(col("id") < 20L || col("id") > 80L)
+    assert(or.count() == 20 + 19 + 10)
+    assert(scannedFiles(or) == 3, "OR must keep only the two edge files + the 777 file")
+    // !=: only the constant-valued file can prove no row passes
+    val ne = r.filter(col("id") =!= 777L)
+    assert(ne.count() == 100)
+    assert(scannedFiles(ne) == 4, "!= must skip exactly the constant file")
+    // one unmodeled OR branch keeps everything (no license to skip)
+    val mixed = r.filter(col("id") < 20L || length(col("id").cast("string")) > 90)
+    assert(scannedFiles(mixed) == 5, "an unprovable OR branch must disable skipping")
+  }
+
   test("s18 registry query: the stats-skipping scan fires for real (fewer files than day pruning alone)") {
     val out = graft.SparkEntry.queries("s18_stats_skipping_scan")(spark, dir)
     assert(out.count() > 0)
