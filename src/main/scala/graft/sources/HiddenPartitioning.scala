@@ -464,6 +464,11 @@ object HiddenPartitioning {
             !st.getPath.getName.startsWith("_era-"))
             fs.delete(st.getPath, true): Unit
         }
+        // the root era's file-stats manifest now lists only deleted files —
+        // readers never consult it (lookups are keyed by files that exist),
+        // but a stale manifest is exactly the kind of debris a later
+        // maintenance pass misreads; retire it with the data it described
+        fs.delete(new Path(path, FileStats.StatsFile), false): Unit
       } else fs.delete(new Path(e.path(path)), true): Unit
     }
     newEras.map(_.id).max
