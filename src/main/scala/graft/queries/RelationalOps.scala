@@ -2045,17 +2045,22 @@ object RelationalOps extends QueryPack {
   // (nulls, stale manifests, type domains); this query pins the semantics
   // under the driver's hash gate: the stats-pruned scan must hash-equal the
   // oracle's full-scan filter.
+  /** The s18/s19 shared artifact: events day-partitioned with
+    * user-range-clustered write tasks, per-file stats harvested by the
+    * write face. */
+  private def hpEventsStats(s: SparkSession, dir: String): String =
+    Tables.scratchOnce(dir, "hp_events_stats",
+        done = graft.sources.HiddenPartitioning.exists) { path =>
+      val ev = t(s, dir, "events").repartitionByRange(8, col("user_id"))
+      graft.sources.HiddenPartitioning.write(ev, path,
+        Seq(graft.sources.HiddenPartitioning.DayT("ts")))
+    }
+
   private val s18 = GQuery(
     "s18_stats_skipping_scan",
     (s, dir) => {
       graft.sources.HiddenPartitioning.register(s)
-      val hpDir = Tables.scratchOnce(dir, "hp_events_stats",
-          done = graft.sources.HiddenPartitioning.exists) { path =>
-        val ev = t(s, dir, "events").repartitionByRange(8, col("user_id"))
-        graft.sources.HiddenPartitioning.write(ev, path,
-          Seq(graft.sources.HiddenPartitioning.DayT("ts")))
-      }
-      graft.sources.HiddenPartitioning.read(s, hpDir)
+      graft.sources.HiddenPartitioning.read(s, hpEventsStats(s, dir))
         .filter(col("ts") >= "2024-01-08" && col("ts") < "2024-01-10" &&
           col("user_id").between(10L, 40L))
         .groupBy(col("event_type"))
@@ -2072,6 +2077,31 @@ object RelationalOps extends QueryPack {
            |  AND user_id BETWEEN 10 AND 40
            |GROUP BY event_type""".stripMargin),
     doc = "File-level stats skipping: footer-harvested per-file min/max prune files inside surviving day partitions at plan time (S18/§2.1).")
+
+  // ---- S19: partition metadata table (Iceberg's $partitions) ------------------
+  // The ops face of the stats manifests: rows-per-partition answered from
+  // METADATA alone — the per-era `_file_stats.json` row counts aggregate on
+  // the driver, no parquet data page is read (the plan is a LocalRelation;
+  // MetaTableSpec asserts zero file scans). At 100 TB "how big is each
+  // day?" must not cost a cluster job — Iceberg answers it from manifests,
+  // and so does this face. The hash gate is the point: the metadata answer
+  // must equal DuckDB's full recount of the raw events, proving the
+  // harvested counts exact end to end (write -> footer harvest -> manifest
+  // -> metadata aggregation). Same day can span eras on an evolved table,
+  // so the query folds eras to the table-level answer.
+  private val s19 = GQuery(
+    "s19_partition_metadata_table",
+    (s, dir) => {
+      val hpDir = hpEventsStats(s, dir)
+      graft.sources.HiddenPartitioning.partitionsMeta(s, hpDir)
+        .select(
+          to_date(substring_index(col("partition"), "=", -1)).as("day"),
+          col("n_rows"))
+        .groupBy(col("day")).agg(sum(col("n_rows")).as("n_rows"))
+    },
+    Some("""SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows
+           |FROM events GROUP BY 1""".stripMargin),
+    doc = "Partition metadata table: rows-per-day from the stats manifests alone (no data scan), hash-proven against a full recount (S19/§2.1).")
 
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
@@ -2098,7 +2128,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)

@@ -624,6 +624,54 @@ object HiddenPartitioning {
     }
   }
 
+  // ---- metadata tables (Iceberg's $files / $partitions face) -----------------
+  // Operational questions — how many rows per partition, how many files,
+  // how big — should never cost a data scan: the per-era stats manifests
+  // already hold exact per-file row counts (footer-harvested), so these
+  // faces aggregate METADATA only. At 100 TB that is the difference
+  // between an instant answer and a cluster job; the s19 registry query
+  // hash-proves the manifest counts against a full DuckDB recount, so
+  // "metadata-only" never drifts from the data. One JSON manifest per era
+  // parses on the driver (file count is metadata-scale by construction —
+  // compaction is the corrective when it is not).
+
+  /** One row per data FILE of every readable era: (era dir — "" for the
+    * root era —, partition-dir path, file name, exact row count). Requires
+    * each era's stats manifest (present on every table this writer wrote);
+    * an era without one fails loudly rather than silently undercounting. */
+  def filesMeta(spark: SparkSession, root: String): DataFrame = {
+    val eras = manifest(spark, root) match {
+      case None => Seq("")
+      case Some((_, es)) => es.map(_.dir)
+        .filter(d => spec(spark, if (d.isEmpty) root else s"$root/$d").isDefined)
+        .filter(d => eraHasData(spark, if (d.isEmpty) root else s"$root/$d"))
+    }
+    val rows = eras.flatMap { d =>
+      val p = if (d.isEmpty) root else s"$root/$d"
+      val stats = FileStats.stats(spark, p).getOrElse(throw new IllegalStateException(
+        s"era '$d' of $root has no readable ${FileStats.StatsFile} — " +
+          "metadata tables require the stats manifest (rewrite or append once)"))
+      stats.toSeq.map { case (rel, rec) =>
+        val slash = rel.lastIndexOf('/')
+        val (part, file) =
+          if (slash < 0) ("", rel) else (rel.substring(0, slash), rel.substring(slash + 1))
+        (d, part, file, rec.rows)
+      }
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("era", "partition", "file", "rows")
+  }
+
+  /** One row per (era, partition directory): file count, exact row count —
+    * Iceberg's `$partitions`, from manifests alone. */
+  def partitionsMeta(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    filesMeta(spark, root)
+      .groupBy(col("era"), col("partition"))
+      .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("n_rows"))
+  }
+
   private val registerLock = new Object
 
   /** Idempotent session-local registration of the pruning rule and its

@@ -360,6 +360,49 @@ object VersionedHiddenTable {
     }
   }
 
+  /** Iceberg's `$files` for one snapshot (latest by default): one row per
+    * data file of every era the snapshot references, with its partition
+    * directory and EXACT row count — aggregated from the per-era stats
+    * manifests, no data scan (see [[HiddenPartitioning.filesMeta]] for the
+    * scale rationale; the s19 oracle gate proves the counts exact). */
+  def filesMeta(spark: SparkSession, tableDir: String,
+      version: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no snapshots under $tableDir")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"snapshot $v not retained (have ${vs.mkString(",")})")
+    val rows = snapshotEras(spark, tableDir, v)
+      .filter(e => HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e)))
+      .flatMap { e =>
+        val stats = FileStats.stats(spark, eraPath(tableDir, e)).getOrElse(
+          throw new IllegalStateException(
+            s"era '$e' of $tableDir has no readable ${FileStats.StatsFile}"))
+        stats.toSeq.map { case (rel, rec) =>
+          val slash = rel.lastIndexOf('/')
+          val (part, file) =
+            if (slash < 0) ("", rel) else (rel.substring(0, slash), rel.substring(slash + 1))
+          (e, part, file, rec.rows)
+        }
+      }
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("era", "partition", "file", "rows")
+  }
+
+  /** Iceberg's `$snapshots`: one row per retained snapshot — version, the
+    * era list it references, and its batch-id markers. */
+  def snapshotsMeta(spark: SparkSession, tableDir: String): org.apache.spark.sql.DataFrame = {
+    val (fs, _) = fsFor(spark, tableDir)
+    val rows = versions(spark, tableDir).map { v =>
+      val batches = ls(fs, new Path(s"$tableDir/v=$v")).map(_.getPath.getName)
+        .collect { case n if n.startsWith("_batch-") => n.stripPrefix("_batch-") }
+      (v, snapshotEras(spark, tableDir, v), batches)
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("version", "eras", "batch_ids")
+  }
+
   /** Batch ids of all PUBLISHED snapshots — the replay-idempotency test for
     * [[append]] callers (the marker rides the publish rename, so there is
     * no window in which a published batch looks unpublished). */

@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Metadata tables ($files / $partitions / $snapshots): operational
+  * answers from the stats manifests alone. Counts are proven against full
+  * recomputes of the same data, and the metadata-only claim is asserted
+  * structurally — the plans must contain NO file scan.
+  */
+class MetaTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    HiddenPartitioning.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def noScan(df: DataFrame): Unit = {
+    df.collect(): Unit
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.isEmpty, "metadata tables must not scan data files:\n" +
+      df.queryExecution.executedPlan.treeString)
+  }
+
+  test("filesMeta: per-file row counts equal a full recompute; no data scan") {
+    val ev = graft.core.Tables.load(spark, dir, "events").drop("props")
+    val path = tmp("graft-meta-files")
+    HiddenPartitioning.write(ev.repartitionByRange(4, col("user_id")), path,
+      Seq(HiddenPartitioning.DayT("ts")))
+    val meta = HiddenPartitioning.filesMeta(spark, path)
+    noScan(meta)
+    // part-file NAMES repeat across partition directories — key by the
+    // partition-relative path, not the bare name
+    val truth = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("rows"))
+      .collect()
+      .map(r => r.getString(0).split('/').takeRight(2).mkString("/") -> r.getLong(1))
+      .toMap
+    val got = meta.select("partition", "file", "rows").collect()
+      .map(r => s"${r.getString(0)}/${r.getString(1)}" -> r.getLong(2)).toMap
+    assert(got == truth, s"manifest counts diverged: $got vs $truth")
+    // partition column carries the derived day dir
+    assert(meta.select("partition").collect()
+      .forall(_.getString(0).startsWith("_p_day_ts=")))
+  }
+
+  test("partitionsMeta on an evolved table: per-era aggregation, total exact") {
+    val ev = graft.core.Tables.load(spark, dir, "events").drop("props")
+    val path = tmp("graft-meta-evo")
+    HiddenPartitioning.write(ev.filter(col("ts") < "2024-01-16"), path,
+      Seq(HiddenPartitioning.DayT("ts")))
+    HiddenPartitioning.evolveSpec(spark, path, Seq(
+      HiddenPartitioning.DayT("ts"), HiddenPartitioning.BucketT(8, "user_id")))
+    HiddenPartitioning.append(ev.filter(col("ts") >= "2024-01-16"), path)
+    val parts = HiddenPartitioning.partitionsMeta(spark, path)
+    noScan(parts)
+    assert(parts.select("era").distinct().count() == 2, "both eras must report")
+    val total = parts.agg(sum("n_rows")).collect()(0).getLong(0)
+    assert(total == ev.count(), "manifest totals must equal the row count")
+    // era-1 partitions are two-level (day + bucket)
+    assert(parts.filter(col("era") === "_era-1").collect()
+      .forall(_.getAs[String]("partition").contains("/_p_bucket8_user_id=")))
+  }
+
+  test("s19 registry query: metadata-only rows-per-day, equal to a recount") {
+    val out = graft.SparkEntry.queries("s19_partition_metadata_table")(spark, dir)
+    noScan(out)
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val truth = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+    assert(out.exceptAll(truth).count() == 0 && truth.exceptAll(out).count() == 0)
+  }
+
+  test("versioned table: $files per snapshot and $snapshots with batch ids") {
+    val ev = graft.core.Tables.load(spark, dir, "events").drop("props")
+    val path = tmp("graft-meta-vht") + "/t"
+    VersionedHiddenTable.create(spark, path,
+      ev.filter(col("ts") < "2024-01-16"), Seq(HiddenPartitioning.DayT("ts")))
+    VersionedHiddenTable.append(spark, path,
+      ev.filter(col("ts") >= "2024-01-16"), batchId = Some("back-half"))()
+    val latest = VersionedHiddenTable.filesMeta(spark, path)
+    noScan(latest)
+    assert(latest.agg(sum("rows")).collect()(0).getLong(0) == ev.count())
+    val v0 = VersionedHiddenTable.filesMeta(spark, path, Some(0L))
+    assert(v0.agg(sum("rows")).collect()(0).getLong(0) ==
+      ev.filter(col("ts") < "2024-01-16").count(),
+      "snapshot-scoped $files must see only its own eras")
+    val snaps = VersionedHiddenTable.snapshotsMeta(spark, path)
+    noScan(snaps)
+    val rows = snaps.orderBy("version").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(rows(1).getSeq[String](2) == Seq("back-half"), "batch id must surface")
+    assert(rows(1).getSeq[String](1).size == 2, "v1 references both eras")
+  }
+
+  test("an era without a stats manifest fails loudly, never undercounts") {
+    val path = tmp("graft-meta-nostats")
+    spark.range(0, 10).select(col("id")).write.mode("overwrite").parquet(path)
+    // a bare parquet dir: spec-less -> filesMeta treats it as the root era
+    // and demands the manifest
+    HiddenPartitioning.writeSpecFile(spark, path, Seq(HiddenPartitioning.IdentityT("id")))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path, FileStats.StatsFile), false)
+    intercept[IllegalStateException] {
+      HiddenPartitioning.filesMeta(spark, path).collect()
+    }
+  }
+}
