@@ -317,6 +317,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteVectorFolds)
     ext.injectOptimizerRule(_ => graft.sources.HiddenPartitionPruning)
     ext.injectOptimizerRule(_ => graft.sources.StatsFileSkipping)
+    ext.injectOptimizerRule(_ => graft.sources.StatsCountPushdown)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)
   }

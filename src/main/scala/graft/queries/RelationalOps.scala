@@ -2103,6 +2103,26 @@ object RelationalOps extends QueryPack {
            |FROM events GROUP BY 1""".stripMargin),
     doc = "Partition metadata table: rows-per-day from the stats manifests alone (no data scan), hash-proven against a full recount (S19/§2.1).")
 
+  // ---- S20: metadata count pushdown --------------------------------------------
+  // Iceberg answers a bare count(*) from its manifests; StatsCountPushdown
+  // does the same from the stats layer — an ungrouped, unfiltered count
+  // over a stats-carrying table folds to a LocalRelation at plan time
+  // (MetaTableSpec asserts the fold and every disqualifying guard: a
+  // filter, count(col), grouping, or a file the manifest does not list all
+  // keep the real scan). The hash gate proves the folded answer equals
+  // DuckDB's actual count — the metadata path can never drift from the
+  // data. One query, one row, and at 100 TB the difference between a
+  // catalog lookup and a cluster job.
+  private val s20 = GQuery(
+    "s20_metadata_count",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      graft.sources.HiddenPartitioning.read(s, hpEventsStats(s, dir))
+        .agg(count(lit(1)).as("n_rows"))
+    },
+    Some("SELECT count(*) AS n_rows FROM events"),
+    doc = "Metadata count pushdown: bare count(*) folded from the stats manifests at plan time, hash-proven against the real count (S20/§2.1).")
+
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
   // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
@@ -2128,7 +2148,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)

@@ -677,3 +677,79 @@ object StatsFileSkipping
       else cmpCheck(n, dt, "eq", l)
     }
 }
+
+/** Metadata COUNT pushdown — Iceberg's "count(*) from manifests" applied to
+  * the stats layer: an ungrouped, unfiltered `count(*)`/`count(1)` over a
+  * stats-carrying parquet table folds to a [[LocalRelation]] holding the
+  * manifest row-count sum. At 100 TB a bare count is a pure metadata
+  * question; scheduling a task per file to learn it is the anti-pattern
+  * this rule removes.
+  *
+  * Soundness guards (each one independently keeps the scan):
+  *   - EVERY file the relation currently lists must appear in the manifest
+  *     — a file appended after the last stats write makes the manifest an
+  *     undercount, so coverage is checked against the live listing, and
+  *     the sum is taken over the LISTED files only (a manifest entry whose
+  *     file was deleted must not overcount either);
+  *   - any Filter between the aggregate and the relation disqualifies
+  *     (count-under-predicate is [[StatsFileSkipping]]'s job at file
+  *     granularity, not this rule's);
+  *   - only `count(1)`-shaped aggregates (no DISTINCT, no FILTER clause,
+  *     no other functions) qualify — a Project in between is fine, it is
+  *     row-preserving. */
+object StatsCountPushdown
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Literal, NamedExpression}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg: Aggregate if agg.groupingExpressions.isEmpty &&
+        agg.aggregateExpressions.nonEmpty &&
+        agg.aggregateExpressions.forall(isCountStar) =>
+      relationOf(agg.child) match {
+        case Some(hfs) if hfs.location.rootPaths.size == 1 =>
+          val spark = SparkSession.active
+          val root = hfs.location.rootPaths.head
+          FileStats.stats(spark, root.toString) match {
+            case Some(manifest) =>
+              val rootUri = FileStats.rootUriPath(
+                root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+              val recs = hfs.location.inputFiles.map(s =>
+                manifest.get(FileStats.relPath(rootUri, new Path(s))))
+              if (recs.forall(_.isDefined)) {
+                val n = recs.map(_.get.rows).sum
+                LocalRelation(agg.output.map(_.toAttribute),
+                  Seq(InternalRow(agg.aggregateExpressions.map(_ => n): _*)),
+                  isStreaming = false)
+              } else agg // a listed file the manifest misses: count for real
+            case None => agg
+          }
+        case _ => agg
+      }
+  }
+
+  /** The relation under the aggregate, looking through row-preserving
+    * Projects only. A Filter (or anything else) disqualifies. */
+  private def relationOf(p: LogicalPlan): Option[HadoopFsRelation] = p match {
+    case Project(_, child) => relationOf(child)
+    case rel: LogicalRelation if !rel.isStreaming => rel.relation match {
+      case hfs: HadoopFsRelation => Some(hfs)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def isCountStar(e: NamedExpression): Boolean = e match {
+    case Alias(ae: AggregateExpression, _) =>
+      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+        case Count(Seq(Literal(v, _))) => v != null // count(1)/count(lit)
+        case _ => false
+      })
+    case _ => false
+  }
+}

@@ -679,7 +679,7 @@ object HiddenPartitioning {
     * `GraftExtensions`). Thread-safe — same guarded read-modify-write as
     * `GraftFunctions.register`. */
   def register(spark: SparkSession): Unit = registerLock.synchronized {
-    Seq(HiddenPartitionPruning, StatsFileSkipping).foreach { rule =>
+    Seq(HiddenPartitionPruning, StatsFileSkipping, StatsCountPushdown).foreach { rule =>
       if (!spark.experimental.extraOptimizations.contains(rule))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ rule

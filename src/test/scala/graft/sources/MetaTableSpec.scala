@@ -112,6 +112,45 @@ class MetaTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getSeq[String](1).size == 2, "v1 references both eras")
   }
 
+  test("count pushdown: bare count(*) folds to the manifest sum; every guard keeps the scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val path = tmp("graft-meta-count")
+    spark.range(0, 1000, 1, 4)
+      .select(col("id"), when(col("id") % 5 === 0, lit(null)).otherwise(col("id")).as("maybe"))
+      .write.mode("overwrite").parquet(path)
+    FileStats.write(spark, path)
+    def folded(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst { case l: LocalRelation => l }.isDefined
+
+    val bare = spark.read.parquet(path).agg(count(lit(1)).as("n"))
+    assert(bare.collect()(0).getLong(0) == 1000)
+    assert(folded(bare), "ungrouped unfiltered count(*) must fold to metadata:\n" +
+      bare.queryExecution.optimizedPlan.treeString)
+
+    // count(col) counts non-nulls — metadata must NOT answer it
+    val countCol = spark.read.parquet(path).agg(count(col("maybe")).as("n"))
+    assert(countCol.collect()(0).getLong(0) == 800)
+    assert(!folded(countCol), "count(col) must scan")
+
+    // a filter disqualifies (that is StatsFileSkipping's job)
+    val filtered = spark.read.parquet(path).filter(col("id") < 100L).agg(count(lit(1)).as("n"))
+    assert(filtered.collect()(0).getLong(0) == 100)
+
+    // grouped counts are untouched
+    val grouped = spark.read.parquet(path)
+      .groupBy((col("id") % 2).as("p")).agg(count(lit(1)).as("n"))
+    assert(grouped.collect().map(_.getLong(1)).sum == 1000)
+    assert(!folded(grouped), "grouped count must scan")
+
+    // stale manifest: an appended unlisted file forces the real count
+    spark.range(5000, 5100).select(col("id"), col("id").as("maybe"))
+      .coalesce(1).write.mode("append").parquet(path)
+    val stale = spark.read.parquet(path).agg(count(lit(1)).as("n"))
+    assert(stale.collect()(0).getLong(0) == 1100,
+      "a stale manifest must never undercount")
+    assert(!folded(stale), "unlisted files must force a scan")
+  }
+
   test("an era without a stats manifest fails loudly, never undercounts") {
     val path = tmp("graft-meta-nostats")
     spark.range(0, 10).select(col("id")).write.mode("overwrite").parquet(path)
