@@ -63,7 +63,24 @@ object FileStats {
   final case class ColRec(kind: String, mm: String,
       min: Any, max: Any, nulls: Option[Long])
 
-  final case class FileRec(rows: Long, cols: Map[String, ColRec])
+  /** `len` is the data file's byte length at harvest time — the identity
+    * check that makes a same-path in-place rewrite (external compaction or
+    * repair tool) detectable: [[entryFor]] refuses the entry when the live
+    * length differs, so stale min/max can never prune the rewritten file and
+    * the count pushdown never folds its stale row count. Iceberg gets this
+    * for free by tracking immutable file identities; this is the
+    * plain-parquet equivalent. `-1` marks a pre-length-tracking manifest
+    * (legacy grace: trusted as before, regenerated on the next write). */
+  final case class FileRec(rows: Long, cols: Map[String, ColRec], len: Long = -1L)
+
+  /** The manifest entry for `rel`, but ONLY if the live file's byte length
+    * matches the length recorded at harvest — a mismatch means the file was
+    * rewritten in place after the harvest, so its stats (and row count) are
+    * for bytes that no longer exist. Callers treat None exactly like an
+    * unlisted file: keep it / disqualify the metadata fold. */
+  def entryFor(manifest: Map[String, FileRec], rel: String,
+      liveLen: Long): Option[FileRec] =
+    manifest.get(rel).filter(rec => rec.len < 0 || rec.len == liveLen)
 
   // ---- harvest ---------------------------------------------------------------
 
@@ -155,7 +172,8 @@ object FileStats {
     * provably all-null; null counts sum only when every group recorded one.
     * One group with unusable stats degrades the column to `unk` — kept, not
     * guessed. */
-  private def harvestOne(conf: Configuration, file: Path, rel: String): (String, FileRec) = {
+  private def harvestOne(conf: Configuration, file: Path, rel: String,
+      len: Long): (String, FileRec) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val blocks = reader.getFooter.getBlocks
@@ -204,7 +222,7 @@ object FileStats {
         name -> ColRec(kind, mm, if (mm == "ex") mn else null,
           if (mm == "ex") mx else null, if (nullsKnown) Some(nulls) else None)
       }.toMap
-      (rel, FileRec(rows, cols))
+      (rel, FileRec(rows, cols, len))
     } finally reader.close()
   }
 
@@ -251,14 +269,16 @@ object FileStats {
     val fs = root.getFileSystem(conf)
     val rootUri = rootUriPath(fs, root)
     val files = dataFiles(fs, root)
-    val rels = files.map(f => (f.getPath.toString, relPath(rootUri, f.getPath)))
+    val rels = files.map(f =>
+      (f.getPath.toString, relPath(rootUri, f.getPath), f.getLen))
     val recs: Seq[(String, FileRec)] =
-      if (rels.size <= 64) rels.map { case (abs, rel) => harvestOne(conf, new Path(abs), rel) }
+      if (rels.size <= 64)
+        rels.map { case (abs, rel, len) => harvestOne(conf, new Path(abs), rel, len) }
       else {
         val sc = spark.sparkContext
         val ser = new SerConf(conf)
         sc.parallelize(rels, math.min(rels.size, sc.defaultParallelism))
-          .map { case (abs, rel) => harvestOne(ser.conf, new Path(abs), rel) }
+          .map { case (abs, rel, len) => harvestOne(ser.conf, new Path(abs), rel, len) }
           .collect().toSeq
       }
     val mapper = new ObjectMapper()
@@ -268,6 +288,7 @@ object FileStats {
     recs.foreach { case (rel, rec) =>
       val f = fnode.putObject(rel)
       f.put("rows", rec.rows): Unit
+      f.put("len", rec.len): Unit
       val cnode = f.putObject("cols")
       rec.cols.foreach { case (name, c) =>
         val cn = cnode.putObject(name)
@@ -297,6 +318,18 @@ object FileStats {
 
   // ---- manifest read (fingerprint-cached, like the partition-spec cache) -----
 
+  // Bounded: a long-lived session planning over many scratch tables must not
+  // grow the cache monotonically — past the cap the whole map clears (parses
+  // are cheap to redo; an LRU would buy little for a pure-throughput cache).
+  // Known cross-JVM staleness window, accepted and documented: the
+  // fingerprint is (mtime:len), so ANOTHER JVM rewriting the manifest within
+  // the same mtime granule at the same byte length could serve this JVM a
+  // stale parse (the writer's own JVM is covered by the explicit remove in
+  // [[write]]). Under this library's write discipline a rewrite changes the
+  // file set or the stats, so same-length same-second collisions do not
+  // arise; the per-FILE `len` check in [[entryFor]] independently stops a
+  // stale parse from mis-pruning any rewritten data file.
+  private val statsCacheCap = 64
   private val statsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Option[Map[String, FileRec]])]()
 
@@ -332,6 +365,7 @@ object FileStats {
           } finally in.close()
           Some(parse(bytes))
         } catch { case scala.util.control.NonFatal(_) => None }
+      if (statsCache.size >= statsCacheCap) statsCache.clear()
       statsCache.put(qRoot, (fp, v))
       v
     }
@@ -364,7 +398,8 @@ object FileStats {
           if (mx == null) null else (mx match { case l: java.lang.Long => l.longValue(); case o => o }),
           nulls)
       }
-      b += e.getKey -> FileRec(f.get("rows").asLong(), cb.result())
+      b += e.getKey -> FileRec(f.get("rows").asLong(), cb.result(),
+        Option(f.get("len")).map(_.asLong()).getOrElse(-1L))
     }
     b.result()
   }
@@ -536,15 +571,18 @@ object StatsFileSkipping
               else {
                 val rootUri = FileStats.rootUriPath(
                   root.getFileSystem(spark.sessionState.newHadoopConf()), root)
-                // scheme-less URI paths throughout (see StatsPrunedFileIndex)
-                val files = hfs.location.inputFiles
-                  .map(s => new Path(s).toUri.getPath)
-                val kept = files.filter { uriPath =>
-                  manifest.get(uriPath.stripPrefix(rootUri).stripPrefix("/")) match {
+                // scheme-less URI paths throughout (see StatsPrunedFileIndex);
+                // the live LISTING (not inputFiles) so each file's byte length
+                // rides along for entryFor's rewritten-in-place check
+                val files = hfs.location.listFiles(Nil, Nil)
+                  .flatMap(_.files.map(st => (st.getPath.toUri.getPath, st.getLen)))
+                val kept = files.filter { case (uriPath, liveLen) =>
+                  FileStats.entryFor(manifest,
+                      uriPath.stripPrefix(rootUri).stripPrefix("/"), liveLen) match {
                     case Some(rec) => rec.rows > 0 && checks.forall(_(rec))
-                    case None => true // unlisted file: never skip on a guess
+                    case None => true // unlisted or rewritten: never skip on a guess
                   }
-                }
+                }.map(_._1)
                 if (kept.length == files.length) f
                 else if (kept.isEmpty)
                   LocalRelation(rel.output, Nil, isStreaming = false)
@@ -562,18 +600,31 @@ object StatsFileSkipping
     case other => Seq(other)
   }
 
-  private def integral(dt: DataType): Boolean =
-    dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+  /** Integral byte width, or 0 for a non-integral type. */
+  private def intWidth(dt: DataType): Int = dt match {
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType => 4
+    case LongType => 8
+    case _ => 0
+  }
 
   /** The (name, effective type) of a bare column reference, looking through
-    * the integral upcasts type coercion inserts (`int_col > 5L` analyzes to
-    * `Cast(int_col AS BIGINT) > 5L`; the cast is order- and
+    * the integral UP-casts type coercion inserts (`int_col > 5L` analyzes to
+    * `Cast(int_col AS BIGINT) > 5L`; a widening cast is order- and
     * equality-preserving and both sides live in the long domain, so the
-    * stats remain exact under it). Any other wrapping derives nothing. */
+    * stats remain exact under it). The widening precondition is load-bearing
+    * (mirroring `UnwrapCastInBinaryComparison`): an explicit NARROWING cast
+    * (`CAST(bigint_col AS INT) = 5`) wraps on overflow in non-ANSI mode, so
+    * a file whose pre-cast values wrap onto the literal would be "provably"
+    * skipped while its rows actually satisfy the predicate — deriving
+    * through it is unsound, not merely imprecise. Any other wrapping
+    * derives nothing. */
   private def attrOf(e: Expression): Option[(String, DataType)] = e match {
     case a: AttributeReference => Some((a.name, a.dataType))
     case c: Cast => c.child match {
-      case a: AttributeReference if integral(a.dataType) && integral(c.dataType) =>
+      case a: AttributeReference if intWidth(a.dataType) > 0 &&
+          intWidth(c.dataType) >= intWidth(a.dataType) =>
         Some((a.name, c.dataType))
       case _ => None
     }
@@ -719,8 +770,11 @@ object StatsCountPushdown
             case Some(manifest) =>
               val rootUri = FileStats.rootUriPath(
                 root.getFileSystem(spark.sessionState.newHadoopConf()), root)
-              val recs = hfs.location.inputFiles.map(s =>
-                manifest.get(FileStats.relPath(rootUri, new Path(s))))
+              // live listing (with byte lengths): an entry whose file was
+              // rewritten in place must disqualify the fold, same as unlisted
+              val recs = hfs.location.listFiles(Nil, Nil).flatMap(_.files.map(st =>
+                FileStats.entryFor(manifest,
+                  FileStats.relPath(rootUri, st.getPath), st.getLen)))
               if (recs.forall(_.isDefined)) {
                 val n = recs.map(_.get.rows).sum
                 LocalRelation(agg.output.map(_.toAttribute),

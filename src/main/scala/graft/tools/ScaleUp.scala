@@ -71,18 +71,23 @@ object ScaleUp {
         "label")
 
   /** Amplified events: ids remapped to a disjoint space per copy, the
-    * timestamp shifted by `copy` seconds (stays inside the same calendar
-    * days, so a day-partitioned layout keeps its directory count and a
-    * fixed day-range predicate keeps its selectivity), user/value/type
-    * carried verbatim (the user_id domain must not grow — a fixed
-    * user-range predicate's selectivity is the thing the skipping scale
-    * measurement holds constant). Reads must come through
+    * timestamp shifted by `copy` seconds MODULO the UTC day (the shift wraps
+    * at midnight back into the same day's start, so every copy provably
+    * stays inside its source row's calendar day — a day-partitioned layout
+    * keeps its directory count and a fixed day-range predicate keeps its
+    * selectivity even for rows within `copies` seconds of 23:59:59),
+    * user/value/type carried verbatim (the user_id domain must not grow — a
+    * fixed user-range predicate's selectivity is the thing the skipping
+    * scale measurement holds constant). Reads must come through
     * `graft.core.Tables.load` (the source file is TIMESTAMP(NANOS)). */
   private def amplifyEvents(df: DataFrame, copies: Int): DataFrame =
     df.select(explode(sequence(lit(0), lit(copies - 1))).as("copy"), col("*"))
       .select(
         (col("event_id") + col("copy") * lit(IdStride)).as("event_id"),
-        expr("timestampadd(SECOND, copy, ts)").as("ts"),
+        // second-of-day is pure epoch arithmetic (UTC day, matching DayT);
+        // epoch seconds are positive for this corpus, so pmod == mod
+        expr("timestampadd(SECOND, CAST(pmod(pmod(unix_seconds(ts), 86400L) " +
+          "+ copy, 86400L) - pmod(unix_seconds(ts), 86400L) AS INT), ts)").as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
 
   /** Build (or reuse) the amplified corpus; returns its directory, laid out

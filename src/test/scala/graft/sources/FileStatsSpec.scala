@@ -2,6 +2,7 @@ package graft.sources
 
 import java.sql.Date
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
 import org.apache.spark.sql.execution.FileSourceScanExec
@@ -212,6 +213,56 @@ class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.filter(col("i") > 74L).count() == 25)
     assert(scannedFiles(r.filter(col("i") > 74L)) == 1,
       "Cast(i AS BIGINT) > 74L must derive from the int column's stats")
+  }
+
+  test("narrowing casts derive nothing: CAST(bigint AS INT) = lit must not skip") {
+    // values that WRAP to small ints under a non-ANSI narrowing cast:
+    // (1L << 32) + 5 wraps to 5. Deriving "skip files whose bigint range
+    // excludes 5" would silently drop this file's qualifying rows.
+    val path = tmp("graft-fs-narrow")
+    spark.range(0, 4).select((lit(1L << 32) + lit(5L) + col("id") * 0L).as("big"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    spark.range(0, 4).select((col("id") + 100L).as("big"))
+      .coalesce(1).write.mode("append").parquet(path)
+    FileStats.write(spark, path)
+    val r = spark.read.parquet(path)
+    val wasAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false") // the wrapping regime
+      val q = r.filter(col("big").cast("int") === 5)
+      assert(q.count() == 4, "wrapped values satisfy the narrowed predicate")
+      assert(scannedFiles(q) == 2,
+        "a narrowing cast gives no license to skip either file")
+    } finally spark.conf.set("spark.sql.ansi.enabled", wasAnsi)
+    // the widening direction still skips (the license attrOf DOES grant)
+    val wide = r.filter(col("big").cast("long") === 100L)
+    assert(scannedFiles(wide) == 1, "widening casts must keep their skip license")
+  }
+
+  test("a file rewritten in place after the harvest is treated as unlisted") {
+    val path = tmp("graft-fs-rewrite")
+    spark.range(0, 100).select(col("id")).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    FileStats.write(spark, path)
+    // rewrite the SAME file name with out-of-range content (an external
+    // compaction/repair tool's move): stale stats say max=99
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFile = fs.listStatus(new Path(path))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val side = tmp("graft-fs-rewrite-side")
+    spark.range(5000, 5200).select(col("id")).coalesce(1)
+      .write.mode("overwrite").parquet(side)
+    val newFile = fs.listStatus(new Path(side))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.delete(dataFile, false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, newFile, fs, dataFile, false,
+      spark.sessionState.newHadoopConf())
+    val r = spark.read.parquet(path)
+    // without the per-file length check this returns 0 rows (silent loss)
+    assert(r.filter(col("id") >= 5000L).count() == 200,
+      "stale per-file stats must not prune a rewritten file")
+    // and the metadata count fold must disqualify (stale rows=100 vs 200)
+    assert(r.count() == 200, "count pushdown must not fold a stale row count")
   }
 
   test("date-domain skipping end to end") {
