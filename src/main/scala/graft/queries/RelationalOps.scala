@@ -2123,6 +2123,68 @@ object RelationalOps extends QueryPack {
     Some("SELECT count(*) AS n_rows FROM events"),
     doc = "Metadata count pushdown: bare count(*) folded from the stats manifests at plan time, hash-proven against the real count (S20/§2.1).")
 
+  // ---- S21: row-level DELETE with snapshot semantics ---------------------------
+  // The last leg of the Iceberg storage contract (dbt_project.yml:40-43 —
+  // Athena Iceberg tables take DELETE FROM): copy-on-write row deletion that
+  // publishes a NEW snapshot while every older snapshot keeps reading the
+  // deleted rows. The build walks create(day spec) → WAP append → delete a
+  // keyed ts×user slice; the query then reads BOTH faces of the contract in
+  // one result: the post-delete latest snapshot (oracle: NOT(predicate)
+  // recompute) and time-travel v1 (oracle: the untouched full table). A
+  // hash match on both halves proves the delete removed exactly the
+  // predicate's rows — no more, no fewer — AND physically preserved the
+  // pre-delete history. The copy-on-write scope is stats-driven: eras whose
+  // partition dirs + per-file stats prove the predicate can't match are
+  // carried by reference, not rewritten (VersionedHiddenTableSpec pins that
+  // mechanics; at 100 TB a keyed delete rewrites one era's matching files'
+  // rows, not the table).
+  private val s21 = GQuery(
+    "s21_row_level_delete",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val delPred = col("ts") >= "2024-01-18" && col("ts") < "2024-01-25" &&
+        col("user_id").between(10L, 40L)
+      val vhtDir = Tables.scratchOnce(dir, "vht_events_del",
+          done = VHT.completedThrough(_, 2L)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        val ev = t(s, dir, "events")
+        VHT.create(s, path, ev.filter(col("ts") < "2024-01-16"),
+          Seq(graft.sources.HiddenPartitioning.DayT("ts"))): Unit
+        VHT.append(s, path, ev.filter(col("ts") >= "2024-01-16"))() match {
+          case Right(_) => ()
+          case Left(violations) => throw new IllegalStateException(
+            s"s21 WAP audit vetoed the append: ${violations.mkString("; ")}")
+        }
+        val vDel = VHT.delete(s, path, delPred)
+        require(vDel == 2L, s"s21 delete must publish snapshot v2, got $vDel")
+      }
+      def slice(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"),
+          min(col("event_id")).as("min_event"))
+        .withColumn("snapshot", lit(tag))
+      slice(VHT.read(s, vhtDir), "post_delete")
+        .unionByName(slice(VHT.read(s, vhtDir, Some(1L)), "pre_delete"))
+    },
+    Some("""SELECT 'post_delete' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM events
+           |WHERE NOT (ts >= '2024-01-18' AND ts < '2024-01-25'
+           |           AND user_id BETWEEN 10 AND 40)
+           |GROUP BY event_type
+           |UNION ALL
+           |SELECT 'pre_delete' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM events
+           |GROUP BY event_type""".stripMargin),
+    doc = "Row-level DELETE (copy-on-write): post-delete snapshot and pre-delete time travel hash-checked in one query (S21/§2.1).")
+
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
   // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
@@ -2148,7 +2210,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)

@@ -278,6 +278,55 @@ object VersionedHiddenTable {
     readEras(spark, tableDir, snapshotEras(spark, tableDir, v))
   }
 
+  /** Row-level DELETE with snapshot semantics — the Iceberg `DELETE FROM`
+    * contract (the reference's actual engine takes it on these tables,
+    * `dbt_project.yml:40-43`), copy-on-write mode: rewrite ONLY the eras
+    * that can hold a matching row, publish a new snapshot, leave every
+    * older snapshot reading the deleted rows (time travel, GDPR-erasure
+    * workflows' audit trail until [[vacuum]]).
+    *
+    * The copy-on-write scope question — "which eras must be rewritten?" —
+    * is answered by the stats layer for free: the per-era matching probe is
+    * a `LIMIT 1` scan under [[HiddenPartitionPruning]] + [[StatsFileSkipping]],
+    * so an era whose partition dirs and per-file min/max prove the predicate
+    * can't match is cleared at PLAN time (zero tasks) and its directory is
+    * carried into the new snapshot untouched. At 100 TB a keyed delete
+    * (`WHERE user_id = X AND day = D`) rewrites one era's worth of matching
+    * files' rows, not the table.
+    *
+    * DELETE semantics match SQL: rows where `predicate` is TRUE are removed;
+    * FALSE and NULL survive. Rewritten eras are laid out under the CURRENT
+    * spec (the same rule as [[compact]]'s rewrite — and what keeps the
+    * "current spec = highest era" invariant: every rewrite takes a fresh,
+    * highest era number carrying the current spec). An era whose every row
+    * matches rewrites to a data-less era — readers skip it.
+    *
+    * Returns the published version, or the CURRENT version unchanged when no
+    * row matches (Iceberg likewise publishes no snapshot for an empty
+    * delete). Admin-serialized like [[compact]]/[[evolveSpec]]. */
+  def delete(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    HiddenPartitioning.register(spark) // the probe's pruning license
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no snapshots under $tableDir")
+    val eras = snapshotEras(spark, tableDir, vs.max)
+    val spec = currentSpec(spark, tableDir, eras)
+    val touched = eras.filter { e =>
+      val p = eraPath(tableDir, e)
+      HiddenPartitioning.eraHasData(spark, p) &&
+        !HiddenPartitioning.readEra(spark, p).filter(predicate).isEmpty
+    }
+    if (touched.isEmpty) return vs.max
+    val rewritten = touched.map { e =>
+      val survivors = HiddenPartitioning.readEra(spark, eraPath(tableDir, e))
+        .filter(not(coalesce(predicate, lit(false))))
+      writeEra(spark, tableDir, survivors, spec)
+    }
+    val kept = eras.filterNot(touched.contains)
+    publish(spark, tableDir, stageSnapshot(spark, tableDir, kept ++ rewritten, None))
+  }
+
   /** Iceberg's `rewrite_data_files`: rewrite ALL rows of the latest
     * snapshot under its current spec into ONE fresh era and publish a
     * snapshot referencing only that era. Older snapshots still reference
@@ -323,21 +372,46 @@ object VersionedHiddenTable {
     * candidates) — reference-counted GC, the only operation that destroys
     * data. Returns the dropped snapshot ids.
     *
-    * ADMIN-SERIALIZED: clearing `_staging` wholesale destroys any append
-    * staged but not yet published — never run vacuum concurrently with
-    * writers (the same rule as Iceberg's `remove_orphan_files`). */
-  def vacuum(spark: SparkSession, tableDir: String, keep: Int): Seq[Long] = {
+    * ADMIN-SERIALIZED like Iceberg's `remove_orphan_files` — but the
+    * `_staging` sweep is additionally AGE-THRESHOLDED: only staged tokens
+    * older than `stagingGraceMs` die, so a vacuum mistakenly run while an
+    * append is mid-WAP (staged minutes ago, audit still running) loses
+    * nothing — the in-flight token is younger than any sane grace window,
+    * and genuinely-orphaned tokens (crashed writers) age past it. An
+    * orphaned era a surviving young token references stays too, because era
+    * GC keeps everything any retained snapshot references and the token's
+    * publish may still land. Grace 0 restores the wholesale sweep. */
+  def vacuum(spark: SparkSession, tableDir: String, keep: Int,
+      stagingGraceMs: Long = 20L * 60 * 1000): Seq[Long] = {
     require(keep >= 1, "must retain at least the latest snapshot")
     val (fs, _) = fsFor(spark, tableDir)
     val vs = versions(spark, tableDir)
     val drop = vs.dropRight(keep)
     drop.foreach(v => fs.delete(new Path(s"$tableDir/v=$v"), true): Unit)
+    // a staged-but-unpublished snapshot inside the grace window may still
+    // publish — its eras must survive the GC below as if referenced
+    val cutoff = System.currentTimeMillis() - stagingGraceMs
+    val (stale, inFlight) = ls(fs, new Path(s"$tableDir/_staging"))
+      .partition(_.getModificationTime < cutoff)
+    stale.foreach(st => fs.delete(st.getPath, true): Unit)
+    val stagedRefs = inFlight.flatMap { st =>
+      try {
+        val token = st.getPath.getName
+        val f = new Path(st.getPath, SnapshotFile)
+        if (!fs.exists(f)) Nil
+        else {
+          val in = fs.open(f)
+          val bytes = try in.readAllBytes() finally in.close()
+          val eras = new ObjectMapper().readTree(bytes).get("eras")
+          (0 until eras.size()).map(eras.get(_).asText())
+        }
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }
     val referenced = versions(spark, tableDir)
-      .flatMap(snapshotEras(spark, tableDir, _)).toSet
+      .flatMap(snapshotEras(spark, tableDir, _)).toSet ++ stagedRefs
     ls(fs, new Path(s"$tableDir/data"))
       .filter(st => !referenced.contains(st.getPath.getName))
       .foreach(st => fs.delete(st.getPath, true): Unit)
-    fs.delete(new Path(s"$tableDir/_staging"), true): Unit
     drop
   }
 
@@ -387,6 +461,16 @@ object VersionedHiddenTable {
     val spark2 = spark
     import spark2.implicits._
     rows.toDF("era", "partition", "file", "rows")
+  }
+
+  /** Iceberg's `$partitions` for one snapshot: file count and exact row
+    * count per (era, partition directory), from manifests alone. */
+  def partitionsMeta(spark: SparkSession, tableDir: String,
+      version: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    filesMeta(spark, tableDir, version)
+      .groupBy(col("era"), col("partition"))
+      .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("n_rows"))
   }
 
   /** Iceberg's `$snapshots`: one row per retained snapshot — version, the

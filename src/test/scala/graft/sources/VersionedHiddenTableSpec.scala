@@ -212,6 +212,88 @@ class VersionedHiddenTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       "an aborted append leaves no published batch marker")
   }
 
+  test("delete: copy-on-write rewrites only matching eras; older snapshots keep the rows") {
+    val t = tmp("delete")
+    val ev = events
+    // era-0 = first half of January, era-1 = second half: a predicate
+    // confined to the second half must leave era-0's directory untouched
+    VersionedHiddenTable.create(spark, t, ev.filter(col("ts") < "2024-01-16"),
+      Seq(HiddenPartitioning.DayT("ts")))
+    VersionedHiddenTable.append(spark, t, ev.filter(col("ts") >= "2024-01-16"))()
+    val erasBefore = VersionedHiddenTable.snapshotsMeta(spark, t)
+      .filter(col("version") === 1L).select("eras").head().getSeq[String](0)
+    val pred = col("ts") >= "2024-01-20" && col("user_id") < 25L
+    val vDel = VersionedHiddenTable.delete(spark, t, pred)
+    assert(vDel == 2L, "the delete must publish exactly one new snapshot")
+    // survivors = SQL DELETE semantics: TRUE rows gone, FALSE/NULL kept
+    assert(ids(VersionedHiddenTable.read(spark, t)) ==
+      ids(ev.filter(!(col("ts") >= "2024-01-20" && col("user_id") < 25L))),
+      "latest snapshot must hold exactly the non-matching rows")
+    // time travel: both pre-delete snapshots still read the deleted rows
+    assert(ids(VersionedHiddenTable.read(spark, t, Some(1L))) == ids(ev))
+    assert(ids(VersionedHiddenTable.read(spark, t, Some(0L))) ==
+      ids(ev.filter(col("ts") < "2024-01-16")))
+    // copy-on-write scope: the untouched era (era-0, first half) is carried
+    // by REFERENCE — same directory in both snapshots; the matching era was
+    // replaced by a fresh rewrite
+    val erasAfter = VersionedHiddenTable.snapshotsMeta(spark, t)
+      .filter(col("version") === 2L).select("eras").head().getSeq[String](0)
+    assert(erasAfter.contains(erasBefore.head),
+      s"the predicate-free era must not be rewritten: $erasBefore -> $erasAfter")
+    assert(!erasAfter.contains(erasBefore.last),
+      "the matching era must be replaced by its rewrite")
+    // a predicate matching nothing publishes no snapshot
+    val vNoop = VersionedHiddenTable.delete(spark, t, col("user_id") === -1L)
+    assert(vNoop == 2L && VersionedHiddenTable.versions(spark, t).max == 2L,
+      "an empty delete must not publish")
+  }
+
+  test("delete composes with compact and vacuum; a full-era delete leaves a readable table") {
+    val t = tmp("delete-gc")
+    val ev = events
+    VersionedHiddenTable.create(spark, t, ev.filter(col("ts") < "2024-01-16"),
+      Seq(HiddenPartitioning.DayT("ts")))
+    VersionedHiddenTable.append(spark, t, ev.filter(col("ts") >= "2024-01-16"))()
+    // delete ALL of era-1's rows: the rewrite is a data-less era, reads stay exact
+    VersionedHiddenTable.delete(spark, t, col("ts") >= "2024-01-16")
+    val kept = ev.filter(col("ts") < "2024-01-16")
+    assert(ids(VersionedHiddenTable.read(spark, t)) == ids(kept),
+      "a full-era delete must leave exactly the other era's rows")
+    // compact after delete: one era, same rows, pre-delete travel intact
+    val vc = VersionedHiddenTable.compact(spark, t)
+    assert(ids(VersionedHiddenTable.read(spark, t, Some(vc))) == ids(kept))
+    assert(ids(VersionedHiddenTable.read(spark, t, Some(1L))) == ids(ev),
+      "pre-delete snapshots must still read the deleted rows until vacuum")
+    // vacuum retires the history: deleted rows are now physically gone
+    VersionedHiddenTable.vacuum(spark, t, keep = 1)
+    assert(VersionedHiddenTable.versions(spark, t) == Seq(vc))
+    assert(ids(VersionedHiddenTable.read(spark, t)) == ids(kept))
+    assert(dataEras(t).size == 1, "only the compacted era survives the vacuum")
+  }
+
+  test("vacuum grace window: a freshly staged append survives; grace 0 sweeps it") {
+    val t = tmp("grace")
+    val ev = events
+    val (h1, h2) = (half(ev, 0), half(ev, 1))
+    VersionedHiddenTable.create(spark, t, h1, Seq(HiddenPartitioning.DayT("ts")))
+    // the mid-WAP state: era written, snapshot staged, publish not yet run
+    val era = VersionedHiddenTable.writeEra(spark, t, h2,
+      Seq(HiddenPartitioning.DayT("ts")))
+    val token = VersionedHiddenTable.stageSnapshot(spark, t,
+      Seq("era-0", era), None)
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    VersionedHiddenTable.vacuum(spark, t, keep = 1) // default grace
+    assert(fs.exists(new Path(s"$t/_staging/$token")),
+      "a staged candidate inside the grace window must survive vacuum")
+    assert(dataEras(t).contains(era),
+      "the era a surviving staged candidate references must survive the GC")
+    // grace 0 = the admin asserts no writers: wholesale sweep, era orphaned + gone
+    VersionedHiddenTable.vacuum(spark, t, keep = 1, stagingGraceMs = 0L)
+    assert(!fs.exists(new Path(s"$t/_staging/$token")))
+    assert(!dataEras(t).contains(era), "grace 0 must reclaim the orphan era")
+    assert(ids(VersionedHiddenTable.read(spark, t)) == ids(h1))
+  }
+
   test("publish skips a foreign v=<n> directory instead of nesting into it") {
     val t = tmp("race")
     val ev = events

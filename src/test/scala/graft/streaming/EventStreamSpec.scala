@@ -820,7 +820,9 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new java.io.File(s"$tbl/_staging/$token").isDirectory)
     assert(new java.io.File(s"$tbl/data").listFiles().count(_.isDirectory) == 2,
       "the orphan era and the re-published era coexist")
-    vht.vacuum(sp, tbl, keep = 1)
+    // grace 0 = the admin asserts no writer is in flight; the default grace
+    // window would (correctly) spare this seconds-old staged candidate
+    vht.vacuum(sp, tbl, keep = 1, stagingGraceMs = 0L)
     assert(new java.io.File(s"$tbl/data").listFiles().count(_.isDirectory) == 1,
       "vacuum reclaims the orphan era")
     assert(EventStream.readAuditedTable(sp, tbl).count() === 6)
