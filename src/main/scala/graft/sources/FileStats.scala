@@ -26,7 +26,14 @@ import org.apache.spark.sql.types._
   *
   *   - [[write]] harvests per-file stats from parquet FOOTERS (metadata-only
   *     — no data pages are read; distributed over executors past a small
-  *     file count) into `_file_stats.json` next to the data.
+  *     file count) into `_file_stats.json` next to the data. Past
+  *     [[ShardThreshold]] files the manifest SHARDS per partition-hash
+  *     bucket with the root file as a tiny index (Iceberg's manifest-list
+  *     split): at 10⁵–10⁶ files per era a monolithic JSON is a
+  *     multi-hundred-MB driver parse per cold plan — sharded, an append to
+  *     one partition rewrites and re-parses one shard, and unchanged shards
+  *     keep their parse-cache entries. Harvests are incremental: a file
+  *     whose (length, mtime) matches its manifest entry is never re-opened.
   *   - [[StatsFileSkipping]] (a `Rule[LogicalPlan]`) consults the manifest
   *     when a Filter sits on a stats-carrying scan and removes files no
   *     predicate-satisfying row can live in — before the physical scan is
@@ -59,9 +66,12 @@ object FileStats {
     * file's non-null values; `nul` — provably zero non-null values; `unk` —
     * at least one row group lacked usable stats. `nulls` is the exact null
     * count when every row group recorded one. Values in the long domain are
-    * `java.lang.Long`; strings are UTF-8 byte arrays. */
+    * `java.lang.Long`; strings are UTF-8 byte arrays. `ndv` is the file's
+    * APPROXIMATE distinct count, present only after an [[analyze]] pass
+    * (Iceberg's Puffin-NDV analog) — never consulted by the skipping rules,
+    * only surfaced through [[columnsMeta]]. */
   final case class ColRec(kind: String, mm: String,
-      min: Any, max: Any, nulls: Option[Long])
+      min: Any, max: Any, nulls: Option[Long], ndv: Option[Long] = None)
 
   /** `len` is the data file's byte length at harvest time — the identity
     * check that makes a same-path in-place rewrite (external compaction or
@@ -70,8 +80,11 @@ object FileStats {
     * the count pushdown never folds its stale row count. Iceberg gets this
     * for free by tracking immutable file identities; this is the
     * plain-parquet equivalent. `-1` marks a pre-length-tracking manifest
-    * (legacy grace: trusted as before, regenerated on the next write). */
-  final case class FileRec(rows: Long, cols: Map[String, ColRec], len: Long = -1L)
+    * (legacy grace: trusted as before, regenerated on the next write).
+    * `mt` (modification time at harvest) exists ONLY for [[write]]'s
+    * incremental-reuse check — it never licenses a skip. */
+  final case class FileRec(rows: Long, cols: Map[String, ColRec],
+      len: Long = -1L, mt: Long = -1L)
 
   /** The manifest entry for `rel`, but ONLY if the live file's byte length
     * matches the length recorded at harvest — a mismatch means the file was
@@ -255,42 +268,54 @@ object FileStats {
     }
   }
 
-  /** Harvest footer stats for every data file under `dir` and commit
-    * `_file_stats.json` (temp-file + rename — readers see the old manifest
-    * or the new one, never a torn one). Re-run after every append: a file
-    * the manifest misses is merely never skipped, so a crash between data
-    * and stats commit degrades performance, not answers. Small tables
-    * harvest on the driver; past 64 files the footer reads fan out over
-    * executors (each is one metadata fetch — at 100 TB this is a short
-    * metadata-only job, not a data scan). */
-  def write(spark: SparkSession, dir: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val rootUri = rootUriPath(fs, root)
-    val files = dataFiles(fs, root)
-    val rels = files.map(f =>
-      (f.getPath.toString, relPath(rootUri, f.getPath), f.getLen))
-    val recs: Seq[(String, FileRec)] =
-      if (rels.size <= 64)
-        rels.map { case (abs, rel, len) => harvestOne(conf, new Path(abs), rel, len) }
-      else {
-        val sc = spark.sparkContext
-        val ser = new SerConf(conf)
-        sc.parallelize(rels, math.min(rels.size, sc.defaultParallelism))
-          .map { case (abs, rel, len) => harvestOne(ser.conf, new Path(abs), rel, len) }
-          .collect().toSeq
-      }
+  /** Past this many files the manifest shards (one JSON per hash bucket of
+    * the file's top-level partition directory, root index listing the shard
+    * names) — one monolithic JSON per era dies at the 10⁵–10⁶ files a
+    * 100 TB era holds: a multi-hundred-MB parse per cold planning pass, and
+    * a full rewrite per append. Sharded, an append to one partition
+    * rewrites (and re-parses) only that partition's shard; Iceberg's
+    * manifest-list split, re-expressed. */
+  private[sources] val ShardThreshold = 64
+
+  /** Shard count for `n` files: ~64 files per shard, capped — stable for a
+    * given file count, recorded in the root index (a growth that crosses a
+    * shard-count boundary rewrites all shards once; appends inside a
+    * boundary touch only their own shard). */
+  private[sources] def shardCount(n: Int): Int =
+    math.min(512, math.max(2, (n + ShardThreshold - 1) / ShardThreshold))
+
+  /** Shard index of a manifest key: hash of the file's top-level directory
+    * segment, so all files of one derived partition land in ONE shard
+    * (`String.hashCode` is specified and stable across JVMs). */
+  private[sources] def shardOf(rel: String, n: Int): Int = {
+    val slash = rel.indexOf('/')
+    val seg = if (slash < 0) "" else rel.substring(0, slash)
+    Math.floorMod(seg.hashCode, n)
+  }
+
+  private def shardName(k: Int): String = f"_file_stats.g$k%03d.json"
+
+  /** Render a record group as the `{"v":1,"files":{...}}` body (the
+    * monolithic manifest AND each shard use the same layout, so one parser
+    * serves both). Keys are sorted so identical content renders identical
+    * bytes — [[write]] skips rewriting shards whose bytes did not change,
+    * which is what keeps an untouched partition's shard fingerprint (and
+    * its parse cache entry) stable across appends elsewhere. */
+  private def renderFiles(recs: Seq[(String, FileRec)]): Array[Byte] = {
     val mapper = new ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("v", 1): Unit
     val fnode = node.putObject("files")
-    recs.foreach { case (rel, rec) =>
+    recs.sortBy(_._1).foreach { case (rel, rec) =>
       val f = fnode.putObject(rel)
       f.put("rows", rec.rows): Unit
       f.put("len", rec.len): Unit
+      if (rec.mt >= 0) f.put("mt", rec.mt): Unit
       val cnode = f.putObject("cols")
-      rec.cols.foreach { case (name, c) =>
+      // cols sorted too: a rec REUSED from a parsed shard (scala Map order)
+      // must render byte-identically to its original harvest (LinkedHashMap
+      // order), or the unchanged-shard check would spuriously rewrite
+      rec.cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
         val cn = cnode.putObject(name)
         cn.put("k", c.kind); cn.put("mm", c.mm): Unit
         if (c.mm == "ex") c.kind match {
@@ -302,18 +327,222 @@ object FileStats {
             cn.put("max", c.max.asInstanceOf[Long]): Unit
         }
         c.nulls.foreach(n => cn.put("nulls", n): Unit)
+        c.ndv.foreach(n => cn.put("ndv", n): Unit)
       }
     }
-    val tmp = new Path(root, s".$StatsFile.tmp-${System.nanoTime()}")
+    node.toString.getBytes("UTF-8")
+  }
+
+  /** Temp-file + rename commit of `bytes` at `root/name` — readers see the
+    * old file or the new one, never a torn one. */
+  private def commitFile(fs: FileSystem, root: Path, name: String,
+      bytes: Array[Byte]): Unit = {
+    val tmp = new Path(root, s".$name.tmp-${System.nanoTime()}")
     val out = fs.create(tmp, true)
-    out.write(node.toString.getBytes("UTF-8"))
+    out.write(bytes)
     out.close()
-    val dst = new Path(root, StatsFile)
+    val dst = new Path(root, name)
     if (!fs.rename(tmp, dst)) {
       fs.delete(dst, false)
-      require(fs.rename(tmp, dst), s"stats manifest commit rename failed under $dir")
+      require(fs.rename(tmp, dst), s"stats manifest commit rename failed: $dst")
+    }
+  }
+
+  private def readFully(fs: FileSystem, f: Path): Array[Byte] = {
+    val in = fs.open(f)
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Harvest footer stats for every data file under `dir` and commit the
+    * manifest: monolithic `_file_stats.json` up to [[ShardThreshold]] files,
+    * sharded (`_file_stats.gNNN.json` per partition-hash bucket + the root
+    * file as a tiny shard index) beyond it. Incremental on re-runs: a file
+    * whose (length, mtime) matches its existing manifest entry reuses that
+    * entry without re-opening the footer, and a shard whose rendered bytes
+    * are unchanged is not rewritten — so appending one partition re-harvests
+    * and re-commits only that partition's files and shard. Re-run after
+    * every append: a file the manifest misses is merely never skipped, so a
+    * crash between data and stats commit degrades performance, not answers
+    * (shards land before the root index; a torn run leaves either the old
+    * root — pointing at old-or-harmlessly-updated shards — or the new one).
+    * Small harvests run on the driver; past 64 new files the footer reads
+    * fan out over executors (each is one metadata fetch — at 100 TB this is
+    * a short metadata-only job, not a data scan). */
+  def write(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val rootUri = rootUriPath(fs, root)
+    val files = dataFiles(fs, root)
+    val prior = stats(spark, dir).getOrElse(Map.empty)
+    val (reused, toHarvest) = files.partition { f =>
+      val rel = relPath(rootUri, f.getPath)
+      prior.get(rel).exists(r =>
+        r.len == f.getLen && r.mt >= 0 && r.mt == f.getModificationTime)
+    }
+    val rels = toHarvest.map(f =>
+      (f.getPath.toString, relPath(rootUri, f.getPath), f.getLen,
+        f.getModificationTime))
+    val harvested: Seq[(String, FileRec)] =
+      if (rels.size <= 64)
+        rels.map { case (abs, rel, len, mt) =>
+          val (r, rec) = harvestOne(conf, new Path(abs), rel, len)
+          (r, rec.copy(mt = mt))
+        }
+      else {
+        val sc = spark.sparkContext
+        val ser = new SerConf(conf)
+        sc.parallelize(rels, math.min(rels.size, sc.defaultParallelism))
+          .map { case (abs, rel, len, mt) =>
+            val (r, rec) = harvestOne(ser.conf, new Path(abs), rel, len)
+            (r, rec.copy(mt = mt))
+          }
+          .collect().toSeq
+      }
+    val recs = reused.map { f =>
+      val rel = relPath(rootUri, f.getPath)
+      rel -> prior(rel)
+    } ++ harvested
+    commitManifest(fs, root, recs)
+  }
+
+  /** Commit `recs` as the table's manifest — monolithic or sharded by
+    * [[ShardThreshold]], unchanged shards left untouched (see [[write]]). */
+  private def commitManifest(fs: FileSystem, root: Path,
+      recs: Seq[(String, FileRec)]): Unit = {
+    if (recs.size <= ShardThreshold) {
+      commitFile(fs, root, StatsFile, renderFiles(recs))
+    } else {
+      val n = shardCount(recs.size)
+      val byShard = recs.groupBy { case (rel, _) => shardOf(rel, n) }
+      val names = (0 until n).flatMap { k =>
+        byShard.get(k).map { group =>
+          val name = shardName(k)
+          val bytes = renderFiles(group)
+          val dst = new Path(root, name)
+          val unchanged =
+            try fs.getFileStatus(dst).getLen == bytes.length &&
+              java.util.Arrays.equals(readFully(fs, dst), bytes)
+            catch { case _: java.io.FileNotFoundException => false }
+          if (!unchanged) commitFile(fs, root, name, bytes)
+          name
+        }
+      }
+      val mapper = new ObjectMapper()
+      val idx = mapper.createObjectNode()
+      idx.put("v", 2): Unit
+      val arr = idx.putArray("shards")
+      names.foreach(arr.add)
+      commitFile(fs, root, StatsFile, idx.toString.getBytes("UTF-8"))
+      // post-commit GC: shard files of a previous, larger shard layout
+      ls(fs, root).map(_.getPath.getName)
+        .filter(nm => nm.startsWith("_file_stats.g") && nm.endsWith(".json") &&
+          !names.contains(nm))
+        .foreach(nm => fs.delete(new Path(root, nm), false): Unit)
     }
     statsCache.remove(fs.makeQualified(root).toString): Unit
+  }
+
+  private def ls(fs: FileSystem, dir: Path): Seq[FileStatus] =
+    try fs.listStatus(dir).toSeq
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+
+  // ---- ANALYZE: approximate per-file NDV (Iceberg's Puffin-NDV analog) -------
+
+  /** One DATA pass computing an approximate distinct count per (file,
+    * column) and folding it into the manifest — the explicitly-priced
+    * maintenance operation Iceberg runs as `ANALYZE TABLE` into Puffin
+    * blobs; footer harvests ([[write]]) stay metadata-only. One
+    * `groupBy(input_file_name)` with an `approx_count_distinct` per column:
+    * map-side partial HLLs, one short shuffle, never a collect of data.
+    * Columns default to every manifest-modeled column; unknown names are
+    * ignored. Files unlisted in the manifest (appended after the last
+    * [[write]]) are skipped — re-run [[write]] first. NDV is advisory
+    * metadata for [[columnsMeta]]; no skipping rule ever consults it. */
+  def analyze(spark: SparkSession, dir: String, cols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, input_file_name}
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val rootUri = rootUriPath(fs, root)
+    val manifest = stats(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no stats manifest under $dir — run FileStats.write first"))
+    val modeled = manifest.valuesIterator.flatMap(_.cols.keys).toSet
+    val df = spark.read.parquet(dir)
+    val targets =
+      (if (cols.isEmpty) df.columns.toSeq else cols)
+        .filter(modeled.contains)
+    if (targets.isEmpty) return
+    val agg = df.groupBy(input_file_name().as("_f"))
+      .agg(approx_count_distinct(col(targets.head)).as(targets.head),
+        targets.tail.map(c => approx_count_distinct(col(c)).as(c)): _*)
+      .collect()
+    val ndvByRel: Map[String, Map[String, Long]] = agg.map { r =>
+      val rel = relPath(rootUri, new Path(r.getString(0)))
+      rel -> targets.zipWithIndex.map { case (c, i) => c -> r.getLong(i + 1) }.toMap
+    }.toMap
+    val recs = manifest.toSeq.map { case (rel, rec) =>
+      ndvByRel.get(rel) match {
+        case None => rel -> rec
+        case Some(nd) => rel -> rec.copy(cols = rec.cols.map { case (c, cr) =>
+          c -> nd.get(c).fold(cr)(v => cr.copy(ndv = Some(v)))
+        })
+      }
+    }
+    commitManifest(fs, root, recs)
+  }
+
+  /** Column-level metadata rows for one stats-carrying directory:
+    * `(column, kind, ndv_lo, ndv_hi, nulls, min, max)` folded from the
+    * manifest alone — no data scan. Per-file NDVs are not additive, so the
+    * fold reports HONEST BOUNDS: `ndv_lo = max(file ndv)` (the biggest
+    * single file is a lower bound) and `ndv_hi = sum(file ndv)` (distinct
+    * sets can at most union), both null unless EVERY listed file carries an
+    * analyzed count for the column. `nulls` is the exact total when every
+    * file recorded one; `min`/`max` render as strings (dates as ISO days,
+    * timestamps as epoch micros) when every file's bounds are known. */
+  def columnsMeta(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val recs = stats(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no stats manifest under $dir — run FileStats.write first")).values.toSeq
+    val names = recs.flatMap(_.cols.keys).distinct.sorted
+    val rows = names.map { c =>
+      val cols = recs.map(_.cols.get(c))
+      val all = cols.flatten
+      val everywhere = all.size == recs.size
+      val kind = all.head.kind
+      val ndvs = all.flatMap(_.ndv)
+      val (lo, hi) =
+        if (everywhere && ndvs.size == all.size && ndvs.nonEmpty)
+          (Some(ndvs.max), Some(ndvs.sum))
+        else (None, None)
+      val nulls =
+        if (everywhere && all.forall(_.nulls.isDefined))
+          Some(all.flatMap(_.nulls).sum)
+        else None
+      val (mn, mx) =
+        if (everywhere && all.forall(cr => cr.mm == "ex" || cr.mm == "nul") &&
+            all.exists(_.mm == "ex")) {
+          val ex = all.filter(_.mm == "ex")
+          (Some(render(kind, ex.map(_.min).minBy(identity)(domainOrdering(kind)))),
+            Some(render(kind, ex.map(_.max).maxBy(identity)(domainOrdering(kind)))))
+        } else (None, None)
+      (c, kind, lo, hi, nulls, mn, mx)
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("column", "kind", "ndv_lo", "ndv_hi", "nulls", "min", "max")
+  }
+
+  private def domainOrdering(kind: String): Ordering[Any] =
+    (a: Any, b: Any) => cmpDomain(kind, a, b)
+
+  private def render(kind: String, v: Any): String = kind match {
+    case "string" => new String(v.asInstanceOf[Array[Byte]], "UTF-8")
+    case "date" => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Long]).toString
+    case "bool" => (v.asInstanceOf[Long] == 1L).toString
+    case _ => v.asInstanceOf[Long].toString // int / epoch-micros timestamps
   }
 
   // ---- manifest read (fingerprint-cached, like the partition-spec cache) -----
@@ -339,40 +568,74 @@ object FileStats {
       s"${st.getModificationTime}:${st.getLen}"
     } catch { case _: java.io.FileNotFoundException => "absent" }
 
+  // Per-shard parse cache: absolute shard path -> (fingerprint, parsed map).
+  // The point of sharding for the READER: after an append to one partition,
+  // only that partition's shard re-parses — the others hit here (one cheap
+  // getFileStatus each to validate the fingerprint).
+  private val shardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Map[String, FileRec])]()
+
   /** The parsed manifest for the table at `dir`, keyed by path relative to
     * the table root; None when absent or unparseable (a torn manifest reads
-    * as "no stats", never as wrong stats). */
+    * as "no stats", never as wrong stats). A sharded manifest (root index
+    * `{"v":2,"shards":[...]}`) merges its shards, each parse cached by the
+    * shard file's own fingerprint. A shard mid-rewrite reads as its old or
+    * new bytes (shards commit by rename) — either way the per-file `len`
+    * check in [[entryFor]] keeps a mixed view from mis-pruning; at worst it
+    * under-skips, the same stance as a stale manifest. */
   def stats(spark: SparkSession, dir: String): Option[Map[String, FileRec]] = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val qRoot = fs.makeQualified(root).toString
     val f = new Path(root, StatsFile)
-    val fp = fingerprint(fs, f)
-    val cached = statsCache.get(qRoot)
-    if (cached != null && cached._1 == fp) cached._2
+    val rootFp = fingerprint(fs, f)
+    val cachedRoot = statsCache.get(qRoot)
+    // fast path: unchanged root index + every shard fingerprint unchanged is
+    // revalidated below only for sharded manifests; monolithic roots are
+    // fully keyed by their own fingerprint
+    if (cachedRoot != null && cachedRoot._1 == rootFp &&
+        !cachedRoot._1.startsWith("sharded:")) return cachedRoot._2
+    val result =
+      if (rootFp == "absent") ("absent", None)
+      else try {
+        val rootN = new ObjectMapper().readTree(readFully(fs, f))
+        rootN.get("v").asInt() match {
+          case 1 => (rootFp, Some(parseFiles(rootN)))
+          case 2 =>
+            val shards = rootN.get("shards")
+            val parts = (0 until shards.size()).map { i =>
+              val name = shards.get(i).asText()
+              val sp = new Path(root, name)
+              val sfp = fingerprint(fs, sp)
+              val key = fs.makeQualified(sp).toString
+              val hit = shardCache.get(key)
+              val m =
+                if (hit != null && hit._1 == sfp) hit._2
+                else {
+                  val parsed =
+                    parseFiles(new ObjectMapper().readTree(readFully(fs, sp)))
+                  if (shardCache.size >= statsCacheCap * 16) shardCache.clear()
+                  shardCache.put(key, (sfp, parsed))
+                  parsed
+                }
+              (sfp, m)
+            }
+            val composite = s"sharded:$rootFp|${parts.map(_._1).mkString(",")}"
+            (composite, Some(parts.iterator.map(_._2).reduceOption(_ ++ _)
+              .getOrElse(Map.empty[String, FileRec])))
+        }
+      } catch { case scala.util.control.NonFatal(_) => (rootFp, None) }
+    // sharded: serve the cached merge only when NO shard changed either
+    if (cachedRoot != null && cachedRoot._1 == result._1) cachedRoot._2
     else {
-      val v =
-        if (fp == "absent") None
-        else try {
-          val in = fs.open(f)
-          val bytes = try {
-            val buf = new java.io.ByteArrayOutputStream()
-            val tmp = new Array[Byte](8192)
-            var n = in.read(tmp)
-            while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-            buf.toByteArray
-          } finally in.close()
-          Some(parse(bytes))
-        } catch { case scala.util.control.NonFatal(_) => None }
       if (statsCache.size >= statsCacheCap) statsCache.clear()
-      statsCache.put(qRoot, (fp, v))
-      v
+      statsCache.put(qRoot, result)
+      result._2
     }
   }
 
-  private def parse(bytes: Array[Byte]): Map[String, FileRec] = {
-    val rootN = new ObjectMapper().readTree(bytes)
+  private def parseFiles(rootN: com.fasterxml.jackson.databind.JsonNode): Map[String, FileRec] = {
     require(rootN.get("v").asInt() == 1, "unknown stats manifest version")
     val files = rootN.get("files")
     val b = Map.newBuilder[String, FileRec]
@@ -393,13 +656,15 @@ object FileStats {
             (c.get("min").asText().getBytes("UTF-8"), c.get("max").asText().getBytes("UTF-8"))
           else (c.get("min").asLong(): java.lang.Long, c.get("max").asLong(): java.lang.Long)
         val nulls = Option(c.get("nulls")).map(_.asLong())
+        val ndv = Option(c.get("ndv")).map(_.asLong())
         cb += ce.getKey -> ColRec(kind, mm,
           if (mn == null) null else (mn match { case l: java.lang.Long => l.longValue(); case o => o }),
           if (mx == null) null else (mx match { case l: java.lang.Long => l.longValue(); case o => o }),
-          nulls)
+          nulls, ndv)
       }
       b += e.getKey -> FileRec(f.get("rows").asLong(), cb.result(),
-        Option(f.get("len")).map(_.asLong()).getOrElse(-1L))
+        Option(f.get("len")).map(_.asLong()).getOrElse(-1L),
+        Option(f.get("mt")).map(_.asLong()).getOrElse(-1L))
     }
     b.result()
   }

@@ -337,6 +337,134 @@ class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scannedFiles(mixed) == 5, "an unprovable OR branch must disable skipping")
   }
 
+  test("sharded manifest: past the threshold the root is an index; harvest/skip/count identical; one-partition append rewrites one shard") {
+    val path = tmp("graft-fs-shard")
+    val df = spark.range(0, 3000)
+      .select(col("id"), pmod(col("id"), lit(8)).as("p"))
+    // 19 tasks x 8 partition dirs ≈ 152 files — past ShardThreshold, and
+    // inside a shard-count band (129..192 -> 3 shards) so the +1-file append
+    // below cannot shift the bucket layout
+    df.repartition(19, col("id")).write.partitionBy("p")
+      .mode("overwrite").parquet(path)
+    FileStats.write(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val rootJson = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path, FileStats.StatsFile)), "UTF-8")
+    assert(rootJson.contains("\"v\":2") && rootJson.contains("shards"),
+      s"past the threshold the root must be a shard index: $rootJson")
+    def shardStatus(): Map[String, String] =
+      fs.listStatus(new Path(path)).collect {
+        case st if st.getPath.getName.startsWith("_file_stats.g") =>
+          st.getPath.getName -> s"${st.getModificationTime}:${st.getLen}"
+      }.toMap
+    val shardsBefore = shardStatus()
+    assert(shardsBefore.size >= 2, s"expected >=2 shards: ${shardsBefore.keySet}")
+    val recs = FileStats.stats(spark, path).get
+    val nFiles = recs.size
+    assert(nFiles > FileStats.ShardThreshold, s"test must exceed the threshold: $nFiles")
+    assert(nFiles >= 129 && nFiles <= 191, // one band below + above the append
+      s"file count must sit inside a shard-count band: $nFiles")
+    // identical behavior to a stats-free twin (skip soundness) and to the
+    // data itself (count fold exactness)
+    val plainPath = tmp("graft-fs-shard-plain")
+    df.write.mode("overwrite").parquet(plainPath)
+    val pruned = spark.read.parquet(path)
+    lossless(pruned, spark.read.parquet(plainPath), col("id").between(100L, 200L))
+    assert(pruned.count() == 3000, "count must fold from the sharded manifest")
+    val folded = pruned.groupBy().count().queryExecution.optimizedPlan.collectFirst {
+      case l: LocalRelation => l
+    }
+    assert(folded.isDefined, "bare count over a sharded manifest must still fold")
+    // append ONE file into ONE partition: exactly one shard may change
+    spark.range(90000, 90100).select(col("id"), lit(3L).as("p"))
+      .coalesce(1).write.partitionBy("p").mode("append").parquet(path)
+    FileStats.write(spark, path)
+    val shardsAfter = shardStatus()
+    assert(shardsAfter.keySet == shardsBefore.keySet,
+      "the bucket layout must be stable inside a band")
+    val changed = shardsAfter.filter { case (k, v) => shardsBefore(k) != v }.keys
+    assert(changed.size == 1,
+      s"a one-partition append must rewrite exactly one shard: $changed")
+    val recs2 = FileStats.stats(spark, path).get
+    assert(recs2.size == nFiles + 1, "the appended file must join the manifest")
+    assert(spark.read.parquet(path).count() == 3100,
+      "the count fold must see the appended rows")
+    assert(spark.read.parquet(path).filter(col("id") >= 90000L).count() == 100,
+      "skipping must locate the appended rows through the rewritten shard")
+  }
+
+  test("many files (>=1000): sharded harvest, exact fold, skipping still prunes") {
+    val path = tmp("graft-fs-many")
+    // 250 range slices x 4 partition dirs = 1000 files, each slice exact
+    spark.range(0, 100000, 1, 250)
+      .select(col("id"), pmod(col("id"), lit(4)).as("p"))
+      .write.partitionBy("p").mode("overwrite").parquet(path)
+    FileStats.write(spark, path)
+    val recs = FileStats.stats(spark, path).get
+    assert(recs.size == 1000, s"expected 1000 per-file records, got ${recs.size}")
+    val r = spark.read.parquet(path)
+    assert(r.count() == 100000, "count fold over 1000 manifest entries")
+    // a narrow id range lives in exactly one range slice per partition dir
+    val q = r.filter(col("id").between(50000L, 50099L))
+    assert(q.count() == 100)
+    assert(scannedFiles(q) <= 8,
+      "per-file stats must prune nearly all of the 1000 files")
+    // incremental re-run: nothing changed, so no shard rewrites at all
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    def fp() = fs.listStatus(new Path(path)).collect {
+      case st if st.getPath.getName.startsWith("_file_stats") =>
+        st.getPath.getName -> s"${st.getModificationTime}:${st.getLen}"
+    }.toMap
+    val before = fp()
+    FileStats.write(spark, path)
+    val after = fp()
+    assert(before.filterNot(_._1 == FileStats.StatsFile) ==
+      after.filterNot(_._1 == FileStats.StatsFile),
+      "an unchanged table's re-harvest must rewrite no shard")
+  }
+
+  test("analyze: per-file NDV lands in the manifest; columnsMeta folds honest bounds") {
+    val path = tmp("graft-fs-ndv")
+    val df = spark.range(0, 1000, 1, 4)
+      .select(col("id"), (col("id") % 100).as("mod"),
+        concat(lit("u"), (col("id") % 10).cast("string")).as("u"),
+        when(col("id") % 4 === 0, lit(null)).otherwise(col("id")).as("maybe"))
+    df.write.mode("overwrite").parquet(path)
+    FileStats.write(spark, path)
+    // pre-analyze: no NDV anywhere -> bounds null, min/max/nulls still fold
+    val before = FileStats.columnsMeta(spark, path).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(before("id").isNullAt(2) && before("id").isNullAt(3),
+      "NDV bounds must be null before an analyze pass")
+    assert(before("id").getString(5) == "0" && before("id").getString(6) == "999",
+      "min/max must fold from the manifest without analyze")
+    assert(before("maybe").getLong(4) == 250, "null counts must fold exactly")
+
+    FileStats.analyze(spark, path)
+    val after = FileStats.columnsMeta(spark, path).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // id is globally distinct: every file's NDV ~ its row count; bounds
+    // bracket the true 1000 (approx_count_distinct rsd = 5%)
+    val (idLo, idHi) = (after("id").getLong(2), after("id").getLong(3))
+    assert(idLo >= 200 && idLo <= 300, s"lo = biggest single file ~250: $idLo")
+    assert(idHi >= 900 && idHi <= 1100, s"hi = sum ~1000: $idHi")
+    // u has 10 distinct values IN EVERY file: lo ~10 exact-ish, hi ~40
+    assert(after("u").getLong(2) == 10, "tiny NDVs are exact in HLL range")
+    assert(after("u").getLong(3) == 40)
+    // the true table NDV (10) respects the bounds: lo <= 10 <= hi
+    assert(after("u").getLong(2) <= 10 && 10 <= after("u").getLong(3))
+    // a re-harvest after new data drops the stale NDV for the new file only
+    spark.range(5000, 5100).select(col("id"), (col("id") % 100).as("mod"),
+      lit("u0").as("u"), col("id").as("maybe"))
+      .coalesce(1).write.mode("append").parquet(path)
+    FileStats.write(spark, path)
+    val mixed = FileStats.columnsMeta(spark, path).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(mixed("id").isNullAt(2),
+      "an un-analyzed new file must null the bounds, never fake them")
+    assert(mixed("id").getString(6) == "5099", "min/max stay fold-able")
+  }
+
   test("s18 registry query: the stats-skipping scan fires for real (fewer files than day pruning alone)") {
     val out = graft.SparkEntry.queries("s18_stats_skipping_scan")(spark, dir)
     assert(out.count() > 0)
