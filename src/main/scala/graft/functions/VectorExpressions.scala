@@ -290,6 +290,11 @@ object GraftFunctions {
     fns.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    // table-valued functions: the SQL face of graft tables + metadata tables
+    graft.sources.GraftTableFunctions.fns.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
     registerLock.synchronized {
       if (!spark.experimental.extraOptimizations.contains(RewriteVectorFolds))
         spark.experimental.extraOptimizations =
@@ -313,6 +318,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.fns.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(info(name).getName, name), builder))
+    }
+    graft.sources.GraftTableFunctions.fns.foreach { case (name, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo(graft.sources.GraftTableFunctions.getClass.getName, name),
+        builder))
     }
     ext.injectOptimizerRule(_ => RewriteVectorFolds)
     ext.injectOptimizerRule(_ => graft.sources.HiddenPartitionPruning)

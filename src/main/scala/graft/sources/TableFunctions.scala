@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/** SQL-addressable table and metadata-table faces — the table-valued
+  * functions a SQL-only user (the persona `Graft.openCorpus` exists for)
+  * reaches graft-written tables through, the spelling Iceberg provides as
+  * `tbl$files` / `tbl$partitions` / `tbl$snapshots` (Spark identifiers
+  * cannot carry `$`, so the idiomatic Spark form is a TVF over the table
+  * path — same shape as the built-in `range(...)`):
+  *
+  * {{{
+  *   SELECT * FROM graft_table('/data/events')             -- latest snapshot
+  *   SELECT * FROM graft_table('/data/events', 0)          -- time travel
+  *   SELECT * FROM graft_files('/data/events')              -- $files
+  *   SELECT * FROM graft_partitions('/data/events')         -- $partitions
+  *   SELECT * FROM graft_snapshots('/data/events')          -- $snapshots
+  * }}}
+  *
+  * `graft_table` auto-detects the storage flavor: a snapshot-versioned
+  * directory ([[VersionedHiddenTable]]) reads its latest (or requested)
+  * snapshot; a hidden-partitioned directory ([[HiddenPartitioning]]) reads
+  * its era union; anything else reads as plain parquet. The metadata
+  * functions answer from the stats manifests alone — no data scan
+  * (MetaTableSpec asserts it on the SQL spelling too).
+  *
+  * Each builder runs at ANALYSIS time and returns the analyzed plan of the
+  * equivalent Scala-API frame, so every SQL query sees the metadata as of
+  * its own analysis — registering a view once and serving stale metadata
+  * forever is exactly what this avoids.
+  *
+  * Registered session-locally by [[graft.functions.GraftFunctions.register]]
+  * and cluster-wide by `graft.functions.GraftExtensions`.
+  */
+object GraftTableFunctions {
+
+  private def str(fn: String, args: Seq[Expression], i: Int): String =
+    args(i) match {
+      case Literal(v, StringType) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a string literal table path, got $other")
+    }
+
+  /** Optional trailing snapshot-version argument (int or long literal). */
+  private def versionArg(fn: String, args: Seq[Expression]): Option[Long] =
+    if (args.length < 2) None
+    else args(1) match {
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case other => throw new IllegalArgumentException(
+        s"$fn: snapshot version must be an integer literal, got $other")
+    }
+
+  private def arity(fn: String, args: Seq[Expression], lo: Int, hi: Int): Unit =
+    require(args.length >= lo && args.length <= hi,
+      s"$fn takes $lo to $hi arguments, got ${args.length}")
+
+  private def versioned(spark: SparkSession, dir: String): Boolean =
+    VersionedHiddenTable.versions(spark, dir).nonEmpty
+
+  private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+
+  private[graft] val fns: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "graft_table" -> { args =>
+      arity("graft_table", args, 1, 2)
+      val spark = SparkSession.active
+      val dir = str("graft_table", args, 0)
+      val v = versionArg("graft_table", args)
+      if (versioned(spark, dir)) plan(VersionedHiddenTable.read(spark, dir, v))
+      else {
+        require(v.isEmpty,
+          s"graft_table: '$dir' is not snapshot-versioned; time travel unavailable")
+        if (HiddenPartitioning.exists(dir))
+          plan(HiddenPartitioning.read(spark, dir))
+        else plan(spark.read.parquet(dir))
+      }
+    },
+    "graft_files" -> { args =>
+      arity("graft_files", args, 1, 2)
+      val spark = SparkSession.active
+      val dir = str("graft_files", args, 0)
+      val v = versionArg("graft_files", args)
+      if (versioned(spark, dir)) plan(VersionedHiddenTable.filesMeta(spark, dir, v))
+      else {
+        require(v.isEmpty,
+          s"graft_files: '$dir' is not snapshot-versioned; time travel unavailable")
+        plan(HiddenPartitioning.filesMeta(spark, dir))
+      }
+    },
+    "graft_partitions" -> { args =>
+      arity("graft_partitions", args, 1, 2)
+      val spark = SparkSession.active
+      val dir = str("graft_partitions", args, 0)
+      val v = versionArg("graft_partitions", args)
+      if (versioned(spark, dir))
+        plan(VersionedHiddenTable.partitionsMeta(spark, dir, v))
+      else {
+        require(v.isEmpty,
+          s"graft_partitions: '$dir' is not snapshot-versioned; time travel unavailable")
+        plan(HiddenPartitioning.partitionsMeta(spark, dir))
+      }
+    },
+    "graft_snapshots" -> { args =>
+      arity("graft_snapshots", args, 1, 1)
+      val spark = SparkSession.active
+      val dir = str("graft_snapshots", args, 0)
+      require(versioned(spark, dir),
+        s"graft_snapshots: '$dir' holds no published snapshots")
+      plan(VersionedHiddenTable.snapshotsMeta(spark, dir))
+    },
+    // column-level stats (null counts, min/max, post-ANALYZE NDV bounds)
+    // for ONE stats-carrying directory — a flat table, an era dir, or a
+    // mart's v=<n>; manifests only, no data scan
+    "graft_columns" -> { args =>
+      arity("graft_columns", args, 1, 1)
+      plan(FileStats.columnsMeta(SparkSession.active,
+        str("graft_columns", args, 0)))
+    })
+}

@@ -151,6 +151,82 @@ class MetaTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!folded(stale), "unlisted files must force a scan")
   }
 
+  test("SQL face: graft_table/graft_files/graft_partitions/graft_snapshots TVFs") {
+    graft.functions.GraftFunctions.register(spark) // installs the table functions
+    val ev = graft.core.Tables.load(spark, dir, "events").drop("props")
+    val path = tmp("graft-meta-sql") + "/t"
+    VersionedHiddenTable.create(spark, path,
+      ev.filter(col("ts") < "2024-01-16"), Seq(HiddenPartitioning.DayT("ts")))
+    VersionedHiddenTable.append(spark, path,
+      ev.filter(col("ts") >= "2024-01-16"), batchId = Some("b-sql"))()
+
+    // the table itself, latest + time travel, entirely through spark.sql
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$path')")
+      .head().getLong(0) == ev.count())
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$path', 0)")
+      .head().getLong(0) == ev.filter(col("ts") < "2024-01-16").count(),
+      "SQL time travel must see exactly the v0 rows")
+    // source columns only — the derived partition columns stay hidden in SQL
+    assert(spark.sql(s"SELECT * FROM graft_table('$path') LIMIT 1")
+      .columns.sorted.toSeq == ev.columns.sorted.toSeq)
+
+    // $files: manifest row counts, no data scan, fresh per query
+    val files = spark.sql(
+      s"SELECT sum(rows) AS n, count(*) AS files FROM graft_files('$path')")
+    noScan(files)
+    assert(files.head().getLong(0) == ev.count())
+    // $partitions aggregates the same manifests
+    val parts = spark.sql(
+      s"SELECT sum(n_rows) AS n FROM graft_partitions('$path')")
+    noScan(parts)
+    assert(parts.head().getLong(0) == ev.count())
+    // $snapshots carries versions and batch ids
+    val snaps = spark.sql(
+      s"SELECT version, batch_ids FROM graft_snapshots('$path') ORDER BY version")
+      .collect()
+    assert(snaps.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(snaps(1).getSeq[String](1) == Seq("b-sql"))
+
+    // freshness: a new append is visible to the NEXT SQL query without any
+    // re-registration (the builder runs per analysis, not per session)
+    VersionedHiddenTable.append(spark, path, ev.limit(5))()
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$path')")
+      .head().getLong(0) == ev.count() + 5)
+    assert(spark.sql(s"SELECT max(version) AS v FROM graft_snapshots('$path')")
+      .head().getLong(0) == 2L)
+
+    // the hidden-partitioned (non-versioned) flavor through the same TVFs
+    val hpPath = tmp("graft-meta-sql-hp")
+    HiddenPartitioning.write(ev, hpPath, Seq(HiddenPartitioning.DayT("ts")))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$hpPath')")
+      .head().getLong(0) == ev.count())
+    val hpFiles = spark.sql(s"SELECT sum(rows) AS n FROM graft_files('$hpPath')")
+    noScan(hpFiles)
+    assert(hpFiles.head().getLong(0) == ev.count())
+    // time travel on a non-versioned table refuses loudly
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table('$hpPath', 0)").collect()
+    }
+
+    // graft_columns: column-level stats for a flat stats-carrying dir,
+    // NDV bounds appearing only after an explicit analyze pass
+    val colPath = tmp("graft-meta-sql-cols")
+    ev.select("event_id", "user_id", "event_type")
+      .repartition(4).write.mode("overwrite").parquet(colPath)
+    FileStats.write(spark, colPath)
+    FileStats.analyze(spark, colPath)
+    val colsDf = spark.sql(
+      s"SELECT column, ndv_lo, ndv_hi, nulls FROM graft_columns('$colPath')")
+    noScan(colsDf)
+    val byName = colsDf.collect().map(r => r.getString(0) -> r).toMap
+    val trueUsers = ev.select("user_id").distinct().count()
+    assert(byName("user_id").getLong(1) <= trueUsers * 1.06,
+      "ndv_lo must not exceed the true distinct count (mod HLL error)")
+    assert(byName("user_id").getLong(2) * 1.06 >= trueUsers,
+      "ndv_hi must cover the true distinct count (mod HLL error)")
+    assert(byName("event_id").getLong(3) == 0, "null counts fold exactly")
+  }
+
   test("an era without a stats manifest fails loudly, never undercounts") {
     val path = tmp("graft-meta-nostats")
     spark.range(0, 10).select(col("id")).write.mode("overwrite").parquet(path)
