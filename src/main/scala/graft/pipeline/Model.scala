@@ -183,10 +183,18 @@ final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.
         case Materialization.ParquetDir(dir) =>
           val path = s"$dir/$n"
           df.write.mode("overwrite").parquet(path)
+          // every materialized model carries per-file stats: bare counts
+          // fold to metadata and key predicates skip files on mart reads,
+          // the same storage contract the registry's s18-s21 tables get
+          graft.sources.FileStats.write(spark, path)
           spark.read.parquet(path)
         case Materialization.Catalog(schemaOf) =>
           val fqn = s"${schemaOf(n)}.$n"
           df.write.mode("overwrite").format("parquet").saveAsTable(fqn)
+          graft.sources.FileStats.write(spark,
+            spark.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(n, Some(schemaOf(n))))
+              .location.toString)
           spark.table(fqn)
         case Materialization.VersionedCatalog(root, schemaOf) =>
           val tableDir = s"$root/${schemaOf(n)}/$n"
@@ -197,8 +205,13 @@ final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.
           // the id outside publishLock (colliding with a concurrent
           // publish). The staged write is invisible until the atomic
           // publish rename commits it.
-          val v = VersionedTable.publish(tableDir,
-            VersionedTable.stage(spark, tableDir, df))
+          val token = VersionedTable.stage(spark, tableDir, df)
+          // the stats manifest lands INSIDE the staged candidate, so it
+          // rides the publish rename — a published version always carries
+          // its per-file stats (count pushdown + skipping on mart reads)
+          graft.sources.FileStats.write(spark,
+            VersionedTable.stagedPath(tableDir, token))
+          val v = VersionedTable.publish(tableDir, token)
           val path = s"$tableDir/v=$v"
           // re-point the catalog name at the new version; prior versions
           // stay readable via VersionedTable.read(tableDir, Some(v)).

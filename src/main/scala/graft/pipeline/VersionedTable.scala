@@ -127,6 +127,13 @@ object VersionedTable {
   private def stagingDir(tableDir: String, token: String) =
     s"$tableDir/_staging/$token"
 
+  /** The staged candidate's directory — for writers that enrich a staged
+    * version BEFORE publish (e.g. landing a `_file_stats.json` manifest so
+    * it rides the atomic publish rename; `_`-prefixed names are invisible
+    * to readers). */
+  def stagedPath(tableDir: String, token: String): String =
+    stagingDir(tableDir, token)
+
   /** Land `df` as a complete STAGED candidate (invisible to [[read]]/
     * [[versions]]); returns the staging token. */
   def stage(spark: SparkSession, tableDir: String, df: DataFrame): String = {

@@ -428,6 +428,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.count() === v1.count())
     assert(cat.inputFiles.forall(_.contains("v=1")),
       s"catalog table must read v=1, reads: ${cat.inputFiles.take(3).mkString(",")}")
+    // the storage contract reaches the parity marts: every published version
+    // carries a per-file stats manifest (it rode the publish rename), so a
+    // bare count folds to metadata and the SQL metadata face answers scan-free
+    assert(new java.io.File(s"$martDir/v=1/${graft.sources.FileStats.StatsFile}").isFile,
+      "published mart versions must carry their stats manifest")
+    graft.sources.HiddenPartitioning.register(spark)
+    val bare = v1.agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(bare.head().getLong(0) == v1.count())
+    assert(bare.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isDefined, "a mart count(*) must fold from the manifest:\n" +
+      bare.queryExecution.optimizedPlan.treeString)
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql(s"SELECT sum(rows) AS n FROM graft_files('$martDir/v=1')")
+      .head().getLong(0) == v1.count(),
+      "graft_files must answer over a mart version from its manifest")
     // vacuum retires v=0; v=1 survives
     assert(VersionedTable.vacuum(martDir, keep = 1) == Seq(0L))
     assert(VersionedTable.versions(martDir) == Seq(1L))
