@@ -2185,6 +2185,85 @@ object RelationalOps extends QueryPack {
            |GROUP BY event_type""".stripMargin),
     doc = "Row-level DELETE (copy-on-write): post-delete snapshot and pre-delete time travel hash-checked in one query (S21/§2.1).")
 
+  // ---- S22: merge-on-read DELETE (equality-delete files) -----------------------
+  // The second Iceberg delete mode (s21 is copy-on-write): the matching
+  // tuples land in a small equality-delete file scoped to the eras that
+  // existed at delete time, NO data file is rewritten, and readers apply
+  // the mask as a broadcast anti join. The query reads three faces in one
+  // hash-gated result: the post-delete latest snapshot (oracle:
+  // NOT(predicate)), pre-delete time travel (oracle: full table), and —
+  // the part that distinguishes merge-on-read from a filter — rows
+  // APPENDED AFTER the delete that are tuple-identical to deleted ones,
+  // which must survive because the delete's era scope excludes the new
+  // era (Iceberg's sequence-number rule). At 100 TB this is the GDPR
+  // erasure path: a keyed delete writes kilobytes now and lets the next
+  // scheduled compaction pay the rewrite.
+  private val s22 = GQuery(
+    "s22_merge_on_read_delete",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val delPred = col("ts") >= "2024-01-10" && col("ts") < "2024-01-14" &&
+        col("user_id").between(3L, 9L) // user ids 0-14 exist at every scale
+      val vhtDir = Tables.scratchOnce(dir, "vht_events_mor_u3_9",
+          done = VHT.completedThrough(_, 3L)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        val ev = t(s, dir, "events")
+        VHT.create(s, path, ev.filter(col("ts") < "2024-01-16"),
+          Seq(graft.sources.HiddenPartitioning.DayT("ts"))): Unit
+        VHT.append(s, path, ev.filter(col("ts") >= "2024-01-16"))() match {
+          case Right(_) => ()
+          case Left(violations) => throw new IllegalStateException(
+            s"s22 WAP audit vetoed the append: ${violations.mkString("; ")}")
+        }
+        val vDel = VHT.deleteMergeOnRead(s, path, delPred)
+        require(vDel == 2L, s"s22 delete must publish snapshot v2, got $vDel")
+        // re-append the 5 smallest deleted tuples VERBATIM: they are newer
+        // than the delete file's era scope and must read back
+        VHT.append(s, path,
+          ev.filter(delPred).orderBy("event_id").limit(5))() match {
+          case Right(_) => ()
+          case Left(violations) => throw new IllegalStateException(
+            s"s22 re-append vetoed: ${violations.mkString("; ")}")
+        }
+      }
+      def slice(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"),
+          min(col("event_id")).as("min_event"))
+        .withColumn("snapshot", lit(tag))
+      slice(VHT.read(s, vhtDir), "with_readds")
+        .unionByName(slice(VHT.read(s, vhtDir, Some(2L)), "post_delete"))
+        .unionByName(slice(VHT.read(s, vhtDir, Some(1L)), "pre_delete"))
+    },
+    Some("""WITH del AS (
+           |  SELECT * FROM events
+           |  WHERE ts >= '2024-01-10' AND ts < '2024-01-14'
+           |    AND user_id BETWEEN 3 AND 9),
+           |readds AS (SELECT * FROM del ORDER BY event_id LIMIT 5),
+           |survivors AS (SELECT * FROM events
+           |  WHERE NOT (ts >= '2024-01-10' AND ts < '2024-01-14'
+           |             AND user_id BETWEEN 3 AND 9))
+           |SELECT 'with_readds' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM (SELECT * FROM survivors UNION ALL SELECT * FROM readds)
+           |GROUP BY event_type
+           |UNION ALL
+           |SELECT 'post_delete' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM survivors GROUP BY event_type
+           |UNION ALL
+           |SELECT 'pre_delete' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM events GROUP BY event_type""".stripMargin),
+    doc = "Merge-on-read DELETE: equality-delete file masks era-scoped reads (no rewrite), tuple-identical re-appends survive, time travel exact — three snapshots hash-checked in one query (S22/§2.1).")
+
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
   // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
@@ -2210,7 +2289,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)

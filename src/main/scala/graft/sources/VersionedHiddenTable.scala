@@ -20,7 +20,10 @@ import HiddenPartitioning.Transform
   *     data/era-<k>/              immutable once some snapshot references it
   *       _partition_spec.json     the era's own spec (written FIRST)
   *       <derived partition dirs>
-  *     v=<n>/_snapshot.json       {"eras":["era-0",...]}  — the snapshot
+  *     data/del-<k>/              equality-delete file (merge-on-read mode):
+  *                                the deleted tuples; applied by readers to
+  *                                the eras its snapshot entry covers
+  *     v=<n>/_snapshot.json       {"eras":[...], "dels":[{dir,over},...]}
   *     v=<n>/_batch-<id>          optional replay-idempotency marker
   *     _staging/<token>/          staged snapshot manifests (WAP)
   * }}}
@@ -52,6 +55,13 @@ object VersionedHiddenTable {
   private val publishLock = new Object
   private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** One equality-delete file (merge-on-read): `dir` holds the deleted
+    * tuples under `data/`, `over` names the eras it applies to — exactly
+    * the eras that existed when the delete was issued, so rows APPENDED
+    * later that happen to equal a deleted tuple are untouched (Iceberg's
+    * sequence-number scoping, spelled as an era set). */
+  private[sources] final case class Del(dir: String, over: Set[String])
+
   private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
@@ -72,19 +82,28 @@ object VersionedHiddenTable {
   private def eraPath(tableDir: String, era: String) = s"$tableDir/data/$era"
 
   /** Era names (`era-<k>`) listed by snapshot `v`. */
-  private def snapshotEras(spark: SparkSession, tableDir: String, v: Long): Seq[String] = {
+  private def snapshotEras(spark: SparkSession, tableDir: String, v: Long): Seq[String] =
+    snapshot(spark, tableDir, v)._1
+
+  /** (eras, equality-delete files) listed by snapshot `v`. Pre-merge-on-read
+    * snapshots carry no `dels` field and read as delete-free. */
+  private def snapshot(spark: SparkSession, tableDir: String,
+      v: Long): (Seq[String], Seq[Del]) = {
     val (fs, _) = fsFor(spark, tableDir)
     val f = new Path(s"$tableDir/v=$v", SnapshotFile)
     val in = fs.open(f)
-    val bytes = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val tmp = new Array[Byte](4096)
-      var n = in.read(tmp)
-      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-      buf.toByteArray
-    } finally in.close()
-    val eras = new ObjectMapper().readTree(bytes).get("eras")
-    (0 until eras.size()).map(eras.get(_).asText())
+    val bytes = try in.readAllBytes() finally in.close()
+    val node = new ObjectMapper().readTree(bytes)
+    val eras = node.get("eras")
+    val dels = Option(node.get("dels")).map { ds =>
+      (0 until ds.size()).map { i =>
+        val d = ds.get(i)
+        val over = d.get("over")
+        Del(d.get("dir").asText(),
+          (0 until over.size()).map(over.get(_).asText()).toSet)
+      }
+    }.getOrElse(Seq.empty)
+    ((0 until eras.size()).map(eras.get(_).asText()), dels)
   }
 
   /** Next unused era number — scans `data/` (NOT just the latest snapshot:
@@ -95,6 +114,15 @@ object VersionedHiddenTable {
     val used = ls(fs, new Path(s"$tableDir/data"))
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("era-") => n.stripPrefix("era-").toInt }
+    if (used.isEmpty) 0 else used.max + 1
+  }
+
+  /** Next unused delete-file number — same scan discipline as [[nextEraId]]. */
+  private def nextDelId(spark: SparkSession, tableDir: String): Int = {
+    val (fs, _) = fsFor(spark, tableDir)
+    val used = ls(fs, new Path(s"$tableDir/data"))
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("del-") => n.stripPrefix("del-").toInt }
     if (used.isEmpty) 0 else used.max + 1
   }
 
@@ -117,19 +145,50 @@ object VersionedHiddenTable {
 
   /** Union read over an explicit era list (the snapshot's or a staged
     * candidate's), each era pruned under its own spec by
-    * [[HiddenPartitionPruning]]. */
-  private def readEras(spark: SparkSession, tableDir: String, eras: Seq[String]): DataFrame = {
-    val frames = eras.map(eraPath(tableDir, _))
-      .filter(p => HiddenPartitioning.eraHasData(spark, p))
-      .map(HiddenPartitioning.readEra(spark, _))
+    * [[HiddenPartitionPruning]] and then, merge-on-read style, anti-joined
+    * against the equality-delete files covering it. The delete side is
+    * broadcast — equality deletes are keyed slices by construction; a
+    * delete too big to broadcast is what the copy-on-write [[delete]] (or
+    * a [[compact]] right after) is for. */
+  private def readEras(spark: SparkSession, tableDir: String, eras: Seq[String],
+      dels: Seq[Del] = Nil): DataFrame = {
+    val frames = eras
+      .filter(e => HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e)))
+      .map { e =>
+        val base = HiddenPartitioning.readEra(spark, eraPath(tableDir, e))
+        val covering = dels.filter(_.over.contains(e))
+        if (covering.isEmpty) base
+        else {
+          val delDf = covering
+            .map(d => spark.read.parquet(s"$tableDir/data/${d.dir}"))
+            .reduce(_.unionByName(_))
+          antiJoinAll(base, delDf)
+        }
+      }
     require(frames.nonEmpty, s"no readable era among $eras under $tableDir")
     frames.reduce(_.unionByName(_))
+  }
+
+  /** Remove from `base` every row whose FULL tuple null-safe-equals a row of
+    * `del`. Equality over all columns is exactly predicate-delete semantics:
+    * a predicate is a function of the row, so all copies of a matching
+    * tuple match together — the anti join deletes them all, duplicates
+    * included, and never touches a non-matching tuple. */
+  private def antiJoinAll(base: DataFrame, del: DataFrame): DataFrame = {
+    val d = org.apache.spark.sql.functions.broadcast(
+      del.select(base.columns.map(org.apache.spark.sql.functions.col).toSeq: _*))
+    val cond = base.columns.map(c => base(c) <=> d(c)).reduce(_ && _)
+    base.join(d, cond, "left_anti")
   }
 
   /** Stage a snapshot manifest; returns the staging token.
     * (`private[graft]`: fault-injection tests build torn commit states.) */
   private[graft] def stageSnapshot(spark: SparkSession, tableDir: String,
-      eras: Seq[String], batchId: Option[String]): String = {
+      eras: Seq[String], batchId: Option[String]): String =
+    stageSnapshotDels(spark, tableDir, eras, Nil, batchId)
+
+  private def stageSnapshotDels(spark: SparkSession, tableDir: String,
+      eras: Seq[String], dels: Seq[Del], batchId: Option[String]): String = {
     val token = s"w${stageSeq.incrementAndGet()}-${System.nanoTime()}"
     val dir = new Path(s"$tableDir/_staging/$token")
     val (fs, _) = fsFor(spark, tableDir)
@@ -137,6 +196,15 @@ object VersionedHiddenTable {
     val node = mapper.createObjectNode()
     val arr = node.putArray("eras")
     eras.foreach(arr.add)
+    if (dels.nonEmpty) {
+      val darr = node.putArray("dels")
+      dels.foreach { d =>
+        val o = darr.addObject()
+        o.put("dir", d.dir): Unit
+        val ov = o.putArray("over")
+        d.over.toSeq.sorted.foreach(ov.add)
+      }
+    }
     val out = fs.create(new Path(dir, SnapshotFile), false)
     out.write(node.toString.getBytes("UTF-8"))
     out.close()
@@ -236,7 +304,8 @@ object VersionedHiddenTable {
       transforms: Seq[Transform], batchId: Option[String] = None)(
       audit: DataFrame => Seq[String] = _ => Nil): Either[Seq[String], Long] = {
     val vs = versions(spark, tableDir)
-    val eras = if (vs.isEmpty) Nil else snapshotEras(spark, tableDir, vs.max)
+    val (eras, dels) =
+      if (vs.isEmpty) (Nil, Nil) else snapshot(spark, tableDir, vs.max)
     val spec =
       if (eras.nonEmpty) currentSpec(spark, tableDir, eras)
       else {
@@ -245,9 +314,11 @@ object VersionedHiddenTable {
         transforms
       }
     val era = writeEra(spark, tableDir, df, spec)
+    // delete files carry forward UNCHANGED: the new era is outside every
+    // del's `over` set, so re-appended tuples equal to deleted ones survive
     val staged = eras :+ era
-    val token = stageSnapshot(spark, tableDir, staged, batchId)
-    val violations = try audit(readEras(spark, tableDir, staged))
+    val token = stageSnapshotDels(spark, tableDir, staged, dels, batchId)
+    val violations = try audit(readEras(spark, tableDir, staged, dels))
     catch { case e: Throwable => abort(spark, tableDir, token); throw e }
     if (violations.isEmpty) Right(publish(spark, tableDir, token))
     else { abort(spark, tableDir, token); Left(violations) }
@@ -262,20 +333,23 @@ object VersionedHiddenTable {
     require(transforms.nonEmpty, "declare at least one partition transform")
     val vs = versions(spark, tableDir)
     require(vs.nonEmpty, s"cannot evolve a table that was never created: $tableDir")
-    val eras = snapshotEras(spark, tableDir, vs.max)
+    val (eras, dels) = snapshot(spark, tableDir, vs.max)
     val era = s"era-${nextEraId(spark, tableDir)}"
     HiddenPartitioning.writeSpecFile(spark, eraPath(tableDir, era), transforms)
-    publish(spark, tableDir, stageSnapshot(spark, tableDir, eras :+ era, None))
+    publish(spark, tableDir,
+      stageSnapshotDels(spark, tableDir, eras :+ era, dels, None))
   }
 
   /** Latest (or time-travel) read: union of the snapshot's eras, source
-    * columns only, each era pruned under its own spec. */
+    * columns only, each era pruned under its own spec, merge-on-read
+    * deletes applied. */
   def read(spark: SparkSession, tableDir: String, version: Option[Long] = None): DataFrame = {
     val vs = versions(spark, tableDir)
     require(vs.nonEmpty, s"no snapshots under $tableDir")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"snapshot $v not retained (have ${vs.mkString(",")})")
-    readEras(spark, tableDir, snapshotEras(spark, tableDir, v))
+    val (eras, dels) = snapshot(spark, tableDir, v)
+    readEras(spark, tableDir, eras, dels)
   }
 
   /** Row-level DELETE with snapshot semantics — the Iceberg `DELETE FROM`
@@ -310,21 +384,64 @@ object VersionedHiddenTable {
     HiddenPartitioning.register(spark) // the probe's pruning license
     val vs = versions(spark, tableDir)
     require(vs.nonEmpty, s"no snapshots under $tableDir")
-    val eras = snapshotEras(spark, tableDir, vs.max)
+    val (eras, dels) = snapshot(spark, tableDir, vs.max)
     val spec = currentSpec(spark, tableDir, eras)
+    // one era's VISIBLE rows: raw files minus the merge-on-read deletes
+    // covering it — a copy-on-write rewrite over a table carrying equality
+    // deletes must fold them in, or the rewrite would resurrect them
+    def visible(e: String): DataFrame = {
+      val base = HiddenPartitioning.readEra(spark, eraPath(tableDir, e))
+      val covering = dels.filter(_.over.contains(e))
+      if (covering.isEmpty) base
+      else antiJoinAll(base, covering
+        .map(d => spark.read.parquet(s"$tableDir/data/${d.dir}"))
+        .reduce(_.unionByName(_)))
+    }
     val touched = eras.filter { e =>
-      val p = eraPath(tableDir, e)
-      HiddenPartitioning.eraHasData(spark, p) &&
-        !HiddenPartitioning.readEra(spark, p).filter(predicate).isEmpty
+      HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e)) &&
+        !visible(e).filter(predicate).isEmpty
     }
     if (touched.isEmpty) return vs.max
     val rewritten = touched.map { e =>
-      val survivors = HiddenPartitioning.readEra(spark, eraPath(tableDir, e))
-        .filter(not(coalesce(predicate, lit(false))))
-      writeEra(spark, tableDir, survivors, spec)
+      writeEra(spark, tableDir,
+        visible(e).filter(not(coalesce(predicate, lit(false)))), spec)
     }
     val kept = eras.filterNot(touched.contains)
-    publish(spark, tableDir, stageSnapshot(spark, tableDir, kept ++ rewritten, None))
+    // deletes whose covered eras were all rewritten are fully folded in;
+    // the rest still guard their surviving eras (the rewritten eras carry
+    // new names, so no del ever covers them)
+    val keptDels = dels.filter(_.over.intersect(kept.toSet).nonEmpty)
+    publish(spark, tableDir,
+      stageSnapshotDels(spark, tableDir, kept ++ rewritten, keptDels, None))
+  }
+
+  /** Merge-on-read DELETE — the second Iceberg delete mode (equality-delete
+    * files): instead of rewriting any data, the matching VISIBLE tuples are
+    * written to a small `data/del-<k>/` file and the new snapshot lists it
+    * as covering exactly the current eras. Readers anti-join covered eras
+    * against their delete files ([[readEras]]); rows appended AFTER the
+    * delete are outside its `over` set and survive even if tuple-equal —
+    * Iceberg's sequence-number scoping. Write cost is one filtered scan of
+    * the matching rows (at 100 TB: a keyed GDPR erasure writes kilobytes,
+    * rewrites nothing); read cost is a broadcast anti join until a
+    * [[compact]] folds the deletes into a clean era. Older snapshots never
+    * list the new delete file, so time travel still reads the deleted rows.
+    * Returns the published version, or the current version when nothing
+    * matches. Admin-serialized like [[delete]]. */
+  def deleteMergeOnRead(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    HiddenPartitioning.register(spark)
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no snapshots under $tableDir")
+    val (eras, dels) = snapshot(spark, tableDir, vs.max)
+    val matching = readEras(spark, tableDir, eras, dels).filter(predicate)
+    if (matching.isEmpty) return vs.max
+    val del = s"del-${nextDelId(spark, tableDir)}"
+    matching.write.parquet(s"$tableDir/data/$del") // errorifexists: id fresh
+    val covered = eras.filter(e =>
+      HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e))).toSet
+    publish(spark, tableDir, stageSnapshotDels(spark, tableDir, eras,
+      dels :+ Del(del, covered), None))
   }
 
   /** Iceberg's `rewrite_data_files`: rewrite ALL rows of the latest
@@ -349,9 +466,12 @@ object VersionedHiddenTable {
     require(targetBytes > 0, "targetBytes must be positive")
     val vs = versions(spark, tableDir)
     require(vs.nonEmpty, s"no snapshots under $tableDir")
-    val eras = snapshotEras(spark, tableDir, vs.max)
+    val (eras, dels) = snapshot(spark, tableDir, vs.max)
     val spec = currentSpec(spark, tableDir, eras)
-    val rows = readEras(spark, tableDir, eras)
+    // the rewrite reads THROUGH the merge-on-read deletes, so the compacted
+    // snapshot lists none — compaction is what retires equality-delete
+    // files, exactly Iceberg's rewrite_data_files contract
+    val rows = readEras(spark, tableDir, eras, dels)
     val shaped =
       if (clusterBy.isEmpty) rows
       else {
@@ -396,19 +516,25 @@ object VersionedHiddenTable {
     stale.foreach(st => fs.delete(st.getPath, true): Unit)
     val stagedRefs = inFlight.flatMap { st =>
       try {
-        val token = st.getPath.getName
         val f = new Path(st.getPath, SnapshotFile)
         if (!fs.exists(f)) Nil
         else {
           val in = fs.open(f)
           val bytes = try in.readAllBytes() finally in.close()
-          val eras = new ObjectMapper().readTree(bytes).get("eras")
-          (0 until eras.size()).map(eras.get(_).asText())
+          val node = new ObjectMapper().readTree(bytes)
+          val eras = node.get("eras")
+          val eraNames = (0 until eras.size()).map(eras.get(_).asText())
+          val delNames = Option(node.get("dels")).toSeq.flatMap(ds =>
+            (0 until ds.size()).map(ds.get(_).get("dir").asText()))
+          eraNames ++ delNames
         }
       } catch { case scala.util.control.NonFatal(_) => Nil }
     }
     val referenced = versions(spark, tableDir)
-      .flatMap(snapshotEras(spark, tableDir, _)).toSet ++ stagedRefs
+      .flatMap { v =>
+        val (eras, dels) = snapshot(spark, tableDir, v)
+        eras ++ dels.map(_.dir)
+      }.toSet ++ stagedRefs
     ls(fs, new Path(s"$tableDir/data"))
       .filter(st => !referenced.contains(st.getPath.getName))
       .foreach(st => fs.delete(st.getPath, true): Unit)
@@ -426,11 +552,13 @@ object VersionedHiddenTable {
     val vs = versions(spark, tableDir)
     vs.nonEmpty && vs.max >= minVersion && {
       val (fs, _) = fsFor(spark, tableDir)
-      snapshotEras(spark, tableDir, vs.max).forall { era =>
+      val (eras, dels) = snapshot(spark, tableDir, vs.max)
+      eras.forall { era =>
         val p = eraPath(tableDir, era)
         !HiddenPartitioning.eraHasData(spark, p) ||
           fs.exists(new Path(p, "_SUCCESS"))
-      }
+      } && dels.forall(d =>
+        fs.exists(new Path(s"$tableDir/data/${d.dir}", "_SUCCESS")))
     }
   }
 
@@ -438,7 +566,9 @@ object VersionedHiddenTable {
     * data file of every era the snapshot references, with its partition
     * directory and EXACT row count — aggregated from the per-era stats
     * manifests, no data scan (see [[HiddenPartitioning.filesMeta]] for the
-    * scale rationale; the s19 oracle gate proves the counts exact). */
+    * scale rationale; the s19 oracle gate proves the counts exact).
+    * PHYSICAL view, like Iceberg's: rows masked by not-yet-compacted
+    * merge-on-read delete files are still counted — [[compact]] reconciles. */
   def filesMeta(spark: SparkSession, tableDir: String,
       version: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val vs = versions(spark, tableDir)

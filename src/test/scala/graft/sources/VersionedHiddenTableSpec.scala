@@ -271,6 +271,60 @@ class VersionedHiddenTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dataEras(t).size == 1, "only the compacted era survives the vacuum")
   }
 
+  test("merge-on-read delete: no rewrite, era-scoped masking, re-appends survive, compact folds") {
+    val t = tmp("mor")
+    val ev = events
+    VersionedHiddenTable.create(spark, t, ev.filter(col("ts") < "2024-01-16"),
+      Seq(HiddenPartitioning.DayT("ts")))
+    VersionedHiddenTable.append(spark, t, ev.filter(col("ts") >= "2024-01-16"))()
+    val erasBefore = dataEras(t)
+    val pred = col("user_id") < 15L
+    val vDel = VersionedHiddenTable.deleteMergeOnRead(spark, t, pred)
+    assert(vDel == 2L)
+    // ZERO data rewritten: same era dirs, one new del- dir
+    assert(dataEras(t).filter(_.startsWith("era-")) == erasBefore,
+      "merge-on-read must not touch any era")
+    assert(dataEras(t).count(_.startsWith("del-")) == 1,
+      "the deleted tuples land in one delete file")
+    val expect = ev.filter(!(col("user_id") < 15L))
+    assert(ids(VersionedHiddenTable.read(spark, t)) == ids(expect),
+      "readers must mask exactly the matching rows")
+    assert(ids(VersionedHiddenTable.read(spark, t, Some(1L))) == ids(ev),
+      "pre-delete snapshots still read the deleted rows")
+    // era scoping: re-append TUPLE-IDENTICAL rows — they are NEWER than the
+    // delete (outside its `over` set) and must survive
+    // ordered limit: a bare limit re-executes nondeterministically between
+    // the ids() capture and the append
+    val readded = ev.filter(col("user_id") < 15L).orderBy("event_id").limit(7)
+    val readdedIds = ids(readded)
+    VersionedHiddenTable.append(spark, t, readded)()
+    val afterReadd = ids(VersionedHiddenTable.read(spark, t))
+    assert(afterReadd == (ids(expect) ++ readdedIds).sorted,
+      "rows appended after an equality delete must survive it")
+    // a second MoR delete over the composite: masks the re-added rows too
+    VersionedHiddenTable.deleteMergeOnRead(spark, t, col("user_id") < 15L)
+    assert(ids(VersionedHiddenTable.read(spark, t)) == ids(expect))
+    // copy-on-write delete over a del-carrying table folds the masks in —
+    // it must never resurrect masked rows
+    val vCow = VersionedHiddenTable.delete(spark, t, col("ts") >= "2024-01-20")
+    val expect2 = expect.filter(!(col("ts") >= "2024-01-20"))
+    assert(ids(VersionedHiddenTable.read(spark, t)) == ids(expect2),
+      "CoW over merge-on-read state must fold, not resurrect")
+    // compact retires the delete files entirely; rows unchanged
+    val vc = VersionedHiddenTable.compact(spark, t)
+    assert(ids(VersionedHiddenTable.read(spark, t, Some(vc))) == ids(expect2))
+    // time travel across the whole history still exact
+    assert(ids(VersionedHiddenTable.read(spark, t, Some(vDel))) == ids(expect))
+    assert(ids(VersionedHiddenTable.read(spark, t, Some(0L))) ==
+      ids(ev.filter(col("ts") < "2024-01-16")))
+    // vacuum reclaims the now-unreferenced delete files with the old eras
+    VersionedHiddenTable.vacuum(spark, t, keep = 1)
+    assert(dataEras(t).count(_.startsWith("del-")) == 0,
+      "vacuum must reclaim unreferenced delete files")
+    assert(dataEras(t).size == 1)
+    assert(ids(VersionedHiddenTable.read(spark, t)) == ids(expect2))
+  }
+
   test("vacuum grace window: a freshly staged append survives; grace 0 sweeps it") {
     val t = tmp("grace")
     val ev = events
