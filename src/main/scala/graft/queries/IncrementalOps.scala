@@ -421,5 +421,42 @@ object IncrementalOps extends QueryPack {
            |FROM orders GROUP BY 1""".stripMargin),
     doc = "Dynamic partition overwrite: the patch batch replaces only its partitions (I10).")
 
-  override val all: Seq[GQuery] = Seq(i1, i2, i3, i4, i5, i6, i7, i8, i9, i10)
+  // ---- I11: changelog-driven incremental aggregate maintenance ------------------
+  // The reason a changelog exists: a downstream aggregate kept current WITHOUT
+  // rescanning the table. A per-user (count, sum) materialized at snapshot v1
+  // is folded forward by applying the signed deltas of changes((v1, v5]) —
+  // +1/-1 per insert/delete, ±value on the decimal sum (decimal, so the
+  // update-then-rollback round trip cancels EXACTLY; a double sum would
+  // leave rounding residue and fail the hash). The oracle recomputes the v5
+  // state from scratch, so the gate proves incremental-equals-rebuild across
+  // a history containing a merge-on-read delete, a compaction (no deltas),
+  // a copy-on-write update, and a rollback. At 100 TB this is the only
+  // affordable shape: the fold's cost is the changed rows, not the corpus.
+  private val i11 = GQuery(
+    "i11_changelog_incremental_agg",
+    (s, dir) => {
+      val vhtDir = RelationalOps.vhtCdcEvents(s, dir)
+      val VHT = graft.sources.VersionedHiddenTable
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+      val base = VHT.read(s, vhtDir, Some(1L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n0"), sum(dec(col("value"))).as("t0"))
+      val delta = VHT.changes(s, vhtDir, 1L, Some(5L))
+        .withColumn("sign",
+          when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("sign")).as("dn"), sum(dec(col("value")) * col("sign")).as("dv"))
+      base.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("t0"), lit(0).cast("decimal(18,4)")) +
+            coalesce(col("dv"), lit(0).cast("decimal(18,4)"))).cast("double").as("total"))
+        .filter(col("n") > 0)
+    },
+    Some("""SELECT user_id, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+           |FROM events WHERE user_id >= 10 GROUP BY user_id""".stripMargin),
+    doc = "Incremental aggregate maintenance off the changelog: v1 materialization + signed CDC deltas reproduce the v5 state exactly, hash-proven against a from-scratch rebuild (I11/§2.5).")
+
+  override val all: Seq[GQuery] = Seq(i1, i2, i3, i4, i5, i6, i7, i8, i9, i10, i11)
 }

@@ -2264,6 +2264,232 @@ object RelationalOps extends QueryPack {
            |FROM events GROUP BY event_type""".stripMargin),
     doc = "Merge-on-read DELETE: equality-delete file masks era-scoped reads (no rewrite), tuple-identical re-appends survive, time travel exact — three snapshots hash-checked in one query (S22/§2.1).")
 
+  // ---- S23: row-level UPDATE with snapshot semantics ---------------------------
+  // The second half of the Iceberg DML contract (s21/s22 are DELETE; Athena
+  // Iceberg takes UPDATE ... SET ... WHERE on the reference's tables,
+  // dbt_project.yml:40-43), copy-on-write mode: rewrite only the eras whose
+  // partition dirs + per-file stats say the predicate CAN match, applying
+  // the SET assignments to matching rows (FALSE/NULL rows pass through
+  // verbatim — SQL UPDATE semantics), publish a new snapshot, keep older
+  // snapshots reading the pre-update values. The query reads both contract
+  // faces in one hash-gated result: the post-update latest snapshot (oracle:
+  // CASE WHEN recompute — one SET moves rows ACROSS group keys, so a
+  // mis-scoped update cannot hide inside its group) and time-travel v1
+  // (oracle: the untouched table). At 100 TB a keyed correction rewrites
+  // one era's matching files' rows, not the table.
+  private val s23 = GQuery(
+    "s23_row_level_update",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val upPred = col("ts") >= "2024-01-18" && col("ts") < "2024-01-25" &&
+        col("user_id").between(10L, 40L)
+      val vhtDir = Tables.scratchOnce(dir, "vht_events_upd",
+          done = VHT.completedThrough(_, 2L)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        val ev = t(s, dir, "events")
+        VHT.create(s, path, ev.filter(col("ts") < "2024-01-16"),
+          Seq(graft.sources.HiddenPartitioning.DayT("ts"))): Unit
+        VHT.append(s, path, ev.filter(col("ts") >= "2024-01-16"))() match {
+          case Right(_) => ()
+          case Left(violations) => throw new IllegalStateException(
+            s"s23 WAP audit vetoed the append: ${violations.mkString("; ")}")
+        }
+        val vUp = VHT.update(s, path, upPred, Map(
+          "value" -> (col("value") * 2),
+          "event_type" -> concat(col("event_type"), lit("_corrected"))))
+        require(vUp == 2L, s"s23 update must publish snapshot v2, got $vUp")
+      }
+      def slice(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"),
+          min(col("event_id")).as("min_event"))
+        .withColumn("snapshot", lit(tag))
+      slice(VHT.read(s, vhtDir), "post_update")
+        .unionByName(slice(VHT.read(s, vhtDir, Some(1L)), "pre_update"))
+    },
+    Some("""WITH upd AS (
+           |  SELECT event_id,
+           |    CASE WHEN (ts >= '2024-01-18' AND ts < '2024-01-25'
+           |               AND user_id BETWEEN 10 AND 40)
+           |         THEN event_type || '_corrected' ELSE event_type END AS event_type,
+           |    CASE WHEN (ts >= '2024-01-18' AND ts < '2024-01-25'
+           |               AND user_id BETWEEN 10 AND 40)
+           |         THEN value * 2 ELSE value END AS value
+           |  FROM events)
+           |SELECT 'post_update' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM upd GROUP BY event_type
+           |UNION ALL
+           |SELECT 'pre_update' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM events GROUP BY event_type""".stripMargin),
+    doc = "Row-level UPDATE (copy-on-write): SET moves rows across group keys, post-update snapshot and pre-update time travel hash-checked in one query (S23/§2.1).")
+
+  /** Scratch versioned table whose snapshot history exercises every DML op
+    * class — shared by s24 (changelog scan) and i11 (changelog-driven
+    * incremental maintenance). History: v0 create(first half) → v1
+    * append(rest) → v2 merge-on-read DELETE(user_id<10) → v3 compact
+    * (op=replace: no logical change) → v4 copy-on-write UPDATE(user_id
+    * 20–29: value+100) → v5 rollback to v2 (net reversal of the update). */
+  private[queries] def vhtCdcEvents(s: SparkSession, dir: String): String = {
+    graft.sources.HiddenPartitioning.register(s)
+    val VHT = graft.sources.VersionedHiddenTable
+    Tables.scratchOnce(dir, "vht_events_cdc_u10_14",
+        done = VHT.completedThrough(_, 5L)) { path =>
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+      val ev = t(s, dir, "events")
+      VHT.create(s, path, ev.filter(col("ts") < "2024-01-16"),
+        Seq(graft.sources.HiddenPartitioning.DayT("ts"))): Unit
+      VHT.append(s, path, ev.filter(col("ts") >= "2024-01-16"))() match {
+        case Right(_) => ()
+        case Left(violations) => throw new IllegalStateException(
+          s"cdc append vetoed: ${violations.mkString("; ")}")
+      }
+      val v2 = VHT.deleteMergeOnRead(s, path, col("user_id") < 10L)
+      require(v2 == 2L, s"cdc delete must publish v2, got $v2")
+      val v3 = VHT.compact(s, path)
+      require(v3 == 3L, s"cdc compact must publish v3, got $v3")
+      val v4 = VHT.update(s, path, col("user_id").between(10L, 14L),
+        Map("value" -> (col("value") + 100)))
+      require(v4 == 4L, s"cdc update must publish v4, got $v4")
+      val v5 = VHT.rollback(s, path, 2L)
+      require(v5 == 5L, s"cdc rollback must publish v5, got $v5")
+    }
+  }
+
+  // ---- S24: changelog (CDC) scan ------------------------------------------------
+  // Iceberg's changelog read / Delta's change data feed over the snapshot
+  // history: the net row-level changes of (v0, v5], one history step per
+  // commit. The oracle states each step's expected net from the base table:
+  // commit 1 = the appended rows as inserts; commit 2 = the merge-on-read
+  // delete's rows as deletes; commit 3 (compaction, op=replace) contributes
+  // NOTHING — rows whose physical layout was rewritten are not changes;
+  // commit 4 = the update as its old images (deletes) + new images
+  // (inserts); commit 5 (rollback) = the update's exact reversal. The
+  // changelog is era-aware: a step scans only the eras (or delete files)
+  // that step touched, never the carried-over table — at 100 TB the feed is
+  // priced by what changed, which is what makes downstream incremental
+  // consumption (i11) viable at all.
+  private val s24 = GQuery(
+    "s24_changelog_scan",
+    (s, dir) => {
+      val vhtDir = vhtCdcEvents(s, dir)
+      graft.sources.VersionedHiddenTable.changes(s, vhtDir, 0L)
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"),
+          min(col("event_id")).as("min_event"))
+    },
+    Some("""WITH steps AS (
+           |  SELECT 1 AS commit_version, 'insert' AS change_type,
+           |         event_type, value, event_id
+           |  FROM events WHERE ts >= '2024-01-16'
+           |  UNION ALL
+           |  SELECT 2, 'delete', event_type, value, event_id
+           |  FROM events WHERE user_id < 10
+           |  UNION ALL
+           |  SELECT 4, 'delete', event_type, value, event_id
+           |  FROM events WHERE user_id BETWEEN 10 AND 14
+           |  UNION ALL
+           |  SELECT 4, 'insert', event_type, value + 100, event_id
+           |  FROM events WHERE user_id BETWEEN 10 AND 14
+           |  UNION ALL
+           |  SELECT 5, 'insert', event_type, value, event_id
+           |  FROM events WHERE user_id BETWEEN 10 AND 14
+           |  UNION ALL
+           |  SELECT 5, 'delete', event_type, value + 100, event_id
+           |  FROM events WHERE user_id BETWEEN 10 AND 14)
+           |SELECT commit_version, change_type, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM steps GROUP BY 1, 2, 3""".stripMargin),
+    doc = "Changelog (CDC) scan: net per-commit inserts/deletes across append, merge-on-read delete, compaction (no-op), copy-on-write update, and rollback — era-aware, hash-checked per step (S24/§2.1).")
+
+  // ---- S25: storage-level MERGE (CDC upsert-apply, merge-on-read) ---------------
+  // The upsert workhorse incremental pipelines publish through (dbt
+  // `incremental`, Iceberg `MERGE INTO` — i9 builds the multi-clause
+  // conditional form at the query level; this is the STORAGE contract): one
+  // CDC batch = one published snapshot carrying one equality-delete file
+  // (the matched pre-images) and one new era (the upserts) — matched keys
+  // replaced, new keys inserted, deleteWhen keys removed, nothing rewritten.
+  // The query reads both faces hash-gated: the post-merge latest (oracle:
+  // keep ∪ upserts ∪ inserts recomputed from the base table) and pre-merge
+  // time travel (oracle: the untouched table). At 100 TB a CDC batch costs
+  // a broadcast key semi-join plus the batch write — the table itself is
+  // never rewritten until a scheduled compaction.
+  private val s25 = GQuery(
+    "s25_storage_merge",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val vhtDir = Tables.scratchOnce(dir, "vht_events_merge",
+          done = VHT.completedThrough(_, 2L)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        val ev = t(s, dir, "events")
+        VHT.create(s, path, ev.filter(col("ts") < "2024-01-16"),
+          Seq(graft.sources.HiddenPartitioning.DayT("ts"))): Unit
+        VHT.append(s, path, ev.filter(col("ts") >= "2024-01-16"))() match {
+          case Right(_) => ()
+          case Left(violations) => throw new IllegalStateException(
+            s"s25 WAP audit vetoed the append: ${violations.mkString("; ")}")
+        }
+        // the CDC batch: updates (users 10-14), tombstones (users 5-7),
+        // brand-new keys (users 8-9 shifted out of the key space)
+        val upserts = ev.filter(col("user_id").between(10L, 14L))
+          .withColumn("event_type", lit("merged"))
+          .withColumn("value", col("value") + 1000)
+        val tombstones = ev.filter(col("user_id").between(5L, 7L))
+          .withColumn("event_type", lit("__deleted__"))
+        val inserts = ev.filter(col("user_id").between(8L, 9L))
+          .withColumn("event_id", col("event_id") + 10000000L)
+          .withColumn("event_type", lit("inserted"))
+        val vM = VHT.merge(s, path,
+          upserts.unionByName(tombstones).unionByName(inserts), Seq("event_id"),
+          deleteWhen = Some(col("event_type") === "__deleted__"),
+          batchId = Some("s25-batch"))
+        require(vM == 2L, s"s25 merge must publish snapshot v2, got $vM")
+      }
+      def slice(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"),
+          min(col("event_id")).as("min_event"))
+        .withColumn("snapshot", lit(tag))
+      slice(VHT.read(s, vhtDir), "post_merge")
+        .unionByName(slice(VHT.read(s, vhtDir, Some(1L)), "pre_merge"))
+    },
+    Some("""WITH merged AS (
+           |  SELECT event_id, 'merged' AS event_type, value + 1000 AS value
+           |  FROM events WHERE user_id BETWEEN 10 AND 14
+           |  UNION ALL
+           |  SELECT event_id + 10000000, 'inserted', value
+           |  FROM events WHERE user_id BETWEEN 8 AND 9
+           |  UNION ALL
+           |  SELECT event_id, event_type, value
+           |  FROM events
+           |  WHERE user_id NOT BETWEEN 5 AND 7 AND user_id NOT BETWEEN 10 AND 14)
+           |SELECT 'post_merge' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM merged GROUP BY event_type
+           |UNION ALL
+           |SELECT 'pre_merge' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM events GROUP BY event_type""".stripMargin),
+    doc = "Storage-level MERGE (merge-on-read CDC apply): upserts + inserts + tombstone deletes in one snapshot, post-merge and pre-merge time travel hash-checked (S25/§2.1).")
+
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
   // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
@@ -2289,7 +2515,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)

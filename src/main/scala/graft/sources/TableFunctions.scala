@@ -18,6 +18,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *   SELECT * FROM graft_files('/data/events')              -- $files
   *   SELECT * FROM graft_partitions('/data/events')         -- $partitions
   *   SELECT * FROM graft_snapshots('/data/events')          -- $snapshots
+  *   SELECT * FROM graft_changes('/data/events', 2)         -- CDC (v2, latest]
+  *   SELECT * FROM graft_changes('/data/events', 2, 5)      -- CDC (v2, v5]
   * }}}
   *
   * `graft_table` auto-detects the storage flavor: a snapshot-versioned
@@ -44,15 +46,17 @@ object GraftTableFunctions {
         s"$fn: argument ${i + 1} must be a string literal table path, got $other")
     }
 
-  /** Optional trailing snapshot-version argument (int or long literal). */
-  private def versionArg(fn: String, args: Seq[Expression]): Option[Long] =
-    if (args.length < 2) None
-    else args(1) match {
-      case Literal(v: Int, IntegerType) => Some(v.toLong)
-      case Literal(v: Long, LongType) => Some(v)
+  private def longArg(fn: String, args: Seq[Expression], i: Int): Long =
+    args(i) match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, LongType) => v
       case other => throw new IllegalArgumentException(
         s"$fn: snapshot version must be an integer literal, got $other")
     }
+
+  /** Optional trailing snapshot-version argument (int or long literal). */
+  private def versionArg(fn: String, args: Seq[Expression]): Option[Long] =
+    if (args.length < 2) None else Some(longArg(fn, args, 1))
 
   private def arity(fn: String, args: Seq[Expression], lo: Int, hi: Int): Unit =
     require(args.length >= lo && args.length <= hi,
@@ -111,6 +115,19 @@ object GraftTableFunctions {
       require(versioned(spark, dir),
         s"graft_snapshots: '$dir' holds no published snapshots")
       plan(VersionedHiddenTable.snapshotsMeta(spark, dir))
+    },
+    // changelog (CDC) scan over (from, to]: the SQL face of
+    // VersionedHiddenTable.changes — source columns plus _change_type and
+    // _commit_version, era-aware (priced by what changed, not by the table)
+    "graft_changes" -> { args =>
+      arity("graft_changes", args, 2, 3)
+      val spark = SparkSession.active
+      val dir = str("graft_changes", args, 0)
+      require(versioned(spark, dir),
+        s"graft_changes: '$dir' holds no published snapshots")
+      val from = longArg("graft_changes", args, 1)
+      val to = if (args.length < 3) None else Some(longArg("graft_changes", args, 2))
+      plan(VersionedHiddenTable.changes(spark, dir, from, to))
     },
     // column-level stats (null counts, min/max, post-ANALYZE NDV bounds)
     // for ONE stats-carrying directory — a flat table, an era dir, or a

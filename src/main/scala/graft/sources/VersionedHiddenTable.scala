@@ -59,8 +59,13 @@ object VersionedHiddenTable {
     * tuples under `data/`, `over` names the eras it applies to — exactly
     * the eras that existed when the delete was issued, so rows APPENDED
     * later that happen to equal a deleted tuple are untouched (Iceberg's
-    * sequence-number scoping, spelled as an era set). */
-  private[sources] final case class Del(dir: String, over: Set[String])
+    * sequence-number scoping, spelled as an era set). `cols` is the file's
+    * equality-column set (Iceberg's `equality_ids`): empty = the full tuple
+    * (predicate-delete semantics); non-empty = key columns only, the form
+    * [[merge]] writes so a CDC batch never has to SCAN the target for
+    * pre-images — the delete file is just the batch's keys. */
+  private[sources] final case class Del(dir: String, over: Set[String],
+      cols: Seq[String] = Nil)
 
   private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -99,11 +104,27 @@ object VersionedHiddenTable {
       (0 until ds.size()).map { i =>
         val d = ds.get(i)
         val over = d.get("over")
+        val cols = Option(d.get("cols")).map(cs =>
+          (0 until cs.size()).map(cs.get(_).asText())).getOrElse(Seq.empty)
         Del(d.get("dir").asText(),
-          (0 until over.size()).map(over.get(_).asText()).toSet)
+          (0 until over.size()).map(over.get(_).asText()).toSet, cols)
       }
     }.getOrElse(Seq.empty)
     ((0 until eras.size()).map(eras.get(_).asText()), dels)
+  }
+
+  /** The operation that produced snapshot `v` — Iceberg's snapshot-summary
+    * `operation` field. Pre-op-tagging snapshots read as "append" (the
+    * conservative default: [[changes]] diffs them for real rather than
+    * assuming content preservation). */
+  private[sources] def snapshotOp(spark: SparkSession, tableDir: String,
+      v: Long): String = {
+    val (fs, _) = fsFor(spark, tableDir)
+    val f = new Path(s"$tableDir/v=$v", SnapshotFile)
+    val in = fs.open(f)
+    val bytes = try in.readAllBytes() finally in.close()
+    Option(new ObjectMapper().readTree(bytes).get("op"))
+      .map(_.asText()).getOrElse("append")
   }
 
   /** Next unused era number — scans `data/` (NOT just the latest snapshot:
@@ -146,54 +167,67 @@ object VersionedHiddenTable {
   /** Union read over an explicit era list (the snapshot's or a staged
     * candidate's), each era pruned under its own spec by
     * [[HiddenPartitionPruning]] and then, merge-on-read style, anti-joined
-    * against the equality-delete files covering it. The delete side is
-    * broadcast — equality deletes are keyed slices by construction; a
-    * delete too big to broadcast is what the copy-on-write [[delete]] (or
-    * a [[compact]] right after) is for. */
+    * against the equality-delete files covering it ([[visibleEra]]). The
+    * delete side is broadcast — equality deletes are keyed slices by
+    * construction; a delete too big to broadcast is what the copy-on-write
+    * [[delete]] (or a [[compact]] right after) is for. */
   private def readEras(spark: SparkSession, tableDir: String, eras: Seq[String],
       dels: Seq[Del] = Nil): DataFrame = {
     val frames = eras
       .filter(e => HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e)))
-      .map { e =>
-        val base = HiddenPartitioning.readEra(spark, eraPath(tableDir, e))
-        val covering = dels.filter(_.over.contains(e))
-        if (covering.isEmpty) base
-        else {
-          val delDf = covering
-            .map(d => spark.read.parquet(s"$tableDir/data/${d.dir}"))
-            .reduce(_.unionByName(_))
-          antiJoinAll(base, delDf)
-        }
-      }
+      .map(e => visibleEra(spark, tableDir, e, dels))
     require(frames.nonEmpty, s"no readable era among $eras under $tableDir")
     frames.reduce(_.unionByName(_))
   }
 
-  /** Remove from `base` every row whose FULL tuple null-safe-equals a row of
-    * `del`. Equality over all columns is exactly predicate-delete semantics:
-    * a predicate is a function of the row, so all copies of a matching
-    * tuple match together — the anti join deletes them all, duplicates
-    * included, and never touches a non-matching tuple. */
-  private def antiJoinAll(base: DataFrame, del: DataFrame): DataFrame = {
+  /** Remove from `base` every row that null-safe-equals a row of `del` on
+    * `cols` (empty = the FULL tuple). Full-tuple equality is exactly
+    * predicate-delete semantics: a predicate is a function of the row, so
+    * all copies of a matching tuple match together — the anti join deletes
+    * them all, duplicates included, and never touches a non-matching row.
+    * Key-column equality is MERGE's replace-by-key contract. */
+  private def antiJoinOn(base: DataFrame, del: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val on = if (cols.isEmpty) base.columns.toSeq else cols
     val d = org.apache.spark.sql.functions.broadcast(
-      del.select(base.columns.map(org.apache.spark.sql.functions.col).toSeq: _*))
-    val cond = base.columns.map(c => base(c) <=> d(c)).reduce(_ && _)
+      del.select(on.map(org.apache.spark.sql.functions.col): _*))
+    val cond = on.map(c => base(c) <=> d(c)).reduce(_ && _)
     base.join(d, cond, "left_anti")
+  }
+
+  /** One era's VISIBLE rows under a snapshot's delete set: raw files minus
+    * the merge-on-read delete files covering it, applied one anti join per
+    * distinct equality-column set (deletion by ANY file wins, so the
+    * application order is immaterial). Copy-on-write rewrites
+    * ([[delete]]/[[update]]) and the [[changes]] feed all diff VISIBLE
+    * content — folding the delete mask in here is what keeps a rewrite from
+    * resurrecting masked rows. */
+  private def visibleEra(spark: SparkSession, tableDir: String, e: String,
+      dels: Seq[Del]): DataFrame = {
+    val base = HiddenPartitioning.readEra(spark, eraPath(tableDir, e))
+    dels.filter(_.over.contains(e)).groupBy(_.cols).toSeq
+      .foldLeft(base) { case (acc, (cols, ds)) =>
+        antiJoinOn(acc, ds
+          .map(d => spark.read.parquet(s"$tableDir/data/${d.dir}"))
+          .reduce(_.unionByName(_)), cols)
+      }
   }
 
   /** Stage a snapshot manifest; returns the staging token.
     * (`private[graft]`: fault-injection tests build torn commit states.) */
   private[graft] def stageSnapshot(spark: SparkSession, tableDir: String,
-      eras: Seq[String], batchId: Option[String]): String =
-    stageSnapshotDels(spark, tableDir, eras, Nil, batchId)
+      eras: Seq[String], batchId: Option[String], op: String = "append"): String =
+    stageSnapshotDels(spark, tableDir, eras, Nil, batchId, op)
 
   private def stageSnapshotDels(spark: SparkSession, tableDir: String,
-      eras: Seq[String], dels: Seq[Del], batchId: Option[String]): String = {
+      eras: Seq[String], dels: Seq[Del], batchId: Option[String],
+      op: String = "append"): String = {
     val token = s"w${stageSeq.incrementAndGet()}-${System.nanoTime()}"
     val dir = new Path(s"$tableDir/_staging/$token")
     val (fs, _) = fsFor(spark, tableDir)
     val mapper = new ObjectMapper()
     val node = mapper.createObjectNode()
+    node.put("op", op): Unit
     val arr = node.putArray("eras")
     eras.foreach(arr.add)
     if (dels.nonEmpty) {
@@ -203,6 +237,10 @@ object VersionedHiddenTable {
         o.put("dir", d.dir): Unit
         val ov = o.putArray("over")
         d.over.toSeq.sorted.foreach(ov.add)
+        if (d.cols.nonEmpty) {
+          val cs = o.putArray("cols")
+          d.cols.foreach(cs.add)
+        }
       }
     }
     val out = fs.create(new Path(dir, SnapshotFile), false)
@@ -268,7 +306,7 @@ object VersionedHiddenTable {
       transforms: Seq[Transform]): Long = {
     require(versions(spark, tableDir).isEmpty, s"table already exists: $tableDir")
     val era = writeEra(spark, tableDir, df, transforms)
-    publish(spark, tableDir, stageSnapshot(spark, tableDir, Seq(era), None))
+    publish(spark, tableDir, stageSnapshot(spark, tableDir, Seq(era), None, "create"))
   }
 
   /** The current spec = the spec of the snapshot's highest-numbered era. */
@@ -337,7 +375,7 @@ object VersionedHiddenTable {
     val era = s"era-${nextEraId(spark, tableDir)}"
     HiddenPartitioning.writeSpecFile(spark, eraPath(tableDir, era), transforms)
     publish(spark, tableDir,
-      stageSnapshotDels(spark, tableDir, eras :+ era, dels, None))
+      stageSnapshotDels(spark, tableDir, eras :+ era, dels, None, "evolve"))
   }
 
   /** Latest (or time-travel) read: union of the snapshot's eras, source
@@ -386,25 +424,15 @@ object VersionedHiddenTable {
     require(vs.nonEmpty, s"no snapshots under $tableDir")
     val (eras, dels) = snapshot(spark, tableDir, vs.max)
     val spec = currentSpec(spark, tableDir, eras)
-    // one era's VISIBLE rows: raw files minus the merge-on-read deletes
-    // covering it — a copy-on-write rewrite over a table carrying equality
-    // deletes must fold them in, or the rewrite would resurrect them
-    def visible(e: String): DataFrame = {
-      val base = HiddenPartitioning.readEra(spark, eraPath(tableDir, e))
-      val covering = dels.filter(_.over.contains(e))
-      if (covering.isEmpty) base
-      else antiJoinAll(base, covering
-        .map(d => spark.read.parquet(s"$tableDir/data/${d.dir}"))
-        .reduce(_.unionByName(_)))
-    }
     val touched = eras.filter { e =>
       HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e)) &&
-        !visible(e).filter(predicate).isEmpty
+        !visibleEra(spark, tableDir, e, dels).filter(predicate).isEmpty
     }
     if (touched.isEmpty) return vs.max
     val rewritten = touched.map { e =>
       writeEra(spark, tableDir,
-        visible(e).filter(not(coalesce(predicate, lit(false)))), spec)
+        visibleEra(spark, tableDir, e, dels)
+          .filter(not(coalesce(predicate, lit(false)))), spec)
     }
     val kept = eras.filterNot(touched.contains)
     // deletes whose covered eras were all rewritten are fully folded in;
@@ -412,7 +440,7 @@ object VersionedHiddenTable {
     // new names, so no del ever covers them)
     val keptDels = dels.filter(_.over.intersect(kept.toSet).nonEmpty)
     publish(spark, tableDir,
-      stageSnapshotDels(spark, tableDir, kept ++ rewritten, keptDels, None))
+      stageSnapshotDels(spark, tableDir, kept ++ rewritten, keptDels, None, "delete"))
   }
 
   /** Merge-on-read DELETE — the second Iceberg delete mode (equality-delete
@@ -441,7 +469,279 @@ object VersionedHiddenTable {
     val covered = eras.filter(e =>
       HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e))).toSet
     publish(spark, tableDir, stageSnapshotDels(spark, tableDir, eras,
-      dels :+ Del(del, covered), None))
+      dels :+ Del(del, covered), None, "delete"))
+  }
+
+  /** Row-level UPDATE with snapshot semantics — the second half of the
+    * Iceberg DML contract ([[delete]] is the first; Athena Iceberg takes
+    * `UPDATE ... SET ... WHERE` on the reference's tables,
+    * `dbt_project.yml:40-43`), copy-on-write mode: rewrite ONLY the eras
+    * that can hold a matching row, applying each SET assignment to rows
+    * where `predicate` is TRUE (FALSE and NULL rows pass through verbatim —
+    * SQL UPDATE semantics), publish a new snapshot, leave every older
+    * snapshot reading the pre-update values.
+    *
+    * Scope discipline is [[delete]]'s: the per-era matching probe is a
+    * `LIMIT 1` scan under partition pruning + stats skipping, so eras that
+    * provably can't match are carried into the new snapshot by REFERENCE.
+    * Assignments are cast to the column's existing type — an update never
+    * changes the table schema. Updating a column a partition transform
+    * derives from is legal: the rewrite re-derives the layout, so moved
+    * rows land in (and prune from) their new partition directories.
+    *
+    * Returns the published version, or the current version unchanged when
+    * no row matches. Admin-serialized like [[delete]]. */
+  def update(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
+    HiddenPartitioning.register(spark) // the probe's pruning license
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no snapshots under $tableDir")
+    val (eras, dels) = snapshot(spark, tableDir, vs.max)
+    val spec = currentSpec(spark, tableDir, eras)
+    val touched = eras.filter { e =>
+      HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e)) &&
+        !visibleEra(spark, tableDir, e, dels).filter(predicate).isEmpty
+    }
+    if (touched.isEmpty) return vs.max
+    val unknown = assignments.keySet --
+      visibleEra(spark, tableDir, touched.head, dels).columns.toSet
+    require(unknown.isEmpty,
+      s"SET targets not in the table: ${unknown.mkString(", ")}")
+    val hit = coalesce(predicate, lit(false))
+    val rewritten = touched.map { e =>
+      val vis = visibleEra(spark, tableDir, e, dels)
+      val updated = vis.select(vis.schema.fields.toSeq.map { f =>
+        assignments.get(f.name) match {
+          case Some(expr) =>
+            when(hit, expr.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+      writeEra(spark, tableDir, updated, spec)
+    }
+    val kept = eras.filterNot(touched.contains)
+    val keptDels = dels.filter(_.over.intersect(kept.toSet).nonEmpty)
+    publish(spark, tableDir,
+      stageSnapshotDels(spark, tableDir, kept ++ rewritten, keptDels, None, "update"))
+  }
+
+  /** Merge-on-read UPDATE — Iceberg's other UPDATE mode, and exactly one
+    * equality-delete file plus one new era published in a SINGLE snapshot:
+    * the matching visible tuples land in `data/del-<k>/` (masking their old
+    * values in the covered eras) and their updated images land in a fresh
+    * era that the delete's `over` set excludes, so readers see the new
+    * values and ONLY the new values. No existing data file is rewritten —
+    * at 100 TB a keyed correction writes kilobytes; the next [[compact]]
+    * folds the mask in. Write cost is one scan of the matching rows: the
+    * delete file doubles as the pre-image staging for the updated era.
+    * Older snapshots never list either, so time travel reads pre-update
+    * values. Returns the published version, or the current version when
+    * nothing matches. Admin-serialized like [[update]]. */
+  def updateMergeOnRead(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
+    HiddenPartitioning.register(spark)
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no snapshots under $tableDir")
+    val (eras, dels) = snapshot(spark, tableDir, vs.max)
+    val spec = currentSpec(spark, tableDir, eras)
+    val matching = readEras(spark, tableDir, eras, dels).filter(predicate)
+    val unknown = assignments.keySet -- matching.columns.toSet
+    require(unknown.isEmpty,
+      s"SET targets not in the table: ${unknown.mkString(", ")}")
+    if (matching.isEmpty) return vs.max
+    val del = s"del-${nextDelId(spark, tableDir)}"
+    matching.write.parquet(s"$tableDir/data/$del") // errorifexists: id fresh
+    val covered = eras.filter(e =>
+      HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e))).toSet
+    // the updated images: re-read the just-written pre-image file (so the
+    // table's data files are scanned exactly once) and apply every
+    // assignment unconditionally — these rows all matched
+    val pre = spark.read.parquet(s"$tableDir/data/$del")
+    val updated = pre.select(pre.schema.fields.toSeq.map { f =>
+      assignments.get(f.name)
+        .map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+    }: _*)
+    val era = writeEra(spark, tableDir, updated, spec)
+    publish(spark, tableDir, stageSnapshotDels(spark, tableDir, eras :+ era,
+      dels :+ Del(del, covered), None, "update"))
+  }
+
+  /** Storage-level MERGE — the upsert workhorse of incremental pipelines
+    * (dbt's `incremental` materialization, Iceberg's `MERGE INTO`), executed
+    * merge-on-read in ONE published snapshot: every target row whose key
+    * appears in `source` is masked by an equality-delete file (covering the
+    * eras existing now), and every source row NOT claimed by `deleteWhen`
+    * lands in a fresh era — matched keys are replaced, unmatched keys
+    * insert, `deleteWhen` rows delete and leave nothing. The multi-clause
+    * conditional form stays a query-level concern (i9 builds it from
+    * [[graft.pipeline.Incremental]]); this is the storage contract those
+    * folds publish through.
+    *
+    * No data file is rewritten AND no target file is read: the delete file
+    * is just the batch's distinct keys (Iceberg's `equality_ids` form —
+    * [[Del.cols]]), so at 100 TB a CDC batch costs the batch write itself.
+    * Readers pay one broadcast anti join per covered era until the next
+    * [[compact]] folds the masks in. Duplicate keys in `source` are legal
+    * and deterministic: one key mask, all their non-delete rows land.
+    * Older snapshots never list either side — time travel reads the
+    * pre-merge state. Returns the published version (a source with no
+    * effect still publishes, like an empty MERGE in SQL engines it's a
+    * no-op commit — callers batching CDC replay on [[publishedBatchIds]]
+    * need the version to advance). Admin-serialized like the other DML. */
+  def merge(spark: SparkSession, tableDir: String, source: DataFrame,
+      keys: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      batchId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    require(keys.nonEmpty, "MERGE needs at least one key column")
+    HiddenPartitioning.register(spark)
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no snapshots under $tableDir")
+    val (eras, dels) = snapshot(spark, tableDir, vs.max)
+    val spec = currentSpec(spark, tableDir, eras)
+    val cols = readEras(spark, tableDir, eras, dels).columns // plan-only: schema
+    require(source.columns.sorted.toSeq == cols.sorted.toSeq,
+      s"MERGE source schema must match the table: ${source.columns.toSeq} vs ${cols.toSeq}")
+    val missing = keys.filterNot(cols.contains)
+    require(missing.isEmpty, s"MERGE keys not in the table: ${missing.mkString(", ")}")
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val upserts = deleteWhen.fold(source)(d =>
+      source.filter(not(coalesce(d, lit(false)))))
+      .select(cols.map(col).toSeq: _*) // column ORDER aligned
+    val newDels =
+      if (srcKeys.isEmpty) dels
+      else {
+        val del = s"del-${nextDelId(spark, tableDir)}"
+        srcKeys.write.parquet(s"$tableDir/data/$del") // errorifexists: id fresh
+        dels :+ Del(del, eras.filter(e =>
+          HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e))).toSet, keys)
+      }
+    val newEras =
+      if (upserts.isEmpty) eras
+      else eras :+ writeEra(spark, tableDir, upserts, spec)
+    publish(spark, tableDir,
+      stageSnapshotDels(spark, tableDir, newEras, newDels, batchId, "merge"))
+  }
+
+  /** Changelog (CDC) scan — Iceberg's changelog reads / Delta's change data
+    * feed: the NET row-level changes between snapshot `fromVersion`
+    * (exclusive) and `toVersion` (inclusive; latest by default), as the
+    * source columns plus `_change_type` ('insert' | 'delete') and
+    * `_commit_version` (the snapshot that introduced the change).
+    *
+    * Era-aware, so cost is proportional to what CHANGED, never to the
+    * table: consecutive snapshots share most era references by construction,
+    * and only (a) eras present on one side of a step (appends, copy-on-write
+    * rewrites), and (b) carried-over eras whose delete-file coverage
+    * changed (merge-on-read DML, rollback) are scanned — an untouched era
+    * contributes zero tasks. Within a step the two sides net through a
+    * multiset EXCEPT ALL, so a copy-on-write rewrite reports exactly the
+    * rows it changed (an UPDATE = its deletes + its inserts), not the whole
+    * rewritten era. `op=replace` snapshots ([[compact]]) are
+    * content-preserving by construction and contribute nothing. Versions
+    * already [[vacuum]]ed collapse into their successor's step; the net
+    * result over retained snapshots is identical.
+    *
+    * This is the feed an incremental consumer needs: applying (from, to]'s
+    * changes to a materialization of `from` reproduces `to` exactly — the
+    * i11 registry query hash-gates that contract end to end. */
+  def changes(spark: SparkSession, tableDir: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no snapshots under $tableDir")
+    val to = toVersion.getOrElse(vs.max)
+    require(vs.contains(fromVersion),
+      s"snapshot $fromVersion not retained (have ${vs.mkString(",")})")
+    require(vs.contains(to), s"snapshot $to not retained (have ${vs.mkString(",")})")
+    require(fromVersion <= to, s"empty change range: $fromVersion > $to")
+    val empty = read(spark, tableDir, Some(to)).limit(0)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(0L))
+    def hasData(e: String) =
+      HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e))
+    // one step = one retained-snapshot pair a -> b
+    val steps = vs.filter(v => v >= fromVersion && v <= to).sliding(2).collect {
+      case Seq(a, b) if snapshotOp(spark, tableDir, b) != "replace" =>
+        val (erasA, delsA) = snapshot(spark, tableDir, a)
+        val (erasB, delsB) = snapshot(spark, tableDir, b)
+        val setA = erasA.toSet
+        val setB = erasB.toSet
+        // carried-over eras whose delete coverage changed: rows a fresh
+        // delete file masks are deletes; rows a dropped one (rollback)
+        // unmasks are inserts — broadcast semi joins of the era's visible
+        // rows against ONLY the delta delete files, applied per distinct
+        // equality-column set with the already-claimed rows anti-joined
+        // away between sets, so a row matched by several delta files still
+        // counts exactly once (multiset-exact, no shuffle)
+        def coverageDelta(e: String, visUnder: Seq[Del], fresh: Seq[Del]) =
+          if (fresh.isEmpty) None
+          else {
+            val vis = visibleEra(spark, tableDir, e, visUnder)
+            val (_, parts) = fresh.groupBy(_.cols).toSeq
+              .foldLeft((vis, Seq.empty[DataFrame])) {
+                case ((remaining, acc), (cols, ds)) =>
+                  val on = if (cols.isEmpty) remaining.columns.toSeq else cols
+                  val delDf = ds
+                    .map(d => spark.read.parquet(s"$tableDir/data/${d.dir}"))
+                    .reduce(_.unionByName(_))
+                  val d = broadcast(delDf.select(on.map(col): _*))
+                  val cond = on.map(c => remaining(c) <=> d(c)).reduce(_ && _)
+                  (remaining.join(d, cond, "left_anti"),
+                    acc :+ remaining.join(d, cond, "left_semi"))
+              }
+            Some(parts.reduce(_.unionByName(_)))
+          }
+        val shared = erasA.filter(e => setB.contains(e) && hasData(e))
+        val masked = shared.flatMap { e =>
+          val before = delsA.filter(_.over.contains(e)).map(_.dir).toSet
+          coverageDelta(e, delsA,
+            delsB.filter(d => d.over.contains(e) && !before.contains(d.dir)))
+        }
+        val unmasked = shared.flatMap { e =>
+          val after = delsB.filter(_.over.contains(e)).map(_.dir).toSet
+          coverageDelta(e, delsB,
+            delsA.filter(d => d.over.contains(e) && !after.contains(d.dir)))
+        }
+        val gone = (erasA.filter(e => !setB.contains(e) && hasData(e))
+          .map(e => visibleEra(spark, tableDir, e, delsA)) ++ masked)
+          .reduceOption(_.unionByName(_))
+        val born = (erasB.filter(e => !setA.contains(e) && hasData(e))
+          .map(e => visibleEra(spark, tableDir, e, delsB)) ++ unmasked)
+          .reduceOption(_.unionByName(_))
+        def tag(df: DataFrame, t: String) = df
+          .withColumn("_change_type", lit(t))
+          .withColumn("_commit_version", lit(b))
+        (gone, born) match {
+          case (None, None)          => empty
+          case (Some(g), None)       => tag(g, "delete")
+          case (None, Some(bn))      => tag(bn, "insert")
+          case (Some(g), Some(bn))   =>
+            tag(bn.exceptAll(g), "insert").unionByName(tag(g.exceptAll(bn), "delete"))
+        }
+    }.toSeq
+    (empty +: steps).reduce(_.unionByName(_))
+  }
+
+  /** Iceberg's `rollback_to_snapshot`: publish a NEW snapshot whose content
+    * is exactly snapshot `toVersion`'s — the same era and delete-file
+    * references, nothing copied. History stays append-only: the
+    * rolled-back-over versions remain readable until [[vacuum]], and
+    * [[changes]] across the rollback step reports the net content reversal
+    * (what a downstream consumer must undo). Returns the published version. */
+  def rollback(spark: SparkSession, tableDir: String, toVersion: Long): Long = {
+    val vs = versions(spark, tableDir)
+    require(vs.contains(toVersion),
+      s"snapshot $toVersion not retained (have ${vs.mkString(",")})")
+    val (eras, dels) = snapshot(spark, tableDir, toVersion)
+    publish(spark, tableDir,
+      stageSnapshotDels(spark, tableDir, eras, dels, None, "rollback"))
   }
 
   /** Iceberg's `rewrite_data_files`: rewrite ALL rows of the latest
@@ -484,7 +784,7 @@ object VersionedHiddenTable {
           .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
       }
     val era = writeEra(spark, tableDir, shaped, spec)
-    publish(spark, tableDir, stageSnapshot(spark, tableDir, Seq(era), None))
+    publish(spark, tableDir, stageSnapshot(spark, tableDir, Seq(era), None, "replace"))
   }
 
   /** Retire all but the newest `keep` snapshots, then delete era
@@ -604,17 +904,18 @@ object VersionedHiddenTable {
   }
 
   /** Iceberg's `$snapshots`: one row per retained snapshot — version, the
-    * era list it references, and its batch-id markers. */
+    * era list it references, its batch-id markers, and the operation that
+    * produced it (Iceberg's snapshot-summary `operation`). */
   def snapshotsMeta(spark: SparkSession, tableDir: String): org.apache.spark.sql.DataFrame = {
     val (fs, _) = fsFor(spark, tableDir)
     val rows = versions(spark, tableDir).map { v =>
       val batches = ls(fs, new Path(s"$tableDir/v=$v")).map(_.getPath.getName)
         .collect { case n if n.startsWith("_batch-") => n.stripPrefix("_batch-") }
-      (v, snapshotEras(spark, tableDir, v), batches)
+      (v, snapshotEras(spark, tableDir, v), batches, snapshotOp(spark, tableDir, v))
     }
     val spark2 = spark
     import spark2.implicits._
-    rows.toDF("version", "eras", "batch_ids")
+    rows.toDF("version", "eras", "batch_ids", "op")
   }
 
   /** Batch ids of all PUBLISHED snapshots — the replay-idempotency test for

@@ -195,6 +195,18 @@ class MetaTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT max(version) AS v FROM graft_snapshots('$path')")
       .head().getLong(0) == 2L)
 
+    // the changelog through SQL: (v0, v1] = the appended back half as
+    // inserts; (v1, latest] = the 5-row append; sub-ranges compose
+    val step1 = spark.sql(
+      s"""SELECT _change_type, count(*) AS n
+         |FROM graft_changes('$path', 0, 1) GROUP BY 1""".stripMargin).collect()
+    assert(step1.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("insert", ev.filter(col("ts") >= "2024-01-16").count())),
+      "the append step must surface as pure inserts through SQL")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_changes('$path', 1)")
+      .head().getLong(0) == 5L,
+      "the open-ended range must cover exactly the later commits")
+
     // the hidden-partitioned (non-versioned) flavor through the same TVFs
     val hpPath = tmp("graft-meta-sql-hp")
     HiddenPartitioning.write(ev, hpPath, Seq(HiddenPartitioning.DayT("ts")))

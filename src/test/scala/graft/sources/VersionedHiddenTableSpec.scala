@@ -348,6 +348,225 @@ class VersionedHiddenTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(VersionedHiddenTable.read(spark, t)) == ids(h1))
   }
 
+  /** (event_id, event_type, value) multiset — id-only comparison can't see
+    * an UPDATE's value changes. */
+  private def rows3(df: DataFrame): Seq[(Long, String, Double)] =
+    df.select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted.toSeq
+
+  test("update: copy-on-write rewrites only matching eras; SQL SET semantics; schema stable") {
+    val t = tmp("update")
+    val ev = events
+    VersionedHiddenTable.create(spark, t, ev.filter(col("ts") < "2024-01-16"),
+      Seq(HiddenPartitioning.DayT("ts")))
+    VersionedHiddenTable.append(spark, t, ev.filter(col("ts") >= "2024-01-16"))()
+    val erasBefore = VersionedHiddenTable.snapshotsMeta(spark, t)
+      .filter(col("version") === 1L).select("eras").head().getSeq[String](0)
+    // predicate confined to the second era; one SET is an int literal that
+    // must cast to the column's double type (schema never changes)
+    val pred = col("ts") >= "2024-01-20" && col("user_id") < 25L
+    val vUp = VersionedHiddenTable.update(spark, t, pred,
+      Map("value" -> (col("value") * 2 + lit(1)), "event_type" -> lit("corrected")))
+    assert(vUp == 2L, "the update must publish exactly one new snapshot")
+    val expected = ev.withColumn("value",
+        when(pred, col("value") * 2 + lit(1)).otherwise(col("value")))
+      .withColumn("event_type", when(pred, lit("corrected")).otherwise(col("event_type")))
+    val latest = VersionedHiddenTable.read(spark, t)
+    assert(latest.schema == VersionedHiddenTable.read(spark, t, Some(1L)).schema,
+      "an update must never change the table schema")
+    assert(rows3(latest) == rows3(expected),
+      "matching rows take the assignments; FALSE/NULL rows pass through verbatim")
+    assert(rows3(VersionedHiddenTable.read(spark, t, Some(1L))) == rows3(ev),
+      "pre-update snapshots must read pre-update values")
+    // copy-on-write scope: the predicate-free era is carried by reference
+    val erasAfter = VersionedHiddenTable.snapshotsMeta(spark, t)
+      .filter(col("version") === 2L).select("eras").head().getSeq[String](0)
+    assert(erasAfter.contains(erasBefore.head),
+      s"the predicate-free era must not be rewritten: $erasBefore -> $erasAfter")
+    assert(!erasAfter.contains(erasBefore.last),
+      "the matching era must be replaced by its rewrite")
+    // no-match update publishes nothing; unknown SET target is refused
+    assert(VersionedHiddenTable.update(spark, t, col("user_id") === -1L,
+      Map("value" -> lit(0))) == 2L)
+    intercept[IllegalArgumentException] {
+      VersionedHiddenTable.update(spark, t, pred, Map("no_such_col" -> lit(0)))
+    }
+  }
+
+  test("merge-on-read update: one delete file + one era, no rewrite; partition move prunes") {
+    val t = tmp("mor-up")
+    val ev = events
+    VersionedHiddenTable.create(spark, t, ev.filter(col("ts") < "2024-01-16"),
+      Seq(HiddenPartitioning.DayT("ts")))
+    VersionedHiddenTable.append(spark, t, ev.filter(col("ts") >= "2024-01-16"))()
+    val erasBefore = dataEras(t)
+    val pred = col("user_id").between(5L, 9L)
+    val vUp = VersionedHiddenTable.updateMergeOnRead(spark, t, pred,
+      Map("value" -> -col("value")))
+    assert(vUp == 2L)
+    assert(dataEras(t).filter(_.startsWith("era-")).size == erasBefore.size + 1 &&
+      dataEras(t).count(_.startsWith("del-")) == 1,
+      "merge-on-read update writes ONE delete file and ONE era, rewrites nothing")
+    val expected = ev.withColumn("value",
+      when(pred, -col("value")).otherwise(col("value")))
+    assert(rows3(VersionedHiddenTable.read(spark, t)) == rows3(expected),
+      "readers must see old values masked and new values added, nothing else")
+    assert(rows3(VersionedHiddenTable.read(spark, t, Some(1L))) == rows3(ev),
+      "time travel reads pre-update values")
+    // era scoping: a tuple identical to a PRE-image, appended after the
+    // update, must survive the update's delete file
+    val readd = ev.filter(pred).orderBy("event_id").limit(3)
+    val readdRows = rows3(readd)
+    VersionedHiddenTable.append(spark, t, readd)()
+    assert(rows3(VersionedHiddenTable.read(spark, t)) ==
+      (rows3(expected) ++ readdRows).sorted,
+      "pre-image-identical rows appended after the update must survive")
+    // updating the partition-source column re-derives the layout: moved rows
+    // prune into their new day directory
+    val vMove = VersionedHiddenTable.updateMergeOnRead(spark, t,
+      col("user_id") === 5L, Map("ts" -> lit("2024-03-01 00:00:00").cast("timestamp")))
+    assert(vMove > vUp)
+    val moved = VersionedHiddenTable.read(spark, t).filter(col("ts") >= "2024-03-01")
+    assert(moved.count() == VersionedHiddenTable.read(spark, t)
+      .filter(col("user_id") === 5L).count(), "moved rows all land on the new day")
+    // the update era was re-derived under the day spec: the moved rows'
+    // NEW day directory physically exists in the freshly written era
+    val newEra = dataEras(t).filter(_.startsWith("era-"))
+      .maxBy(_.stripPrefix("era-").toInt)
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new Path(s"$t/data/$newEra/ts_day=2024-03-01")) ||
+      fs.listStatus(new Path(s"$t/data/$newEra"))
+        .exists(_.getPath.getName.contains("2024-03-01")),
+      "the rewrite must re-derive the partition layout for moved rows")
+    // compact folds the masks; vacuum reclaims the delete files
+    val vc = VersionedHiddenTable.compact(spark, t)
+    VersionedHiddenTable.vacuum(spark, t, keep = 1)
+    assert(VersionedHiddenTable.versions(spark, t) == Seq(vc))
+    assert(dataEras(t).count(_.startsWith("del-")) == 0)
+  }
+
+  test("merge: upsert + insert + delete in ONE snapshot; no rewrite; CDC surfaces the net") {
+    val t = tmp("merge")
+    val ev = events
+    VersionedHiddenTable.create(spark, t, ev.filter(col("ts") < "2024-01-16"),
+      Seq(HiddenPartitioning.DayT("ts")))
+    VersionedHiddenTable.append(spark, t, ev.filter(col("ts") >= "2024-01-16"))()
+    val erasBefore = dataEras(t)
+    // CDC batch: replace user 3's rows (negated value), delete user 7's,
+    // insert 5 brand-new keys
+    val updates = ev.filter(col("user_id") === 3L).withColumn("value", -col("value"))
+    val deletes = ev.filter(col("user_id") === 7L)
+      .withColumn("event_type", lit("__deleted__"))
+    val inserts = ev.filter(col("user_id") === 4L).orderBy("event_id").limit(5)
+      .withColumn("event_id", col("event_id") + 1000000L)
+    val batch = updates.unionByName(deletes).unionByName(inserts)
+    val vM = VersionedHiddenTable.merge(spark, t, batch, Seq("event_id"),
+      deleteWhen = Some(col("event_type") === "__deleted__"),
+      batchId = Some("cdc-7"))
+    assert(vM == 2L, "one MERGE = one snapshot")
+    assert(dataEras(t).filter(_.startsWith("era-")).size == erasBefore.size + 1 &&
+      dataEras(t).count(_.startsWith("del-")) == 1,
+      "merge-on-read MERGE writes one delete file + one era, rewrites nothing")
+    val expect = ev.filter(col("user_id") =!= 3L && col("user_id") =!= 7L)
+      .unionByName(updates).unionByName(inserts)
+    assert(rows3(VersionedHiddenTable.read(spark, t)) == rows3(expect),
+      "matched keys replaced, deleteWhen keys gone, new keys inserted")
+    assert(rows3(VersionedHiddenTable.read(spark, t, Some(1L))) == rows3(ev),
+      "time travel reads the pre-merge state")
+    assert(VersionedHiddenTable.publishedBatchIds(spark, t) == Set("cdc-7"),
+      "the CDC batch id rides the merge publish for replay detection")
+    // the changelog nets the merge exactly: old user-3 rows + user-7 rows
+    // out, new user-3 images + inserts in
+    val ch = VersionedHiddenTable.changes(spark, t, 1L, Some(2L))
+    val del = ch.filter(col("_change_type") === "delete")
+    val ins = ch.filter(col("_change_type") === "insert")
+    assert(rows3(del) == rows3(ev.filter(col("user_id").isin(3L, 7L))))
+    assert(rows3(ins) == rows3(updates.unionByName(inserts)))
+    // a second merge replaying the same batch id is the CALLER's guard;
+    // an effect-free merge still publishes (empty commit, version advances)
+    val vEmpty = VersionedHiddenTable.merge(spark, t,
+      ev.filter(col("user_id") === -1L), Seq("event_id"))
+    assert(vEmpty == 3L)
+    assert(rows3(VersionedHiddenTable.read(spark, t)) == rows3(expect))
+    // compact folds everything; vacuum retires the mask
+    VersionedHiddenTable.compact(spark, t)
+    VersionedHiddenTable.vacuum(spark, t, keep = 1)
+    assert(dataEras(t).count(_.startsWith("del-")) == 0)
+    assert(rows3(VersionedHiddenTable.read(spark, t)) == rows3(expect))
+  }
+
+  test("changes: era-aware net CDC equals the brute-force snapshot diff at every step") {
+    val t = tmp("cdc")
+    val ev = events
+    // a history exercising every op class: create, append, MoR delete,
+    // compact (replace: no changes), CoW update, rollback
+    VersionedHiddenTable.create(spark, t, ev.filter(col("ts") < "2024-01-16"),
+      Seq(HiddenPartitioning.DayT("ts")))                                  // v0
+    VersionedHiddenTable.append(spark, t, ev.filter(col("ts") >= "2024-01-16"))() // v1
+    VersionedHiddenTable.deleteMergeOnRead(spark, t, col("user_id") < 10L) // v2
+    VersionedHiddenTable.compact(spark, t)                                 // v3
+    VersionedHiddenTable.update(spark, t, col("user_id").between(20L, 29L),
+      Map("value" -> (col("value") + 100)))                                // v4
+    VersionedHiddenTable.rollback(spark, t, 2L)                            // v5
+    val meta = Seq("_change_type", "_commit_version")
+    def key(df: DataFrame): Seq[String] =
+      df.select((Seq("event_id", "event_type", "value") ++ meta).map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    // brute force per step: the DEFINITION of net changes
+    val expected = (0L to 5L).sliding(2).flatMap { case Seq(a, b) =>
+      val ra = VersionedHiddenTable.read(spark, t, Some(a))
+      val rb = VersionedHiddenTable.read(spark, t, Some(b))
+      Seq(
+        rb.exceptAll(ra).withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(b)),
+        ra.exceptAll(rb).withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(b)))
+    }.reduce(_.unionByName(_))
+    val got = VersionedHiddenTable.changes(spark, t, 0L)
+    assert(key(got) == key(expected),
+      "net changes must equal the brute-force diff of every consecutive snapshot pair")
+    // the compact step (v3, op=replace) must contribute nothing
+    assert(got.filter(col("_commit_version") === 3L).isEmpty,
+      "a content-preserving replace contributes no changes")
+    // sub-ranges compose; an empty range is empty
+    assert(key(VersionedHiddenTable.changes(spark, t, 1L, Some(2L))) ==
+      key(expected.filter(col("_commit_version") === 2L)))
+    assert(VersionedHiddenTable.changes(spark, t, 4L, Some(4L)).isEmpty)
+    // era-awareness: an append-only step scans only the APPENDED era's files
+    // (the carried-over era contributes zero read tasks)
+    val appendStep = VersionedHiddenTable.changes(spark, t, 0L, Some(1L))
+    val newEraFiles = filesRead(
+      VersionedHiddenTable.read(spark, t, Some(1L)).filter(col("ts") >= "2024-01-16"))
+    assert(filesRead(appendStep) <= newEraFiles,
+      "an append step must not scan the carried-over era")
+  }
+
+  test("rollback publishes a reverting snapshot; history and batch replay stay intact") {
+    val t = tmp("rollback")
+    val ev = events
+    val (h1, h2) = (half(ev, 0), half(ev, 1))
+    VersionedHiddenTable.create(spark, t, h1, Seq(HiddenPartitioning.DayT("ts")))
+    VersionedHiddenTable.append(spark, t, h2)()                    // v1
+    VersionedHiddenTable.delete(spark, t, col("user_id") < 20L)    // v2
+    val v3 = VersionedHiddenTable.rollback(spark, t, 1L)
+    assert(v3 == 3L, "rollback publishes a NEW version, never rewrites history")
+    assert(ids(VersionedHiddenTable.read(spark, t)) == ids(ev),
+      "the rolled-back table reads exactly the target snapshot's content")
+    assert(ids(VersionedHiddenTable.read(spark, t, Some(2L))) ==
+      ids(ev.filter(!(col("user_id") < 20L))),
+      "the rolled-back-over snapshot stays readable until vacuum")
+    val ops = VersionedHiddenTable.snapshotsMeta(spark, t)
+      .orderBy("version").select("op").collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("create", "append", "delete", "rollback"),
+      s"snapshot ops must record the producing operation: $ops")
+    // life goes on after a rollback: appends and vacuum behave normally
+    VersionedHiddenTable.append(spark, t, h2.limit(5))()
+    assert(VersionedHiddenTable.read(spark, t).count() == ev.count() + 5)
+    VersionedHiddenTable.vacuum(spark, t, keep = 1)
+    assert(VersionedHiddenTable.versions(spark, t) == Seq(4L))
+    assert(VersionedHiddenTable.read(spark, t).count() == ev.count() + 5)
+  }
+
   test("publish skips a foreign v=<n> directory instead of nesting into it") {
     val t = tmp("race")
     val ev = events
