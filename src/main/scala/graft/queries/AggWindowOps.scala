@@ -858,6 +858,84 @@ object AggWindowOps extends QueryPack {
            |FROM events GROUP BY user_id, event_type""".stripMargin),
     doc = "transformWithState MapState type counts, batch mode == GROUP BY (ST7/§2.9).")
 
+  // ---- ST8: streaming CDC-apply sink through the storage MERGE ---------------
+  // The ACTUAL streaming machinery runs inside the builder (not a batch
+  // twin): the events corpus is chunked into four time-ordered drop files, a
+  // file-source stream replays them one micro-batch each, and
+  // EventStream.startCdcMergeToTable publishes one storage-level MERGE
+  // snapshot per batch — newest change per user wins within a batch,
+  // matched users replaced, new users inserted, 'error' tombstones deleted.
+  // The query then reads TWO faces hash-gated against from-scratch SQL
+  // recomputes: the final table (latest non-tombstone event per user over
+  // the whole log) and time-travel to v1, the mid-stream snapshot (same
+  // fixpoint over the first two chunks only) — proving each CDC batch is
+  // one atomic, reconstructable commit. Selection only (no arithmetic), so
+  // every value compares bit-exactly. At 100 TB each batch costs the batch
+  // plus a broadcast key semi-join; compaction is a separate scheduled op.
+  private val st8 = GQuery(
+    "st8_cdc_merge_sink",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val vhtDir = Tables.scratchOnce(dir, "vht_cdc_sink",
+          done = VHT.completedThrough(_, 3L)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        Seq(path, s"$path-in", s"$path-ckpt").foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true): Unit)
+        val ev = t(s, dir, "events")
+        val ranges = Seq(
+          col("ts") < "2024-01-08",
+          col("ts") >= "2024-01-08" && col("ts") < "2024-01-15",
+          col("ts") >= "2024-01-15" && col("ts") < "2024-01-22",
+          col("ts") >= "2024-01-22")
+        // time-ordered chunk files, FLAT under the drop dir (the file source
+        // does not descend into non-partition subdirectories): stage each
+        // chunk's single part file, then move it up under a k-ordered name —
+        // modification time AND path order both follow k, so the source
+        // replays the chunks deterministically
+        val stage = s"$path-in-stage"
+        ranges.zipWithIndex.foreach { case (r, k) =>
+          ev.filter(r).coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+            .map(_.getPath).filter(_.getName.startsWith("part-"))
+          require(part.length == 1, s"st8 chunk $k: expected one part file, got ${part.length}")
+          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path-in")): Unit
+          require(fs.rename(part.head,
+            new org.apache.hadoop.fs.Path(f"$path-in/chunk-$k%02d.parquet")),
+            s"st8 chunk $k: rename into the drop dir failed")
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+        graft.streaming.EventStream.startCdcMergeToTable(
+          graft.streaming.EventStream.fromFileSourceChunked(s, s"$path-in"),
+          path, s"$path-ckpt").awaitTermination()
+      }
+      def face(df: DataFrame, tag: String) = df
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_timestamp(col("ts")).as("ts_sec"))
+        .withColumn("face", lit(tag))
+      face(VHT.read(s, vhtDir), "final")
+        .unionByName(face(VHT.read(s, vhtDir, Some(1L)), "mid"))
+    },
+    Some("""WITH ranked AS (
+           |  SELECT user_id, event_id, event_type, value,
+           |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events),
+           |mid_ranked AS (
+           |  SELECT user_id, event_id, event_type, value,
+           |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events WHERE ts < '2024-01-15')
+           |SELECT 'final' AS face, user_id, event_id, event_type, value, ts_sec
+           |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+           |UNION ALL
+           |SELECT 'mid' AS face, user_id, event_id, event_type, value, ts_sec
+           |FROM mid_ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin),
+    doc = "Streaming CDC-apply sink: four replayed micro-batches publish one storage MERGE snapshot each; final + mid-stream time travel hash-checked against from-scratch fixpoints (ST8/§2.9).")
+
   // ---- A12: typed top-k Aggregator (§2.10 UDAF surface) ---------------------
   // Per-flag top-3 line items by price through graft.functions.TopKAggregator:
   // the buffer holds k entries, partials reduce map-side, merge combines two
@@ -2007,5 +2085,5 @@ object AggWindowOps extends QueryPack {
       w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7, u8, u9,
       f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16, f17, f18,
       f19, f20, f21, f27, f28, f29, f30, f31, f32, f33,
-      st1, st2, st3, st4, st5, st6, st7)
+      st1, st2, st3, st4, st5, st6, st7, st8)
 }

@@ -60,6 +60,13 @@ object EventStream {
   def fromFileSource(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** [[fromFileSource]] capped at one file per micro-batch — deterministic
+    * replay of a chunked CDC drop directory (each chunk file becomes its own
+    * batch, in modification-time order). */
+  def fromFileSourceChunked(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+
   /** Start the windowed aggregation into an in-memory sink (tests/serving).
     * COMPLETE mode: the memory sink replaces the table each trigger, so a
     * window spanning several micro-batches appears once with its final
@@ -388,6 +395,54 @@ object EventStream {
                 violations.mkString("\n").getBytes("UTF-8")): Unit
             case Right(_) => ()
           }
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  // ---- streaming CDC-apply sink (the streaming face of the storage MERGE) ----
+
+  /** Streaming CDC apply through the storage-level MERGE: each micro-batch
+    * collapses to its newest change per key (ts, then event_id — the
+    * [[cdcState]] total order), then publishes ONE
+    * [[graft.sources.VersionedHiddenTable.merge]] snapshot — matched keys
+    * replaced by their newest image, new keys inserted, keys whose newest
+    * change is an 'error' tombstone deleted. Merge-on-read: a batch costs
+    * the batch itself plus a broadcast key semi-join, the table is never
+    * rewritten on the hot path (the scheduled
+    * [[graft.sources.VersionedHiddenTable.compact]] is the rewrite — the
+    * 100 TB operational split). Exactly-once by the marker-rides-the-publish
+    * protocol ([[startAuditedAppend]]): a batch re-offered after a crash
+    * between publish and checkpoint commit is skipped iff its publish
+    * actually committed. Every batch is one atomic snapshot — readers never
+    * observe half a CDC batch, and time travel reconstructs the keyed table
+    * as of ANY applied batch (st8 hash-gates a mid-stream snapshot against
+    * a from-scratch recompute). The first batch creates the table
+    * (tombstones dropped — an empty table has nothing to delete from);
+    * later batches merge. */
+  def startCdcMergeToTable(events: DataFrame, tableDir: String,
+      checkpoint: String, keys: Seq[String] = Seq("user_id")): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val vht = graft.sources.VersionedHiddenTable
+        if (!vht.publishedBatchIds(spark, tableDir).contains(batchId.toString)) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*)
+            .orderBy(col("ts").desc, col("event_id").desc)
+          val newest = batch.toDF()
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+          val tomb = col("event_type") === "error"
+          if (vht.versions(spark, tableDir).isEmpty)
+            vht.appendOrCreate(spark, tableDir, newest.filter(!tomb),
+              Seq(graft.sources.HiddenPartitioning.DayT("ts")),
+              batchId = Some(batchId.toString))(_ => Nil): Unit
+          else
+            vht.merge(spark, tableDir, newest, keys,
+              deleteWhen = Some(tomb), batchId = Some(batchId.toString)): Unit
         }
       }
       .trigger(Trigger.AvailableNow())

@@ -775,6 +775,65 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vht.read(sp, tbl, Some(vht.versions(sp, tbl).max - 1)).count() === 17)
   }
 
+  test("CDC merge sink: per-batch MERGE snapshots fold to the last-writer-wins fixpoint") {
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcsink").toString
+    val (in, tbl) = (s"$root/in", s"$root/table")
+    // three time-ordered CDC chunks over users 1-4:
+    //   chunk 0: u1 view, u2 view, u3 view        (creates the table)
+    //   chunk 1: u1 click (update), u2 error (delete), u4 purchase (insert),
+    //            u4 view then u4 click SAME batch (newest-in-batch wins)
+    //   chunk 2: u2 view (re-insert after the delete)
+    def land(rows: Seq[(Long, Int, Long, String, Double)]): Unit =
+      rows.map { case (id, m, u, t, v) =>
+        (id, new Timestamp(1700000000000L + m * 60000L), u, t, v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(in)
+    land(Seq((1L, 0, 1L, "view", 1.0), (2L, 1, 2L, "view", 2.0), (3L, 2, 3L, "view", 3.0)))
+    land(Seq((4L, 10, 1L, "click", 10.0), (5L, 11, 2L, "error", 0.0),
+      (6L, 12, 4L, "view", 4.0), (7L, 13, 4L, "click", 40.0)))
+    land(Seq((8L, 20, 2L, "view", 20.0)))
+    def run(): Unit = {
+      val q = EventStream.startCdcMergeToTable(
+        sp.readStream.schema(EventStream.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(in), tbl, s"$root/ckpt")
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val vht = graft.sources.VersionedHiddenTable
+    def state(v: Option[Long] = None): Map[Long, (Long, String, Double)] =
+      vht.read(sp, tbl, v).collect()
+        .map(r => r.getAs[Long]("user_id") -> ((r.getAs[Long]("event_id"),
+          r.getAs[String]("event_type"), r.getAs[Double]("value")))).toMap
+    // final = last-writer-wins per user, deletes applied, re-insert visible
+    assert(state() == Map(
+      1L -> ((4L, "click", 10.0)), 3L -> ((3L, "view", 3.0)),
+      4L -> ((7L, "click", 40.0)), 2L -> ((8L, "view", 20.0))))
+    // each batch is one atomic snapshot; time travel reconstructs mid-stream
+    assert(vht.versions(sp, tbl) == Seq(0L, 1L, 2L))
+    assert(state(Some(0L)) == Map(1L -> ((1L, "view", 1.0)),
+      2L -> ((2L, "view", 2.0)), 3L -> ((3L, "view", 3.0))))
+    assert(state(Some(1L)) == Map(1L -> ((4L, "click", 10.0)),
+      3L -> ((3L, "view", 3.0)), 4L -> ((7L, "click", 40.0))),
+      "v1: u1 updated, u2 deleted, u4's newest-in-batch image inserted")
+    // exactly-once: a FRESH checkpoint re-offers every batch; published
+    // batch ids skip them all — same snapshots, same state
+    org.apache.hadoop.fs.FileSystem.get(sp.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(s"$root/ckpt"), true): Unit
+    run()
+    assert(vht.versions(sp, tbl) == Seq(0L, 1L, 2L),
+      "replayed batches must not publish duplicate snapshots")
+    assert(state() == Map(
+      1L -> ((4L, "click", 10.0)), 3L -> ((3L, "view", 3.0)),
+      4L -> ((7L, "click", 40.0)), 2L -> ((8L, "view", 20.0))))
+    // a genuinely new batch still lands
+    land(Seq((9L, 30, 3L, "error", 0.0)))
+    run()
+    assert(state().keySet == Set(1L, 2L, 4L), "the late tombstone deletes u3")
+    assert(vht.versions(sp, tbl).size == 4)
+  }
+
   test("crash window 1: staged-but-unpublished batch re-publishes exactly once on restart") {
     // Fault injection for the window between the marker write and the
     // publish rename: the JVM dies with a fully-staged candidate (marker
