@@ -2490,6 +2490,67 @@ object RelationalOps extends QueryPack {
            |FROM events GROUP BY event_type""".stripMargin),
     doc = "Storage-level MERGE (merge-on-read CDC apply): upserts + inserts + tombstone deletes in one snapshot, post-merge and pre-merge time travel hash-checked (S25/§2.1).")
 
+  // ---- S26: tag-pinned snapshot surviving retention GC --------------------------
+  // Iceberg's named refs: an audit tag pins a snapshot (and every era it
+  // references) through vacuum, regardless of the keep-N window — the
+  // retention override that makes "the table as shipped to training run X"
+  // reproducible months later. The builder tags the pre-delete snapshot,
+  // deletes a keyed slice, then vacuums with keep=1 — which WOULD reclaim
+  // the pre-delete data if the tag were decorative. The query reads both
+  // faces hash-gated: the latest snapshot (oracle: survivors) and the
+  // tagged snapshot BY NAME (oracle: the full table) — a hash match on the
+  // tag face proves the pin protected real bytes, not just a version
+  // number. At 100 TB tags are what separate "GC policy" from "data loss".
+  private val s26 = GQuery(
+    "s26_tag_pinned_read",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val delPred = col("ts") >= "2024-01-20" && col("user_id").between(0L, 7L)
+      val vhtDir = Tables.scratchOnce(dir, "vht_events_tagged",
+          done = p => VHT.completedThrough(p, 2L) &&
+            scala.util.Try(VHT.tags(s, p).contains("audit-full")).getOrElse(false)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        val ev = t(s, dir, "events")
+        VHT.create(s, path, ev.filter(col("ts") < "2024-01-16"),
+          Seq(graft.sources.HiddenPartitioning.DayT("ts"))): Unit
+        VHT.append(s, path, ev.filter(col("ts") >= "2024-01-16"))() match {
+          case Right(_) => ()
+          case Left(violations) => throw new IllegalStateException(
+            s"s26 WAP audit vetoed the append: ${violations.mkString("; ")}")
+        }
+        VHT.tag(s, path, "audit-full", 1L)
+        val vDel = VHT.delete(s, path, delPred)
+        require(vDel == 2L, s"s26 delete must publish snapshot v2, got $vDel")
+        // keep=1 would reclaim v0 AND v1 (the full pre-delete data) if the
+        // tag did not pin it
+        val dropped = VHT.vacuum(s, path, keep = 1)
+        require(dropped == Seq(0L), s"s26 vacuum must drop only v0: $dropped")
+      }
+      def slice(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"),
+          min(col("event_id")).as("min_event"))
+        .withColumn("snapshot", lit(tag))
+      slice(VHT.read(s, vhtDir), "latest")
+        .unionByName(slice(VHT.readTag(s, vhtDir, "audit-full"), "tagged"))
+    },
+    Some("""SELECT 'latest' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM events
+           |WHERE NOT (ts >= '2024-01-20' AND user_id BETWEEN 0 AND 7)
+           |GROUP BY event_type
+           |UNION ALL
+           |SELECT 'tagged' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM events GROUP BY event_type""".stripMargin),
+    doc = "Named refs: an audit tag pins its snapshot and data through a keep=1 vacuum; latest + tag-name time travel hash-checked (S26/§2.1).")
+
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
   // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
@@ -2515,7 +2576,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)

@@ -15,6 +15,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   * {{{
   *   SELECT * FROM graft_table('/data/events')             -- latest snapshot
   *   SELECT * FROM graft_table('/data/events', 0)          -- time travel
+  *   SELECT * FROM graft_table('/data/events', 'audit-v1') -- travel by tag
+  *   SELECT * FROM graft_tags('/data/events')               -- $refs
   *   SELECT * FROM graft_files('/data/events')              -- $files
   *   SELECT * FROM graft_partitions('/data/events')         -- $partitions
   *   SELECT * FROM graft_snapshots('/data/events')          -- $snapshots
@@ -73,7 +75,16 @@ object GraftTableFunctions {
       arity("graft_table", args, 1, 2)
       val spark = SparkSession.active
       val dir = str("graft_table", args, 0)
-      val v = versionArg("graft_table", args)
+      // second arg: a snapshot version (integer) or a TAG name (string)
+      val v =
+        if (args.length < 2) None
+        else args(1) match {
+          case Literal(t, StringType) if t != null =>
+            Some(VersionedHiddenTable.tags(spark, dir).getOrElse(t.toString,
+              throw new IllegalArgumentException(
+                s"graft_table: no tag '$t' on $dir")))
+          case _ => versionArg("graft_table", args)
+        }
       if (versioned(spark, dir)) plan(VersionedHiddenTable.read(spark, dir, v))
       else {
         require(v.isEmpty,
@@ -115,6 +126,15 @@ object GraftTableFunctions {
       require(versioned(spark, dir),
         s"graft_snapshots: '$dir' holds no published snapshots")
       plan(VersionedHiddenTable.snapshotsMeta(spark, dir))
+    },
+    // tags ($refs): name -> pinned snapshot version
+    "graft_tags" -> { args =>
+      arity("graft_tags", args, 1, 1)
+      val spark = SparkSession.active
+      val dir = str("graft_tags", args, 0)
+      require(versioned(spark, dir),
+        s"graft_tags: '$dir' holds no published snapshots")
+      plan(VersionedHiddenTable.tagsMeta(spark, dir))
     },
     // changelog (CDC) scan over (from, to]: the SQL face of
     // VersionedHiddenTable.changes — source columns plus _change_type and

@@ -91,8 +91,9 @@ object VersionedHiddenTable {
     snapshot(spark, tableDir, v)._1
 
   /** (eras, equality-delete files) listed by snapshot `v`. Pre-merge-on-read
-    * snapshots carry no `dels` field and read as delete-free. */
-  private def snapshot(spark: SparkSession, tableDir: String,
+    * snapshots carry no `dels` field and read as delete-free.
+    * (`private[sources]`: [[TableService]] reads fragmentation off it.) */
+  private[sources] def snapshot(spark: SparkSession, tableDir: String,
       v: Long): (Seq[String], Seq[Del]) = {
     val (fs, _) = fsFor(spark, tableDir)
     val f = new Path(s"$tableDir/v=$v", SnapshotFile)
@@ -729,6 +730,67 @@ object VersionedHiddenTable {
     (empty +: steps).reduce(_.unionByName(_))
   }
 
+  // ---- named refs (Iceberg's tags) -------------------------------------------
+
+  private def refPath(tableDir: String, name: String): Path = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"ref name must be a file-name-safe token: '$name'")
+    new Path(s"$tableDir/refs/$name.json")
+  }
+
+  /** Pin snapshot `version` under an immutable name — Iceberg's tag. A
+    * tagged snapshot (and every era/delete file it references) SURVIVES
+    * [[vacuum]] regardless of the keep-N window: tags are the retention
+    * override an audit pin needs ("the table as shipped to training run X"
+    * stays readable until someone deletes the tag, not until the next GC).
+    * Re-tagging an existing name is refused — delete first; that's what
+    * makes a tag trustworthy as an audit pin. */
+  def tag(spark: SparkSession, tableDir: String, name: String, version: Long): Unit = {
+    val vs = versions(spark, tableDir)
+    require(vs.contains(version),
+      s"snapshot $version not retained (have ${vs.mkString(",")})")
+    val (fs, _) = fsFor(spark, tableDir)
+    val p = refPath(tableDir, name)
+    require(!fs.exists(p), s"tag '$name' already exists on $tableDir — delete it first")
+    val out = fs.create(p, false)
+    out.write(s"""{"version":$version}""".getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Drop a tag (the snapshot it pinned becomes ordinary-retention again). */
+  def dropTag(spark: SparkSession, tableDir: String, name: String): Unit = {
+    val (fs, _) = fsFor(spark, tableDir)
+    require(fs.delete(refPath(tableDir, name), false), s"no tag '$name' on $tableDir")
+  }
+
+  /** All tags: name -> pinned version. */
+  def tags(spark: SparkSession, tableDir: String): Map[String, Long] = {
+    val (fs, _) = fsFor(spark, tableDir)
+    ls(fs, new Path(s"$tableDir/refs"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val bytes = try in.readAllBytes() finally in.close()
+        val v = new ObjectMapper().readTree(bytes).get("version").asLong()
+        st.getPath.getName.stripSuffix(".json") -> v
+      }.toMap
+  }
+
+  /** Iceberg's `$refs`: one row per tag (name, pinned version). */
+  def tagsMeta(spark: SparkSession, tableDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    tags(spark, tableDir).toSeq.sorted.toDF("name", "version")
+  }
+
+  /** Time travel by tag name. */
+  def readTag(spark: SparkSession, tableDir: String, name: String): DataFrame = {
+    val v = tags(spark, tableDir).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' on $tableDir"))
+    read(spark, tableDir, Some(v))
+  }
+
   /** Iceberg's `rollback_to_snapshot`: publish a NEW snapshot whose content
     * is exactly snapshot `toVersion`'s — the same era and delete-file
     * references, nothing copied. History stays append-only: the
@@ -787,7 +849,8 @@ object VersionedHiddenTable {
     publish(spark, tableDir, stageSnapshot(spark, tableDir, Seq(era), None, "replace"))
   }
 
-  /** Retire all but the newest `keep` snapshots, then delete era
+  /** Retire all but the newest `keep` snapshots — except snapshots pinned
+    * by a [[tag]], which survive any keep window — then delete era
     * directories no retained snapshot references (and stale staged
     * candidates) — reference-counted GC, the only operation that destroys
     * data. Returns the dropped snapshot ids.
@@ -804,9 +867,40 @@ object VersionedHiddenTable {
   def vacuum(spark: SparkSession, tableDir: String, keep: Int,
       stagingGraceMs: Long = 20L * 60 * 1000): Seq[Long] = {
     require(keep >= 1, "must retain at least the latest snapshot")
-    val (fs, _) = fsFor(spark, tableDir)
     val vs = versions(spark, tableDir)
-    val drop = vs.dropRight(keep)
+    dropAndGc(spark, tableDir, vs.dropRight(keep), stagingGraceMs)
+  }
+
+  /** Age-based retention — Iceberg's `expire_snapshots(older_than)`:
+    * retire snapshots PUBLISHED before the cutoff (publish time = the
+    * version directory's filesystem timestamp, set by the atomic rename),
+    * always keeping the newest `keepLast` and anything a [[tag]] pins, then
+    * run the same reference-counted GC as [[vacuum]]. Age-based expiry is
+    * the production retention shape — "time travel for 7 days" — where a
+    * burst of commits must not evict history early the way a keep-N window
+    * would. Returns the dropped snapshot ids. Admin-serialized. */
+  def expireSnapshots(spark: SparkSession, tableDir: String,
+      olderThanMs: Long, keepLast: Int = 1,
+      stagingGraceMs: Long = 20L * 60 * 1000): Seq[Long] = {
+    require(keepLast >= 1, "must retain at least the latest snapshot")
+    val (fs, _) = fsFor(spark, tableDir)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val vs = versions(spark, tableDir)
+    val aged = vs.dropRight(keepLast).filter { v =>
+      fs.getFileStatus(new Path(s"$tableDir/v=$v")).getModificationTime < cutoff
+    }
+    dropAndGc(spark, tableDir, aged, stagingGraceMs)
+  }
+
+  /** Shared retention tail: delete the selected snapshot manifests (tag
+    * pins always survive), sweep aged staging tokens, then reclaim every
+    * data/delete directory no retained snapshot or in-flight token
+    * references. */
+  private def dropAndGc(spark: SparkSession, tableDir: String,
+      selected: Seq[Long], stagingGraceMs: Long): Seq[Long] = {
+    val (fs, _) = fsFor(spark, tableDir)
+    val pinned = tags(spark, tableDir).values.toSet
+    val drop = selected.filterNot(pinned.contains)
     drop.foreach(v => fs.delete(new Path(s"$tableDir/v=$v"), true): Unit)
     // a staged-but-unpublished snapshot inside the grace window may still
     // publish — its eras must survive the GC below as if referenced

@@ -207,6 +207,15 @@ class MetaTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) == 5L,
       "the open-ended range must cover exactly the later commits")
 
+    // tags through SQL: pin v0, travel by NAME, list the refs
+    VersionedHiddenTable.tag(spark, path, "pin0", 0L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$path', 'pin0')")
+      .head().getLong(0) == ev.filter(col("ts") < "2024-01-16").count(),
+      "tag-name time travel must read the pinned snapshot")
+    assert(spark.sql(s"SELECT name, version FROM graft_tags('$path')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("pin0", 0L)))
+
     // the hidden-partitioned (non-versioned) flavor through the same TVFs
     val hpPath = tmp("graft-meta-sql-hp")
     HiddenPartitioning.write(ev, hpPath, Seq(HiddenPartitioning.DayT("ts")))

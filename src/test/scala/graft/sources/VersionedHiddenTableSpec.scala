@@ -567,6 +567,93 @@ class VersionedHiddenTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VersionedHiddenTable.read(spark, t).count() == ev.count() + 5)
   }
 
+  test("tags pin snapshots through vacuum; travel by name; re-tag refused") {
+    val t = tmp("tags")
+    val ev = events
+    val (h1, h2) = (half(ev, 0), half(ev, 1))
+    VersionedHiddenTable.create(spark, t, h1, Seq(HiddenPartitioning.DayT("ts")))
+    VersionedHiddenTable.append(spark, t, h2)()                    // v1
+    VersionedHiddenTable.tag(spark, t, "audit-v1", 1L)
+    VersionedHiddenTable.delete(spark, t, col("user_id") < 20L)    // v2
+    VersionedHiddenTable.compact(spark, t)                         // v3
+    // keep=1 would normally drop v0, v1, v2 — the tag pins v1 AND the eras
+    // it references
+    val dropped = VersionedHiddenTable.vacuum(spark, t, keep = 1)
+    assert(dropped == Seq(0L, 2L), s"only unpinned history may drop: $dropped")
+    assert(VersionedHiddenTable.versions(spark, t) == Seq(1L, 3L))
+    assert(ids(VersionedHiddenTable.readTag(spark, t, "audit-v1")) == ids(ev),
+      "the tagged snapshot must read exactly its pinned content after vacuum")
+    assert(ids(VersionedHiddenTable.read(spark, t)) ==
+      ids(ev.filter(!(col("user_id") < 20L))))
+    assert(VersionedHiddenTable.tags(spark, t) == Map("audit-v1" -> 1L))
+    // a tag is an audit pin: re-tagging the name is refused, deletion is
+    // explicit, and after deletion the pin stops protecting
+    intercept[IllegalArgumentException] {
+      VersionedHiddenTable.tag(spark, t, "audit-v1", 3L)
+    }
+    VersionedHiddenTable.dropTag(spark, t, "audit-v1")
+    VersionedHiddenTable.vacuum(spark, t, keep = 1)
+    assert(VersionedHiddenTable.versions(spark, t) == Seq(3L))
+    intercept[IllegalArgumentException] {
+      VersionedHiddenTable.readTag(spark, t, "audit-v1")
+    }
+  }
+
+  test("table service: fragmentation-driven compaction + retention; tidy tables untouched") {
+    val t = tmp("service")
+    val ev = events
+    val h1 = ev.filter(col("ts") < "2024-01-16")
+    VersionedHiddenTable.create(spark, t, h1, Seq(HiddenPartitioning.DayT("ts")))
+    // six CDC merges -> six key masks + six one-batch eras: exactly the
+    // fragmentation the merge-on-read DML path deliberately defers
+    (0 until 6).foreach { k =>
+      VersionedHiddenTable.merge(spark, t,
+        ev.filter(col("ts") < "2024-01-16" && col("user_id") === k.toLong)
+          .withColumn("value", col("value") + 1),
+        Seq("event_id"))
+    }
+    val expected = h1.withColumn("value",
+      when(col("user_id") < 6L, col("value") + 1).otherwise(col("value")))
+    assert(rows3(VersionedHiddenTable.read(spark, t)) == rows3(expected))
+    assert(dataEras(t).count(_.startsWith("del-")) == 6)
+    val rep = TableService.maintain(spark, t,
+      TableService.Policy(maxDelFiles = 4, keepSnapshots = 1))
+    assert(rep.compacted && rep.delFiles == 6,
+      s"six key masks must exceed the policy threshold: $rep")
+    assert(rep.droppedSnapshots.nonEmpty)
+    assert(rows3(VersionedHiddenTable.read(spark, t)) == rows3(expected),
+      "maintenance must never change a row")
+    assert(dataEras(t).count(_.startsWith("del-")) == 0 &&
+      dataEras(t).count(_.startsWith("era-")) == 1,
+      "compaction + vacuum must fold the fragmentation away")
+    // an already-tidy table: the second pass reads manifests and does nothing
+    val rep2 = TableService.maintain(spark, t,
+      TableService.Policy(maxDelFiles = 4, keepSnapshots = 1))
+    assert(!rep2.compacted && rep2.droppedSnapshots.isEmpty &&
+      rep2.latestVersion == rep.latestVersion,
+      s"a tidy table must not be touched: $rep2")
+  }
+
+  test("expireSnapshots: age-based retention spares young and tagged history") {
+    val t = tmp("expire")
+    val ev = events
+    val (h1, h2) = (half(ev, 0), half(ev, 1))
+    VersionedHiddenTable.create(spark, t, h1, Seq(HiddenPartitioning.DayT("ts")))
+    VersionedHiddenTable.append(spark, t, h2)()          // v1
+    VersionedHiddenTable.tag(spark, t, "pin0", 0L)
+    VersionedHiddenTable.append(spark, t, h2.limit(5))() // v2
+    // everything was published seconds ago: a 1-hour horizon drops nothing
+    assert(VersionedHiddenTable.expireSnapshots(spark, t, 3600L * 1000).isEmpty)
+    // a negative horizon ages everything — keepLast spares v2, the tag v0;
+    // only v1 is eligible
+    val dropped = VersionedHiddenTable.expireSnapshots(spark, t, -1000L)
+    assert(dropped == Seq(1L), s"only the unpinned aged snapshot drops: $dropped")
+    assert(VersionedHiddenTable.versions(spark, t) == Seq(0L, 2L))
+    assert(ids(VersionedHiddenTable.readTag(spark, t, "pin0")) == ids(h1),
+      "the tag must still read its pinned content")
+    assert(VersionedHiddenTable.read(spark, t).count() == ev.count() + 5)
+  }
+
   test("publish skips a foreign v=<n> directory instead of nesting into it") {
     val t = tmp("race")
     val ev = events
