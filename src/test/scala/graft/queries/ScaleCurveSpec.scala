@@ -153,6 +153,65 @@ class ScaleCurveSpec extends AnyFunSuite with BeforeAndAfterAll {
     * measured face of s18's 100 TB argument: at 10x the rows, pruning +
     * skipping still discard the overwhelming majority of files at plan
     * time, and the query pays near the matching-slice cost, not 10x. */
+  /** The CDC cost contract measured across a decade: merging a FIXED-SIZE
+    * batch into a table 10x larger must cost about the same, because
+    * [[graft.sources.VersionedHiddenTable.merge]] writes only the batch era
+    * plus a key-only equality-delete file (Iceberg's equality_ids form) and
+    * never scans the target for pre-images — the structural face of that
+    * claim is the delete file's schema, which must hold exactly the key
+    * column. The changelog read of the merge commit is NOT flat by design —
+    * identifying which rows a key mask hides requires one broadcast-filtered
+    * (shuffle-free) pass over the covered eras — so it gets the ordinary
+    * superlinearity budget, not the flat one. */
+  test("sf0.1 -> sf1: a fixed-size CDC merge batch stays change-priced, not corpus-priced", graft.Slow) {
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.1"
+    val sf1 = graft.tools.ScaleUp.ensure(spark, sf01)
+    graft.sources.HiddenPartitioning.register(spark)
+    val VHT = graft.sources.VersionedHiddenTable
+
+    def leg(tag: String, ev: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft-scale-cdc-$tag").toString + "/t"
+      VHT.create(spark, path, ev,
+        Seq(graft.sources.HiddenPartitioning.DayT("ts")))
+      // the fixed-size batch: 2000 keyed updates, identical at both scales
+      // (cached so batch prep never pollutes the merge timing)
+      val batch = ev.orderBy("event_id").limit(2000)
+        .withColumn("value", col("value") + lit(1.0)).cache()
+      batch.count(): Unit
+      val t0 = System.nanoTime()
+      val v = VHT.merge(spark, path, batch, Seq("event_id"))
+      val mergeSec = (System.nanoTime() - t0) / 1e9
+      // structural: the published delete file is the batch's KEYS, nothing
+      // else — proof the merge never staged target pre-images
+      val delDir = new java.io.File(s"$path/data").listFiles()
+        .filter(_.getName.startsWith("del-"))
+      assert(delDir.length == 1, s"$tag: one key mask expected")
+      assert(spark.read.parquet(delDir.head.getPath).columns.toSeq == Seq("event_id"),
+        s"$tag: the delete file must hold only the merge keys")
+      val t1 = System.nanoTime()
+      val n = VHT.changes(spark, path, v - 1, Some(v)).count()
+      val changesSec = (System.nanoTime() - t1) / 1e9
+      assert(n == 4000L, s"$tag: 2000 deletes + 2000 inserts expected, got $n")
+      batch.unpersist(): Unit
+      (mergeSec, changesSec)
+    }
+
+    val (m01, c01) = leg("01", graft.core.Tables.load(spark, sf01, "events"))
+    val (m1, c1) = leg("1", spark.read.parquet(s"$sf1/events.parquet"))
+    info(f"merge: sf0.1 $m01%.2f s -> sf1 $m1%.2f s; changes: $c01%.2f s -> $c1%.2f s")
+    println(f"| cdc merge (2000-row batch) | $m01%.2f | $m1%.2f | ${m1 / math.max(m01, DenomFloorSec)}%.1fx |")
+    println(f"| cdc changelog of the commit | $c01%.2f | $c1%.2f | ${c1 / math.max(c01, DenomFloorSec)}%.1fx |")
+    // merge is change-priced: a decade of extra data buys at most host
+    // jitter + the longer key-broadcast planning, never a rescan (a
+    // pre-image implementation lands near 10x)
+    assert(m1 / math.max(m01, DenomFloorSec) <= 4.0,
+      f"merge must stay flat across the decade: $m01%.2f -> $m1%.2f")
+    // the changelog's covered-era pass is scan-bounded and shuffle-free
+    assert(c1 / math.max(c01, DenomFloorSec) <= SuperlinearityBudget)
+  }
+
   test("sf0.1 -> sf1: partition pruning + file-stats skipping keep the selective scan slice-priced", graft.Slow) {
     import org.apache.spark.sql.functions._
     val sf01 = "/root/testdata/sf0.1"
