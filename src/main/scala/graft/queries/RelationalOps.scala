@@ -2551,6 +2551,62 @@ object RelationalOps extends QueryPack {
            |FROM events GROUP BY event_type""".stripMargin),
     doc = "Named refs: an audit tag pins its snapshot and data through a keep=1 vacuum; latest + tag-name time travel hash-checked (S26/§2.1).")
 
+  // ---- S27: storage-level schema evolution (ADD COLUMNS) ------------------------
+  // The last Iceberg table-contract leg: Athena takes ALTER TABLE ADD
+  // COLUMNS on the reference's tables, and here the evolution is simply an
+  // append whose batch carries a new column — the snapshot's canonical
+  // schema is the add-only fold of its eras' schemas, so pre-evolution rows
+  // read the added column as a typed null and pre-evolution SNAPSHOTS keep
+  // their own narrower schema (schema-as-of time travel). The query reads
+  // both faces hash-gated: the widened latest (n_tagged = count of non-null
+  // added-column values — exactly the appended rows, proving the backfill
+  // is null and ONLY the backfill) and time-travel v0, whose schema the
+  // builder asserts lacks the column entirely.
+  private val s27 = GQuery(
+    "s27_schema_evolution_storage",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val vhtDir = Tables.scratchOnce(dir, "vht_events_schema_evo",
+          done = VHT.completedThrough(_, 1L)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        val ev = t(s, dir, "events")
+        VHT.create(s, path, ev.filter(col("ts") < "2024-01-16"),
+          Seq(graft.sources.HiddenPartitioning.DayT("ts"))): Unit
+        VHT.append(s, path,
+          ev.filter(col("ts") >= "2024-01-16")
+            .withColumn("source_tag", lit("batch2")))() match {
+          case Right(_) => ()
+          case Left(violations) => throw new IllegalStateException(
+            s"s27 WAP audit vetoed the evolving append: ${violations.mkString("; ")}")
+        }
+        require(!VHT.read(s, path, Some(0L)).columns.contains("source_tag"),
+          "s27: the pre-evolution snapshot must keep its own schema")
+      }
+      def slice(df: org.apache.spark.sql.DataFrame, tag: String,
+          tagged: org.apache.spark.sql.Column) = df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"),
+          tagged.as("n_tagged"))
+        .withColumn("snapshot", lit(tag))
+      slice(VHT.read(s, vhtDir), "latest", count(col("source_tag")))
+        .unionByName(slice(VHT.read(s, vhtDir, Some(0L)), "pre_evo",
+          first(lit(null).cast("long"))))
+    },
+    Some("""SELECT 'latest' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  count(CASE WHEN ts >= '2024-01-16' THEN 1 END) AS n_tagged
+           |FROM events GROUP BY event_type
+           |UNION ALL
+           |SELECT 'pre_evo' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  CAST(NULL AS BIGINT) AS n_tagged
+           |FROM events WHERE ts < '2024-01-16' GROUP BY event_type""".stripMargin),
+    doc = "Storage-level schema evolution: an evolving append widens the canonical schema, pre-evolution rows null-backfill, pre-evolution snapshots keep their schema — both faces hash-checked (S27/§2.1).")
+
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
   // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
@@ -2576,7 +2632,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)

@@ -174,44 +174,95 @@ object VersionedHiddenTable {
     * [[delete]] (or a [[compact]] right after) is for. */
   private def readEras(spark: SparkSession, tableDir: String, eras: Seq[String],
       dels: Seq[Del] = Nil): DataFrame = {
-    val frames = eras
+    val canonical = canonicalSchema(spark, tableDir, eras)
+    eras
       .filter(e => HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e)))
-      .map(e => visibleEra(spark, tableDir, e, dels))
-    require(frames.nonEmpty, s"no readable era among $eras under $tableDir")
-    frames.reduce(_.unionByName(_))
+      .map(e => visibleEra(spark, tableDir, e, dels, canonical))
+      .reduce(_.union(_)) // every frame conformed: same columns, same order
+  }
+
+  /** A snapshot's CURRENT schema — the add-only fold of its data-holding
+    * eras' schemas in era order (Iceberg's schema evolution, the ADD COLUMNS
+    * subset: an era written after an evolution carries the new field; older
+    * eras read it as null). Same-name fields must agree on type — type
+    * evolution, renames and drops are deliberately unsupported (they need
+    * field-id tracking, the part of the Iceberg spec this layer does not
+    * re-implement; a rename here would silently fork a column). */
+  private def canonicalSchema(spark: SparkSession, tableDir: String,
+      eras: Seq[String]): org.apache.spark.sql.types.StructType = {
+    val dataEras = eras
+      .filter(e => HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e)))
+      .sortBy(_.stripPrefix("era-").toInt)
+    require(dataEras.nonEmpty, s"no readable era among $eras under $tableDir")
+    dataEras.foldLeft(new org.apache.spark.sql.types.StructType()) { (acc, e) =>
+      HiddenPartitioning.readEra(spark, eraPath(tableDir, e)).schema
+        .foldLeft(acc) { (s, f) =>
+          s.find(_.name == f.name) match {
+            case Some(prev) =>
+              require(prev.dataType == f.dataType,
+                s"era '$e' of $tableDir re-types column '${f.name}' " +
+                  s"(${prev.dataType} -> ${f.dataType}); type evolution is unsupported")
+              s
+            case None => s.add(f)
+          }
+        }
+    }
+  }
+
+  /** Project `df` onto `canonical`: fields the frame lacks read as typed
+    * nulls (the null backfill an added column owes pre-evolution rows),
+    * fields present must type-match. */
+  private def conform(df: DataFrame,
+      canonical: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.schema.map(f => f.name -> f.dataType).toMap
+    df.select(canonical.fields.toSeq.map { f =>
+      have.get(f.name) match {
+        case Some(t) =>
+          require(t == f.dataType,
+            s"column '${f.name}' is $t here but ${f.dataType} canonically")
+          col(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
   }
 
   /** Remove from `base` every row that null-safe-equals a row of `del` on
-    * `cols` (empty = the FULL tuple). Full-tuple equality is exactly
+    * `on`. Full-tuple equality (a delete file's own column set) is exactly
     * predicate-delete semantics: a predicate is a function of the row, so
     * all copies of a matching tuple match together — the anti join deletes
     * them all, duplicates included, and never touches a non-matching row.
     * Key-column equality is MERGE's replace-by-key contract. */
   private def antiJoinOn(base: DataFrame, del: DataFrame,
-      cols: Seq[String]): DataFrame = {
-    val on = if (cols.isEmpty) base.columns.toSeq else cols
+      on: Seq[String]): DataFrame = {
     val d = org.apache.spark.sql.functions.broadcast(
       del.select(on.map(org.apache.spark.sql.functions.col): _*))
     val cond = on.map(c => base(c) <=> d(c)).reduce(_ && _)
     base.join(d, cond, "left_anti")
   }
 
-  /** One era's VISIBLE rows under a snapshot's delete set: raw files minus
-    * the merge-on-read delete files covering it, applied one anti join per
-    * distinct equality-column set (deletion by ANY file wins, so the
-    * application order is immaterial). Copy-on-write rewrites
-    * ([[delete]]/[[update]]) and the [[changes]] feed all diff VISIBLE
-    * content — folding the delete mask in here is what keeps a rewrite from
-    * resurrecting masked rows. */
+  /** One era's VISIBLE rows under a snapshot's delete set, conformed to the
+    * snapshot's canonical schema (columns the era predates read as typed
+    * nulls) and then anti-joined per delete file on the file's OWN equality
+    * columns ([[Del.cols]], or for a full-tuple delete the columns it was
+    * written with). Applying deletes on the CONFORMED frame gives Iceberg's
+    * evolution semantics for free: a post-evolution full-tuple delete
+    * matches a pre-evolution row exactly where its added-column values are
+    * null — precisely how the deleted row READ when the delete was issued.
+    * Deletion by ANY file wins, so application order is immaterial.
+    * Copy-on-write rewrites ([[delete]]/[[update]]) and the [[changes]]
+    * feed all diff VISIBLE content — folding the delete mask in here is
+    * what keeps a rewrite from resurrecting masked rows. */
   private def visibleEra(spark: SparkSession, tableDir: String, e: String,
-      dels: Seq[Del]): DataFrame = {
-    val base = HiddenPartitioning.readEra(spark, eraPath(tableDir, e))
-    dels.filter(_.over.contains(e)).groupBy(_.cols).toSeq
-      .foldLeft(base) { case (acc, (cols, ds)) =>
-        antiJoinOn(acc, ds
-          .map(d => spark.read.parquet(s"$tableDir/data/${d.dir}"))
-          .reduce(_.unionByName(_)), cols)
-      }
+      dels: Seq[Del],
+      canonical: org.apache.spark.sql.types.StructType): DataFrame = {
+    val base = conform(
+      HiddenPartitioning.readEra(spark, eraPath(tableDir, e)), canonical)
+    dels.filter(_.over.contains(e)).foldLeft(base) { (acc, d) =>
+      val delDf = spark.read.parquet(s"$tableDir/data/${d.dir}")
+      val on = if (d.cols.nonEmpty) d.cols else delDf.columns.toSeq
+      antiJoinOn(acc, delDf, on)
+    }
   }
 
   /** Stage a snapshot manifest; returns the staging token.
@@ -425,14 +476,15 @@ object VersionedHiddenTable {
     require(vs.nonEmpty, s"no snapshots under $tableDir")
     val (eras, dels) = snapshot(spark, tableDir, vs.max)
     val spec = currentSpec(spark, tableDir, eras)
+    val canonical = canonicalSchema(spark, tableDir, eras)
     val touched = eras.filter { e =>
       HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e)) &&
-        !visibleEra(spark, tableDir, e, dels).filter(predicate).isEmpty
+        !visibleEra(spark, tableDir, e, dels, canonical).filter(predicate).isEmpty
     }
     if (touched.isEmpty) return vs.max
     val rewritten = touched.map { e =>
       writeEra(spark, tableDir,
-        visibleEra(spark, tableDir, e, dels)
+        visibleEra(spark, tableDir, e, dels, canonical)
           .filter(not(coalesce(predicate, lit(false)))), spec)
     }
     val kept = eras.filterNot(touched.contains)
@@ -502,18 +554,18 @@ object VersionedHiddenTable {
     require(vs.nonEmpty, s"no snapshots under $tableDir")
     val (eras, dels) = snapshot(spark, tableDir, vs.max)
     val spec = currentSpec(spark, tableDir, eras)
+    val canonical = canonicalSchema(spark, tableDir, eras)
     val touched = eras.filter { e =>
       HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e)) &&
-        !visibleEra(spark, tableDir, e, dels).filter(predicate).isEmpty
+        !visibleEra(spark, tableDir, e, dels, canonical).filter(predicate).isEmpty
     }
     if (touched.isEmpty) return vs.max
-    val unknown = assignments.keySet --
-      visibleEra(spark, tableDir, touched.head, dels).columns.toSet
+    val unknown = assignments.keySet -- canonical.fieldNames.toSet
     require(unknown.isEmpty,
       s"SET targets not in the table: ${unknown.mkString(", ")}")
     val hit = coalesce(predicate, lit(false))
     val rewritten = touched.map { e =>
-      val vis = visibleEra(spark, tableDir, e, dels)
+      val vis = visibleEra(spark, tableDir, e, dels, canonical)
       val updated = vis.select(vis.schema.fields.toSeq.map { f =>
         assignments.get(f.name) match {
           case Some(expr) =>
@@ -662,13 +714,20 @@ object VersionedHiddenTable {
       s"snapshot $fromVersion not retained (have ${vs.mkString(",")})")
     require(vs.contains(to), s"snapshot $to not retained (have ${vs.mkString(",")})")
     require(fromVersion <= to, s"empty change range: $fromVersion > $to")
-    val empty = read(spark, tableDir, Some(to)).limit(0)
+    val range = vs.filter(v => v >= fromVersion && v <= to)
+    // ONE output schema for the whole feed: the canonical fold over every
+    // era any snapshot in the range references — under add-only schema
+    // evolution this covers each step (a narrower step's rows null-fill),
+    // and a post-rollback narrowing cannot drop an intermediate column
+    val canonical = canonicalSchema(spark, tableDir,
+      range.flatMap(v => snapshot(spark, tableDir, v)._1).distinct)
+    val empty = conform(read(spark, tableDir, Some(to)).limit(0), canonical)
       .withColumn("_change_type", lit("insert"))
       .withColumn("_commit_version", lit(0L))
     def hasData(e: String) =
       HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e))
     // one step = one retained-snapshot pair a -> b
-    val steps = vs.filter(v => v >= fromVersion && v <= to).sliding(2).collect {
+    val steps = range.sliding(2).collect {
       case Seq(a, b) if snapshotOp(spark, tableDir, b) != "replace" =>
         val (erasA, delsA) = snapshot(spark, tableDir, a)
         val (erasB, delsB) = snapshot(spark, tableDir, b)
@@ -677,27 +736,24 @@ object VersionedHiddenTable {
         // carried-over eras whose delete coverage changed: rows a fresh
         // delete file masks are deletes; rows a dropped one (rollback)
         // unmasks are inserts — broadcast semi joins of the era's visible
-        // rows against ONLY the delta delete files, applied per distinct
-        // equality-column set with the already-claimed rows anti-joined
-        // away between sets, so a row matched by several delta files still
-        // counts exactly once (multiset-exact, no shuffle)
+        // rows against ONLY the delta delete files, applied one file at a
+        // time on the FILE's own equality columns with the already-claimed
+        // rows anti-joined away between files, so a row matched by several
+        // delta files still counts exactly once (multiset-exact, no shuffle)
         def coverageDelta(e: String, visUnder: Seq[Del], fresh: Seq[Del]) =
           if (fresh.isEmpty) None
           else {
-            val vis = visibleEra(spark, tableDir, e, visUnder)
-            val (_, parts) = fresh.groupBy(_.cols).toSeq
-              .foldLeft((vis, Seq.empty[DataFrame])) {
-                case ((remaining, acc), (cols, ds)) =>
-                  val on = if (cols.isEmpty) remaining.columns.toSeq else cols
-                  val delDf = ds
-                    .map(d => spark.read.parquet(s"$tableDir/data/${d.dir}"))
-                    .reduce(_.unionByName(_))
-                  val d = broadcast(delDf.select(on.map(col): _*))
-                  val cond = on.map(c => remaining(c) <=> d(c)).reduce(_ && _)
-                  (remaining.join(d, cond, "left_anti"),
-                    acc :+ remaining.join(d, cond, "left_semi"))
-              }
-            Some(parts.reduce(_.unionByName(_)))
+            val vis = visibleEra(spark, tableDir, e, visUnder, canonical)
+            val (_, parts) = fresh.foldLeft((vis, Seq.empty[DataFrame])) {
+              case ((remaining, acc), dl) =>
+                val delDf = spark.read.parquet(s"$tableDir/data/${dl.dir}")
+                val on = if (dl.cols.nonEmpty) dl.cols else delDf.columns.toSeq
+                val d = broadcast(delDf.select(on.map(col): _*))
+                val cond = on.map(c => remaining(c) <=> d(c)).reduce(_ && _)
+                (remaining.join(d, cond, "left_anti"),
+                  acc :+ remaining.join(d, cond, "left_semi"))
+            }
+            Some(parts.reduce(_.union(_)))
           }
         val shared = erasA.filter(e => setB.contains(e) && hasData(e))
         val masked = shared.flatMap { e =>
@@ -711,11 +767,11 @@ object VersionedHiddenTable {
             delsA.filter(d => d.over.contains(e) && !after.contains(d.dir)))
         }
         val gone = (erasA.filter(e => !setB.contains(e) && hasData(e))
-          .map(e => visibleEra(spark, tableDir, e, delsA)) ++ masked)
-          .reduceOption(_.unionByName(_))
+          .map(e => visibleEra(spark, tableDir, e, delsA, canonical)) ++ masked)
+          .reduceOption(_.union(_))
         val born = (erasB.filter(e => !setA.contains(e) && hasData(e))
-          .map(e => visibleEra(spark, tableDir, e, delsB)) ++ unmasked)
-          .reduceOption(_.unionByName(_))
+          .map(e => visibleEra(spark, tableDir, e, delsB, canonical)) ++ unmasked)
+          .reduceOption(_.union(_))
         def tag(df: DataFrame, t: String) = df
           .withColumn("_change_type", lit(t))
           .withColumn("_commit_version", lit(b))

@@ -654,6 +654,69 @@ class VersionedHiddenTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VersionedHiddenTable.read(spark, t).count() == ev.count() + 5)
   }
 
+  test("schema evolution (add column): null backfill, schema-as-of travel, DML interop") {
+    val t = tmp("schema-evo")
+    val ev = events
+    val h1 = ev.filter(col("ts") < "2024-01-16")
+    val h2 = ev.filter(col("ts") >= "2024-01-16")
+    VersionedHiddenTable.create(spark, t, h1, Seq(HiddenPartitioning.DayT("ts")))
+    // a pre-evolution merge-on-read delete: its full-tuple file carries the
+    // OLD columns and must keep masking after the schema widens
+    VersionedHiddenTable.deleteMergeOnRead(spark, t, col("user_id") === 3L) // v1
+    // the evolution is just an append whose batch carries a new column
+    VersionedHiddenTable.append(spark, t,
+      h2.withColumn("source_tag", lit("batch2")))()                        // v2
+    val latest = VersionedHiddenTable.read(spark, t)
+    assert(latest.columns.contains("source_tag"),
+      "the added column must join the table schema")
+    assert(latest.filter(col("source_tag").isNull).count() ==
+      h1.filter(col("user_id") =!= 3L).count(),
+      "pre-evolution rows read the added column as null (and stay masked)")
+    assert(latest.filter(col("source_tag") === "batch2").count() == h2.count())
+    // schema-as-of: time travel BEFORE the evolution has no such column
+    assert(!VersionedHiddenTable.read(spark, t, Some(1L)).columns.contains("source_tag"),
+      "pre-evolution snapshots keep their own schema")
+    // DML sees the canonical schema: predicates and SETs on the new column
+    // work, and old rows (null tag) pass through a tag-keyed update
+    VersionedHiddenTable.update(spark, t, col("source_tag") === "batch2",
+      Map("value" -> lit(0.0)))                                            // v3
+    val afterUp = VersionedHiddenTable.read(spark, t)
+    assert(afterUp.filter(col("source_tag") === "batch2")
+      .agg(sum(abs(col("value")))).head().getDouble(0) == 0.0)
+    assert(rows3(afterUp.filter(col("source_tag").isNull)) ==
+      rows3(h1.filter(col("user_id") =!= 3L)),
+      "NULL-predicate rows must pass through the update untouched")
+    // a post-evolution full-tuple delete matches pre-evolution rows where
+    // the added column is null — exactly how those rows read at delete time
+    VersionedHiddenTable.deleteMergeOnRead(spark, t, col("user_id") === 5L) // v4
+    assert(VersionedHiddenTable.read(spark, t)
+      .filter(col("user_id") === 5L).isEmpty,
+      "the delete must reach rows in BOTH schema generations")
+    // compaction migrates everything to the canonical schema; time travel
+    // before it still answers in the old shape
+    val vc = VersionedHiddenTable.compact(spark, t)
+    val compacted = VersionedHiddenTable.read(spark, t, Some(vc))
+    assert(compacted.columns.contains("source_tag"))
+    assert(compacted.count() ==
+      ev.filter(col("user_id") =!= 3L || col("ts") >= "2024-01-16")
+        .filter(col("user_id") =!= 5L).count())
+    // changes across the evolution step: the feed's one schema is the
+    // canonical fold, so the pre-evolution baseline still diffs cleanly
+    val ch = VersionedHiddenTable.changes(spark, t, 1L, Some(2L))
+    assert(ch.columns.contains("source_tag"))
+    assert(ch.filter(col("_change_type") === "insert").count() == h2.count())
+    // a same-name column with a DIFFERENT type is refused loudly (the
+    // staged audit read trips the canonical-schema type check, so the
+    // poisoned append publishes nothing)
+    val vBefore = VersionedHiddenTable.versions(spark, t).max
+    intercept[IllegalArgumentException] {
+      VersionedHiddenTable.append(spark, t,
+        h2.limit(1).withColumn("source_tag", lit(7)))()
+    }
+    assert(VersionedHiddenTable.versions(spark, t).max == vBefore,
+      "a type-conflicting append must abort, not publish")
+  }
+
   test("publish skips a foreign v=<n> directory instead of nesting into it") {
     val t = tmp("race")
     val ev = events
