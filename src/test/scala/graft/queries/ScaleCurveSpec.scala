@@ -205,8 +205,12 @@ class ScaleCurveSpec extends AnyFunSuite with BeforeAndAfterAll {
     println(f"| cdc changelog of the commit | $c01%.2f | $c1%.2f | ${c1 / math.max(c01, DenomFloorSec)}%.1fx |")
     // merge is change-priced: a decade of extra data buys at most host
     // jitter + the longer key-broadcast planning, never a rescan (a
-    // pre-image implementation lands near 10x)
-    assert(m1 / math.max(m01, DenomFloorSec) <= 4.0,
+    // pre-image implementation lands near 10x). The STRUCTURAL assert
+    // above (key-only delete schema) is the load-bearing proof; this
+    // timing bound sits between "flat" and "rescan" with headroom for
+    // suite-parallel contention, because a merge mutates and cannot be
+    // re-timed best-of-2 like the read-only legs
+    assert(m1 / math.max(m01, DenomFloorSec) <= 6.0,
       f"merge must stay flat across the decade: $m01%.2f -> $m1%.2f")
     // the changelog's covered-era pass is scan-bounded and shuffle-free
     assert(c1 / math.max(c01, DenomFloorSec) <= SuperlinearityBudget)
