@@ -206,18 +206,39 @@ object HiddenPartitioning {
     }
   }
 
-  private[sources] def writeSpecFile(spark: SparkSession, path: String,
-      transforms: Seq[Transform]): Unit = {
+  private def specJson(transforms: Seq[Transform]): Array[Byte] = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     val arr = root.putArray("transforms")
     transforms.foreach(t => t.describe(arr.addObject()))
+    root.toString.getBytes("UTF-8")
+  }
+
+  private[sources] def writeSpecFile(spark: SparkSession, path: String,
+      transforms: Seq[Transform]): Unit = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(new Path(path, SpecFile), true)
-    out.write(root.toString.getBytes("UTF-8"))
+    out.write(specJson(transforms))
     out.close()
     // drop any stale fingerprint; the next spec() lookup re-reads the file
     specCache.remove(normalize(spark, path)): Unit
+  }
+
+  /** [[writeSpecFile]] that atomically CLAIMS the directory: the spec file
+    * is created with overwrite=false, so of several concurrent writers
+    * (threads or processes) exactly one wins a given era path — the losers
+    * see `false` and try the next id. */
+  private[sources] def claimSpecFile(spark: SparkSession, path: String,
+      transforms: Seq[Transform]): Boolean = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val target = new Path(path, SpecFile)
+    val out =
+      try fs.create(target, false)
+      catch { case _: java.io.IOException if fs.exists(target) => return false }
+    out.write(specJson(transforms))
+    out.close()
+    specCache.remove(normalize(spark, path)): Unit
+    true
   }
 
   /** Create (or fully replace) the table: `df` laid out by the derived

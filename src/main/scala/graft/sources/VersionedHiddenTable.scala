@@ -53,6 +53,10 @@ object VersionedHiddenTable {
 
   private val SnapshotFile = "_snapshot.json"
   private val publishLock = new Object
+  // serializes a JVM's append COMMITS (base re-resolution -> stage -> audit
+  // -> publish) so concurrent appends linearize instead of losing each
+  // other's eras; era data writes stay outside it and run fully parallel
+  private val commitLock = new Object
   private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** One equality-delete file (merge-on-read): `dir` holds the deleted
@@ -149,13 +153,23 @@ object VersionedHiddenTable {
   }
 
   /** Write one new era directory: spec file first, data after. Returns the
-    * era name. Invisible until a snapshot referencing it publishes.
+    * era name. Invisible until a snapshot referencing it publishes. The era
+    * id is CLAIMED atomically — the spec file is created with
+    * overwrite=false, so two concurrent writers (threads or processes)
+    * never land in the same directory; the loser steps to the next id.
     * (`private[graft]`: fault-injection tests build torn commit states.) */
   private[graft] def writeEra(spark: SparkSession, tableDir: String, df: DataFrame,
       transforms: Seq[Transform]): String = {
-    val era = s"era-${nextEraId(spark, tableDir)}"
+    var id = nextEraId(spark, tableDir)
+    var attempts = 0
+    while (!HiddenPartitioning.claimSpecFile(spark, eraPath(tableDir, s"era-$id"),
+        transforms)) {
+      attempts += 1
+      require(attempts < 64, s"could not claim an era id under $tableDir")
+      id += 1
+    }
+    val era = s"era-$id"
     val p = eraPath(tableDir, era)
-    HiddenPartitioning.writeSpecFile(spark, p, transforms)
     HiddenPartitioning.derive(df, transforms).write.mode("append")
       .partitionBy(transforms.map(_.partCol): _*).parquet(p)
     // per-file stats land with the era data, BEFORE any snapshot publishes a
@@ -174,10 +188,19 @@ object VersionedHiddenTable {
     * [[delete]] (or a [[compact]] right after) is for. */
   private def readEras(spark: SparkSession, tableDir: String, eras: Seq[String],
       dels: Seq[Del] = Nil): DataFrame = {
-    val canonical = canonicalSchema(spark, tableDir, eras)
-    eras
+    // build each era's frame ONCE: the canonical fold reads schemas off the
+    // already-planned frames instead of re-listing every era's footers
+    // (planning cost matters — this runs per query over k eras)
+    val frames = eras
       .filter(e => HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e)))
-      .map(e => visibleEra(spark, tableDir, e, dels, canonical))
+      .sortBy(_.stripPrefix("era-").toInt)
+      .map(e => e -> HiddenPartitioning.readEra(spark, eraPath(tableDir, e)))
+    require(frames.nonEmpty, s"no readable era among $eras under $tableDir")
+    val canonical = frames.foldLeft(new org.apache.spark.sql.types.StructType()) {
+      case (acc, (e, df)) => foldSchema(acc, df.schema, s"era '$e' of $tableDir")
+    }
+    frames
+      .map { case (e, df) => applyDels(spark, tableDir, e, conform(df, canonical), dels) }
       .reduce(_.union(_)) // every frame conformed: same columns, same order
   }
 
@@ -195,19 +218,27 @@ object VersionedHiddenTable {
       .sortBy(_.stripPrefix("era-").toInt)
     require(dataEras.nonEmpty, s"no readable era among $eras under $tableDir")
     dataEras.foldLeft(new org.apache.spark.sql.types.StructType()) { (acc, e) =>
-      HiddenPartitioning.readEra(spark, eraPath(tableDir, e)).schema
-        .foldLeft(acc) { (s, f) =>
-          s.find(_.name == f.name) match {
-            case Some(prev) =>
-              require(prev.dataType == f.dataType,
-                s"era '$e' of $tableDir re-types column '${f.name}' " +
-                  s"(${prev.dataType} -> ${f.dataType}); type evolution is unsupported")
-              s
-            case None => s.add(f)
-          }
-        }
+      foldSchema(acc,
+        HiddenPartitioning.readEra(spark, eraPath(tableDir, e)).schema,
+        s"era '$e' of $tableDir")
     }
   }
+
+  /** One add-only fold step: append fields `next` has that `acc` lacks;
+    * same-name fields must type-match. */
+  private def foldSchema(acc: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType,
+      where: String): org.apache.spark.sql.types.StructType =
+    next.foldLeft(acc) { (s, f) =>
+      s.find(_.name == f.name) match {
+        case Some(prev) =>
+          require(prev.dataType == f.dataType,
+            s"$where re-types column '${f.name}' " +
+              s"(${prev.dataType} -> ${f.dataType}); type evolution is unsupported")
+          s
+        case None => s.add(f)
+      }
+    }
 
   /** Project `df` onto `canonical`: fields the frame lacks read as typed
     * nulls (the null backfill an added column owes pre-evolution rows),
@@ -255,15 +286,17 @@ object VersionedHiddenTable {
     * what keeps a rewrite from resurrecting masked rows. */
   private def visibleEra(spark: SparkSession, tableDir: String, e: String,
       dels: Seq[Del],
-      canonical: org.apache.spark.sql.types.StructType): DataFrame = {
-    val base = conform(
-      HiddenPartitioning.readEra(spark, eraPath(tableDir, e)), canonical)
+      canonical: org.apache.spark.sql.types.StructType): DataFrame =
+    applyDels(spark, tableDir, e, conform(
+      HiddenPartitioning.readEra(spark, eraPath(tableDir, e)), canonical), dels)
+
+  private def applyDels(spark: SparkSession, tableDir: String, e: String,
+      base: DataFrame, dels: Seq[Del]): DataFrame =
     dels.filter(_.over.contains(e)).foldLeft(base) { (acc, d) =>
       val delDf = spark.read.parquet(s"$tableDir/data/${d.dir}")
       val on = if (d.cols.nonEmpty) d.cols else delDf.columns.toSeq
       antiJoinOn(acc, delDf, on)
     }
-  }
 
   /** Stage a snapshot manifest; returns the staging token.
     * (`private[graft]`: fault-injection tests build torn commit states.) */
@@ -393,25 +426,37 @@ object VersionedHiddenTable {
   def appendOrCreate(spark: SparkSession, tableDir: String, df: DataFrame,
       transforms: Seq[Transform], batchId: Option[String] = None)(
       audit: DataFrame => Seq[String] = _ => Nil): Either[Seq[String], Long] = {
-    val vs = versions(spark, tableDir)
-    val (eras, dels) =
-      if (vs.isEmpty) (Nil, Nil) else snapshot(spark, tableDir, vs.max)
+    val vs0 = versions(spark, tableDir)
     val spec =
-      if (eras.nonEmpty) currentSpec(spark, tableDir, eras)
+      if (vs0.nonEmpty)
+        currentSpec(spark, tableDir, snapshot(spark, tableDir, vs0.max)._1)
       else {
         require(transforms.nonEmpty,
           s"first write to $tableDir must declare at least one partition transform")
         transforms
       }
+    // the DATA write runs outside any lock (an unreferenced era is
+    // invisible), so concurrent appends overlap their expensive part fully
     val era = writeEra(spark, tableDir, df, spec)
-    // delete files carry forward UNCHANGED: the new era is outside every
-    // del's `over` set, so re-appended tuples equal to deleted ones survive
-    val staged = eras :+ era
-    val token = stageSnapshotDels(spark, tableDir, staged, dels, batchId)
-    val violations = try audit(readEras(spark, tableDir, staged, dels))
-    catch { case e: Throwable => abort(spark, tableDir, token); throw e }
-    if (violations.isEmpty) Right(publish(spark, tableDir, token))
-    else { abort(spark, tableDir, token); Left(violations) }
+    // the COMMIT re-resolves the base snapshot under the JVM's commit lock:
+    // an append that published while our data was writing is carried into
+    // our manifest — without this, two concurrent appends would both stage
+    // off the same base and the second publish would silently drop the
+    // first one's era (same-JVM writers linearize; cross-process writers
+    // remain admin-serialized, as [[publish]] documents)
+    commitLock.synchronized {
+      val vs = versions(spark, tableDir)
+      val (eras, dels) =
+        if (vs.isEmpty) (Nil, Nil) else snapshot(spark, tableDir, vs.max)
+      // delete files carry forward UNCHANGED: the new era is outside every
+      // del's `over` set, so re-appended tuples equal to deleted ones survive
+      val staged = eras :+ era
+      val token = stageSnapshotDels(spark, tableDir, staged, dels, batchId)
+      val violations = try audit(readEras(spark, tableDir, staged, dels))
+      catch { case e: Throwable => abort(spark, tableDir, token); throw e }
+      if (violations.isEmpty) Right(publish(spark, tableDir, token))
+      else { abort(spark, tableDir, token); Left(violations) }
+    }
   }
 
   /** Evolve the partition spec: publish a snapshot whose new highest era

@@ -57,6 +57,44 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally pool.shutdown()
   }
 
+  test("8 concurrent WAP appends to one versioned table: no era lost, all batches readable", graft.Slow) {
+    import org.apache.spark.sql.functions.col
+    val VHT = graft.sources.VersionedHiddenTable
+    val t = java.nio.file.Files.createTempDirectory("graft-conc-vht").toString + "/t"
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+    VHT.create(spark, t, ev.filter(col("user_id") === 0L),
+      Seq(graft.sources.HiddenPartitioning.DayT("ts")))
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // 8 writers, fully concurrent: era writes overlap (atomic era-id
+      // claims keep the directories distinct), commits linearize under the
+      // JVM commit lock (each re-resolves the latest base), so the final
+      // manifest must reference EVERY writer's era — the lost-update race
+      // this pins is a silently vanishing append
+      val runs = (1 to 8).map { k =>
+        Future {
+          VHT.append(spark, t, ev.filter(col("user_id") === k.toLong),
+            batchId = Some(s"w$k"))()
+        }
+      }
+      val results = Await.result(Future.sequence(runs), 10.minutes)
+      assert(results.forall(_.isRight), s"every append must publish: $results")
+      assert(VHT.versions(spark, t).size == 9,
+        "one snapshot per writer plus the create")
+      assert(VHT.publishedBatchIds(spark, t) == (1 to 8).map(k => s"w$k").toSet,
+        "every writer's batch marker must ride its own publish")
+      val expect = ev.filter(col("user_id") <= 8L)
+      assert(VHT.read(spark, t).count() == expect.count(),
+        "the latest snapshot must carry every concurrent append's rows")
+      // per-writer completeness: no batch partially lost
+      (0 to 8).foreach { k =>
+        assert(VHT.read(spark, t).filter(col("user_id") === k.toLong).count() ==
+          ev.filter(col("user_id") === k.toLong).count(), s"batch $k incomplete")
+      }
+    } finally pool.shutdown()
+  }
+
   test("EVERY registry query builds+runs concurrently across two data dirs, equal to serial", graft.Slow) {
     // The full-width version of the test above and the executable form of
     // the concurrent-build contract (commits ec7c0b0/1340566): all ~240
