@@ -18,13 +18,17 @@ import HiddenPartitioning.Transform
   * {{{
   *   table/
   *     data/era-<k>/              immutable once some snapshot references it
-  *       _partition_spec.json     the era's own spec (written FIRST)
+  *       _partition_spec.json     the era's own spec (written FIRST — its
+  *                                overwrite=false create is the era CLAIM)
   *       <derived partition dirs>
-  *     data/del-<k>/              equality-delete file (merge-on-read mode):
-  *                                the deleted tuples; applied by readers to
-  *                                the eras its snapshot entry covers
-  *     v=<n>/_snapshot.json       {"eras":[...], "dels":[{dir,over},...]}
+  *     data/del-<k>/              equality-delete file (merge-on-read DML):
+  *                                deleted tuples (or, for MERGE, just keys);
+  *                                applied by readers to the eras its
+  *                                snapshot entry covers
+  *     v=<n>/_snapshot.json       {"op":..., "eras":[...],
+  *                                 "dels":[{dir,over[,cols]},...]}
   *     v=<n>/_batch-<id>          optional replay-idempotency marker
+  *     refs/<name>.json           immutable tag: {"version":v} (vacuum pin)
   *     _staging/<token>/          staged snapshot manifests (WAP)
   * }}}
   *
@@ -32,11 +36,15 @@ import HiddenPartitioning.Transform
   * is invisible, so a crash mid-write leaves garbage, never a torn table.
   * The snapshot manifest is staged under `_staging` and published by ONE
   * atomic rename into `v=<n>` (the commit), with the version id allocated
-  * under a lock so concurrent publishes cannot collide. Readers resolve the
-  * requested (or latest) snapshot and union exactly its listed eras; since
-  * era directories are immutable and snapshots never change after publish,
-  * time travel is exact under concurrent appends, spec evolution AND
-  * compaction.
+  * under a lock so concurrent publishes cannot collide; same-JVM append
+  * commits additionally linearize under [[commitLock]] (base re-resolution
+  * inside it), so concurrent WAP writers never drop each other's eras.
+  * Readers resolve the requested (or latest) snapshot and union exactly its
+  * listed eras; since era directories are immutable and snapshots never
+  * change after publish, time travel is exact under concurrent appends,
+  * spec evolution AND compaction — and each snapshot answers in ITS OWN
+  * canonical schema (the add-only fold of its eras' schemas), so time
+  * travel is schema-exact too.
   *
   * The CURRENT spec of a snapshot is the spec of its highest-numbered era —
   * evolution appends an (initially empty) era carrying the new spec, and
@@ -973,9 +981,11 @@ object VersionedHiddenTable {
   }
 
   /** Age-based retention — Iceberg's `expire_snapshots(older_than)`:
-    * retire snapshots PUBLISHED before the cutoff (publish time = the
-    * version directory's filesystem timestamp, set by the atomic rename),
-    * always keeping the newest `keepLast` and anything a [[tag]] pins, then
+    * retire snapshots older than the cutoff (age = the version directory's
+    * filesystem timestamp; rename preserves the staged dir's mtime, so this
+    * is STAGE time, seconds before the publish — immaterial at retention
+    * horizons but stated precisely), always keeping the newest `keepLast`
+    * and anything a [[tag]] pins, then
     * run the same reference-counted GC as [[vacuum]]. Age-based expiry is
     * the production retention shape — "time travel for 7 days" — where a
     * burst of commits must not evict history early the way a keep-N window
