@@ -2607,6 +2607,68 @@ object RelationalOps extends QueryPack {
            |FROM events WHERE ts < '2024-01-16' GROUP BY event_type""".stripMargin),
     doc = "Storage-level schema evolution: an evolving append widens the canonical schema, pre-evolution rows null-backfill, pre-evolution snapshots keep their schema — both faces hash-checked (S27/§2.1).")
 
+  // ---- S28: scheduled table maintenance (compact-when-fragmented + retention) --
+  // The operational loop a 100 TB deployment schedules (Iceberg's
+  // rewrite_data_files + expire_snapshots pair): the DML path deliberately
+  // defers all rewriting — six CDC merges leave six key masks and six
+  // one-batch eras — and TableService.maintain reads that fragmentation
+  // from MANIFESTS alone, folds it with one clustered compaction, and
+  // retires the history. The hash gate is maintenance's entire contract:
+  // the post-maintenance table must equal the pre-maintenance state
+  // recomputed from scratch — a compaction that drops, duplicates, or
+  // resurrects one row fails here. The builder additionally asserts the
+  // physical outcome (one era, zero delete files, one retained snapshot),
+  // so the query's clean read really is the folded layout.
+  private val s28 = GQuery(
+    "s28_table_maintenance",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val vhtDir = Tables.scratchOnce(dir, "vht_events_svc",
+          done = p => scala.util.Try(
+            VHT.versions(s, p) == Seq(7L)).getOrElse(false)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        val h1 = t(s, dir, "events").filter(col("ts") < "2024-01-16")
+        VHT.create(s, path, h1,
+          Seq(graft.sources.HiddenPartitioning.DayT("ts"))): Unit
+        (0 until 6).foreach { k =>
+          VHT.merge(s, path,
+            h1.filter(col("user_id") === k.toLong)
+              .withColumn("value", col("value") + 1000),
+            Seq("event_id"), batchId = Some(s"svc-$k")): Unit
+        }
+        val rep = graft.sources.TableService.maintain(s, path,
+          graft.sources.TableService.Policy(maxDelFiles = 4,
+            clusterBy = Seq("user_id"), keepSnapshots = 1))
+        require(rep.compacted && rep.delFiles == 6,
+          s"s28: six key masks must trip the policy: $rep")
+        require(VHT.versions(s, path) == Seq(7L),
+          s"s28: retention must keep only the compacted snapshot")
+        val (eras, dels) = (VHT.snapshotsMeta(s, path)
+          .filter(col("version") === 7L).select("eras").head().getSeq[String](0),
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data"))
+            .count(_.getPath.getName.startsWith("del-")))
+        require(eras.size == 1 && dels == 0,
+          s"s28: maintenance must fold to one era, zero masks: $eras, $dels")
+      }
+      VHT.read(s, vhtDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"),
+          min(col("event_id")).as("min_event"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM (SELECT event_id, event_type,
+           |        CASE WHEN user_id BETWEEN 0 AND 5 THEN value + 1000
+           |             ELSE value END AS value
+           |      FROM events WHERE ts < '2024-01-16')
+           |GROUP BY event_type""".stripMargin),
+    doc = "Scheduled table maintenance: six CDC merges' fragmentation folded by one policy-driven clustered compaction + retention, content hash-proven unchanged (S28/§2.1).")
+
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
   // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
@@ -2632,7 +2694,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
