@@ -58,6 +58,21 @@ object Materialization {
       schemaOf: String => String = Materialization.layerSchema)
     extends Materialization
 
+  /** The FULL table contract for every materialized model: each lands as an
+    * `op=overwrite` snapshot of a [[graft.sources.VersionedHiddenTable]]
+    * under `root/<schema>/<model>/` — time travel across pipeline runs,
+    * `changes()` CDC between runs (the incremental-consumer feed: fold a
+    * run's net diff forward instead of rebuilding downstream), DML and
+    * scheduled maintenance via [[graft.sources.TableService]], SQL access
+    * via the `graft_table` TVF. `transformsOf` gives a model its hidden
+    * partition spec on FIRST creation (default unpartitioned — right for
+    * the reference's serving-scale marts). */
+  final case class VersionedHiddenDir(root: String,
+      transformsOf: String => Seq[graft.sources.HiddenPartitioning.Transform] =
+        _ => Nil,
+      schemaOf: String => String = Materialization.layerSchema)
+    extends Materialization
+
   /** Reference layer mapping: `src_*` → source, `mart_*` → main (the
     * reference keeps marts in `models/main/`), everything else → stage. */
   val layerSchema: String => String = n =>
@@ -172,6 +187,9 @@ final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.
     val schemaOfOpt = mat match {
       case Materialization.Catalog(schemaOf) => Some(schemaOf)
       case Materialization.VersionedCatalog(_, schemaOf) => Some(schemaOf)
+      // VersionedHiddenDir is path-addressed (composite multi-era reads
+      // cannot be a single-LOCATION catalog table; the graft_table TVF is
+      // the SQL face) — no databases to create
       case _ => None
     }
     schemaOfOpt.foreach(schemaOf =>
@@ -222,6 +240,14 @@ final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.
           spark.sql(s"DROP TABLE IF EXISTS $fqn")
           spark.sql(s"CREATE TABLE $fqn USING parquet LOCATION '$path'")
           spark.table(fqn)
+        case Materialization.VersionedHiddenDir(root, transformsOf, schemaOf) =>
+          val tableDir = s"$root/${schemaOf(n)}/$n"
+          // one op=overwrite snapshot per run: prior runs stay readable
+          // (time travel), changes() nets the run-over-run diff for
+          // incremental consumers, stats manifests land with every era
+          graft.sources.VersionedHiddenTable.overwrite(
+            spark, tableDir, df, transformsOf(n)): Unit
+          graft.sources.VersionedHiddenTable.read(spark, tableDir)
         case Materialization.Compose => df
       }
     }

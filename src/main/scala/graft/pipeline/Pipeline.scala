@@ -51,6 +51,21 @@ object Pipeline {
       versionRoot: String): Map[String, DataFrame] =
     runner(dataRoot).runAs(spark, Materialization.VersionedCatalog(versionRoot))
 
+  /** [[runVersioned]] upgraded to the FULL table contract (the README's
+    * "incremental models" future enhancement, `README.md:45-46`, made real):
+    * every selected model lands as an `op=overwrite` snapshot of a
+    * [[graft.sources.VersionedHiddenTable]] under
+    * `tableRoot/<schema>/<model>/`. Each run is one snapshot — prior runs
+    * time-travel, `VersionedHiddenTable.changes(dir, vPrev)` nets the
+    * run-over-run row diff (the feed a downstream consumer folds forward
+    * instead of rebuilding), and `TableService.maintain` gives the marts
+    * scheduled compaction + retention. SQL access via the `graft_table`
+    * TVF. */
+  def runVersionedHidden(spark: SparkSession, dataRoot: String,
+      tableRoot: String, select: Seq[String] = Nil): Map[String, DataFrame] =
+    runner(dataRoot).runAs(spark,
+      Materialization.VersionedHiddenDir(tableRoot), select)
+
   /** Attach named observed metrics to a frame: the aggregates are computed
     * INSIDE whatever action materializes the frame (write, count, collect) —
     * zero extra scans, which is how a 100 TB run affords per-model run

@@ -458,5 +458,52 @@ object IncrementalOps extends QueryPack {
            |FROM events WHERE user_id >= 10 GROUP BY user_id""".stripMargin),
     doc = "Incremental aggregate maintenance off the changelog: v1 materialization + signed CDC deltas reproduce the v5 state exactly, hash-proven against a from-scratch rebuild (I11/§2.5).")
 
-  override val all: Seq[GQuery] = Seq(i1, i2, i3, i4, i5, i6, i7, i8, i9, i10, i11)
+  // ---- I12: run-over-run overwrite CDC (dbt `table` rebuilds, incremental) ----
+  // Pipeline.runVersionedHidden lands every pipeline run as ONE op=overwrite
+  // snapshot of a VersionedHiddenTable; changes() across the overwrite step
+  // nets the run-over-run row diff, so a downstream consumer holding run 0
+  // folds the diff forward instead of rebuilding — the README's
+  // "incremental models" future enhancement (README.md:45-46) as a storage
+  // contract. Run 0 = one date slice; run 1 OVERWRITES with a shifted slice
+  // (a dropped day, an added day, half the users value-bumped). The query
+  // folds run 0 forward by the changelog; the oracle recomputes run 1 from
+  // scratch — hash equality proves fold == rebuild across an overwrite.
+  private val i12 = GQuery(
+    "i12_overwrite_run_cdc",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val vhtDir = Tables.scratchOnce(dir, "vht_events_runs",
+          done = p => scala.util.Try(
+            VHT.versions(s, p) == Seq(0L, 1L)).getOrElse(false)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        val all = ev(s, dir)
+        val runA = all.filter(col("ts") < "2024-01-20")
+        val runB = all.filter(col("ts") >= "2024-01-05")
+          .withColumn("value", when(pmod(col("user_id"), lit(2)) === 0L,
+            col("value") + 50).otherwise(col("value")))
+        VHT.overwrite(s, path, runA,
+          Seq(graft.sources.HiddenPartitioning.DayT("ts"))): Unit
+        VHT.overwrite(s, path, runB): Unit
+      }
+      val meta = Seq("_change_type", "_commit_version")
+      val v0 = VHT.read(s, vhtDir, Some(0L))
+      val ch = VHT.changes(s, vhtDir, 0L)
+      val folded = v0
+        .exceptAll(ch.filter(col("_change_type") === "delete").drop(meta: _*))
+        .unionByName(ch.filter(col("_change_type") === "insert").drop(meta: _*))
+      folded.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |  CAST(sum(CAST(CASE WHEN user_id % 2 = 0 THEN value + 50
+           |                     ELSE value END AS DECIMAL(18,4))) AS DOUBLE) AS total
+           |FROM events WHERE ts >= '2024-01-05' GROUP BY event_type""".stripMargin),
+    doc = "Run-over-run CDC: each pipeline run is one overwrite snapshot; folding the changelog across the overwrite reproduces the rebuilt run exactly (I12/§2.5).")
+
+  override val all: Seq[GQuery] =
+    Seq(i1, i2, i3, i4, i5, i6, i7, i8, i9, i10, i11, i12)
 }

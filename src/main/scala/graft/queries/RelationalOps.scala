@@ -2669,6 +2669,123 @@ object RelationalOps extends QueryPack {
            |GROUP BY event_type""".stripMargin),
     doc = "Scheduled table maintenance: six CDC merges' fragmentation folded by one policy-driven clustered compaction + retention, content hash-proven unchanged (S28/§2.1).")
 
+  /** Stats+NDV-carrying scratch copy of customer — j13's advised dimension. */
+  private def ndvCustomer(s: SparkSession, dir: String): String =
+    Tables.scratchOnce(dir, "ndv_customer", done = p =>
+      scala.util.Try(graft.sources.FileStats.stats(s, p).exists(m =>
+        m.nonEmpty && m.values.forall(_.cols.get("c_custkey").exists(_.ndv.isDefined))))
+        .getOrElse(false)) { path =>
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+      t(s, dir, "customer").write.parquet(path)
+      graft.sources.FileStats.write(s, path)
+      graft.sources.FileStats.analyze(s, path, Seq("c_custkey"))
+    }
+
+  // ---- J13: NDV-advised join strategy (ANALYZE feeding the planner) -----------
+  // The planning face of the ANALYZE pass (s20 stores per-file NDV; Iceberg
+  // ships the same numbers to engine CBOs via Puffin blobs): JoinAdvisor
+  // picks the dimension side's join hint from MANIFEST facts alone — where
+  // AQE can only re-plan after the first shuffle is already paid. Face (a):
+  // bytes within the ceiling -> broadcast. Face (b): a byte-starved ceiling
+  // falls through the NDV rung to a bounded shuffle-hash build (exact row
+  // count from the manifest licenses the hash table). Face (c): a
+  // semi-shaped membership probe ships the DISTINCT key projection,
+  // broadcast when the stats license it. Three advised plans, one
+  // hash-gated result each — strategy choice must never leak into content
+  // (the j11 contract, now chosen by stats instead of by hand);
+  // JoinAdvisorSpec asserts the physical strategies really differ.
+  private val j13 = GQuery(
+    "j13_ndv_advised_join",
+    (s, dir) => {
+      val JA = graft.sources.JoinAdvisor
+      val dimDir = ndvCustomer(s, dir)
+      val dim = s.read.parquet(dimDir).select(col("c_custkey"), col("c_mktsegment"))
+      val fact = t(s, dir, "orders")
+      def shape(tag: String, j: DataFrame, grp: org.apache.spark.sql.Column) =
+        j.groupBy(grp.as("grp"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          .select(lit(tag).as("face"), col("grp"), col("n"), col("total"))
+      val byBytes = fact.join(JA.hinted(s, dimDir, dim, Seq("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      val byNdv = fact.join(
+        JA.hinted(s, dimDir, dim, Seq("c_custkey"), broadcastMaxBytes = 1L),
+        col("o_custkey") === col("c_custkey"))
+      val semi = fact.join(
+        JA.distinctKeysFrame(s, dimDir,
+          dim.filter(col("c_mktsegment") === "BUILDING"), Seq("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      shape("bytes_broadcast", byBytes, col("c_mktsegment"))
+        .unionAll(shape("ndv_shuffle_hash", byNdv, col("c_mktsegment")))
+        .unionAll(shape("ndv_semi_probe", semi, col("o_orderpriority")))
+    },
+    Some("""WITH j AS (
+           |  SELECT c_mktsegment AS grp, count(*) AS n,
+           |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |  FROM orders JOIN customer ON o_custkey = c_custkey
+           |  GROUP BY 1)
+           |SELECT 'bytes_broadcast' AS face, * FROM j
+           |UNION ALL SELECT 'ndv_shuffle_hash', * FROM j
+           |UNION ALL
+           |SELECT 'ndv_semi_probe' AS face, o_orderpriority AS grp,
+           |  count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders
+           |WHERE o_custkey IN (SELECT c_custkey FROM customer
+           |                    WHERE c_mktsegment = 'BUILDING')
+           |GROUP BY 2""".stripMargin),
+    doc = "NDV-advised join strategy: manifest bytes/rows/NDV pick broadcast vs shuffle-hash vs distinct-key probe before any runtime row, results hash-identical (J13/§2.3).")
+
+  // ---- S29: optimistic concurrency — two writers, one table, zero loss --------
+  // Iceberg's commit-retry contract on the versioned table: two MERGEs run
+  // CONCURRENTLY against the same base snapshot (no external serialization;
+  // disjoint key sets so the result is deterministic under either commit
+  // order). The loser's publish detects the conflict from its staged base
+  // version and REBASES mechanically — restaging its already-written delete
+  // file and upsert era against the winner's snapshot — so both batches
+  // land and neither drops the other's rows. The hash gate is the whole
+  // point: a lost update would change the aggregate.
+  private val s29 = GQuery(
+    "s29_occ_concurrent_merge",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val vhtDir = Tables.scratchOnce(dir, "vht_events_occ",
+          done = p => scala.util.Try(
+            VHT.versions(s, p) == Seq(0L, 1L, 2L)).getOrElse(false)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        val ev = t(s, dir, "events")
+        VHT.create(s, path, ev,
+          Seq(graft.sources.HiddenPartitioning.DayT("ts"))): Unit
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val a = Future(VHT.merge(s, path,
+          ev.filter(pmod(col("user_id"), lit(10)) === 1L)
+            .withColumn("value", lit(111.0)), Seq("event_id")))
+        val b = Future(VHT.merge(s, path,
+          ev.filter(pmod(col("user_id"), lit(10)) === 2L)
+            .withColumn("value", lit(222.0)), Seq("event_id")))
+        val (va, vb) = (Await.result(a, 10.minutes), Await.result(b, 10.minutes))
+        require(Set(va, vb) == Set(1L, 2L),
+          s"s29: both concurrent merges must publish: $va/$vb")
+      }
+      VHT.read(s, vhtDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |  CAST(sum(CAST(CASE WHEN user_id % 10 = 1 THEN 111.0
+           |                     WHEN user_id % 10 = 2 THEN 222.0
+           |                     ELSE value END AS DECIMAL(18,4))) AS DOUBLE) AS total
+           |FROM events GROUP BY event_type""".stripMargin),
+    doc = "Optimistic concurrency: two concurrent MERGEs against one base snapshot both land via publish-time conflict detection + mechanical rebase, content hash-proven lossless (S29/§2.1).")
+
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
   // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
@@ -2694,8 +2811,8 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, p1, p2, p5, p6, p7, p8, p11, p13, p14,
-      j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+      j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }

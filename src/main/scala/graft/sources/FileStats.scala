@@ -250,9 +250,42 @@ object FileStats {
     a.length - b.length
   }
 
-  private def cmpDomain(kind: String, a: Any, b: Any): Int = kind match {
+  private[sources] def cmpDomain(kind: String, a: Any, b: Any): Int = kind match {
     case "string" => cmpBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
     case _ => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  }
+
+  /** Domain value -> a Column literal of Spark type `dt` — the inverse of
+    * [[toDomain]], for injecting manifest bounds back into a plan as
+    * pushable predicates (the merge-on-read mask-range derivation). None
+    * when (kind, dt) is not a modeled pairing — callers must treat that as
+    * "no bound derivable", never guess. The string round-trip (manifest
+    * stores UTF-8 text) preserves byte order because UTF8String comparison
+    * IS unsigned byte order. */
+  private[sources] def litOfDomain(kind: String, dt: DataType,
+      v: Any): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.lit
+    (kind, dt) match {
+      case ("int", ByteType) => Some(lit(v.asInstanceOf[Long].toByte))
+      case ("int", ShortType) => Some(lit(v.asInstanceOf[Long].toShort))
+      case ("int", IntegerType) => Some(lit(v.asInstanceOf[Long].toInt))
+      case ("int", LongType) => Some(lit(v.asInstanceOf[Long]))
+      case ("date", DateType) =>
+        Some(lit(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Long])))
+      case ("tsutc", TimestampType) =>
+        val m = v.asInstanceOf[Long]
+        Some(lit(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(m, 1000000L), Math.floorMod(m, 1000000L) * 1000L)))
+      case ("tsntz", TimestampNTZType) =>
+        val m = v.asInstanceOf[Long]
+        Some(lit(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(m, 1000000L), (Math.floorMod(m, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)))
+      case ("string", StringType) =>
+        Some(lit(new String(v.asInstanceOf[Array[Byte]], "UTF-8")))
+      case ("bool", BooleanType) => Some(lit(v.asInstanceOf[Long] == 1L))
+      case _ => None
+    }
   }
 
   /** Hadoop Configuration is not Serializable but IS a Writable — this

@@ -188,9 +188,10 @@ object HiddenPartitioning {
   private val SpecFile = "_partition_spec.json"
   private val ManifestFile = "_table_specs.json"
 
-  /** `df` plus the derived partition columns of `transforms`. */
+  /** `df` plus the derived partition columns of `transforms` (empty = an
+    * unpartitioned layout: legal for small marts, where a derived directory
+    * per era would buy nothing). */
   private[sources] def derive(df: DataFrame, transforms: Seq[Transform]): DataFrame = {
-    require(transforms.nonEmpty, "declare at least one partition transform")
     transforms.foreach(t => require(df.columns.contains(t.source),
       s"transform source '${t.source}' not in ${df.columns.toSeq}"))
     transforms.foldLeft(df) { (d, t) =>
@@ -224,21 +225,39 @@ object HiddenPartitioning {
     specCache.remove(normalize(spark, path)): Unit
   }
 
-  /** [[writeSpecFile]] that atomically CLAIMS the directory: the spec file
-    * is created with overwrite=false, so of several concurrent writers
-    * (threads or processes) exactly one wins a given era path — the losers
-    * see `false` and try the next id. */
+  // in-flight era claims of THIS JVM: `fs.create(overwrite=false)` is only
+  // atomic on filesystems with real create-if-absent (HDFS); on
+  // RawLocal/Checksum (tests) and S3A it is exists-then-create, so two
+  // same-JVM claimers scanning the same next id could both pass the
+  // existence probe and land in one directory. The set arbitrates the
+  // same-JVM race; entries live only for the duration of a claim call
+  // (after a successful claim the spec FILE exists and turns later
+  // claimers away), so the set stays tiny.
+  private val inFlightClaims =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** [[writeSpecFile]] that atomically CLAIMS the directory: of several
+    * concurrent writers exactly one wins a given era path — the losers see
+    * `false` and try the next id. Same-JVM claimers arbitrate through
+    * [[inFlightClaims]]; ACROSS processes the guarantee holds only on
+    * filesystems with atomic create-if-absent (HDFS — not raw-local or
+    * S3A), where cross-process writers must be externally serialized. */
   private[sources] def claimSpecFile(spark: SparkSession, path: String,
       transforms: Seq[Transform]): Boolean = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val target = new Path(path, SpecFile)
-    val out =
-      try fs.create(target, false)
-      catch { case _: java.io.IOException if fs.exists(target) => return false }
-    out.write(specJson(transforms))
-    out.close()
-    specCache.remove(normalize(spark, path)): Unit
-    true
+    val key = fs.makeQualified(target).toString
+    if (!inFlightClaims.add(key)) return false
+    try {
+      if (fs.exists(target)) return false
+      val out =
+        try fs.create(target, false)
+        catch { case _: java.io.IOException if fs.exists(target) => return false }
+      out.write(specJson(transforms))
+      out.close()
+      specCache.remove(normalize(spark, path)): Unit
+      true
+    } finally inFlightClaims.remove(key)
   }
 
   /** Create (or fully replace) the table: `df` laid out by the derived

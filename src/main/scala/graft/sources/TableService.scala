@@ -19,7 +19,11 @@ import org.apache.spark.sql.SparkSession
   * or count-based ([[VersionedHiddenTable.vacuum]]); [[VersionedHiddenTable.tag]]
   * pins survive either. Admin-serialized like the operations it composes;
   * concurrent WRITERS are protected the same way they are against a manual
-  * compact (publish-rename atomicity + the staging grace window).
+  * compact: publish-rename atomicity, the staging grace window for
+  * staged-but-unpublished snapshots, and the same window applied to
+  * never-referenced data directories — an era a concurrent appender is
+  * still filling (its write deliberately runs outside any lock) is younger
+  * than the grace and survives the GC as an in-flight claim.
   */
 object TableService {
 

@@ -6,6 +6,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import HiddenPartitioning.Transform
 
+/** Publish-time optimistic-concurrency conflict (Iceberg's
+  * `CommitFailedException`): the staged snapshot was computed against a
+  * base version that is no longer the latest — another committer (thread OR
+  * process) published in between. [[VersionedHiddenTable.append]] and
+  * [[VersionedHiddenTable.merge]] catch this and rebase mechanically;
+  * operations whose effect is bound to the snapshot they probed
+  * (copy-on-write DML, compaction, rollback, spec evolution) surface it to
+  * the caller, who re-runs against the new state. */
+final class CommitConflictException(val tableDir: String,
+    val expectedBase: Long, val actualLatest: Long)
+  extends RuntimeException(
+    s"concurrent commit on $tableDir: staged against base v=$expectedBase " +
+      s"but v=$actualLatest has published since — rebase or re-run")
+
 /** Snapshot-versioned, hidden-partitioned table — the two facilities
   * ([[graft.pipeline.VersionedTable]]'s WAP/time-travel protocol and
   * [[HiddenPartitioning]]'s spec'd layout/pruning) composed the way a real
@@ -37,7 +51,7 @@ import HiddenPartitioning.Transform
   * The snapshot manifest is staged under `_staging` and published by ONE
   * atomic rename into `v=<n>` (the commit), with the version id allocated
   * under a lock so concurrent publishes cannot collide; same-JVM append
-  * commits additionally linearize under [[commitLock]] (base re-resolution
+  * commits additionally linearize under a per-table commit lock (base re-resolution
   * inside it), so concurrent WAP writers never drop each other's eras.
   * Readers resolve the requested (or latest) snapshot and union exactly its
   * listed eras; since era directories are immutable and snapshots never
@@ -62,9 +76,17 @@ object VersionedHiddenTable {
   private val SnapshotFile = "_snapshot.json"
   private val publishLock = new Object
   // serializes a JVM's append COMMITS (base re-resolution -> stage -> audit
-  // -> publish) so concurrent appends linearize instead of losing each
-  // other's eras; era data writes stay outside it and run fully parallel
-  private val commitLock = new Object
+  // -> publish) PER TABLE, so concurrent appends to one table linearize
+  // instead of losing each other's eras while a slow WAP audit on one table
+  // never blocks commits to any other; era data writes stay outside it and
+  // run fully parallel. Keyed by qualified table path; the map is append-only
+  // and tiny (one Object per table this JVM ever commits to).
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLockFor(spark: SparkSession, tableDir: String): Object = {
+    val (fs, root) = fsFor(spark, tableDir)
+    commitLocks.computeIfAbsent(fs.makeQualified(root).toString, _ => new Object)
+  }
   private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** One equality-delete file (merge-on-read): `dir` holds the deleted
@@ -160,11 +182,63 @@ object VersionedHiddenTable {
     if (used.isEmpty) 0 else used.max + 1
   }
 
+  // in-flight delete-directory claims of this JVM — same arbitration story
+  // as [[HiddenPartitioning.claimSpecFile]]: the `_claim` marker's
+  // create-if-absent is the cross-process claim (atomic where the
+  // filesystem makes it so), the set arbitrates same-JVM racers, so two
+  // concurrent merges never write into one del directory
+  private val delClaims = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Claim a fresh `del-<k>` directory (marker file created before any
+    * data) and return its name. The `_claim` marker is invisible to scans
+    * (underscore-prefixed, no '='), to [[FileStats]], and to the GC's
+    * reference counting — but its mtime marks write START for the vacuum
+    * grace window. */
+  private def claimDelDir(spark: SparkSession, tableDir: String): String = {
+    val (fs, _) = fsFor(spark, tableDir)
+    var id = nextDelId(spark, tableDir)
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val dir = new Path(s"$tableDir/data/del-$id")
+      val marker = new Path(dir, "_claim")
+      val key = fs.makeQualified(marker).toString
+      if (delClaims.add(key)) {
+        try {
+          if (!fs.exists(dir) && !fs.exists(marker)) {
+            try {
+              val out = fs.create(marker, false)
+              out.close()
+              return s"del-$id"
+            } catch { case _: java.io.IOException if fs.exists(marker) => () }
+          }
+        } finally delClaims.remove(key)
+      }
+      id += 1
+    }
+    throw new IllegalStateException(s"could not claim a delete-file id under $tableDir")
+  }
+
+  /** Write `rows` as equality-delete file `del-<k>` (claimed atomically)
+    * with its per-file stats manifest — the stats are what lets readers
+    * derive the mask's key range and skip provably-unaffected era files
+    * ([[maskBounds]]). */
+  private def writeDel(spark: SparkSession, tableDir: String,
+      rows: DataFrame): String = {
+    val del = claimDelDir(spark, tableDir)
+    val p = s"$tableDir/data/$del"
+    rows.write.mode("append").parquet(p) // append: the dir holds the claim marker
+    FileStats.write(spark, p)
+    del
+  }
+
   /** Write one new era directory: spec file first, data after. Returns the
     * era name. Invisible until a snapshot referencing it publishes. The era
-    * id is CLAIMED atomically — the spec file is created with
-    * overwrite=false, so two concurrent writers (threads or processes)
-    * never land in the same directory; the loser steps to the next id.
+    * id is CLAIMED atomically — same-JVM writers arbitrate through a claim
+    * set, cross-process writers through create-if-absent where the
+    * filesystem makes it atomic (see [[HiddenPartitioning.claimSpecFile]])
+    * — so two concurrent writers never land in the same directory; the
+    * loser steps to the next id.
     * (`private[graft]`: fault-injection tests build torn commit states.) */
   private[graft] def writeEra(spark: SparkSession, tableDir: String, df: DataFrame,
       transforms: Seq[Transform]): String = {
@@ -190,9 +264,11 @@ object VersionedHiddenTable {
   /** Union read over an explicit era list (the snapshot's or a staged
     * candidate's), each era pruned under its own spec by
     * [[HiddenPartitionPruning]] and then, merge-on-read style, anti-joined
-    * against the equality-delete files covering it ([[visibleEra]]). The
-    * delete side is broadcast — equality deletes are keyed slices by
-    * construction; a delete too big to broadcast is what the copy-on-write
+    * against the equality-delete files covering it ([[applyDels]] — stats
+    * bounded, so provably-unaffected eras and rows skip the join). The
+    * delete side broadcasts while under [[deleteBroadcastMax]] — equality
+    * deletes are keyed slices by construction — and falls back to a shuffle
+    * anti join past it; a mask that LIVES past it is what the copy-on-write
     * [[delete]] (or a [[compact]] right after) is for. */
   private def readEras(spark: SparkSession, tableDir: String, eras: Seq[String],
       dels: Seq[Del] = Nil): DataFrame = {
@@ -271,14 +347,110 @@ object VersionedHiddenTable {
     * predicate-delete semantics: a predicate is a function of the row, so
     * all copies of a matching tuple match together — the anti join deletes
     * them all, duplicates included, and never touches a non-matching row.
-    * Key-column equality is MERGE's replace-by-key contract. */
+    * Key-column equality is MERGE's replace-by-key contract. `hint` true
+    * broadcasts the delete side (the common tiny-mask case); false leaves
+    * the strategy to the planner — a mask past [[deleteBroadcastMax]]
+    * shuffles instead of melting the driver. */
   private def antiJoinOn(base: DataFrame, del: DataFrame,
-      on: Seq[String]): DataFrame = {
-    val d = org.apache.spark.sql.functions.broadcast(
-      del.select(on.map(org.apache.spark.sql.functions.col): _*))
+      on: Seq[String], hint: Boolean = true): DataFrame = {
+    val keys = del.select(on.map(org.apache.spark.sql.functions.col): _*)
+    val d = if (hint) org.apache.spark.sql.functions.broadcast(keys) else keys
     val cond = on.map(c => base(c) <=> d(c)).reduce(_ && _)
     base.join(d, cond, "left_anti")
   }
+
+  /** Broadcast ceiling for equality-delete masks, in bytes (session conf
+    * `graft.vht.deleteBroadcastMaxBytes`). Masks bigger than this fall back
+    * to the planner's join choice (a shuffle anti join) instead of a forced
+    * broadcast; [[compact]] is the documented cure for oversized masks. */
+  private def deleteBroadcastMax(spark: SparkSession): Long =
+    spark.conf.getOption("graft.vht.deleteBroadcastMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+
+  // delete directories are immutable once written, so their data-byte size
+  // memoizes permanently (cap-cleared; re-listing is cheap to redo)
+  private val delBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def delBytes(spark: SparkSession, delDir: String): Long = {
+    val (fs, p) = fsFor(spark, delDir)
+    val key = fs.makeQualified(p).toString
+    val hit = delBytesCache.get(key)
+    if (hit != null) hit.longValue()
+    else {
+      val bytes = FileStats.dataBytes(fs, p)
+      if (delBytesCache.size >= 4096) delBytesCache.clear()
+      delBytesCache.put(key, bytes)
+      bytes
+    }
+  }
+
+  /** One provable bound of a delete mask's equality column: every matching
+    * base row is non-null and inside `[lo, hi]` on `col` (domain values for
+    * manifest-side comparison, Column literals for plan-side injection). */
+  private[sources] final case class MaskBound(col: String, kind: String,
+      lo: Any, hi: Any, loLit: org.apache.spark.sql.Column,
+      hiLit: org.apache.spark.sql.Column)
+
+  /** The delete file's provable key box, derived from ITS OWN stats
+    * manifest (landed by [[writeDel]]) — the plan-time answer to "which
+    * rows can this mask possibly touch". A column qualifies only when
+    * EVERY file's record is exact with ZERO nulls: then any base row
+    * matching some delete tuple is non-null and inside `[lo, hi]` on that
+    * column (null-safe equality can only pair a null with a null). Nil —
+    * legacy del without a manifest, unmodeled type, nullable keys — means
+    * "no bound derivable": callers fall back to the unbounded anti join,
+    * the same degrade-don't-guess stance as [[StatsFileSkipping]]. */
+  private def maskBounds(spark: SparkSession, delDir: String, on: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Seq[MaskBound] = {
+    val manifest = FileStats.stats(spark, delDir).getOrElse(return Nil)
+    val recs = manifest.values.filter(_.rows > 0).toSeq
+    if (recs.isEmpty) return Nil
+    on.flatMap { c =>
+      for {
+        f <- schema.find(_.name == c)
+        kind <- FileStats.kindOfSpark(f.dataType)
+        crs = recs.map(_.cols.get(c))
+        if crs.forall(_.exists(cr =>
+          cr.kind == kind && cr.mm == "ex" && cr.nulls.contains(0L)))
+        all = crs.flatten
+        lo = all.map(_.min).reduce((a, b) =>
+          if (FileStats.cmpDomain(kind, a, b) <= 0) a else b)
+        hi = all.map(_.max).reduce((a, b) =>
+          if (FileStats.cmpDomain(kind, a, b) >= 0) a else b)
+        loLit <- FileStats.litOfDomain(kind, f.dataType, lo)
+        hiLit <- FileStats.litOfDomain(kind, f.dataType, hi)
+      } yield MaskBound(c, kind, lo, hi, loLit, hiLit)
+    }
+  }
+
+  /** Is this data file provably out of the mask's key box? ONE disjoint
+    * bounded column suffices: non-null values live outside `[lo, hi]` (or
+    * the file holds no non-null value at all), and null values can never
+    * equal a zero-null mask key. */
+  private def fileDisjoint(rec: FileStats.FileRec, bounds: Seq[MaskBound]): Boolean =
+    bounds.exists(b =>
+      rec.cols.get(b.col).exists(cr => cr.kind == b.kind && (cr.mm == "nul" ||
+        (cr.mm == "ex" &&
+          (FileStats.cmpDomain(b.kind, cr.max, b.lo) < 0 ||
+            FileStats.cmpDomain(b.kind, cr.min, b.hi) > 0)))))
+
+  /** Fraction of era `e`'s data files provably out of the mask's key box —
+    * the plan-time cost model for [[applyDels]]: 1.0 skips the era's anti
+    * join outright, a high fraction makes the hit/miss split profitable
+    * (pruned files skip the join), a low fraction means the split would
+    * only double-scan overlapping files for nothing. Eras are immutable
+    * once published, so their stats manifests cannot lag the data; a
+    * missing manifest reports 0.0 (no proof, keep the plain join). */
+  private def disjointFileFraction(spark: SparkSession, tableDir: String,
+      e: String, bounds: Seq[MaskBound]): Double =
+    if (bounds.isEmpty) 0.0
+    else FileStats.stats(spark, eraPath(tableDir, e)) match {
+      case None => 0.0
+      case Some(manifest) =>
+        val recs = manifest.values.filter(_.rows > 0).toSeq
+        if (recs.isEmpty) 1.0
+        else recs.count(rec => fileDisjoint(rec, bounds)).toDouble / recs.size
+    }
 
   /** One era's VISIBLE rows under a snapshot's delete set, conformed to the
     * snapshot's canonical schema (columns the era predates read as typed
@@ -298,29 +470,68 @@ object VersionedHiddenTable {
     applyDels(spark, tableDir, e, conform(
       HiddenPartitioning.readEra(spark, eraPath(tableDir, e)), canonical), dels)
 
+  /** Apply era `e`'s covering delete files to `base`, STATS-BOUNDED so the
+    * masked read is change-priced on the read side too: each mask's key box
+    * ([[maskBounds]]) first clears provably-disjoint eras outright
+    * ([[eraDisjoint]] — zero extra tasks), and inside an overlapping era
+    * splits the rows so only the in-box slice pays the anti join. The hit
+    * arm's range conjunction is PUSHABLE — [[StatsFileSkipping]] prunes era
+    * files outside the box from the join's input at plan time — and the
+    * miss arm carries its exact three-valued complement as modeled
+    * (`<`, `>`, `IS NULL`) disjuncts, so files wholly inside a zero-null box
+    * prune from the scan-only arm symmetrically. The split is COSTED, not
+    * unconditional: files STRADDLING the box boundary scan in both arms, so
+    * when the era's stats show the box excludes under half its files (a
+    * broad mask over a compacted era — the s24/i11 shape) the plain single
+    * anti join is kept. A mask with no derivable bounds degrades to the
+    * unbounded join, never to a guess. */
   private def applyDels(spark: SparkSession, tableDir: String, e: String,
       base: DataFrame, dels: Seq[Del]): DataFrame =
     dels.filter(_.over.contains(e)).foldLeft(base) { (acc, d) =>
-      val delDf = spark.read.parquet(s"$tableDir/data/${d.dir}")
+      import org.apache.spark.sql.functions.{col => fc}
+      val delDir = s"$tableDir/data/${d.dir}"
+      val delDf = spark.read.parquet(delDir)
       val on = if (d.cols.nonEmpty) d.cols else delDf.columns.toSeq
-      antiJoinOn(acc, delDf, on)
+      val bounds = maskBounds(spark, delDir, on, base.schema)
+      val frac = disjointFileFraction(spark, tableDir, e, bounds)
+      if (frac == 1.0) acc // mask provably can't touch this era
+      else {
+        val hint = delBytes(spark, delDir) <= deleteBroadcastMax(spark)
+        if (frac < 0.5) antiJoinOn(acc, delDf, on, hint)
+        else {
+          val hitCond = bounds.map(b =>
+            fc(b.col) >= b.loLit && fc(b.col) <= b.hiLit).reduce(_ && _)
+          val missCond = bounds.map(b =>
+            fc(b.col) < b.loLit || fc(b.col) > b.hiLit || fc(b.col).isNull)
+            .reduce(_ || _)
+          antiJoinOn(acc.filter(hitCond), delDf, on, hint)
+            .union(acc.filter(missCond))
+        }
+      }
     }
 
   /** Stage a snapshot manifest; returns the staging token.
     * (`private[graft]`: fault-injection tests build torn commit states.) */
   private[graft] def stageSnapshot(spark: SparkSession, tableDir: String,
-      eras: Seq[String], batchId: Option[String], op: String = "append"): String =
-    stageSnapshotDels(spark, tableDir, eras, Nil, batchId, op)
+      eras: Seq[String], batchId: Option[String], op: String = "append",
+      base: Option[Long] = None): String =
+    stageSnapshotDels(spark, tableDir, eras, Nil, batchId, op, base)
 
+  /** `base` is the version this commit was computed against (-1 for a
+    * create): recorded in the staged manifest, re-validated by [[publish]]
+    * — the optimistic-concurrency token that turns a cross-process lost
+    * update into a loud [[CommitConflictException]]. None (legacy staging,
+    * fault-injection tests) publishes unchecked. */
   private def stageSnapshotDels(spark: SparkSession, tableDir: String,
       eras: Seq[String], dels: Seq[Del], batchId: Option[String],
-      op: String = "append"): String = {
+      op: String = "append", base: Option[Long] = None): String = {
     val token = s"w${stageSeq.incrementAndGet()}-${System.nanoTime()}"
     val dir = new Path(s"$tableDir/_staging/$token")
     val (fs, _) = fsFor(spark, tableDir)
     val mapper = new ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("op", op): Unit
+    base.foreach(b => node.put("base", b): Unit)
     val arr = node.putArray("eras")
     eras.foreach(arr.add)
     if (dels.nonEmpty) {
@@ -358,18 +569,34 @@ object VersionedHiddenTable {
     * publishers would both "succeed" and the loser's snapshot would be
     * invisible to [[versions]], silently dropping its append. On a nested
     * landing the rename is undone and the publish retried under the next
-    * id. Publish and [[vacuum]] remain admin-serialized operations — this
-    * guard turns a silent cross-process loss into a correct retry (or a
-    * loud failure), not a concurrency license. */
-  private def publish(spark: SparkSession, tableDir: String, token: String): Long =
+    * id. A staged manifest carrying a `base` version is additionally
+    * OCC-VALIDATED: the publish only lands as `base + 1` — if another
+    * committer took that id, the staged token is left intact and a
+    * [[CommitConflictException]] surfaces, so a manifest computed against a
+    * superseded snapshot can never silently drop the intervening commit's
+    * content. (`private[graft]`: fault-injection tests drive torn and
+    * conflicting commit interleavings.) */
+  private[graft] def publish(spark: SparkSession, tableDir: String, token: String): Long =
     publishLock.synchronized {
       val (fs, _) = fsFor(spark, tableDir)
       val from = new Path(s"$tableDir/_staging/$token")
       require(fs.exists(from), s"no staged snapshot '$token' under $tableDir")
+      val baseOpt = {
+        val in = fs.open(new Path(from, SnapshotFile))
+        val bytes = try in.readAllBytes() finally in.close()
+        Option(new ObjectMapper().readTree(bytes).get("base")).map(_.asLong())
+      }
       var v = versions(spark, tableDir).lastOption.fold(0L)(_ + 1)
       var attempts = 0
       while (attempts < 64) {
         attempts += 1
+        // OCC: conflict iff a REAL snapshot (manifest present) newer than
+        // the staged base exists — manifest-less `v=<n>` debris is stepped
+        // over below without counting as a commit
+        baseOpt.foreach { b =>
+          val latest = versions(spark, tableDir).lastOption.getOrElse(-1L)
+          if (latest != b) throw new CommitConflictException(tableDir, b, latest)
+        }
         val dst = new Path(s"$tableDir/v=$v")
         if (fs.exists(dst)) {
           // raced an external publisher that already took this id
@@ -394,12 +621,35 @@ object VersionedHiddenTable {
     fs.delete(new Path(s"$tableDir/_staging/$token"), true): Unit
   }
 
-  /** Create the table: era-0 under `transforms`, snapshot v=0. */
+  /** Create the table: era-0 under `transforms` (empty = unpartitioned),
+    * snapshot v=0. */
   def create(spark: SparkSession, tableDir: String, df: DataFrame,
       transforms: Seq[Transform]): Long = {
     require(versions(spark, tableDir).isEmpty, s"table already exists: $tableDir")
     val era = writeEra(spark, tableDir, df, transforms)
-    publish(spark, tableDir, stageSnapshot(spark, tableDir, Seq(era), None, "create"))
+    publish(spark, tableDir,
+      stageSnapshot(spark, tableDir, Seq(era), None, "create", Some(-1L)))
+  }
+
+  /** Full-content REPLACE with snapshot semantics — dbt's `table`
+    * materialization on an Iceberg target (`CREATE OR REPLACE TABLE ... AS`):
+    * `df` becomes the table's entire new content in one published
+    * `op=overwrite` snapshot; every prior snapshot keeps reading its own
+    * content (time travel across pipeline RUNS), and [[changes]] across the
+    * overwrite step reports the NET row diff between runs — exactly the feed
+    * an incremental downstream consumer folds forward instead of rebuilding.
+    * Creates the table on first use (under `transforms`; an existing
+    * table's current spec wins, like [[appendOrCreate]]). Returns the
+    * published version. Unlike `op=replace` ([[compact]]), an overwrite is
+    * NOT content-preserving — the changelog always diffs it for real. */
+  def overwrite(spark: SparkSession, tableDir: String, df: DataFrame,
+      transforms: Seq[Transform] = Nil): Long = {
+    val vs = versions(spark, tableDir)
+    if (vs.isEmpty) return create(spark, tableDir, df, transforms)
+    val spec = currentSpec(spark, tableDir, snapshot(spark, tableDir, vs.max)._1)
+    val era = writeEra(spark, tableDir, df, spec)
+    publish(spark, tableDir,
+      stageSnapshot(spark, tableDir, Seq(era), None, "overwrite", Some(vs.max)))
   }
 
   /** The current spec = the spec of the snapshot's highest-numbered era. */
@@ -438,32 +688,43 @@ object VersionedHiddenTable {
     val spec =
       if (vs0.nonEmpty)
         currentSpec(spark, tableDir, snapshot(spark, tableDir, vs0.max)._1)
-      else {
-        require(transforms.nonEmpty,
-          s"first write to $tableDir must declare at least one partition transform")
-        transforms
-      }
+      else transforms // empty = an unpartitioned table
     // the DATA write runs outside any lock (an unreferenced era is
     // invisible), so concurrent appends overlap their expensive part fully
     val era = writeEra(spark, tableDir, df, spec)
-    // the COMMIT re-resolves the base snapshot under the JVM's commit lock:
-    // an append that published while our data was writing is carried into
-    // our manifest — without this, two concurrent appends would both stage
-    // off the same base and the second publish would silently drop the
-    // first one's era (same-JVM writers linearize; cross-process writers
-    // remain admin-serialized, as [[publish]] documents)
-    commitLock.synchronized {
-      val vs = versions(spark, tableDir)
-      val (eras, dels) =
-        if (vs.isEmpty) (Nil, Nil) else snapshot(spark, tableDir, vs.max)
-      // delete files carry forward UNCHANGED: the new era is outside every
-      // del's `over` set, so re-appended tuples equal to deleted ones survive
-      val staged = eras :+ era
-      val token = stageSnapshotDels(spark, tableDir, staged, dels, batchId)
-      val violations = try audit(readEras(spark, tableDir, staged, dels))
-      catch { case e: Throwable => abort(spark, tableDir, token); throw e }
-      if (violations.isEmpty) Right(publish(spark, tableDir, token))
-      else { abort(spark, tableDir, token); Left(violations) }
+    // the COMMIT re-resolves the base snapshot under the table's commit
+    // lock: an append that published while our data was writing is carried
+    // into our manifest — without this, two concurrent appends would both
+    // stage off the same base and the second publish would silently drop
+    // the first one's era. Same-JVM writers linearize under the lock; a
+    // CROSS-PROCESS committer surfaces as a publish-time
+    // [[CommitConflictException]], on which the append REBASES: re-resolve
+    // the latest snapshot, restage with the same (already-written) era,
+    // re-run the audit against the new composite, retry.
+    commitLockFor(spark, tableDir).synchronized {
+      var attempts = 0
+      while (true) {
+        attempts += 1
+        val vs = versions(spark, tableDir)
+        val base = if (vs.isEmpty) -1L else vs.max
+        val (eras, dels) =
+          if (vs.isEmpty) (Nil, Nil) else snapshot(spark, tableDir, vs.max)
+        // delete files carry forward UNCHANGED: the new era is outside every
+        // del's `over` set, so re-appended tuples equal to deleted ones survive
+        val staged = eras :+ era
+        val token = stageSnapshotDels(spark, tableDir, staged, dels, batchId,
+          "append", Some(base))
+        val violations = try audit(readEras(spark, tableDir, staged, dels))
+        catch { case e: Throwable => abort(spark, tableDir, token); throw e }
+        if (violations.nonEmpty) { abort(spark, tableDir, token); return Left(violations) }
+        try return Right(publish(spark, tableDir, token))
+        catch {
+          case c: CommitConflictException =>
+            abort(spark, tableDir, token) // rebase: loop re-resolves the base
+            if (attempts >= 16) throw c
+        }
+      }
+      throw new IllegalStateException("unreachable")
     }
   }
 
@@ -480,7 +741,8 @@ object VersionedHiddenTable {
     val era = s"era-${nextEraId(spark, tableDir)}"
     HiddenPartitioning.writeSpecFile(spark, eraPath(tableDir, era), transforms)
     publish(spark, tableDir,
-      stageSnapshotDels(spark, tableDir, eras :+ era, dels, None, "evolve"))
+      stageSnapshotDels(spark, tableDir, eras :+ era, dels, None, "evolve",
+        Some(vs.max)))
   }
 
   /** Latest (or time-travel) read: union of the snapshot's eras, source
@@ -546,7 +808,8 @@ object VersionedHiddenTable {
     // new names, so no del ever covers them)
     val keptDels = dels.filter(_.over.intersect(kept.toSet).nonEmpty)
     publish(spark, tableDir,
-      stageSnapshotDels(spark, tableDir, kept ++ rewritten, keptDels, None, "delete"))
+      stageSnapshotDels(spark, tableDir, kept ++ rewritten, keptDels, None,
+        "delete", Some(vs.max)))
   }
 
   /** Merge-on-read DELETE — the second Iceberg delete mode (equality-delete
@@ -570,12 +833,11 @@ object VersionedHiddenTable {
     val (eras, dels) = snapshot(spark, tableDir, vs.max)
     val matching = readEras(spark, tableDir, eras, dels).filter(predicate)
     if (matching.isEmpty) return vs.max
-    val del = s"del-${nextDelId(spark, tableDir)}"
-    matching.write.parquet(s"$tableDir/data/$del") // errorifexists: id fresh
+    val del = writeDel(spark, tableDir, matching)
     val covered = eras.filter(e =>
       HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e))).toSet
     publish(spark, tableDir, stageSnapshotDels(spark, tableDir, eras,
-      dels :+ Del(del, covered), None, "delete"))
+      dels :+ Del(del, covered), None, "delete", Some(vs.max)))
   }
 
   /** Row-level UPDATE with snapshot semantics — the second half of the
@@ -608,14 +870,16 @@ object VersionedHiddenTable {
     val (eras, dels) = snapshot(spark, tableDir, vs.max)
     val spec = currentSpec(spark, tableDir, eras)
     val canonical = canonicalSchema(spark, tableDir, eras)
+    // SET-target validation is data-INdependent: a typo'd column name must
+    // fail whether or not the predicate happens to match any row
+    val unknown = assignments.keySet -- canonical.fieldNames.toSet
+    require(unknown.isEmpty,
+      s"SET targets not in the table: ${unknown.mkString(", ")}")
     val touched = eras.filter { e =>
       HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e)) &&
         !visibleEra(spark, tableDir, e, dels, canonical).filter(predicate).isEmpty
     }
     if (touched.isEmpty) return vs.max
-    val unknown = assignments.keySet -- canonical.fieldNames.toSet
-    require(unknown.isEmpty,
-      s"SET targets not in the table: ${unknown.mkString(", ")}")
     val hit = coalesce(predicate, lit(false))
     val rewritten = touched.map { e =>
       val vis = visibleEra(spark, tableDir, e, dels, canonical)
@@ -631,7 +895,8 @@ object VersionedHiddenTable {
     val kept = eras.filterNot(touched.contains)
     val keptDels = dels.filter(_.over.intersect(kept.toSet).nonEmpty)
     publish(spark, tableDir,
-      stageSnapshotDels(spark, tableDir, kept ++ rewritten, keptDels, None, "update"))
+      stageSnapshotDels(spark, tableDir, kept ++ rewritten, keptDels, None,
+        "update", Some(vs.max)))
   }
 
   /** Merge-on-read UPDATE — Iceberg's other UPDATE mode, and exactly one
@@ -661,8 +926,7 @@ object VersionedHiddenTable {
     require(unknown.isEmpty,
       s"SET targets not in the table: ${unknown.mkString(", ")}")
     if (matching.isEmpty) return vs.max
-    val del = s"del-${nextDelId(spark, tableDir)}"
-    matching.write.parquet(s"$tableDir/data/$del") // errorifexists: id fresh
+    val del = writeDel(spark, tableDir, matching)
     val covered = eras.filter(e =>
       HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e))).toSet
     // the updated images: re-read the just-written pre-image file (so the
@@ -675,7 +939,7 @@ object VersionedHiddenTable {
     }: _*)
     val era = writeEra(spark, tableDir, updated, spec)
     publish(spark, tableDir, stageSnapshotDels(spark, tableDir, eras :+ era,
-      dels :+ Del(del, covered), None, "update"))
+      dels :+ Del(del, covered), None, "update", Some(vs.max)))
   }
 
   /** Storage-level MERGE — the upsert workhorse of incremental pipelines
@@ -699,7 +963,18 @@ object VersionedHiddenTable {
     * pre-merge state. Returns the published version (a source with no
     * effect still publishes, like an empty MERGE in SQL engines it's a
     * no-op commit — callers batching CDC replay on [[publishedBatchIds]]
-    * need the version to advance). Admin-serialized like the other DML. */
+    * need the version to advance).
+    *
+    * Concurrency: the source batch is PERSISTED for the duration (the up-to
+    * four consumptions — keys, upserts, their emptiness probes — cost one
+    * materialization), and the commit is OPTIMISTIC: a concurrent committer
+    * surfaces as a publish-time [[CommitConflictException]], on which the
+    * merge REBASES mechanically — the already-written delete file and upsert
+    * era are restaged against the new latest snapshot, with the key mask's
+    * `over` set widened to the rebased snapshot's eras (my keys win over a
+    * concurrently-merged row of the same key: the serialization order puts
+    * this merge second). Two concurrent merges therefore both land, neither
+    * losing rows — Iceberg's commit-retry semantics. */
   def merge(spark: SparkSession, tableDir: String, source: DataFrame,
       keys: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
@@ -716,23 +991,34 @@ object VersionedHiddenTable {
       s"MERGE source schema must match the table: ${source.columns.toSeq} vs ${cols.toSeq}")
     val missing = keys.filterNot(cols.contains)
     require(missing.isEmpty, s"MERGE keys not in the table: ${missing.mkString(", ")}")
-    val srcKeys = source.select(keys.map(col): _*).distinct()
-    val upserts = deleteWhen.fold(source)(d =>
-      source.filter(not(coalesce(d, lit(false)))))
-      .select(cols.map(col).toSeq: _*) // column ORDER aligned
-    val newDels =
-      if (srcKeys.isEmpty) dels
-      else {
-        val del = s"del-${nextDelId(spark, tableDir)}"
-        srcKeys.write.parquet(s"$tableDir/data/$del") // errorifexists: id fresh
-        dels :+ Del(del, eras.filter(e =>
-          HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e))).toSet, keys)
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val srcKeys = src.select(keys.map(col): _*).distinct()
+      val upserts = deleteWhen.fold(src)(d =>
+        src.filter(not(coalesce(d, lit(false)))))
+        .select(cols.map(col).toSeq: _*) // column ORDER aligned
+      val delOpt = if (srcKeys.isEmpty) None else Some(writeDel(spark, tableDir, srcKeys))
+      val eraOpt = if (upserts.isEmpty) None else Some(writeEra(spark, tableDir, upserts, spec))
+      var attempts = 0
+      while (true) {
+        attempts += 1
+        val base = versions(spark, tableDir).max
+        val (baseEras, baseDels) = snapshot(spark, tableDir, base)
+        val newDels = baseDels ++ delOpt.map(d =>
+          Del(d, baseEras.filter(e =>
+            HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e))).toSet, keys))
+        val newEras = baseEras ++ eraOpt
+        val token = stageSnapshotDels(spark, tableDir, newEras, newDels, batchId,
+          "merge", Some(base))
+        try return publish(spark, tableDir, token)
+        catch {
+          case c: CommitConflictException =>
+            abort(spark, tableDir, token) // rebase: loop re-resolves the base
+            if (attempts >= 16) throw c
+        }
       }
-    val newEras =
-      if (upserts.isEmpty) eras
-      else eras :+ writeEra(spark, tableDir, upserts, spec)
-    publish(spark, tableDir,
-      stageSnapshotDels(spark, tableDir, newEras, newDels, batchId, "merge"))
+      throw new IllegalStateException("unreachable")
+    } finally src.unpersist(blocking = false): Unit
   }
 
   /** Changelog (CDC) scan — Iceberg's changelog reads / Delta's change data
@@ -750,13 +1036,41 @@ object VersionedHiddenTable {
     * multiset EXCEPT ALL, so a copy-on-write rewrite reports exactly the
     * rows it changed (an UPDATE = its deletes + its inserts), not the whole
     * rewritten era. `op=replace` snapshots ([[compact]]) are
-    * content-preserving by construction and contribute nothing. Versions
-    * already [[vacuum]]ed collapse into their successor's step; the net
-    * result over retained snapshots is identical.
+    * content-preserving relative to their immediate predecessor and
+    * contribute nothing when that predecessor is retained; a GAPPED step
+    * landing on a replace (retention dropped intermediate versions) always
+    * diffs for real, since the vacuumed versions may have carried DML the
+    * compaction then absorbed. Versions already [[vacuum]]ed collapse into
+    * their successor's step; the net result over retained snapshots is
+    * identical.
     *
     * This is the feed an incremental consumer needs: applying (from, to]'s
     * changes to a materialization of `from` reproduces `to` exactly — the
-    * i11 registry query hash-gates that contract end to end. */
+    * i11 registry query hash-gates that contract end to end.
+    *
+    * Plan-size bound: the feed unions one arm per retained step with REAL
+    * changes — provably change-free steps (reference-identical manifests:
+    * empty merges, self-rollbacks; adjacent compactions) are pruned at plan
+    * time ([[isNoopStep]], spec-asserted over a 30-no-op history), so a
+    * CDC replayer's mostly-empty batches cost nothing here. The remaining
+    * arm count is bounded by the RETENTION policy, which is the documented
+    * control: a year of hourly commits under `keepSnapshots`/`expireSnapshots`
+    * retains what the policy says, and a consumer that has fallen further
+    * behind than retention must rebuild from a snapshot read anyway. */
+  /** May the retained-snapshot step a -> b be skipped without diffing?
+    * True only on a PROOF of zero changes: reference-identical manifests,
+    * or an op=replace between ADJACENT versions (content preservation only
+    * holds relative to the immediate predecessor — when retention created a
+    * gap, the collapsed step may carry real changes from the vacuumed
+    * versions and must always diff). */
+  private def isNoopStep(spark: SparkSession, tableDir: String,
+      a: Long, b: Long): Boolean = {
+    val (erasA, delsA) = snapshot(spark, tableDir, a)
+    val (erasB, delsB) = snapshot(spark, tableDir, b)
+    (erasA == erasB && delsA == delsB) ||
+      (b == a + 1 && snapshotOp(spark, tableDir, b) == "replace")
+  }
+
   def changes(spark: SparkSession, tableDir: String, fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
@@ -779,9 +1093,18 @@ object VersionedHiddenTable {
       .withColumn("_commit_version", lit(0L))
     def hasData(e: String) =
       HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e))
-    // one step = one retained-snapshot pair a -> b
+    // one step = one retained-snapshot pair a -> b. Two step shapes are
+    // provably change-free and skipped at PLAN time (the long-history
+    // hygiene that keeps a year of hourly commits from planning a
+    // thousand-arm union): an ADJACENT op=replace step (compaction is
+    // content-preserving relative to its immediate predecessor — adjacency
+    // is load-bearing: a COLLAPSED step landing on a replace may have
+    // absorbed real DML from vacuumed versions, so it must diff for real),
+    // and a step whose manifests are reference-identical (an empty MERGE's
+    // no-op commit, a rollback to the current state — same eras, same
+    // delete files, zero possible diff).
     val steps = range.sliding(2).collect {
-      case Seq(a, b) if snapshotOp(spark, tableDir, b) != "replace" =>
+      case Seq(a, b) if !isNoopStep(spark, tableDir, a, b) =>
         val (erasA, delsA) = snapshot(spark, tableDir, a)
         val (erasB, delsB) = snapshot(spark, tableDir, b)
         val setA = erasA.toSet
@@ -799,9 +1122,13 @@ object VersionedHiddenTable {
             val vis = visibleEra(spark, tableDir, e, visUnder, canonical)
             val (_, parts) = fresh.foldLeft((vis, Seq.empty[DataFrame])) {
               case ((remaining, acc), dl) =>
-                val delDf = spark.read.parquet(s"$tableDir/data/${dl.dir}")
+                val delDir = s"$tableDir/data/${dl.dir}"
+                val delDf = spark.read.parquet(delDir)
                 val on = if (dl.cols.nonEmpty) dl.cols else delDf.columns.toSeq
-                val d = broadcast(delDf.select(on.map(col): _*))
+                val keys = delDf.select(on.map(col): _*)
+                // same broadcast ceiling as the read path's applyDels
+                val d = if (delBytes(spark, delDir) <= deleteBroadcastMax(spark))
+                  broadcast(keys) else keys
                 val cond = on.map(c => remaining(c) <=> d(c)).reduce(_ && _)
                 (remaining.join(d, cond, "left_anti"),
                   acc :+ remaining.join(d, cond, "left_semi"))
@@ -912,7 +1239,8 @@ object VersionedHiddenTable {
       s"snapshot $toVersion not retained (have ${vs.mkString(",")})")
     val (eras, dels) = snapshot(spark, tableDir, toVersion)
     publish(spark, tableDir,
-      stageSnapshotDels(spark, tableDir, eras, dels, None, "rollback"))
+      stageSnapshotDels(spark, tableDir, eras, dels, None, "rollback",
+        Some(vs.max)))
   }
 
   /** Iceberg's `rewrite_data_files`: rewrite ALL rows of the latest
@@ -955,7 +1283,8 @@ object VersionedHiddenTable {
           .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
       }
     val era = writeEra(spark, tableDir, shaped, spec)
-    publish(spark, tableDir, stageSnapshot(spark, tableDir, Seq(era), None, "replace"))
+    publish(spark, tableDir,
+      stageSnapshot(spark, tableDir, Seq(era), None, "replace", Some(vs.max)))
   }
 
   /** Retire all but the newest `keep` snapshots — except snapshots pinned
@@ -972,7 +1301,12 @@ object VersionedHiddenTable {
     * and genuinely-orphaned tokens (crashed writers) age past it. An
     * orphaned era a surviving young token references stays too, because era
     * GC keeps everything any retained snapshot references and the token's
-    * publish may still land. Grace 0 restores the wholesale sweep. */
+    * publish may still land. The SAME window guards PRE-STAGE data: an era
+    * or delete directory a concurrent writer is still filling is referenced
+    * by nothing yet, so never-referenced data directories younger than the
+    * grace are spared as in-flight claims (expired committed data — dirs
+    * de-referenced by this call's own snapshot drops — is reclaimed
+    * regardless of age). Grace 0 restores the wholesale sweep. */
   def vacuum(spark: SparkSession, tableDir: String, keep: Int,
       stagingGraceMs: Long = 20L * 60 * 1000): Seq[Long] = {
     require(keep >= 1, "must retain at least the latest snapshot")
@@ -1012,6 +1346,14 @@ object VersionedHiddenTable {
     val (fs, _) = fsFor(spark, tableDir)
     val pinned = tags(spark, tableDir).values.toSet
     val drop = selected.filterNot(pinned.contains)
+    // provenance of the directories the drops de-reference: these held
+    // COMMITTED data whose retention just expired — no writer is filling
+    // them, so they are reclaimable regardless of age (unlike a
+    // never-referenced directory, which may be a write in flight)
+    val droppedRefs = drop.flatMap { v =>
+      val (eras, dels) = snapshot(spark, tableDir, v)
+      eras ++ dels.map(_.dir)
+    }.toSet
     drop.foreach(v => fs.delete(new Path(s"$tableDir/v=$v"), true): Unit)
     // a staged-but-unpublished snapshot inside the grace window may still
     // publish — its eras must survive the GC below as if referenced
@@ -1040,8 +1382,25 @@ object VersionedHiddenTable {
         val (eras, dels) = snapshot(spark, tableDir, v)
         eras ++ dels.map(_.dir)
       }.toSet ++ stagedRefs
+    // an era/delete directory a concurrent writer is STILL FILLING is
+    // unreferenced until its snapshot stages — the (deliberately unlocked)
+    // data write would be gutted by a scheduled maintain running mid-write.
+    // The same grace window that protects staged tokens protects pre-stage
+    // data: a NEVER-referenced directory (no retained snapshot, no in-flight
+    // token, not de-referenced by this call's own drops) whose own mtime OR
+    // any direct child's mtime (the spec-file claim marks write START,
+    // `_SUCCESS` marks END, partition dirs land in between) is younger than
+    // the cutoff is treated as an in-flight claim and spared;
+    // genuinely-orphaned directories (crashed or vetoed writers) age past
+    // the window and die on a later pass. Grace 0 restores the wholesale
+    // sweep. Directories in `droppedRefs` are expired committed data —
+    // reclaimed regardless of age.
+    def maybeInFlight(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      !droppedRefs.contains(st.getPath.getName) &&
+        (st.getModificationTime >= cutoff ||
+          ls(fs, st.getPath).exists(_.getModificationTime >= cutoff))
     ls(fs, new Path(s"$tableDir/data"))
-      .filter(st => !referenced.contains(st.getPath.getName))
+      .filter(st => !referenced.contains(st.getPath.getName) && !maybeInFlight(st))
       .foreach(st => fs.delete(st.getPath, true): Unit)
     drop
   }

@@ -450,6 +450,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VersionedTable.versions(martDir) == Seq(1L))
   }
 
+  test("versioned-hidden marts: overwrite snapshots per run; run-over-run CDC folds forward exactly") {
+    val VHT = graft.sources.VersionedHiddenTable
+    val vroot = Files.createTempDirectory("graft-vhtmart").toString
+    val mart = "mart_sgp_factors"
+    Pipeline.runVersionedHidden(spark, root, vroot, select = Seq(mart))
+    // second run over PERTURBED inputs — the incremental-pipeline scenario
+    val root2 = Files.createTempDirectory("graft-fixtures2").toString
+    FixtureGen.generate(root2, noiseSeed = 7)
+    Pipeline.runVersionedHidden(spark, root2, vroot, select = Seq(mart))
+    val dir = s"$vroot/main/$mart"
+    assert(VHT.versions(spark, dir) == Seq(0L, 1L),
+      "each pipeline run must publish exactly one overwrite snapshot")
+    val v0 = VHT.read(spark, dir, Some(0L))
+    val v1 = VHT.read(spark, dir, Some(1L))
+    def key(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    // golden parity: the versioned run's content is the materialized build's
+    assert(key(v0.select(out(mart).columns.map(col): _*)) == key(out(mart)),
+      "run-0 snapshot must equal the ParquetDir materialization")
+    // the README's "incremental models": a downstream consumer holding v0
+    // folds the run's NET diff forward instead of rebuilding
+    val ch = VHT.changes(spark, dir, 0L)
+    assert(ch.count() > 0, "perturbed inputs must produce a real run-over-run diff")
+    val meta = Seq("_change_type", "_commit_version")
+    val folded = v0
+      .exceptAll(ch.filter(col("_change_type") === "delete").drop(meta: _*))
+      .unionByName(ch.filter(col("_change_type") === "insert").drop(meta: _*))
+    assert(key(folded) == key(v1),
+      "fold(v0, changes) must reproduce the rebuilt mart exactly")
+  }
+
   test("fused mode produces the same mart as materialized mode", graft.Slow) {
     // fused: no per-model parquet breaks — Catalyst optimizes across the DAG.
     // Values may differ in low-order bits (double sums accumulate in a

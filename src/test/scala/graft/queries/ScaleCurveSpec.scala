@@ -216,6 +216,90 @@ class ScaleCurveSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c1 / math.max(c01, DenomFloorSec) <= SuperlinearityBudget)
   }
 
+  test("sf0.1 -> sf1: maintain decides from manifests; masked-read join input is mask-priced", graft.Slow) {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val sf01 = "/root/testdata/sf0.1"
+    val sf1 = graft.tools.ScaleUp.ensure(spark, sf01)
+    graft.sources.HiddenPartitioning.register(spark)
+    val VHT = graft.sources.VersionedHiddenTable
+
+    def flat(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flat)
+    }
+
+    def leg(tag: String, ev: org.apache.spark.sql.DataFrame)
+        : (Double, Double, Long, Long) = {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft-scale-svc-$tag").toString + "/t"
+      VHT.create(spark, path, ev,
+        Seq(graft.sources.HiddenPartitioning.DayT("ts")))
+      // clustered layout: each file a narrow key span (what a scheduled
+      // clustered compaction leaves behind)
+      VHT.compact(spark, path, clusterBy = Seq("event_id"),
+        targetBytes = 8L << 20)
+      // one fixed-size keyed CDC batch (2000 CONSECUTIVE keys -> a narrow
+      // mask box), identical at both scales
+      val batch = ev.orderBy("event_id").limit(2000)
+        .withColumn("value", col("value") + lit(1.0)).cache()
+      batch.count(): Unit
+      VHT.merge(spark, path, batch, Seq("event_id")): Unit
+      batch.unpersist(): Unit
+      // DECIDE cost: thresholds NOT tripped -> maintain reads manifests,
+      // compacts nothing, retires nothing (keep window wider than history)
+      val t0 = System.nanoTime()
+      val rep = graft.sources.TableService.maintain(spark, path,
+        graft.sources.TableService.Policy(maxLiveEras = 64, maxDelFiles = 64,
+          keepSnapshots = 100))
+      val decideSec = (System.nanoTime() - t0) / 1e9
+      assert(!rep.compacted && rep.droppedSnapshots.isEmpty,
+        s"$tag: the decide leg must not pay a rewrite: $rep")
+      // MASKED READ: only files inside the mask's key box feed the anti
+      // join — the change-priced read contract (del-file stats derive the
+      // box; StatsFileSkipping prunes the join input to it)
+      val read = VHT.read(spark, path).select(col("event_id"))
+      val t1 = System.nanoTime()
+      read.collect(): Unit
+      val maskedSec = (System.nanoTime() - t1) / 1e9
+      val plan = flat(read.queryExecution.executedPlan)
+      val joined = plan.collect {
+        case j: BaseJoinExec if j.joinType ==
+            org.apache.spark.sql.catalyst.plans.LeftAnti =>
+          flat(j.left).collect {
+            case s: FileSourceScanExec => s.metrics("numFiles").value
+          }.sum
+      }.sum
+      val scanned = plan.collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+      (decideSec, maskedSec, joined, scanned)
+    }
+
+    val (d01, r01, j01, s01) = leg("01", graft.core.Tables.load(spark, sf01, "events"))
+    val (d1, r1, j1, s1) = leg("1", spark.read.parquet(s"$sf1/events.parquet"))
+    info(f"decide: $d01%.2f s -> $d1%.2f s; masked read: $r01%.2f s -> $r1%.2f s; " +
+      f"join input: $j01 of $s01 files -> $j1 of $s1 files")
+    println(f"| maintain decide (tidy table) | $d01%.2f | $d1%.2f | ${d1 / math.max(d01, DenomFloorSec)}%.1fx |")
+    println(f"| masked read join input | $j01/$s01 files | $j1/$s1 files | ${r1 / math.max(r01, DenomFloorSec)}%.1fx time |")
+    // the decision is manifest-priced: a decade of extra data buys more
+    // shard parses, never a data scan
+    assert(d1 / math.max(d01, DenomFloorSec) <= 6.0,
+      f"maintain's decide pass must stay manifest-priced: $d01%.2f -> $d1%.2f")
+    // the mask's join input is priced by the MASK, not the corpus: a fixed
+    // 2000-key box covers the same few clustered files at both scales
+    assert(j01 > 0 && j1 > 0, "join-input metrics not populated")
+    assert(s1 >= s01 * 2, s"precondition: the decade must multiply the file count ($s01 -> $s1)")
+    assert(j1 <= j01 * 3,
+      s"masked-read join input must stay flat across the decade: $j01 -> $j1 of $s1")
+  }
+
   test("sf0.1 -> sf1: partition pruning + file-stats skipping keep the selective scan slice-priced", graft.Slow) {
     import org.apache.spark.sql.functions._
     val sf01 = "/root/testdata/sf0.1"

@@ -91,8 +91,13 @@ class VersionedHiddenTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(VersionedHiddenTable.read(spark, t)) == ids(h1),
       "readers must still see only the committed rows")
     assert(dataEras(t).size == 2, "the staged era's data dir is orphaned garbage")
+    // default grace: a YOUNG never-referenced era could be a concurrent
+    // writer mid-fill, so it survives; grace 0 sweeps it as a known orphan
     VersionedHiddenTable.vacuum(spark, t, keep = 1)
-    assert(dataEras(t) == Seq("era-0"), "vacuum must reclaim the unreferenced era")
+    assert(dataEras(t).size == 2,
+      "a young never-referenced era must survive a default-grace vacuum (in-flight claim)")
+    VersionedHiddenTable.vacuum(spark, t, keep = 1, stagingGraceMs = 0L)
+    assert(dataEras(t) == Seq("era-0"), "grace-0 vacuum must reclaim the unreferenced era")
     assert(ids(VersionedHiddenTable.read(spark, t)) == ids(h1),
       "vacuum must not touch referenced data")
     // an audit that THROWS aborts the staged snapshot and rethrows
@@ -539,6 +544,65 @@ class VersionedHiddenTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       VersionedHiddenTable.read(spark, t, Some(1L)).filter(col("ts") >= "2024-01-16"))
     assert(filesRead(appendStep) <= newEraFiles,
       "an append step must not scan the carried-over era")
+  }
+
+  test("changes: a gapped step landing on a replace still reports the vacuumed DML") {
+    val t = tmp("gapchg")
+    val ev = events
+    VersionedHiddenTable.create(spark, t, half(ev, 0),
+      Seq(HiddenPartitioning.DayT("ts")))                                     // v0
+    VersionedHiddenTable.append(spark, t, half(ev, 1))()                      // v1
+    VersionedHiddenTable.deleteMergeOnRead(spark, t,
+      pmod(col("event_id"), lit(5)) === 0L)                                   // v2: real DML
+    VersionedHiddenTable.compact(spark, t)                                    // v3: replace
+    VersionedHiddenTable.append(spark, t,
+      half(ev, 1).orderBy("event_id").limit(7)
+        .withColumn("event_id", col("event_id") + 5000000L))()                // v4
+    val before = ids(VersionedHiddenTable.read(spark, t, Some(1L)))
+    VersionedHiddenTable.tag(spark, t, "pin-v1", 1L)
+    VersionedHiddenTable.vacuum(spark, t, keep = 2, stagingGraceMs = 0L)
+    assert(VersionedHiddenTable.versions(spark, t) == Seq(1L, 3L, 4L),
+      "retention must create a gap landing on the op=replace snapshot")
+    // the v1 -> v3 step is GAPPED: the compaction ABSORBED v2's delete, so
+    // content preservation does not hold relative to v1 — the collapsed
+    // step must diff for real instead of skipping on op=replace
+    val ch = VersionedHiddenTable.changes(spark, t, 1L)
+    val del = ch.filter(col("_change_type") === "delete")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val ins = ch.filter(col("_change_type") === "insert")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(del.nonEmpty, "the vacuumed v2 delete must surface in the collapsed step")
+    assert(before.toSet -- del ++ ins == ids(VersionedHiddenTable.read(spark, t)).toSet,
+      "folding the gapped changelog forward from v1 must reproduce the latest content")
+    // an ADJACENT replace still contributes nothing (v2 -> v3 pre-vacuum
+    // proved that above via the era-aware test; here: no deletes after v3)
+    assert(VersionedHiddenTable.changes(spark, t, 3L, Some(4L))
+      .filter(col("_change_type") === "delete").isEmpty,
+      "the append step after the replace must report inserts only")
+  }
+
+  test("changes: no-op commits are pruned from the plan (long-history hygiene)") {
+    val t = tmp("noopchg")
+    val ev = events
+    VersionedHiddenTable.create(spark, t, half(ev, 0),
+      Seq(HiddenPartitioning.DayT("ts")))
+    // a burst of EFFECT-FREE merges: each publishes a content-identical
+    // snapshot (same eras, same delete files) — the long-history shape a
+    // CDC replayer with mostly-empty batches produces
+    (1 to 30).foreach { _ =>
+      VersionedHiddenTable.merge(spark, t,
+        ev.filter(col("event_id") < 0L), Seq("event_id")): Unit
+    }
+    VersionedHiddenTable.append(spark, t, half(ev, 1))() // one REAL step at the end
+    val ch = VersionedHiddenTable.changes(spark, t, 0L)
+    // plan hygiene: 30 no-op steps contribute ZERO plan arms — the feed
+    // plans one arm for the schema seed and one per real step
+    val leaves = ch.queryExecution.logical.collectLeaves().size
+    assert(leaves <= 4,
+      s"no-op steps must be pruned at plan time, got $leaves leaf plans")
+    assert(ch.filter(col("_change_type") === "delete").isEmpty)
+    assert(ch.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      ids(half(ev, 1)), "the one real step must survive the pruning")
   }
 
   test("rollback publishes a reverting snapshot; history and batch replay stay intact") {
