@@ -812,6 +812,41 @@ object VersionedHiddenTable {
         "delete", Some(vs.max)))
   }
 
+  /** Rebase loop shared by the merge-on-read DML publishes: restage the
+    * already-written delete file / era against the LATEST snapshot when the
+    * publish detects a conflicting commit — legal under snapshot isolation
+    * (the mask covers exactly the eras the operation probed; rows a
+    * concurrent commit added are outside its `over` set and survive, the
+    * same scoping an un-raced operation gives later appends). The one
+    * un-rebasable case: a concurrent compaction/vacuum retired a COVERED
+    * era, so the mask's scope no longer exists — that surfaces as an error
+    * telling the caller to re-run, never as a silent partial delete. */
+  private def publishMorRebasing(spark: SparkSession, tableDir: String,
+      myEra: Option[String], myDel: Option[Del], op: String,
+      batchId: Option[String] = None): Long = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val base = versions(spark, tableDir).max
+      val (baseEras, baseDels) = snapshot(spark, tableDir, base)
+      myDel.foreach { d =>
+        val missing = d.over -- baseEras.toSet
+        require(missing.isEmpty,
+          s"cannot rebase $op on $tableDir: covered eras ${missing.mkString(",")} " +
+            "were rewritten by a concurrent commit — re-run the operation")
+      }
+      val token = stageSnapshotDels(spark, tableDir, baseEras ++ myEra,
+        baseDels ++ myDel, batchId, op, Some(base))
+      try return publish(spark, tableDir, token)
+      catch {
+        case c: CommitConflictException =>
+          abort(spark, tableDir, token) // rebase: loop re-resolves the base
+          if (attempts >= 16) throw c
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Merge-on-read DELETE — the second Iceberg delete mode (equality-delete
     * files): instead of rewriting any data, the matching VISIBLE tuples are
     * written to a small `data/del-<k>/` file and the new snapshot lists it
@@ -824,7 +859,9 @@ object VersionedHiddenTable {
     * [[compact]] folds the deletes into a clean era. Older snapshots never
     * list the new delete file, so time travel still reads the deleted rows.
     * Returns the published version, or the current version when nothing
-    * matches. Admin-serialized like [[delete]]. */
+    * matches. Optimistically concurrent: a conflicting commit triggers a
+    * snapshot-isolation rebase ([[publishMorRebasing]]); only a concurrent
+    * rewrite of a covered era refuses and asks for a re-run. */
   def deleteMergeOnRead(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column): Long = {
     HiddenPartitioning.register(spark)
@@ -836,8 +873,7 @@ object VersionedHiddenTable {
     val del = writeDel(spark, tableDir, matching)
     val covered = eras.filter(e =>
       HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e))).toSet
-    publish(spark, tableDir, stageSnapshotDels(spark, tableDir, eras,
-      dels :+ Del(del, covered), None, "delete", Some(vs.max)))
+    publishMorRebasing(spark, tableDir, None, Some(Del(del, covered)), "delete")
   }
 
   /** Row-level UPDATE with snapshot semantics — the second half of the
@@ -910,7 +946,8 @@ object VersionedHiddenTable {
     * delete file doubles as the pre-image staging for the updated era.
     * Older snapshots never list either, so time travel reads pre-update
     * values. Returns the published version, or the current version when
-    * nothing matches. Admin-serialized like [[update]]. */
+    * nothing matches. Optimistically concurrent like [[deleteMergeOnRead]]
+    * (snapshot-isolation rebase on conflict). */
   def updateMergeOnRead(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Long = {
@@ -938,8 +975,7 @@ object VersionedHiddenTable {
         .map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
     }: _*)
     val era = writeEra(spark, tableDir, updated, spec)
-    publish(spark, tableDir, stageSnapshotDels(spark, tableDir, eras :+ era,
-      dels :+ Del(del, covered), None, "update", Some(vs.max)))
+    publishMorRebasing(spark, tableDir, Some(era), Some(Del(del, covered)), "update")
   }
 
   /** Storage-level MERGE — the upsert workhorse of incremental pipelines

@@ -199,6 +199,29 @@ class MaskAndOccSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(folded == key(read), "the OCC-rebased history must fold exactly")
   }
 
+  test("OCC: a merge-on-read delete raced by an append rebases; both land") {
+    val t = tmp("occdel")
+    val ev = events
+    val h1 = ev.filter(col("event_id") < 5000L)
+    // the appended rows are OUTSIDE the delete predicate's key range, so
+    // the outcome is identical under either serialization order
+    val h2 = ev.filter(col("event_id") >= 5000L)
+      .withColumn("event_id", col("event_id") + 1000000L)
+    VersionedHiddenTable.create(spark, t, h1, Seq(HiddenPartitioning.DayT("ts")))
+    val pred = pmod(col("event_id"), lit(7)) === 0L && col("event_id") < 5000L
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fDel = Future(VersionedHiddenTable.deleteMergeOnRead(spark, t, pred))
+    val fApp = Future(VersionedHiddenTable.append(spark, t, h2)())
+    val (vDel, vApp) = (Await.result(fDel, 5.minutes), Await.result(fApp, 5.minutes))
+    assert(vApp.isRight && Set(vDel, vApp.toOption.get) == Set(1L, 2L),
+      s"both commits must publish distinct snapshots: $vDel / $vApp")
+    val expect = (ids(h1.filter(!coalesce(pred, lit(false)))) ++ ids(h2)).sorted
+    assert(ids(VersionedHiddenTable.read(spark, t)) == expect,
+      "the rebased history must hold the delete's survivors plus the full append")
+  }
+
   test("OCC: a staged manifest with a stale base fails loudly instead of dropping a commit") {
     val t = tmp("occstale")
     val ev = events
