@@ -473,7 +473,7 @@ object VersionedHiddenTable {
   /** Apply era `e`'s covering delete files to `base`, STATS-BOUNDED so the
     * masked read is change-priced on the read side too: each mask's key box
     * ([[maskBounds]]) first clears provably-disjoint eras outright
-    * ([[eraDisjoint]] — zero extra tasks), and inside an overlapping era
+    * ([[disjointFileFraction]] == 1.0 — zero extra tasks), and inside an overlapping era
     * splits the rows so only the in-box slice pays the anti join. The hit
     * arm's range conjunction is PUSHABLE — [[StatsFileSkipping]] prunes era
     * files outside the box from the join's input at plan time — and the
