@@ -1152,12 +1152,27 @@ object VersionedHiddenTable {
         // time on the FILE's own equality columns with the already-claimed
         // rows anti-joined away between files, so a row matched by several
         // delta files still counts exactly once (multiset-exact, no shuffle)
-        def coverageDelta(e: String, visUnder: Seq[Del], fresh: Seq[Del]) =
-          if (fresh.isEmpty) None
+        def coverageDelta(e: String, visUnder: Seq[Del], fresh: Seq[Del]) = {
+          // STATS-BOUNDED like the read path's applyDels: a delta file whose
+          // key box is provably disjoint from this era masks (or unmasks)
+          // nothing here — dropped before any scan plans; an overlapping one
+          // restricts its semi probe to the in-box slice when the era's
+          // stats say the split pays (out-of-box files then feed NEITHER the
+          // probe nor the claim tracking's join — a narrow CDC commit's
+          // changelog read scans the mask's files, not the table)
+          val live = fresh.filter { dl =>
+            val delDir = s"$tableDir/data/${dl.dir}"
+            val on = if (dl.cols.nonEmpty) dl.cols
+              else spark.read.parquet(delDir).columns.toSeq
+            disjointFileFraction(spark, tableDir, e,
+              maskBounds(spark, delDir, on, canonical)) < 1.0
+          }
+          if (live.isEmpty) None
           else {
             val vis = visibleEra(spark, tableDir, e, visUnder, canonical)
-            val (_, parts) = fresh.foldLeft((vis, Seq.empty[DataFrame])) {
+            val (_, parts) = live.foldLeft((vis, Seq.empty[DataFrame])) {
               case ((remaining, acc), dl) =>
+                import org.apache.spark.sql.functions.{col => fc}
                 val delDir = s"$tableDir/data/${dl.dir}"
                 val delDf = spark.read.parquet(delDir)
                 val on = if (dl.cols.nonEmpty) dl.cols else delDf.columns.toSeq
@@ -1165,12 +1180,26 @@ object VersionedHiddenTable {
                 // same broadcast ceiling as the read path's applyDels
                 val d = if (delBytes(spark, delDir) <= deleteBroadcastMax(spark))
                   broadcast(keys) else keys
-                val cond = on.map(c => remaining(c) <=> d(c)).reduce(_ && _)
-                (remaining.join(d, cond, "left_anti"),
-                  acc :+ remaining.join(d, cond, "left_semi"))
+                def cond(left: DataFrame) =
+                  on.map(c => left(c) <=> d(c)).reduce(_ && _)
+                val bounds = maskBounds(spark, delDir, on, canonical)
+                val frac = disjointFileFraction(spark, tableDir, e, bounds)
+                if (frac < 0.5)
+                  (remaining.join(d, cond(remaining), "left_anti"),
+                    acc :+ remaining.join(d, cond(remaining), "left_semi"))
+                else {
+                  val hit = remaining.filter(bounds.map(b =>
+                    fc(b.col) >= b.loLit && fc(b.col) <= b.hiLit).reduce(_ && _))
+                  val miss = remaining.filter(bounds.map(b =>
+                    fc(b.col) < b.loLit || fc(b.col) > b.hiLit || fc(b.col).isNull)
+                    .reduce(_ || _))
+                  (miss.union(hit.join(d, cond(hit), "left_anti")),
+                    acc :+ hit.join(d, cond(hit), "left_semi"))
+                }
             }
             Some(parts.reduce(_.union(_)))
           }
+        }
         val shared = erasA.filter(e => setB.contains(e) && hasData(e))
         val masked = shared.flatMap { e =>
           val before = delsA.filter(_.over.contains(e)).map(_.dir).toSet

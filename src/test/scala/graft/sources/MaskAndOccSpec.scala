@@ -138,6 +138,29 @@ class MaskAndOccSpec extends AnyFunSuite with BeforeAndAfterAll {
       "without bounds every file feeds the join (the old cost, not a wrong answer)")
   }
 
+  test("changelog of a narrow CDC commit is mask-priced: out-of-box era files never scan") {
+    val t = tmp("chmask")
+    val ev = events
+    VersionedHiddenTable.create(spark, t, ev, Seq(HiddenPartitioning.DayT("ts")))
+    VersionedHiddenTable.compact(spark, t, clusterBy = Seq("event_id"),
+      targetBytes = 16L << 10) // v1: many files, narrow disjoint key spans
+    val batch = ev.orderBy("event_id").limit(5)
+      .withColumn("value", -col("value"))
+    val v = VersionedHiddenTable.merge(spark, t, batch, Seq("event_id")) // v2
+    val batchIds = ids(batch)
+    val ch = VersionedHiddenTable.changes(spark, t, v - 1, Some(v))
+    assert(ids(ch.filter(col("_change_type") === "delete")) == batchIds &&
+      ids(ch.filter(col("_change_type") === "insert")) == batchIds,
+      "the merge step must net exactly the batch's old images out, new in")
+    // the coverage pass probes only the mask's in-box files: the commit's
+    // changelog read is priced by the 5-key mask, not the compacted table
+    val scanned = totalFiles(VersionedHiddenTable.changes(spark, t, v - 1, Some(v)))
+    val all = totalFiles(VersionedHiddenTable.read(spark, t, Some(1L)))
+    assert(all > 8, s"precondition: clustering must yield many files, got $all")
+    assert(scanned * 2 <= all,
+      s"a narrow commit's changelog must not scan the table: $scanned of $all files")
+  }
+
   test("broadcast ceiling: an oversized mask falls back to a shuffle anti join, row-identical") {
     val t = tmp("bcast")
     val ev = events
