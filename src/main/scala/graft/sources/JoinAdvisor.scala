@@ -89,7 +89,12 @@ object JoinAdvisor {
 
   /** The advised build-side frame for a FULL-ROW equi-join: the table read
     * from `dir` with the advice applied as a hint. BroadcastDistinctKeys
-    * degrades to ShuffleHash here — full-row joins must ship the rows; use
+    * degrades here — full-row joins must ship the rows — but only to
+    * ShuffleHash when the manifest ROW count is itself within
+    * `maxBuildRows`: the NDV bound licenses broadcasting distinct KEYS, not
+    * holding every row in a hash build, and a wide table with a tiny key
+    * set can still carry an unbounded row count. Past the row budget it
+    * falls to Merge, the rung that never blows memory. Use
     * [[distinctKeysFrame]] for semi/anti-shaped probes where only key
     * membership matters. */
   def hinted(spark: SparkSession, dir: String, df: DataFrame,
@@ -98,7 +103,11 @@ object JoinAdvisor {
       maxBuildRows: Long = 8L << 20): DataFrame =
     advise(spark, dir, keys, broadcastMaxBytes, maxBuildRows) match {
       case Broadcast => df.hint("broadcast")
-      case BroadcastDistinctKeys | ShuffleHash => df.hint("shuffle_hash")
+      case BroadcastDistinctKeys =>
+        val (_, rows, _) = facts(spark, dir)
+        if (rows.exists(_ <= maxBuildRows)) df.hint("shuffle_hash")
+        else df.hint("merge")
+      case ShuffleHash => df.hint("shuffle_hash")
       case Merge => df.hint("merge")
     }
 

@@ -143,4 +143,38 @@ class JoinAdvisorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(count(lit(1)), sum(col("v"))).head()
     assert(gotN == expN, s"semi probe content: $gotN vs $expN")
   }
+
+  test("full-row degrade of the NDV rung respects the hash-build row budget") {
+    val path = tmp("budget")
+    val bytes = wideDim(path, rows = 3000, distinctKeys = 50)
+    val tight = bytes - 1
+    // precondition: the advice itself is the NDV rung (keys fit, bytes don't)
+    assert(JoinAdvisor.advise(spark, path, Seq("k"),
+      broadcastMaxBytes = tight) == JoinAdvisor.BroadcastDistinctKeys)
+    val dim = spark.read.parquet(path)
+    val s2 = spark
+    import s2.implicits._
+    val fact = (0 until 10000).map(i => (i % 60L, i.toDouble)).toDF("fk", "v")
+    def agg(j: DataFrame) = j.groupBy(col("k")).agg(sum(col("v")).as("t"))
+    val expect = agg(fact.join(dim, col("fk") === col("k")))
+      .collect().map(_.toString).sorted.toSeq
+    // rows (3000) within the budget: the bounded hash build is licensed
+    val hashed = agg(fact.join(
+      JoinAdvisor.hinted(spark, path, dim, Seq("k"), broadcastMaxBytes = tight,
+        maxBuildRows = 3000L),
+      col("fk") === col("k")))
+    assert(joins(hashed).exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "row count within budget must license the shuffle-hash build")
+    assert(hashed.collect().map(_.toString).sorted.toSeq == expect)
+    // rows OVER the budget: tiny key NDV must NOT force an unbounded
+    // full-row hash build — the degrade falls to merge
+    val merged = agg(fact.join(
+      JoinAdvisor.hinted(spark, path, dim, Seq("k"), broadcastMaxBytes = tight,
+        maxBuildRows = 2999L),
+      col("fk") === col("k")))
+    assert(joins(merged).exists(_.isInstanceOf[SortMergeJoinExec]) &&
+      !joins(merged).exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "row count over budget must fall to sort-merge, never a forced hash build")
+    assert(merged.collect().map(_.toString).sorted.toSeq == expect)
+  }
 }
