@@ -89,17 +89,28 @@ object VersionedHiddenTable {
   }
   private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** One equality-delete file (merge-on-read): `dir` holds the deleted
-    * tuples under `data/`, `over` names the eras it applies to — exactly
-    * the eras that existed when the delete was issued, so rows APPENDED
-    * later that happen to equal a deleted tuple are untouched (Iceberg's
-    * sequence-number scoping, spelled as an era set). `cols` is the file's
-    * equality-column set (Iceberg's `equality_ids`): empty = the full tuple
-    * (predicate-delete semantics); non-empty = key columns only, the form
-    * [[merge]] writes so a CDC batch never has to SCAN the target for
-    * pre-images — the delete file is just the batch's keys. */
+  /** One merge-on-read delete file: `dir` holds the mask under `data/`,
+    * `over` names the eras it applies to — exactly the eras that existed
+    * when the delete was issued, so rows APPENDED later that happen to
+    * match are untouched (Iceberg's sequence-number scoping, spelled as an
+    * era set). `kind` selects the flavor, mirroring Iceberg v2's two delete
+    * file types:
+    *   - `"eq"` (equality): the file holds deleted tuples; `cols` is its
+    *     equality-column set (Iceberg's `equality_ids`) — empty = the full
+    *     tuple (predicate-delete semantics), non-empty = key columns only,
+    *     the form [[merge]] writes so a CDC batch never has to SCAN the
+    *     target for pre-images.
+    *   - `"pos"` (positional): the file holds physical row addresses
+    *     ([[GFile]] = fully-qualified data-file path, [[GPos]] = row
+    *     ordinal within it) — the flavor for tables with no usable key or
+    *     rows too wide to copy into a mask ([[deletePositional]] /
+    *     [[updatePositional]]). */
   private[sources] final case class Del(dir: String, over: Set[String],
-      cols: Seq[String] = Nil)
+      cols: Seq[String] = Nil, kind: String = "eq")
+
+  /** Address columns a positional delete masks by (reserved names). */
+  private[sources] val GFile = "_g_file"
+  private[sources] val GPos = "_g_pos"
 
   private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -141,8 +152,9 @@ object VersionedHiddenTable {
         val over = d.get("over")
         val cols = Option(d.get("cols")).map(cs =>
           (0 until cs.size()).map(cs.get(_).asText())).getOrElse(Seq.empty)
+        val kind = Option(d.get("kind")).map(_.asText()).getOrElse("eq")
         Del(d.get("dir").asText(),
-          (0 until over.size()).map(over.get(_).asText()).toSet, cols)
+          (0 until over.size()).map(over.get(_).asText()).toSet, cols, kind)
       }
     }.getOrElse(Seq.empty)
     ((0 until eras.size()).map(eras.get(_).asText()), dels)
@@ -160,6 +172,31 @@ object VersionedHiddenTable {
     val bytes = try in.readAllBytes() finally in.close()
     Option(new ObjectMapper().readTree(bytes).get("op"))
       .map(_.asText()).getOrElse("append")
+  }
+
+  /** The branch a snapshot was committed to — None = the MAIN lineage.
+    * Branch snapshots share the global `v=<n>` id space (publish allocation
+    * never collides) but are invisible to main reads, main DML bases, and
+    * the main changelog. */
+  private[sources] def snapshotBranch(spark: SparkSession, tableDir: String,
+      v: Long): Option[String] = {
+    val (fs, _) = fsFor(spark, tableDir)
+    val f = new Path(s"$tableDir/v=$v", SnapshotFile)
+    val in = fs.open(f)
+    val bytes = try in.readAllBytes() finally in.close()
+    Option(new ObjectMapper().readTree(bytes).get("branch")).map(_.asText())
+  }
+
+  /** Retained MAIN-lineage versions (what every unqualified read/DML/CDC
+    * operation means by "the table"). */
+  def mainVersions(spark: SparkSession, tableDir: String): Seq[Long] =
+    versions(spark, tableDir)
+      .filter(v => snapshotBranch(spark, tableDir, v).isEmpty)
+
+  private def mainLatest(spark: SparkSession, tableDir: String): Long = {
+    val vs = mainVersions(spark, tableDir)
+    require(vs.nonEmpty, s"no main-lineage snapshots under $tableDir")
+    vs.max
   }
 
   /** Next unused era number — scans `data/` (NOT just the latest snapshot:
@@ -284,9 +321,104 @@ object VersionedHiddenTable {
       case (acc, (e, df)) => foldSchema(acc, df.schema, s"era '$e' of $tableDir")
     }
     frames
-      .map { case (e, df) => applyDels(spark, tableDir, e, conform(df, canonical), dels) }
+      .map { case (e, df) => maskEra(spark, tableDir, e, df, dels, canonical) }
       .reduce(_.union(_)) // every frame conformed: same columns, same order
   }
+
+  /** One era's VISIBLE rows from an already-planned raw era frame: the
+    * POSITIONAL masks apply first, on the raw read (they address physical
+    * rows, so the frame is tagged with its `_metadata` file/row address),
+    * then the frame conforms to the snapshot's canonical schema, then the
+    * EQUALITY masks apply on the conformed view — which is what gives
+    * post-evolution equality deletes their null-matching semantics.
+    * `keepPos` keeps the address columns on the output (the changelog's
+    * claim tracking joins mixed-flavor masks against one frame). */
+  private def maskEra(spark: SparkSession, tableDir: String, e: String,
+      raw: DataFrame, dels: Seq[Del],
+      canonical: org.apache.spark.sql.types.StructType,
+      keepPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val pos = dels.filter(d => d.kind == "pos" && d.over.contains(e))
+    val needTag = keepPos || pos.nonEmpty
+    if (needTag) require(
+      !canonical.fieldNames.contains(GFile) && !canonical.fieldNames.contains(GPos),
+      s"'$GFile'/'$GPos' are reserved for positional-delete addressing")
+    val tagged = if (needTag)
+      raw.withColumn(GFile, col("_metadata.file_path"))
+        .withColumn(GPos, col("_metadata.row_index"))
+    else raw
+    val masked = applyPosDels(spark, tableDir, e, tagged, pos)
+    val conformed = conform(masked, canonical,
+      extras = if (keepPos) Seq(GFile, GPos) else Nil)
+    applyDels(spark, tableDir, e, conformed, dels)
+  }
+
+  // a positional delete file is immutable once written, so its touched-file
+  // list memoizes permanently (cap-cleared like delBytesCache)
+  private val touchedPathsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Seq[String]]]()
+
+  /** The distinct data-file paths a positional delete touches — METADATA
+    * scale by construction (at most one entry per masked data file, the
+    * same order as a stats manifest), so the plan-time collect is bounded;
+    * None past the cap means "too broad to split", degrading to the plain
+    * anti join, never to a guess. */
+  private def touchedPaths(spark: SparkSession, delDir: String): Option[Seq[String]] = {
+    val (fs, p) = fsFor(spark, delDir)
+    val key = fs.makeQualified(p).toString
+    val hit = touchedPathsCache.get(key)
+    if (hit != null) hit
+    else {
+      import org.apache.spark.sql.functions.col
+      val rows = spark.read.parquet(delDir).select(col(GFile))
+        .distinct().limit(1025).collect()
+      val res = if (rows.length > 1024) None
+        else Some(rows.map(_.getString(0)).toSeq.sorted)
+      if (touchedPathsCache.size >= 4096) touchedPathsCache.clear()
+      touchedPathsCache.put(key, res)
+      res
+    }
+  }
+
+  /** Fully-qualified era-directory prefix, the namespace every
+    * `_metadata.file_path` of that era lives under. */
+  private def qualifiedEraPrefix(spark: SparkSession, tableDir: String,
+      e: String): String = {
+    val (fs, p) = fsFor(spark, eraPath(tableDir, e))
+    fs.makeQualified(p).toString + "/"
+  }
+
+  /** Apply era `e`'s covering POSITIONAL delete files to the
+    * address-tagged `tagged` frame. Plan-time scoping comes from the
+    * touched-file list instead of key-box stats: a mask naming no file of
+    * this era skips outright, and inside a touched era the rows split so
+    * only the touched FILES pay the (file,pos) anti join — the file-path
+    * filter sits directly on the `_metadata.file_path` derivation, so rows
+    * of untouched files never enter the join. The mask broadcasts under
+    * the same ceiling as equality masks. */
+  private def applyPosDels(spark: SparkSession, tableDir: String, e: String,
+      tagged: DataFrame, posDels: Seq[Del]): DataFrame =
+    posDels.foldLeft(tagged) { (acc, d) =>
+      import org.apache.spark.sql.functions.{broadcast, col => fc, not}
+      val delDir = s"$tableDir/data/${d.dir}"
+      val eraPrefix = qualifiedEraPrefix(spark, tableDir, e)
+      val mine = touchedPaths(spark, delDir).map(_.filter(_.startsWith(eraPrefix)))
+      if (mine.exists(_.isEmpty)) acc // mask provably touches no file of this era
+      else {
+        val delDf = spark.read.parquet(delDir).select(fc(GFile), fc(GPos))
+        val keys = if (delBytes(spark, delDir) <= deleteBroadcastMax(spark))
+          broadcast(delDf) else delDf
+        def cond(left: DataFrame) =
+          left(GFile) <=> keys(GFile) && left(GPos) <=> keys(GPos)
+        mine match {
+          case Some(ps) =>
+            val hit = acc.filter(fc(GFile).isin(ps: _*))
+            val miss = acc.filter(not(fc(GFile).isin(ps: _*)))
+            miss.union(hit.join(keys, cond(hit), "left_anti"))
+          case None => acc.join(keys, cond(acc), "left_anti")
+        }
+      }
+    }
 
   /** A snapshot's CURRENT schema — the add-only fold of its data-holding
     * eras' schemas in era order (Iceberg's schema evolution, the ADD COLUMNS
@@ -326,9 +458,12 @@ object VersionedHiddenTable {
 
   /** Project `df` onto `canonical`: fields the frame lacks read as typed
     * nulls (the null backfill an added column owes pre-evolution rows),
-    * fields present must type-match. */
+    * fields present must type-match. `extras` appends pass-through columns
+    * the frame already carries (the positional-address columns a changelog
+    * claim-tracking read keeps). */
   private def conform(df: DataFrame,
-      canonical: org.apache.spark.sql.types.StructType): DataFrame = {
+      canonical: org.apache.spark.sql.types.StructType,
+      extras: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val have = df.schema.map(f => f.name -> f.dataType).toMap
     df.select(canonical.fields.toSeq.map { f =>
@@ -339,7 +474,7 @@ object VersionedHiddenTable {
           col(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
-    }: _*)
+    } ++ extras.map(col): _*)
   }
 
   /** Remove from `base` every row that null-safe-equals a row of `del` on
@@ -466,9 +601,11 @@ object VersionedHiddenTable {
     * what keeps a rewrite from resurrecting masked rows. */
   private def visibleEra(spark: SparkSession, tableDir: String, e: String,
       dels: Seq[Del],
-      canonical: org.apache.spark.sql.types.StructType): DataFrame =
-    applyDels(spark, tableDir, e, conform(
-      HiddenPartitioning.readEra(spark, eraPath(tableDir, e)), canonical), dels)
+      canonical: org.apache.spark.sql.types.StructType,
+      keepPos: Boolean = false): DataFrame =
+    maskEra(spark, tableDir, e,
+      HiddenPartitioning.readEra(spark, eraPath(tableDir, e)), dels, canonical,
+      keepPos)
 
   /** Apply era `e`'s covering delete files to `base`, STATS-BOUNDED so the
     * masked read is change-priced on the read side too: each mask's key box
@@ -487,7 +624,7 @@ object VersionedHiddenTable {
     * unbounded join, never to a guess. */
   private def applyDels(spark: SparkSession, tableDir: String, e: String,
       base: DataFrame, dels: Seq[Del]): DataFrame =
-    dels.filter(_.over.contains(e)).foldLeft(base) { (acc, d) =>
+    dels.filter(d => d.kind == "eq" && d.over.contains(e)).foldLeft(base) { (acc, d) =>
       import org.apache.spark.sql.functions.{col => fc}
       val delDir = s"$tableDir/data/${d.dir}"
       val delDf = spark.read.parquet(delDir)
@@ -524,7 +661,8 @@ object VersionedHiddenTable {
     * fault-injection tests) publishes unchecked. */
   private def stageSnapshotDels(spark: SparkSession, tableDir: String,
       eras: Seq[String], dels: Seq[Del], batchId: Option[String],
-      op: String = "append", base: Option[Long] = None): String = {
+      op: String = "append", base: Option[Long] = None,
+      branch: Option[String] = None): String = {
     val token = s"w${stageSeq.incrementAndGet()}-${System.nanoTime()}"
     val dir = new Path(s"$tableDir/_staging/$token")
     val (fs, _) = fsFor(spark, tableDir)
@@ -532,6 +670,7 @@ object VersionedHiddenTable {
     val node = mapper.createObjectNode()
     node.put("op", op): Unit
     base.foreach(b => node.put("base", b): Unit)
+    branch.foreach(b => node.put("branch", b): Unit)
     val arr = node.putArray("eras")
     eras.foreach(arr.add)
     if (dels.nonEmpty) {
@@ -539,6 +678,7 @@ object VersionedHiddenTable {
       dels.foreach { d =>
         val o = darr.addObject()
         o.put("dir", d.dir): Unit
+        if (d.kind != "eq") o.put("kind", d.kind): Unit
         val ov = o.putArray("over")
         d.over.toSeq.sorted.foreach(ov.add)
         if (d.cols.nonEmpty) {
@@ -581,20 +721,28 @@ object VersionedHiddenTable {
       val (fs, _) = fsFor(spark, tableDir)
       val from = new Path(s"$tableDir/_staging/$token")
       require(fs.exists(from), s"no staged snapshot '$token' under $tableDir")
-      val baseOpt = {
+      val (baseOpt, branchOpt) = {
         val in = fs.open(new Path(from, SnapshotFile))
         val bytes = try in.readAllBytes() finally in.close()
-        Option(new ObjectMapper().readTree(bytes).get("base")).map(_.asLong())
+        val node = new ObjectMapper().readTree(bytes)
+        (Option(node.get("base")).map(_.asLong()),
+          Option(node.get("branch")).map(_.asText()))
       }
       var v = versions(spark, tableDir).lastOption.fold(0L)(_ + 1)
       var attempts = 0
       while (attempts < 64) {
         attempts += 1
         // OCC: conflict iff a REAL snapshot (manifest present) newer than
-        // the staged base exists — manifest-less `v=<n>` debris is stepped
-        // over below without counting as a commit
+        // the staged base exists ON THE STAGED LINEAGE — a main commit
+        // validates against the main head, a branch commit against its
+        // branch head (commits to other lineages are concurrent-but-
+        // non-conflicting by construction: they share no head). Manifest-
+        // less `v=<n>` debris is stepped over below without counting.
         baseOpt.foreach { b =>
-          val latest = versions(spark, tableDir).lastOption.getOrElse(-1L)
+          val latest = branchOpt match {
+            case Some(br) => branchHead(spark, tableDir, br)
+            case None => mainVersions(spark, tableDir).lastOption.getOrElse(-1L)
+          }
           if (latest != b) throw new CommitConflictException(tableDir, b, latest)
         }
         val dst = new Path(s"$tableDir/v=$v")
@@ -602,12 +750,24 @@ object VersionedHiddenTable {
           // raced an external publisher that already took this id
           v += 1
         } else {
+          preRenameHook(tableDir, v)
           require(fs.rename(from, dst),
             s"atomic snapshot publish rename failed for '$token'")
-          if (fs.exists(new Path(dst, SnapshotFile))) return v
+          // success requires BOTH facts: a manifest at the TOP of v=<n> AND
+          // no nested `<token>` child. Checking the manifest alone would
+          // mistake a loss for a win when a competing publisher fully landed
+          // v=<n> (manifest included) inside the exists->rename window: our
+          // rename then nests under the WINNER'S directory, whose manifest
+          // passes the first check — returning v there would silently drop
+          // this commit, the exact lost update OCC exists to make loud.
+          val nested = new Path(dst, token)
+          if (fs.exists(new Path(dst, SnapshotFile)) && !fs.exists(nested))
+            return v
           // rename landed NESTED inside a concurrently-created v=<n>:
           // undo (move our staged dir back out) and retry under a fresh id
-          require(fs.rename(new Path(dst, token), from),
+          // (a staged `base` then re-validates at the top of the loop and
+          // surfaces the conflict)
+          require(fs.rename(nested, from),
             s"could not undo nested publish of '$token' under v=$v")
           v += 1
         }
@@ -615,6 +775,12 @@ object VersionedHiddenTable {
       throw new IllegalStateException(
         s"publish of '$token' under $tableDir lost ${attempts} version races; giving up")
     }
+
+  /** Fault-injection seam for the publish race window (tests only): runs
+    * after the `v=<n>` existence probe and before the rename, so a spec can
+    * land a competing snapshot exactly where a cross-process publisher
+    * would — proving the nested-landing detection above. */
+  private[graft] var preRenameHook: (String, Long) => Unit = (_, _) => ()
 
   private def abort(spark: SparkSession, tableDir: String, token: String): Unit = {
     val (fs, _) = fsFor(spark, tableDir)
@@ -644,7 +810,7 @@ object VersionedHiddenTable {
     * NOT content-preserving — the changelog always diffs it for real. */
   def overwrite(spark: SparkSession, tableDir: String, df: DataFrame,
       transforms: Seq[Transform] = Nil): Long = {
-    val vs = versions(spark, tableDir)
+    val vs = mainVersions(spark, tableDir)
     if (vs.isEmpty) return create(spark, tableDir, df, transforms)
     val spec = currentSpec(spark, tableDir, snapshot(spark, tableDir, vs.max)._1)
     val era = writeEra(spark, tableDir, df, spec)
@@ -684,7 +850,7 @@ object VersionedHiddenTable {
   def appendOrCreate(spark: SparkSession, tableDir: String, df: DataFrame,
       transforms: Seq[Transform], batchId: Option[String] = None)(
       audit: DataFrame => Seq[String] = _ => Nil): Either[Seq[String], Long] = {
-    val vs0 = versions(spark, tableDir)
+    val vs0 = mainVersions(spark, tableDir)
     val spec =
       if (vs0.nonEmpty)
         currentSpec(spark, tableDir, snapshot(spark, tableDir, vs0.max)._1)
@@ -705,7 +871,7 @@ object VersionedHiddenTable {
       var attempts = 0
       while (true) {
         attempts += 1
-        val vs = versions(spark, tableDir)
+        val vs = mainVersions(spark, tableDir)
         val base = if (vs.isEmpty) -1L else vs.max
         val (eras, dels) =
           if (vs.isEmpty) (Nil, Nil) else snapshot(spark, tableDir, vs.max)
@@ -735,7 +901,7 @@ object VersionedHiddenTable {
   def evolveSpec(spark: SparkSession, tableDir: String,
       transforms: Seq[Transform]): Long = {
     require(transforms.nonEmpty, "declare at least one partition transform")
-    val vs = versions(spark, tableDir)
+    val vs = mainVersions(spark, tableDir)
     require(vs.nonEmpty, s"cannot evolve a table that was never created: $tableDir")
     val (eras, dels) = snapshot(spark, tableDir, vs.max)
     val era = s"era-${nextEraId(spark, tableDir)}"
@@ -751,7 +917,9 @@ object VersionedHiddenTable {
   def read(spark: SparkSession, tableDir: String, version: Option[Long] = None): DataFrame = {
     val vs = versions(spark, tableDir)
     require(vs.nonEmpty, s"no snapshots under $tableDir")
-    val v = version.getOrElse(vs.max)
+    // unqualified latest = the MAIN head; explicit versions time-travel to
+    // ANY retained snapshot, branch commits included
+    val v = version.getOrElse(mainLatest(spark, tableDir))
     require(vs.contains(v), s"snapshot $v not retained (have ${vs.mkString(",")})")
     val (eras, dels) = snapshot(spark, tableDir, v)
     readEras(spark, tableDir, eras, dels)
@@ -787,7 +955,7 @@ object VersionedHiddenTable {
       predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     HiddenPartitioning.register(spark) // the probe's pruning license
-    val vs = versions(spark, tableDir)
+    val vs = mainVersions(spark, tableDir)
     require(vs.nonEmpty, s"no snapshots under $tableDir")
     val (eras, dels) = snapshot(spark, tableDir, vs.max)
     val spec = currentSpec(spark, tableDir, eras)
@@ -827,7 +995,7 @@ object VersionedHiddenTable {
     var attempts = 0
     while (true) {
       attempts += 1
-      val base = versions(spark, tableDir).max
+      val base = mainLatest(spark, tableDir)
       val (baseEras, baseDels) = snapshot(spark, tableDir, base)
       myDel.foreach { d =>
         val missing = d.over -- baseEras.toSet
@@ -865,7 +1033,7 @@ object VersionedHiddenTable {
   def deleteMergeOnRead(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column): Long = {
     HiddenPartitioning.register(spark)
-    val vs = versions(spark, tableDir)
+    val vs = mainVersions(spark, tableDir)
     require(vs.nonEmpty, s"no snapshots under $tableDir")
     val (eras, dels) = snapshot(spark, tableDir, vs.max)
     val matching = readEras(spark, tableDir, eras, dels).filter(predicate)
@@ -901,7 +1069,7 @@ object VersionedHiddenTable {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
     HiddenPartitioning.register(spark) // the probe's pruning license
-    val vs = versions(spark, tableDir)
+    val vs = mainVersions(spark, tableDir)
     require(vs.nonEmpty, s"no snapshots under $tableDir")
     val (eras, dels) = snapshot(spark, tableDir, vs.max)
     val spec = currentSpec(spark, tableDir, eras)
@@ -954,7 +1122,7 @@ object VersionedHiddenTable {
     import org.apache.spark.sql.functions.col
     require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
     HiddenPartitioning.register(spark)
-    val vs = versions(spark, tableDir)
+    val vs = mainVersions(spark, tableDir)
     require(vs.nonEmpty, s"no snapshots under $tableDir")
     val (eras, dels) = snapshot(spark, tableDir, vs.max)
     val spec = currentSpec(spark, tableDir, eras)
@@ -976,6 +1144,82 @@ object VersionedHiddenTable {
     }: _*)
     val era = writeEra(spark, tableDir, updated, spec)
     publishMorRebasing(spark, tableDir, Some(era), Some(Del(del, covered)), "update")
+  }
+
+  /** Positional merge-on-read DELETE — Iceberg v2's SECOND delete-file
+    * flavor (data-file path + row ordinal), the one engines reach for when
+    * the table has no usable equality key or its rows are too wide to copy
+    * into a tuple mask: the matching VISIBLE rows' physical addresses land
+    * in `data/del-<k>/` as ([[GFile]], [[GPos]]) pairs — two columns,
+    * whatever the row width — and readers anti-join covered eras on the
+    * address ([[applyPosDels]]: the mask's own touched-file list scopes the
+    * join to the files it names, so untouched eras and files never pay).
+    * Era immutability is what makes the address durable: a data file's
+    * (path, ordinal) space never changes until a [[compact]] retires the
+    * mask along with the layout. Rows appended after the delete live in
+    * fresh files and share no address with the mask — the same
+    * sequence-number scoping as the equality flavor, doubly guaranteed by
+    * `over`. Time travel, empty-match behavior, and OCC rebase semantics
+    * match [[deleteMergeOnRead]]; the one extra refusal is a concurrent
+    * rewrite of a covered era (the rebase loop already refuses it —
+    * positions into a retired era would be dangling). */
+  def deletePositional(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    HiddenPartitioning.register(spark)
+    val vs = mainVersions(spark, tableDir)
+    require(vs.nonEmpty, s"no snapshots under $tableDir")
+    val (eras, dels) = snapshot(spark, tableDir, vs.max)
+    val canonical = canonicalSchema(spark, tableDir, eras)
+    val dataEras = eras.filter(e =>
+      HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e)))
+    val matching = dataEras
+      .map(e => visibleEra(spark, tableDir, e, dels, canonical, keepPos = true)
+        .filter(predicate).select(col(GFile), col(GPos)))
+      .reduce(_.union(_))
+    if (matching.isEmpty) return vs.max
+    val del = writeDel(spark, tableDir, matching)
+    publishMorRebasing(spark, tableDir, None,
+      Some(Del(del, dataEras.toSet, Nil, "pos")), "delete")
+  }
+
+  /** Positional merge-on-read UPDATE — [[updateMergeOnRead]]'s flavor twin
+    * for keyless/wide tables: ONE delete file plus ONE new era in a single
+    * snapshot, where the delete file holds the matched rows' addresses AND
+    * their full pre-images (the pre-image doubles as the staging for the
+    * updated era, the same one-scan discipline as the equality flavor —
+    * readers only ever select the two address columns from it). No data
+    * file is rewritten; the next [[compact]] folds the mask in. */
+  def updatePositional(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
+    HiddenPartitioning.register(spark)
+    val vs = mainVersions(spark, tableDir)
+    require(vs.nonEmpty, s"no snapshots under $tableDir")
+    val (eras, dels) = snapshot(spark, tableDir, vs.max)
+    val spec = currentSpec(spark, tableDir, eras)
+    val canonical = canonicalSchema(spark, tableDir, eras)
+    val unknown = assignments.keySet -- canonical.fieldNames.toSet
+    require(unknown.isEmpty,
+      s"SET targets not in the table: ${unknown.mkString(", ")}")
+    val dataEras = eras.filter(e =>
+      HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e)))
+    val matching = dataEras
+      .map(e => visibleEra(spark, tableDir, e, dels, canonical, keepPos = true)
+        .filter(predicate))
+      .reduce(_.union(_))
+    if (matching.isEmpty) return vs.max
+    val del = writeDel(spark, tableDir, matching)
+    val pre = spark.read.parquet(s"$tableDir/data/$del").drop(GFile, GPos)
+    val updated = pre.select(pre.schema.fields.toSeq.map { f =>
+      assignments.get(f.name)
+        .map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+    }: _*)
+    val era = writeEra(spark, tableDir, updated, spec)
+    publishMorRebasing(spark, tableDir, Some(era),
+      Some(Del(del, dataEras.toSet, Nil, "pos")), "update")
   }
 
   /** Storage-level MERGE — the upsert workhorse of incremental pipelines
@@ -1018,7 +1262,7 @@ object VersionedHiddenTable {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     require(keys.nonEmpty, "MERGE needs at least one key column")
     HiddenPartitioning.register(spark)
-    val vs = versions(spark, tableDir)
+    val vs = mainVersions(spark, tableDir)
     require(vs.nonEmpty, s"no snapshots under $tableDir")
     val (eras, dels) = snapshot(spark, tableDir, vs.max)
     val spec = currentSpec(spark, tableDir, eras)
@@ -1038,7 +1282,7 @@ object VersionedHiddenTable {
       var attempts = 0
       while (true) {
         attempts += 1
-        val base = versions(spark, tableDir).max
+        val base = mainLatest(spark, tableDir)
         val (baseEras, baseDels) = snapshot(spark, tableDir, base)
         val newDels = baseDels ++ delOpt.map(d =>
           Del(d, baseEras.filter(e =>
@@ -1110,12 +1354,16 @@ object VersionedHiddenTable {
   def changes(spark: SparkSession, tableDir: String, fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
-    val vs = versions(spark, tableDir)
+    // the feed is a MAIN-lineage contract: branch commits are invisible to
+    // it until a fast-forward publishes their content as a main snapshot —
+    // so both endpoints must be main versions and the step range skips any
+    // interleaved branch snapshot ids
+    val vs = mainVersions(spark, tableDir)
     require(vs.nonEmpty, s"no snapshots under $tableDir")
     val to = toVersion.getOrElse(vs.max)
     require(vs.contains(fromVersion),
-      s"snapshot $fromVersion not retained (have ${vs.mkString(",")})")
-    require(vs.contains(to), s"snapshot $to not retained (have ${vs.mkString(",")})")
+      s"main snapshot $fromVersion not retained (have ${vs.mkString(",")})")
+    require(vs.contains(to), s"main snapshot $to not retained (have ${vs.mkString(",")})")
     require(fromVersion <= to, s"empty change range: $fromVersion > $to")
     val range = vs.filter(v => v >= fromVersion && v <= to)
     // ONE output schema for the whole feed: the canonical fold over every
@@ -1159,45 +1407,71 @@ object VersionedHiddenTable {
           // restricts its semi probe to the in-box slice when the era's
           // stats say the split pays (out-of-box files then feed NEITHER the
           // probe nor the claim tracking's join — a narrow CDC commit's
-          // changelog read scans the mask's files, not the table)
-          val live = fresh.filter { dl =>
+          // changelog read scans the mask's files, not the table).
+          // Each file is PRICED ONCE — (frame, equality columns, key box,
+          // disjoint fraction) feed both the liveness filter and the
+          // hit/miss split, instead of re-deriving bounds + fraction (and
+          // re-listing the delete dir) inside the fold per (era, file).
+          // (del, dir, join columns, key box, disjoint fraction, touched
+          // paths in THIS era for a positional mask). Positional masks
+          // scope by their touched-file list instead of a key box: a mask
+          // naming no file of this era is dropped before any scan plans.
+          final case class PricedDel(dl: Del, delDir: String, on: Seq[String],
+              bounds: Seq[MaskBound], frac: Double, mine: Option[Seq[String]])
+          val eraPrefix = qualifiedEraPrefix(spark, tableDir, e)
+          val priced = fresh.flatMap { dl =>
             val delDir = s"$tableDir/data/${dl.dir}"
-            val on = if (dl.cols.nonEmpty) dl.cols
-              else spark.read.parquet(delDir).columns.toSeq
-            disjointFileFraction(spark, tableDir, e,
-              maskBounds(spark, delDir, on, canonical)) < 1.0
+            if (dl.kind == "pos") {
+              val mine = touchedPaths(spark, delDir)
+                .map(_.filter(_.startsWith(eraPrefix)))
+              if (mine.exists(_.isEmpty)) None
+              else Some(PricedDel(dl, delDir, Seq(GFile, GPos), Nil, 0.0, mine))
+            } else {
+              val on = if (dl.cols.nonEmpty) dl.cols
+                else spark.read.parquet(delDir).columns.toSeq
+              val bounds = maskBounds(spark, delDir, on, canonical)
+              val frac = disjointFileFraction(spark, tableDir, e, bounds)
+              if (frac >= 1.0) None
+              else Some(PricedDel(dl, delDir, on, bounds, frac, None))
+            }
           }
-          if (live.isEmpty) None
+          if (priced.isEmpty) None
           else {
-            val vis = visibleEra(spark, tableDir, e, visUnder, canonical)
-            val (_, parts) = live.foldLeft((vis, Seq.empty[DataFrame])) {
-              case ((remaining, acc), dl) =>
-                import org.apache.spark.sql.functions.{col => fc}
-                val delDir = s"$tableDir/data/${dl.dir}"
-                val delDf = spark.read.parquet(delDir)
-                val on = if (dl.cols.nonEmpty) dl.cols else delDf.columns.toSeq
-                val keys = delDf.select(on.map(col): _*)
+            // a positional mask in the delta needs the visible frame tagged
+            // with its physical address; the extra columns drop before the
+            // claimed rows join the feed
+            val needPos = priced.exists(_.dl.kind == "pos")
+            val vis = visibleEra(spark, tableDir, e, visUnder, canonical,
+              keepPos = needPos)
+            val (_, parts) = priced.foldLeft((vis, Seq.empty[DataFrame])) {
+              case ((remaining, acc), p) =>
+                import org.apache.spark.sql.functions.{col => fc, not}
+                val keys = spark.read.parquet(p.delDir).select(p.on.map(col): _*)
                 // same broadcast ceiling as the read path's applyDels
-                val d = if (delBytes(spark, delDir) <= deleteBroadcastMax(spark))
+                val d = if (delBytes(spark, p.delDir) <= deleteBroadcastMax(spark))
                   broadcast(keys) else keys
                 def cond(left: DataFrame) =
-                  on.map(c => left(c) <=> d(c)).reduce(_ && _)
-                val bounds = maskBounds(spark, delDir, on, canonical)
-                val frac = disjointFileFraction(spark, tableDir, e, bounds)
-                if (frac < 0.5)
-                  (remaining.join(d, cond(remaining), "left_anti"),
-                    acc :+ remaining.join(d, cond(remaining), "left_semi"))
-                else {
-                  val hit = remaining.filter(bounds.map(b =>
-                    fc(b.col) >= b.loLit && fc(b.col) <= b.hiLit).reduce(_ && _))
-                  val miss = remaining.filter(bounds.map(b =>
-                    fc(b.col) < b.loLit || fc(b.col) > b.hiLit || fc(b.col).isNull)
-                    .reduce(_ || _))
-                  (miss.union(hit.join(d, cond(hit), "left_anti")),
-                    acc :+ hit.join(d, cond(hit), "left_semi"))
+                  p.on.map(c => left(c) <=> d(c)).reduce(_ && _)
+                (p.dl.kind, p.mine) match {
+                  case ("pos", Some(ps)) =>
+                    val hit = remaining.filter(fc(GFile).isin(ps: _*))
+                    val miss = remaining.filter(not(fc(GFile).isin(ps: _*)))
+                    (miss.union(hit.join(d, cond(hit), "left_anti")),
+                      acc :+ hit.join(d, cond(hit), "left_semi"))
+                  case ("eq", _) if p.frac >= 0.5 =>
+                    val hit = remaining.filter(p.bounds.map(b =>
+                      fc(b.col) >= b.loLit && fc(b.col) <= b.hiLit).reduce(_ && _))
+                    val miss = remaining.filter(p.bounds.map(b =>
+                      fc(b.col) < b.loLit || fc(b.col) > b.hiLit || fc(b.col).isNull)
+                      .reduce(_ || _))
+                    (miss.union(hit.join(d, cond(hit), "left_anti")),
+                      acc :+ hit.join(d, cond(hit), "left_semi"))
+                  case _ =>
+                    (remaining.join(d, cond(remaining), "left_anti"),
+                      acc :+ remaining.join(d, cond(remaining), "left_semi"))
                 }
             }
-            Some(parts.reduce(_.union(_)))
+            Some(parts.reduce(_.union(_)).drop(GFile, GPos))
           }
         }
         val shared = erasA.filter(e => setB.contains(e) && hasData(e))
@@ -1292,6 +1566,131 @@ object VersionedHiddenTable {
     read(spark, tableDir, Some(v))
   }
 
+  // ---- named branches (Iceberg's branch refs, fast-forward-only) -------------
+
+  private def branchPath(tableDir: String, name: String): Path = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"branch name must be a file-name-safe token: '$name'")
+    new Path(s"$tableDir/branches/$name.json")
+  }
+
+  /** Create branch `name` forking from the CURRENT main head — Iceberg's
+    * writable ref, the missing half of the WAP story: audits that need
+    * several commits' worth of staged work publish them to a branch
+    * ([[appendToBranch]]), validate the branch read, and land everything on
+    * main atomically with ONE [[fastForward]]. Main never sees a branch
+    * commit until then. The ref file records only the immutable fork point;
+    * the branch HEAD is derived from the published branch snapshots
+    * themselves, so a branch commit is exactly as atomic as any other
+    * publish — there is no separate head pointer to tear. Returns the fork
+    * version. */
+  def createBranch(spark: SparkSession, tableDir: String, name: String): Long = {
+    val from = mainLatest(spark, tableDir)
+    val (fs, _) = fsFor(spark, tableDir)
+    val p = branchPath(tableDir, name)
+    require(!fs.exists(p), s"branch '$name' already exists on $tableDir")
+    val out = fs.create(p, false)
+    out.write(s"""{"from":$from}""".getBytes("UTF-8"))
+    out.close()
+    from
+  }
+
+  /** Live branches: name -> fork version. */
+  def branches(spark: SparkSession, tableDir: String): Map[String, Long] = {
+    val (fs, _) = fsFor(spark, tableDir)
+    ls(fs, new Path(s"$tableDir/branches"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val bytes = try in.readAllBytes() finally in.close()
+        st.getPath.getName.stripSuffix(".json") ->
+          new ObjectMapper().readTree(bytes).get("from").asLong()
+      }.toMap
+  }
+
+  private def branchFrom(spark: SparkSession, tableDir: String, name: String): Long =
+    branches(spark, tableDir).getOrElse(name,
+      throw new IllegalArgumentException(s"no branch '$name' on $tableDir"))
+
+  /** The branch's current head: its newest published commit, or the fork
+    * version while it has none. */
+  def branchHead(spark: SparkSession, tableDir: String, name: String): Long = {
+    val from = branchFrom(spark, tableDir, name)
+    (from +: versions(spark, tableDir)
+      .filter(v => snapshotBranch(spark, tableDir, v).contains(name))).max
+  }
+
+  /** Read the branch head (time travel within a branch = explicit versions,
+    * same as main). */
+  def readBranch(spark: SparkSession, tableDir: String, name: String): DataFrame =
+    read(spark, tableDir, Some(branchHead(spark, tableDir, name)))
+
+  /** WAP append to a BRANCH: the same stage → audit → publish contract as
+    * [[append]], but based on (and OCC-validated against) the branch head,
+    * and invisible to every main-lineage surface until [[fastForward]].
+    * Concurrent main commits never conflict with a branch commit — the
+    * lineages share no head; two writers on ONE branch linearize exactly
+    * like two main appenders (same-JVM lock + cross-process rebase). */
+  def appendToBranch(spark: SparkSession, tableDir: String, name: String,
+      df: DataFrame, batchId: Option[String] = None)(
+      audit: DataFrame => Seq[String] = _ => Nil): Either[Seq[String], Long] = {
+    val head0 = branchHead(spark, tableDir, name) // also validates existence
+    val spec = currentSpec(spark, tableDir, snapshot(spark, tableDir, head0)._1)
+    val era = writeEra(spark, tableDir, df, spec)
+    commitLockFor(spark, tableDir).synchronized {
+      var attempts = 0
+      while (true) {
+        attempts += 1
+        val base = branchHead(spark, tableDir, name)
+        val (eras, dels) = snapshot(spark, tableDir, base)
+        val staged = eras :+ era
+        val token = stageSnapshotDels(spark, tableDir, staged, dels, batchId,
+          "append", Some(base), branch = Some(name))
+        val violations = try audit(readEras(spark, tableDir, staged, dels))
+        catch { case e: Throwable => abort(spark, tableDir, token); throw e }
+        if (violations.nonEmpty) { abort(spark, tableDir, token); return Left(violations) }
+        try return Right(publish(spark, tableDir, token))
+        catch {
+          case c: CommitConflictException =>
+            abort(spark, tableDir, token) // rebase: loop re-resolves the head
+            if (attempts >= 16) throw c
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Fast-forward main to the branch head — Iceberg's `fastForward`
+    * (fast-forward-ONLY, its own default: no merge semantics). Publishes
+    * one main snapshot referencing exactly the branch head's eras and
+    * delete files (nothing is copied), op = `fast-forward`, OCC-validated
+    * against the main head: if main has moved past the branch's fork point,
+    * the branch is DIVERGED and the publish surfaces
+    * [[CommitConflictException]] — the caller re-forks and replays, never a
+    * silent merge. The changelog reports the step as the net content
+    * landing on main. Returns the published main version. */
+  def fastForward(spark: SparkSession, tableDir: String, name: String): Long = {
+    val head = branchHead(spark, tableDir, name)
+    val from = branchFrom(spark, tableDir, name)
+    val main = mainLatest(spark, tableDir)
+    if (main != from) throw new CommitConflictException(tableDir, from, main)
+    require(head != from, s"branch '$name' has no commits to fast-forward")
+    val (eras, dels) = snapshot(spark, tableDir, head)
+    publish(spark, tableDir,
+      stageSnapshotDels(spark, tableDir, eras, dels, None, "fast-forward",
+        Some(main)))
+  }
+
+  /** Drop a branch ref. Its snapshots lose their retention pin and age out
+    * through the normal vacuum path; already-fast-forwarded content lives
+    * on main and is unaffected. */
+  def dropBranch(spark: SparkSession, tableDir: String, name: String): Unit = {
+    val (fs, _) = fsFor(spark, tableDir)
+    require(fs.delete(branchPath(tableDir, name), false),
+      s"no branch '$name' on $tableDir")
+  }
+
   /** Iceberg's `rollback_to_snapshot`: publish a NEW snapshot whose content
     * is exactly snapshot `toVersion`'s — the same era and delete-file
     * references, nothing copied. History stays append-only: the
@@ -1305,7 +1704,7 @@ object VersionedHiddenTable {
     val (eras, dels) = snapshot(spark, tableDir, toVersion)
     publish(spark, tableDir,
       stageSnapshotDels(spark, tableDir, eras, dels, None, "rollback",
-        Some(vs.max)))
+        Some(mainLatest(spark, tableDir))))
   }
 
   /** Iceberg's `rewrite_data_files`: rewrite ALL rows of the latest
@@ -1328,7 +1727,7 @@ object VersionedHiddenTable {
   def compact(spark: SparkSession, tableDir: String,
       clusterBy: Seq[String] = Nil, targetBytes: Long = 128L << 20): Long = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val vs = versions(spark, tableDir)
+    val vs = mainVersions(spark, tableDir)
     require(vs.nonEmpty, s"no snapshots under $tableDir")
     val (eras, dels) = snapshot(spark, tableDir, vs.max)
     val spec = currentSpec(spark, tableDir, eras)
@@ -1409,7 +1808,14 @@ object VersionedHiddenTable {
   private def dropAndGc(spark: SparkSession, tableDir: String,
       selected: Seq[Long], stagingGraceMs: Long): Seq[Long] = {
     val (fs, _) = fsFor(spark, tableDir)
-    val pinned = tags(spark, tableDir).values.toSet
+    // pins: tagged snapshots, plus every snapshot of a LIVE branch and its
+    // fork base — a branch is a promised future fast-forward, so retention
+    // of the main lineage must not gut it (dropBranch releases the pins)
+    val branchPins = branches(spark, tableDir).flatMap { case (name, from) =>
+      from +: versions(spark, tableDir)
+        .filter(v => snapshotBranch(spark, tableDir, v).contains(name))
+    }.toSet
+    val pinned = tags(spark, tableDir).values.toSet ++ branchPins
     val drop = selected.filterNot(pinned.contains)
     // provenance of the directories the drops de-reference: these held
     // COMMITTED data whose retention just expired — no writer is filling
@@ -1502,7 +1908,7 @@ object VersionedHiddenTable {
       version: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val vs = versions(spark, tableDir)
     require(vs.nonEmpty, s"no snapshots under $tableDir")
-    val v = version.getOrElse(vs.max)
+    val v = version.getOrElse(mainLatest(spark, tableDir))
     require(vs.contains(v), s"snapshot $v not retained (have ${vs.mkString(",")})")
     val rows = snapshotEras(spark, tableDir, v)
       .filter(e => HiddenPartitioning.eraHasData(spark, eraPath(tableDir, e)))

@@ -268,6 +268,56 @@ class MaskAndOccSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the conflicting publish must leave history intact")
   }
 
+  test("OCC: losing the exists->rename race surfaces the conflict, never silent success") {
+    val t = tmp("occrace")
+    val ev = events
+    val (h1, h2) = (ev.filter(pmod(col("event_id"), lit(2)) === 0L),
+      ev.filter(pmod(col("event_id"), lit(2)) === 1L))
+    VersionedHiddenTable.create(spark, t, h1, Seq(HiddenPartitioning.DayT("ts")))
+    val era = VersionedHiddenTable.writeEra(spark, t, h2,
+      Seq(HiddenPartitioning.DayT("ts")))
+    val token = VersionedHiddenTable.stageSnapshot(spark, t, Seq("era-0", era),
+      None, "append", base = Some(0L))
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    // the competing publisher fully lands v=<n> — manifest included — INSIDE
+    // the window between publish's existence probe and its rename; our
+    // rename then nests under the winner's directory, whose manifest would
+    // fool a top-manifest-only success check
+    @volatile var fired = false
+    def landWinner(dir: String, v: Long): Unit = if (!fired && dir == t) {
+      fired = true
+      val d = new Path(s"$dir/v=$v")
+      fs.mkdirs(d): Unit
+      val out = fs.create(new Path(d, "_snapshot.json"), false)
+      out.write("""{"op":"append","eras":["era-0"]}""".getBytes("UTF-8"))
+      out.close()
+    }
+    VersionedHiddenTable.preRenameHook = landWinner
+    try {
+      val boom = intercept[CommitConflictException] {
+        VersionedHiddenTable.publish(spark, t, token)
+      }
+      assert(boom.expectedBase == 0L && boom.actualLatest == 1L)
+    } finally VersionedHiddenTable.preRenameHook = (_, _) => ()
+    // v=1 is the WINNER's snapshot, unpolluted; the loser's staged manifest
+    // was moved back out of the nest, intact for a rebase
+    assert(VersionedHiddenTable.versions(spark, t) == Seq(0L, 1L))
+    assert(VersionedHiddenTable.snapshot(spark, t, 1L)._1 == Seq("era-0"),
+      "the raced version must hold the winner's content")
+    assert(!fs.exists(new Path(s"$t/v=1/$token")), "no nested debris may remain")
+    assert(fs.exists(new Path(s"$t/_staging/$token/_snapshot.json")),
+      "the losing staged manifest must be restored for a rebase")
+    // a base-less (legacy) staging retries under the next id instead
+    fired = false
+    val legacy = VersionedHiddenTable.stageSnapshot(spark, t, Seq("era-0", era),
+      None, "append", base = None)
+    VersionedHiddenTable.preRenameHook = landWinner
+    try assert(VersionedHiddenTable.publish(spark, t, legacy) == 3L,
+      "a legacy staging must step past the raced id and land")
+    finally VersionedHiddenTable.preRenameHook = (_, _) => ()
+    assert(VersionedHiddenTable.versions(spark, t) == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("MERGE materializes its source once (persisted across keys/upserts consumptions)") {
     val t = tmp("once")
     val ev = events
