@@ -12,4 +12,13 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Mark a batch frame streaming-legal for a V1 `Source.getBatch` result —
+    * the micro-batch runner asserts `isStreaming`, and the only sanctioned
+    * spelling (Delta's own) is the `private[sql]` internalCreateDataFrame
+    * over the frame's execution RDD. Lazy and fully distributed: the RDD is
+    * the optimized plan of the batch, nothing materializes here. */
+  def asStreaming(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
 }
