@@ -16,6 +16,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the SQL catalog's read-path rewrite (s30) installs only at session
+      // build; everything else stays session-locally registered
+      .config("spark.sql.extensions", "graft.sources.GraftSqlExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")

@@ -324,6 +324,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(graft.sources.GraftTableFunctions.getClass.getName, name),
         builder))
     }
+    ext.injectResolutionRule(session => graft.sources.GraftCatalogRewrite(session))
     ext.injectOptimizerRule(_ => RewriteVectorFolds)
     ext.injectOptimizerRule(_ => graft.sources.HiddenPartitionPruning)
     ext.injectOptimizerRule(_ => graft.sources.StatsFileSkipping)

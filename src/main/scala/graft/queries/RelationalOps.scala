@@ -2786,6 +2786,244 @@ object RelationalOps extends QueryPack {
            |FROM events GROUP BY event_type""".stripMargin),
     doc = "Optimistic concurrency: two concurrent MERGEs against one base snapshot both land via publish-time conflict detection + mechanical rebase, content hash-proven lossless (S29/§2.1).")
 
+  // ---- S30: SQL catalog face — INSERT INTO / DELETE FROM / VERSION AS OF ------
+  // The DSv2 TableCatalog over the versioned table (graft.sources.GraftCatalog):
+  // three-part names, DML and time travel all resolving to the SAME storage
+  // layer the Scala API drives — the catalog read is an analysis-time splice
+  // of the library read plan (GraftCatalogRewrite), so pruning and stats
+  // skipping apply unchanged (CatalogSpec plan-asserts it). History here is
+  // built HALF through SQL, half through the Scala API: v0 Scala create
+  // (first half) -> v1 SQL `INSERT INTO` (rest) -> v2 SQL `DELETE FROM`
+  // (user_id < 5, copy-on-write). The query reads three faces through SQL —
+  // latest, `VERSION AS OF 1` (pre-delete), `VERSION AS OF 0` (pre-insert)
+  // — each hash-gated against the base table, so a catalog write that
+  // dropped, duplicated, or reordered one row fails the gate.
+  private val s30 = GQuery(
+    "s30_sql_catalog_dml",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val whDir = Tables.scratchOnce(dir, "vht_events_sqlcat",
+          done = p => scala.util.Try(
+            VHT.versions(s, s"$p/t") == Seq(0L, 1L, 2L)).getOrElse(false)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        val ev = t(s, dir, "events")
+        VHT.create(s, s"$path/t", ev.filter(col("ts") < "2024-01-16"),
+          Seq(graft.sources.HiddenPartitioning.DayT("ts"))): Unit
+        val cat = graft.sources.GraftCatalog.register(s,
+          s"graft_c${math.abs(path.hashCode).toString}", path)
+        Tables.sqlOn(s, "ev_rest" -> ev.filter(col("ts") >= "2024-01-16")) { v =>
+          s"INSERT INTO $cat.t SELECT * FROM ${v("ev_rest")}"
+        }.collect(): Unit
+        s.sql(s"DELETE FROM $cat.t WHERE user_id < 5").collect(): Unit
+        require(VHT.versions(s, s"$path/t") == Seq(0L, 1L, 2L),
+          s"s30: SQL INSERT + DELETE must publish v1 and v2")
+      }
+      val cat = graft.sources.GraftCatalog.register(s,
+        s"graft_c${math.abs(whDir.hashCode).toString}", whDir)
+      s.sql(
+        s"""SELECT 'latest' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM $cat.t GROUP BY event_type
+           |UNION ALL
+           |SELECT 'pre_delete', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE),
+           |  min(event_id)
+           |FROM $cat.t VERSION AS OF 1 GROUP BY event_type
+           |UNION ALL
+           |SELECT 'pre_insert', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE),
+           |  min(event_id)
+           |FROM $cat.t VERSION AS OF 0 GROUP BY event_type""".stripMargin)
+    },
+    Some("""SELECT 'latest' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM events WHERE user_id >= 5 GROUP BY event_type
+           |UNION ALL
+           |SELECT 'pre_delete', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE),
+           |  min(event_id)
+           |FROM events GROUP BY event_type
+           |UNION ALL
+           |SELECT 'pre_insert', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE),
+           |  min(event_id)
+           |FROM events WHERE ts < '2024-01-16' GROUP BY event_type""".stripMargin),
+    doc = "DSv2 TableCatalog face: SQL INSERT INTO, DELETE FROM and VERSION AS OF resolve to the versioned storage layer; three snapshot faces hash-checked against the Scala-API-built base (S30/§2.1).")
+
+  // ---- S31: positional delete files (Iceberg v2's second MoR flavor) ---------
+  // (file path, row ordinal) masks for tables with no usable key or rows too
+  // wide to copy: history v0 create → v1 EQUALITY MoR delete (user<3) → v2
+  // POSITIONAL delete (click, users 5-9) → v3 POSITIONAL update (users
+  // 10-12: value+1000; one address+preimage mask plus one new era, nothing
+  // rewritten) → v4 compact, which must retire BOTH flavors (the round-11
+  // compact already read through equality masks; this gate extends it). The
+  // query reads three faces hash-gated: the post-compact latest, time-travel
+  // v1 (pre-positional), and a CHANGELOG FOLD of v0 forward across the mixed
+  // history (compact prunes as an adjacent replace step) — fold == latest
+  // proves the CDC feed is consistent across positional masks too.
+  private val s31 = GQuery(
+    "s31_positional_deletes",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val vhtDir = Tables.scratchOnce(dir, "vht_events_posdel",
+          done = p => scala.util.Try(
+            VHT.versions(s, p) == Seq(0L, 1L, 2L, 3L, 4L)).getOrElse(false)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        val ev = t(s, dir, "events")
+        VHT.create(s, path, ev, Seq(graft.sources.HiddenPartitioning.DayT("ts"))): Unit
+        require(VHT.deleteMergeOnRead(s, path, col("user_id") < 3L) == 1L)
+        require(VHT.deletePositional(s, path,
+          col("event_type") === "click" && col("user_id").between(5L, 9L)) == 2L)
+        require(VHT.updatePositional(s, path, col("user_id").between(10L, 12L),
+          Map("value" -> (col("value") + 1000))) == 3L)
+        val masks = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data"))
+          .count(_.getPath.getName.startsWith("del-"))
+        require(masks == 3, s"s31: three MoR masks must exist pre-compact, got $masks")
+        require(VHT.compact(s, path) == 4L)
+        // one folded era; mask retirement (zero del files listed by v4, both
+        // flavors) is asserted structurally in PositionalDeleteSpec
+        val eras4 = VHT.snapshotsMeta(s, path)
+          .filter(col("version") === 4L).select("eras").head().getSeq[String](0)
+        require(eras4.size == 1,
+          s"s31: compaction must fold to one era, got $eras4")
+      }
+      val meta = Seq("_change_type", "_commit_version")
+      val ch = VHT.changes(s, vhtDir, 0L)
+      val folded = VHT.read(s, vhtDir, Some(0L))
+        .exceptAll(ch.filter(col("_change_type") === "delete").drop(meta: _*))
+        .unionByName(ch.filter(col("_change_type") === "insert").drop(meta: _*))
+      def slice(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"),
+          min(col("event_id")).as("min_event"))
+        .withColumn("face", lit(tag))
+      slice(VHT.read(s, vhtDir), "latest")
+        .unionByName(slice(VHT.read(s, vhtDir, Some(1L)), "pre_pos"))
+        .unionByName(slice(folded, "folded"))
+    },
+    Some("""WITH fin AS (
+           |  SELECT event_type,
+           |    CASE WHEN user_id BETWEEN 10 AND 12 THEN value + 1000
+           |         ELSE value END AS value,
+           |    event_id
+           |  FROM events
+           |  WHERE user_id >= 3
+           |    AND NOT (event_type = 'click' AND user_id BETWEEN 5 AND 9))
+           |SELECT 'latest' AS face, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM fin GROUP BY event_type
+           |UNION ALL
+           |SELECT 'pre_pos', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), min(event_id)
+           |FROM events WHERE user_id >= 3 GROUP BY event_type
+           |UNION ALL
+           |SELECT 'folded', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), min(event_id)
+           |FROM fin GROUP BY event_type""".stripMargin),
+    doc = "Positional delete files: equality + positional masks coexist in one history, positional UPDATE rewrites nothing, compaction retires both flavors, changelog fold == latest — all faces hash-checked (S31/§2.1).")
+
+  // ---- S32: branches + fast-forward (the complete WAP story) -----------------
+  // Iceberg's writable refs on the versioned table: a multi-commit audit
+  // publishes to a BRANCH (main never sees it), one atomic fast-forward
+  // lands the branch head on main, and a diverged main REFUSES the
+  // fast-forward with CommitConflictException (fast-forward-only, Iceberg's
+  // own default — no silent merge). History: v0 main create (first half) →
+  // v1+v2 two commits on branch 'staging' (rest, split) → v3 fast-forward
+  // to main → branch 'b2' forks → v4 b2 commit (a user-0 slice, shifted
+  // ids) → v5 MAIN commit (a user-1 slice) → fastForward(b2) now THROWS,
+  // asserted in the builder, and neither lineage loses a row. The query
+  // reads three faces hash-gated: latest main (full + main-only slice),
+  // the b2 head (full + branch-only slice, invisible to main), and
+  // time-travel v0.
+  private val s32 = GQuery(
+    "s32_branch_fast_forward",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val vhtDir = Tables.scratchOnce(dir, "vht_events_branches",
+          done = p => scala.util.Try(
+            VHT.versions(s, p) == Seq(0L, 1L, 2L, 3L, 4L, 5L) &&
+              VHT.branches(s, p).contains("b2")).getOrElse(false)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        val ev = t(s, dir, "events")
+        VHT.create(s, path, ev.filter(col("ts") < "2024-01-16"),
+          Seq(graft.sources.HiddenPartitioning.DayT("ts"))): Unit
+        require(VHT.createBranch(s, path, "staging") == 0L)
+        def land(r: Either[Seq[String], Long]): Long = r match {
+          case Right(v) => v
+          case Left(violations) => throw new IllegalStateException(
+            s"s32 WAP audit vetoed a branch append: ${violations.mkString("; ")}")
+        }
+        land(VHT.appendToBranch(s, path, "staging",
+          ev.filter(col("ts") >= "2024-01-16" && col("ts") < "2024-01-24"))()): Unit
+        land(VHT.appendToBranch(s, path, "staging",
+          ev.filter(col("ts") >= "2024-01-24"))()): Unit
+        require(VHT.read(s, path).count() ==
+          ev.filter(col("ts") < "2024-01-16").count(),
+          "s32: main must not see branch commits before the fast-forward")
+        val ffv = VHT.fastForward(s, path, "staging")
+        require(ffv == 3L, s"s32: fast-forward must publish v3, got $ffv")
+        require(VHT.createBranch(s, path, "b2") == 3L)
+        land(VHT.appendToBranch(s, path, "b2",
+          ev.filter(col("user_id") === 0L)
+            .withColumn("event_id", col("event_id") + 20000000L)
+            .withColumn("event_type", lit("branch_only")))()): Unit
+        land(VHT.append(s, path,
+          ev.filter(col("user_id") === 1L)
+            .withColumn("event_id", col("event_id") + 30000000L)
+            .withColumn("event_type", lit("main_only")))()): Unit
+        // divergence refusal: main moved past b2's fork point
+        val refused = scala.util.Try(VHT.fastForward(s, path, "b2"))
+        require(refused.failed.toOption.exists(
+          _.isInstanceOf[graft.sources.CommitConflictException]),
+          s"s32: a diverged main must refuse the fast-forward, got $refused")
+      }
+      def slice(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"),
+          min(col("event_id")).as("min_event"))
+        .withColumn("face", lit(tag))
+      slice(VHT.read(s, vhtDir), "main")
+        .unionByName(slice(VHT.readBranch(s, vhtDir, "b2"), "branch"))
+        .unionByName(slice(VHT.read(s, vhtDir, Some(0L)), "pre_ff"))
+    },
+    Some("""WITH mainface AS (
+           |  SELECT event_type, value, event_id FROM events
+           |  UNION ALL
+           |  SELECT 'main_only', value, event_id + 30000000 FROM events
+           |  WHERE user_id = 1),
+           |branchface AS (
+           |  SELECT event_type, value, event_id FROM events
+           |  UNION ALL
+           |  SELECT 'branch_only', value, event_id + 20000000 FROM events
+           |  WHERE user_id = 0)
+           |SELECT 'main' AS face, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM mainface GROUP BY event_type
+           |UNION ALL
+           |SELECT 'branch', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), min(event_id)
+           |FROM branchface GROUP BY event_type
+           |UNION ALL
+           |SELECT 'pre_ff', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), min(event_id)
+           |FROM events WHERE ts < '2024-01-16' GROUP BY event_type""".stripMargin),
+    doc = "Named branches + fast-forward: multi-commit WAP on a branch invisible to main, one atomic fast-forward, divergence refused with CommitConflictException; main/branch/pre-FF faces hash-checked (S32/§2.1).")
+
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
   // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
@@ -2811,7 +3049,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
