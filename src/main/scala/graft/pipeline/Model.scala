@@ -205,7 +205,12 @@ final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.
           // fold to metadata and key predicates skip files on mart reads,
           // the same storage contract the registry's s18-s21 tables get
           graft.sources.FileStats.write(spark, path)
-          spark.read.parquet(path)
+          // stats-advised read-back: dimension-sized models return hinted
+          // broadcast, so downstream mart joins take the advised strategy
+          // automatically (the j13 ladder's byte rung; content unchanged —
+          // the golden digests gate that)
+          graft.sources.JoinAdvisor.autoHinted(spark, path,
+            spark.read.parquet(path))
         case Materialization.Catalog(schemaOf) =>
           val fqn = s"${schemaOf(n)}.$n"
           df.write.mode("overwrite").format("parquet").saveAsTable(fqn)
@@ -213,7 +218,10 @@ final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.
             spark.sessionState.catalog.getTableMetadata(
               org.apache.spark.sql.catalyst.TableIdentifier(n, Some(schemaOf(n))))
               .location.toString)
-          spark.table(fqn)
+          graft.sources.JoinAdvisor.autoHinted(spark,
+            spark.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(n, Some(schemaOf(n))))
+              .location.toString, spark.table(fqn))
         case Materialization.VersionedCatalog(root, schemaOf) =>
           val tableDir = s"$root/${schemaOf(n)}/$n"
           // stage + publish, never a direct v=<n> write: a direct write
@@ -239,7 +247,7 @@ final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.
           val fqn = s"${schemaOf(n)}.$n"
           spark.sql(s"DROP TABLE IF EXISTS $fqn")
           spark.sql(s"CREATE TABLE $fqn USING parquet LOCATION '$path'")
-          spark.table(fqn)
+          graft.sources.JoinAdvisor.autoHinted(spark, path, spark.table(fqn))
         case Materialization.VersionedHiddenDir(root, transformsOf, schemaOf) =>
           val tableDir = s"$root/${schemaOf(n)}/$n"
           // one op=overwrite snapshot per run: prior runs stay readable
@@ -247,7 +255,8 @@ final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.
           // incremental consumers, stats manifests land with every era
           graft.sources.VersionedHiddenTable.overwrite(
             spark, tableDir, df, transformsOf(n)): Unit
-          graft.sources.VersionedHiddenTable.read(spark, tableDir)
+          graft.sources.JoinAdvisor.autoHinted(spark, s"$tableDir/data",
+            graft.sources.VersionedHiddenTable.read(spark, tableDir))
         case Materialization.Compose => df
       }
     }

@@ -130,6 +130,54 @@ object VectorOps extends QueryPack {
       .sortBy(t => (t._1, t._2)).toSeq
   }
 
+  /** Base-slice-trained IVF centroids (vec_id % 5 <> 0), persisted once per
+    * scale dir — the index state e17's incremental maintenance folds new
+    * batches against. Planning-scale: k rows of d longs. */
+  private[queries] def baseCentsArtifact(s: SparkSession, dir: String): Seq[(Int, Seq[Long])] = {
+    val path = Tables.scratchOnce(dir, "ann_kmeans_base_mod5_k8_i3") { p =>
+      val sp = s
+      import sp.implicits._
+      kmeansCentroidsQ(
+        embDouble(s, dir).filter(pmod(col("vec_id"), lit(5)) =!= 0), k = 8, iters = 3)
+        .toDF("cell", "cv").write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+  }
+
+  /** Fold-vs-retrain decision for the persisted IVF index (the e17
+    * maintenance contract): the folded assignment's recomputed centroids vs
+    * the persisted ones, as the max per-cell relative shift. Everything the
+    * driver holds is k×(d+1) longs — the same planning-scale discipline as
+    * training itself. A deployment retrains when this trips its threshold
+    * (IvfMaintainSpec pins both directions); below it, the fold stands and
+    * the batch cost stays one map-only assign pass. */
+  private[queries] def ivfDriftRatio(folded: DataFrame,
+      cents: Seq[(Int, Seq[Long])]): Double = {
+    val dims = cents.head._2.length
+    val recomputed = recomputeCentsQ(folded, dims).toMap
+    cents.map { case (cell, old) =>
+      recomputed.get(cell).fold(0.0) { nu =>
+        val shift = math.sqrt(old.zip(nu)
+          .map { case (a, b) => val d = (a - b).toDouble; d * d }.sum)
+        val norm = math.sqrt(old.map(x => x.toDouble * x).sum)
+        if (norm == 0) 0.0 else shift / norm
+      }
+    }.max
+  }
+
+  /** e17 fold surface for the spec: the WHOLE corpus assigned to the
+    * base-trained centroids (raw assignment columns retained for
+    * [[ivfDriftRatio]]). */
+  private[queries] def foldedCellsForTest(s: SparkSession, dir: String): DataFrame =
+    assignToCellsQ(quantized(embDouble(s, dir)), baseCentsArtifact(s, dir))
+
+  /** Assignment of an arbitrary (vec_id, v) frame to given centroids —
+    * the fold primitive, exposed for IvfMaintainSpec's drift legs. */
+  private[queries] def assignedForTest(emb: DataFrame,
+      cents: Seq[(Int, Seq[Long])]): DataFrame =
+    assignToCellsQ(quantized(emb), cents)
+
   /** Multi-seed gate hooks (SimilaritySpec): the e8 pipeline with a chosen
     * Lloyd init seed, split so the spec can measure recall per seed. */
   private[queries] def kmeansCellsForTest(s: SparkSession, dir: String,
@@ -424,36 +472,45 @@ object VectorOps extends QueryPack {
     * cell id. The whole loop therefore replays in a DuckDB oracle, which
     * puts the e5/e8 compositions under the driver hash gate. */
   private[queries] def kmeansCells(emb: DataFrame, k: Int, iters: Int,
-      initSeed: Long = 0L): DataFrame = {
+      initSeed: Long = 0L): DataFrame =
+    assignToCellsQ(quantized(emb), kmeansCentroidsQ(emb, k, iters, initSeed))
+      .select(col("vec_id"), col("cell").as("label"), col("v"))
+
+  /** WIDTH-WISE centroid recompute: one groupBy(cell) with d per-dim long
+    * sums instead of posexplode + two shuffles. Map-side partials are
+    * k×(d+1) longs — at corpus scale this never shuffles d× the data the
+    * explode form did. Long sums are exact and order-insensitive, and the
+    * per-dim floor(sum/n + 0.5) runs the SAME correctly-rounded op chain
+    * (long→double exact below 2^53, one divide, floor) driver-side, so
+    * collected centroids are bit-identical to the explode form's. */
+  private def recomputeCentsQ(assigned: DataFrame, dims: Int): Seq[(Int, Seq[Long])] = {
+    val sums = (0 until dims).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .collect().map { r =>
+        val n = r.getLong(1)
+        (r.getInt(0),
+          (0 until dims).map(i => math.floor(r.getLong(2 + i).toDouble / n + 0.5d).toLong))
+      }.toSeq
+  }
+
+  /** The final Lloyd centroids on the integer grid — the PERSISTABLE
+    * training state ([[kmeansCells]] is this plus one assignment pass;
+    * the e17 maintenance folds new batches against these without
+    * retraining). Dimensionality comes from the collected seeds (any
+    * vector width — the spec fixtures run 8-dim corpora). */
+  private[queries] def kmeansCentroidsQ(emb: DataFrame, k: Int, iters: Int,
+      initSeed: Long = 0L): Seq[(Int, Seq[Long])] = {
     val q = quantized(emb)
-    // WIDTH-WISE recompute: one groupBy(cell) with d per-dim long sums
-    // instead of posexplode + two shuffles. Map-side partials are k×(d+1)
-    // longs — at corpus scale this never shuffles d× the data the explode
-    // form did. Long sums are exact and order-insensitive, and the
-    // per-dim floor(sum/n + 0.5) runs the SAME correctly-rounded op chain
-    // (long→double exact below 2^53, one divide, floor) driver-side, so
-    // collected centroids are bit-identical to the explode form's.
-    // dimensionality comes from the collected seeds (kmeansCells accepts any
-    // vector width — the spec fixtures run 8-dim corpora)
-    def recomputeQ(assigned: DataFrame, dims: Int): Seq[(Int, Seq[Long])] = {
-      val sums = (0 until dims).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
-      assigned.groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .collect().map { r =>
-          val n = r.getLong(1)
-          (r.getInt(0),
-            (0 until dims).map(i => math.floor(r.getLong(2 + i).toDouble / n + 0.5d).toLong))
-        }.toSeq
-    }
     var cents = q
       .orderBy(md5((col("vec_id") + initSeed).cast("string")), col("vec_id")).limit(k)
       .select(col("vec_id").cast("int").as("cell"), col("qv"))
       .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq
     val vdims = cents.head._2.length
     (0 until iters).foreach { _ =>
-      cents = recomputeQ(assignToCellsQ(q, cents), vdims)
+      cents = recomputeCentsQ(assignToCellsQ(q, cents), vdims)
     }
-    assignToCellsQ(q, cents).select(col("vec_id"), col("cell").as("label"), col("v"))
+    cents
   }
 
   /** DuckDB CTE chain replaying [[kmeansCells]] (k=8, iters=3, seed 0)
@@ -461,17 +518,25 @@ object VectorOps extends QueryPack {
     * assign/recompute rounds — ending in `lab(vec_id, cell)`, plus the
     * double-precision long form `qv(vec_id, i, x, q)` and norms `vn` the
     * e5/e8 faces score with. Shared so the two oracles can never drift. */
-  private def kmeansOracleCtes: String = {
+  private def kmeansOracleCtes: String = kmeansOracleCtesOver()
+
+  /** `trainWhere` restricts the TRAINING corpus (seeds + Lloyd rounds) to a
+    * slice of `embeddings` while the final `lab` assignment still covers the
+    * whole table — exactly the e17 maintenance fold: assign everything to
+    * centroids trained on the base slice. Empty = train on everything (the
+    * e5/e8 replay). */
+  private def kmeansOracleCtesOver(trainWhere: String = ""): String = {
+    val tv = if (trainWhere.isEmpty) "qv" else "qtrain"
     def cnorm(c: String, out: String) =
       s"$out AS (SELECT cell, sum(c * c) AS cn2 FROM $c GROUP BY 1)"
-    def assign(cents: String, cn: String, out: String) =
+    def assign(vecs: String, cents: String, cn: String, out: String) =
       s"""$out AS (SELECT vec_id, cell FROM (
          |  SELECT qv.vec_id, c.cell,
          |    row_number() OVER (PARTITION BY qv.vec_id ORDER BY
          |      CAST(sum(qv.q * c.c) AS DOUBLE) /
          |        (sqrt(CAST(max(qn.qn2) AS DOUBLE)) * sqrt(CAST(max(n.cn2) AS DOUBLE))) DESC,
          |      c.cell) AS arn
-         |  FROM qv JOIN $cents c ON c.i = qv.i
+         |  FROM $vecs qv JOIN $cents c ON c.i = qv.i
          |  JOIN qn ON qn.vec_id = qv.vec_id
          |  JOIN $cn n ON n.cell = c.cell
          |  GROUP BY qv.vec_id, c.cell) WHERE arn = 1)""".stripMargin
@@ -481,23 +546,26 @@ object VectorOps extends QueryPack {
          |    CAST(floor(CAST(sum(qv.q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
          |  FROM $a a JOIN qv ON qv.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
     val rounds = (1 to 3).map(r =>
-      Seq(assign(s"kc${r - 1}", s"kn${r - 1}", s"ka$r"),
+      Seq(assign(tv, s"kc${r - 1}", s"kn${r - 1}", s"ka$r"),
         recompute(s"ka$r", s"kc$r"), cnorm(s"kc$r", s"kn$r")).mkString(",\n"))
     (Seq(
       """qv AS (
         |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
         |    CAST(unnest(embedding) AS DOUBLE) AS x,
         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 4096.0 + 0.5) AS BIGINT) AS q
-        |  FROM embeddings)""".stripMargin,
+        |  FROM embeddings)""".stripMargin) ++
+      (if (trainWhere.isEmpty) Nil
+       else Seq(s"qtrain AS (SELECT * FROM qv WHERE $trainWhere)")) ++ Seq(
       "qn AS (SELECT vec_id, sum(q * q) AS qn2 FROM qv GROUP BY 1)",
       "vn AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM qv GROUP BY 1)",
-      """seeds AS (
-        |  SELECT CAST(vec_id AS INT) AS cell, vec_id
-        |  FROM (SELECT DISTINCT vec_id FROM embeddings
-        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8))""".stripMargin,
-      "kc0 AS (SELECT s.cell, qv.i, qv.q AS c FROM qv JOIN seeds s USING (vec_id))",
+      s"""seeds AS (
+         |  SELECT CAST(vec_id AS INT) AS cell, vec_id
+         |  FROM (SELECT DISTINCT vec_id FROM embeddings
+         |        ${if (trainWhere.isEmpty) "" else s"WHERE $trainWhere"}
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8))""".stripMargin,
+      s"kc0 AS (SELECT s.cell, qv.i, qv.q AS c FROM $tv qv JOIN seeds s USING (vec_id))",
       cnorm("kc0", "kn0")) ++ rounds :+
-      assign("kc3", "kn3", "lab")).mkString(",\n")
+      assign("qv", "kc3", "kn3", "lab")).mkString(",\n")
   }
 
   /** Per-cell double-precision centroids of the final labels + their norms
@@ -1753,7 +1821,46 @@ object VectorOps extends QueryPack {
            |WHERE rn <= 10""".stripMargin),
     doc = "Binary sign-bit ANN: XOR+popcount Hamming top-50, exact cosine rerank to top-10 (similarity #16).")
 
+  // ---- E17: ANN index incremental maintenance (fold, don't retrain) ----------
+  // The i-series fold==rebuild discipline applied to the IVF index: the
+  // persisted index state is the base-slice-trained centroids
+  // (baseCentsArtifact — k×d longs); an appended batch (vec_id % 5 == 0 as
+  // the stand-in) FOLDS in with one map-only assign pass against those
+  // centroids — no Lloyd rounds, no corpus rescan — and the retrain
+  // trigger is a manifest-scale drift aggregate (ivfDriftRatio; both
+  // trigger directions pinned in IvfMaintainSpec, recall floor vs exact in
+  // the same spec). The DuckDB oracle replays base-slice training exactly
+  // and assigns the WHOLE corpus to the final centroids, so the hash gate
+  // proves folded assignment == replayed fold for every vector — the
+  // assignment-level "fold == rebuild". At 100 TB the batch costs the
+  // batch: assign is a broadcast of k centroids over the new rows only.
+  private val e17 = GQuery(
+    "e17_ann_incremental_fold",
+    (s, dir) => {
+      val cents = baseCentsArtifact(s, dir)
+      val all = embDouble(s, dir)
+      // fold = stored base assignment ∪ map-only assign of the new batch;
+      // the base arm recomputes deterministically from the persisted
+      // centroids (the cellsFromArtifact persist==fresh proof pattern)
+      val baseA = assignToCellsQ(quantized(
+          all.filter(pmod(col("vec_id"), lit(5)) =!= 0)), cents)
+        .select(col("vec_id"), col("cell"), lit(0L).as("is_new"))
+      val newA = assignToCellsQ(quantized(
+          all.filter(pmod(col("vec_id"), lit(5)) === 0)), cents)
+        .select(col("vec_id"), col("cell"), lit(1L).as("is_new"))
+      baseA.unionByName(newA)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("is_new")).as("n_new"),
+          sum(col("vec_id")).as("id_sum"))
+    },
+    Some(s"""WITH ${kmeansOracleCtesOver("vec_id % 5 <> 0")}
+           |SELECT cell, count(*) AS n,
+           |  count(CASE WHEN vec_id % 5 = 0 THEN 1 END) AS n_new,
+           |  CAST(sum(vec_id) AS BIGINT) AS id_sum
+           |FROM lab GROUP BY cell""".stripMargin),
+    doc = "ANN index incremental maintenance: a new batch folds into the persisted IVF index with one map-only assign (no retrain), per-vector assignment hash-proven against a replayed fold; drift-triggered retrain pinned in IvfMaintainSpec (similarity #17).")
+
   override val all: Seq[GQuery] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e11s, e12, e13, e14, e15,
-      e16, d9, d39)
+      e16, e17, d9, d39)
 }

@@ -111,6 +111,23 @@ object JoinAdvisor {
       case Merge => df.hint("merge")
     }
 
+  /** The key-independent rung for materialization READ-BACKS (the automatic
+    * wiring [[graft.pipeline.DagRunner]] applies to every stats-carrying
+    * model it materializes): hint broadcast iff the manifest bytes fit the
+    * ceiling, otherwise return the frame unhinted and let the planner
+    * decide. Dimension-sized models then take the broadcast strategy in
+    * every downstream mart join without the model author placing hints —
+    * and a fact-sized model is never force-broadcast, because the decision
+    * is a manifest fact, not a guess. Key-specific rungs (NDV) stay opt-in
+    * via [[hinted]]/[[distinctKeysFrame]]. */
+  def autoHinted(spark: SparkSession, dir: String, df: DataFrame,
+      broadcastMaxBytes: Long = 10L << 20): DataFrame = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (FileStats.dataBytes(fs, root) <= broadcastMaxBytes) df.hint("broadcast")
+    else df
+  }
+
   /** The advised probe frame for a SEMI/ANTI-shaped membership join: the
     * distinct key projection, broadcast when the NDV bound licenses it. */
   def distinctKeysFrame(spark: SparkSession, dir: String, df: DataFrame,

@@ -27,9 +27,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     FixtureGen.generate(root)
     // materialized (dbt-style) mode: one pass builds all 40 models to parquet,
     // so each assertion below reads a table instead of recomputing the DAG
-    out = Pipeline.run(spark, root,
-      materializeDir = Some(Files.createTempDirectory("graft-mat").toString))
+    matDir = Files.createTempDirectory("graft-mat").toString
+    out = Pipeline.run(spark, root, materializeDir = Some(matDir))
   }
+
+  private var matDir: String = _
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
@@ -343,6 +345,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dependents across the mart->stage back-edge must be downstream")
     // a typo must break the run, not silently build nothing
     intercept[IllegalArgumentException](runner.selectNodes(Seq("mart_sgp_factorz")))
+  }
+
+  test("j13 wiring: stats-advised read-backs broadcast the mart's dimension joins") {
+    // (a) the DagRunner applied the advice: a dimension-sized materialized
+    // model's read-back carries the broadcast hint in its own plan
+    def hasHint(df: DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    assert(hasHint(out("src_nfbc_adp")),
+      "a dimension-sized read-back must carry the advised broadcast hint")
+    // (b) the hint — not the engine's size estimator — lands the strategy:
+    // with the size-based conversion OFF, a mart-shaped left join against
+    // the advised frame still plans as a broadcast hash join
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val adp = graft.sources.JoinAdvisor.autoHinted(s2, s"$matDir/src_nfbc_adp",
+      s2.read.parquet(s"$matDir/src_nfbc_adp"))
+    val base = s2.read.parquet(s"$matDir/stg_proj_preseason_hitting_values_oc")
+    val j = base.join(adp, base("id") === adp("playerid"), "left")
+    j.collect(): Unit
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flat(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flat)
+    }
+    assert(flat(j.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "the advised dimension must land as the broadcast side with the size estimator off")
   }
 
   test("golden digests: all 40 models match checked-in content hashes") {
