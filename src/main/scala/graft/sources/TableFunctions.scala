@@ -136,6 +136,15 @@ object GraftTableFunctions {
         s"graft_tags: '$dir' holds no published snapshots")
       plan(VersionedHiddenTable.tagsMeta(spark, dir))
     },
+    // branches ($refs, the writable half): name -> fork + head versions
+    "graft_branches" -> { args =>
+      arity("graft_branches", args, 1, 1)
+      val spark = SparkSession.active
+      val dir = str("graft_branches", args, 0)
+      require(versioned(spark, dir),
+        s"graft_branches: '$dir' holds no published snapshots")
+      plan(VersionedHiddenTable.branchesMeta(spark, dir))
+    },
     // changelog (CDC) scan over (from, to]: the SQL face of
     // VersionedHiddenTable.changes — source columns plus _change_type and
     // _commit_version, era-aware (priced by what changed, not by the table)

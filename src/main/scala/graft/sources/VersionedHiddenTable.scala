@@ -1559,6 +1559,16 @@ object VersionedHiddenTable {
     tags(spark, tableDir).toSeq.sorted.toDF("name", "version")
   }
 
+  /** The branch half of `$refs`: one row per live branch — name, fork
+    * version, current head (== fork while the branch has no commits). */
+  def branchesMeta(spark: SparkSession, tableDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    branches(spark, tableDir).toSeq.sorted
+      .map { case (n, from) => (n, from, branchHead(spark, tableDir, n)) }
+      .toDF("name", "fork_version", "head_version")
+  }
+
   /** Time travel by tag name. */
   def readTag(spark: SparkSession, tableDir: String, name: String): DataFrame = {
     val v = tags(spark, tableDir).getOrElse(name,

@@ -128,6 +128,20 @@ class BranchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the branch holds both branch commits and no main content")
   }
 
+  test("graft_branches TVF: the SQL face of the branch refs") {
+    graft.functions.GraftFunctions.register(spark)
+    val t = tmp("tvf")
+    val ev = events
+    VersionedHiddenTable.create(spark, t, ev.limit(100),
+      Seq(HiddenPartitioning.DayT("ts")))
+    VersionedHiddenTable.createBranch(spark, t, "b")
+    assert(VersionedHiddenTable.appendToBranch(spark, t, "b",
+      ev.limit(20))().isRight)
+    val rows = spark.sql(s"SELECT * FROM graft_branches('$t')").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("b", 0L, 1L)))
+  }
+
   test("retention pins live branches; dropBranch releases the pin") {
     val t = tmp("gc")
     val ev = events
