@@ -58,6 +58,7 @@ class GraftCatalog extends TableCatalog {
   private var warehouse: String = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    GraftCatalog.instantiated = true
     catalogName = name
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
@@ -147,6 +148,10 @@ class GraftCatalog extends TableCatalog {
 }
 
 object GraftCatalog {
+  /** Set the first time ANY GraftCatalog initializes in this JVM — the
+    * O(1) license for [[GraftCatalogRewrite]] to traverse plans at all. */
+  @volatile private[sources] var instantiated = false
+
   /** Session-local enablement: point `spark.sql.catalog.<name>` at this
     * class and register the read-path resolution rewrite. The catalog conf
     * is read lazily at the name's first SQL reference, so runtime

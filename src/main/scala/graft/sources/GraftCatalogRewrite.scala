@@ -22,16 +22,22 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * hold their target outside the child list, so the transform never sees
   * it. */
 case class GraftCatalogRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    case _: DeleteFromTable => plan
-    case _ => plan.resolveOperatorsUp {
-      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
-        val read = r.table.asInstanceOf[GraftSqlTable].readPlan(spark)
-        Project(r.output.zip(read.output).map { case (to, from) =>
-          Alias(from, to.name)(exprId = to.exprId)
-        }, read)
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    // O(1) fast path: a plan can only hold a GraftSqlTable relation if a
+    // GraftCatalog has been instantiated in this JVM — until then the rule
+    // never pays a tree traversal, so the injected extension costs nothing
+    // on the (vast) majority of queries that never touch the catalog
+    if (!GraftCatalog.instantiated) plan
+    else plan match {
+      case _: DeleteFromTable => plan
+      case _ => plan.resolveOperatorsUp {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
+          val read = r.table.asInstanceOf[GraftSqlTable].readPlan(spark)
+          Project(r.output.zip(read.output).map { case (to, from) =>
+            Alias(from, to.name)(exprId = to.exprId)
+          }, read)
+      }
     }
-  }
 }
 
 /** Minimal extensions face for the SQL catalog only — sessions that want

@@ -174,6 +174,14 @@ object VersionedHiddenTable {
       .map(_.asText()).getOrElse("append")
   }
 
+  // a published snapshot manifest is immutable, so its branch field
+  // memoizes permanently — without this, every main-lineage resolution
+  // would re-read one manifest per retained version at PLAN time
+  // (cap-cleared like delBytesCache; a vacuumed version simply stops being
+  // asked about)
+  private val branchFieldCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
   /** The branch a snapshot was committed to — None = the MAIN lineage.
     * Branch snapshots share the global `v=<n>` id space (publish allocation
     * never collides) but are invisible to main reads, main DML bases, and
@@ -182,9 +190,18 @@ object VersionedHiddenTable {
       v: Long): Option[String] = {
     val (fs, _) = fsFor(spark, tableDir)
     val f = new Path(s"$tableDir/v=$v", SnapshotFile)
-    val in = fs.open(f)
-    val bytes = try in.readAllBytes() finally in.close()
-    Option(new ObjectMapper().readTree(bytes).get("branch")).map(_.asText())
+    val key = fs.makeQualified(f).toString
+    val hit = branchFieldCache.get(key)
+    if (hit != null) hit
+    else {
+      val in = fs.open(f)
+      val bytes = try in.readAllBytes() finally in.close()
+      val res = Option(new ObjectMapper().readTree(bytes).get("branch"))
+        .map(_.asText())
+      if (branchFieldCache.size >= 65536) branchFieldCache.clear()
+      branchFieldCache.put(key, res)
+      res
+    }
   }
 
   /** Retained MAIN-lineage versions (what every unqualified read/DML/CDC
