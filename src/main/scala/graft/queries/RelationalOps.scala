@@ -3024,6 +3024,71 @@ object RelationalOps extends QueryPack {
            |FROM events WHERE ts < '2024-01-16' GROUP BY event_type""".stripMargin),
     doc = "Named branches + fast-forward: multi-commit WAP on a branch invisible to main, one atomic fast-forward, divergence refused with CommitConflictException; main/branch/pre-FF faces hash-checked (S32/§2.1).")
 
+  // ---- S33: SQL CTAS with hidden-partitioning transforms ----------------------
+  // The DDL completion of the s30 catalog face: `CREATE TABLE ...
+  // PARTITIONED BY (days(ts)) AS SELECT` creates the versioned table (v0
+  // durable empty create + v1 spec evolution) and lands the batch (v2)
+  // laid out under the declared transform — CatalogSpec asserts the
+  // physical layout; here the gate is content across the DDL'd history:
+  // latest (CTAS batch + a later INSERT, both under the days spec),
+  // `VERSION AS OF 2` (the CTAS batch alone), and `VERSION AS OF 1` (the
+  // declared-but-empty table — zero rows, proving the create is durable
+  // and readable before any data lands).
+  private val s33 = GQuery(
+    "s33_sql_ctas_partitioned",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val whDir = Tables.scratchOnce(dir, "vht_events_ctas",
+          done = p => scala.util.Try(
+            VHT.versions(s, s"$p/t") == Seq(0L, 1L, 2L, 3L)).getOrElse(false)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        fs.mkdirs(new org.apache.hadoop.fs.Path(path)): Unit
+        val ev = t(s, dir, "events")
+        val cat = graft.sources.GraftCatalog.register(s,
+          s"graft_c${math.abs(path.hashCode).toString}", path)
+        Tables.sqlOn(s, "ev_first" -> ev.filter(col("ts") < "2024-01-16")) { v =>
+          s"CREATE TABLE $cat.t PARTITIONED BY (days(ts)) " +
+            s"AS SELECT * FROM ${v("ev_first")}"
+        }.collect(): Unit
+        Tables.sqlOn(s, "ev_rest" -> ev.filter(col("ts") >= "2024-01-16")) { v =>
+          s"INSERT INTO $cat.t SELECT * FROM ${v("ev_rest")}"
+        }.collect(): Unit
+        require(VHT.versions(s, s"$path/t") == Seq(0L, 1L, 2L, 3L),
+          s"s33: CTAS must publish create+evolve+batch, INSERT the 4th")
+      }
+      val cat = graft.sources.GraftCatalog.register(s,
+        s"graft_c${math.abs(whDir.hashCode).toString}", whDir)
+      s.sql(
+        s"""SELECT 'latest' AS face, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM $cat.t GROUP BY event_type
+           |UNION ALL
+           |SELECT 'ctas_batch', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), min(event_id)
+           |FROM $cat.t VERSION AS OF 2 GROUP BY event_type
+           |UNION ALL
+           |SELECT 'declared_empty', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), min(event_id)
+           |FROM $cat.t VERSION AS OF 1 GROUP BY event_type""".stripMargin)
+    },
+    Some("""SELECT 'latest' AS face, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM events GROUP BY event_type
+           |UNION ALL
+           |SELECT 'ctas_batch', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), min(event_id)
+           |FROM events WHERE ts < '2024-01-16' GROUP BY event_type
+           |UNION ALL
+           |SELECT 'declared_empty', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), min(event_id)
+           |FROM events WHERE 1 = 0 GROUP BY event_type""".stripMargin),
+    doc = "SQL CTAS with PARTITIONED BY (days): DDL creates the versioned table (durable empty create + spec evolution) and the batch lands under the declared transform; three history faces hash-checked (S33/§2.1).")
+
   // ---- J12: LATERAL correlated subquery (top-N per driving row) ---------------
   // The SQL spelling of "for each group, its top 3": a correlated LATERAL
   // subquery with ORDER BY + LIMIT per driving row. Catalyst decorrelates
@@ -3049,7 +3114,7 @@ object RelationalOps extends QueryPack {
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)

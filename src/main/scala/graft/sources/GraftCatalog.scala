@@ -121,11 +121,30 @@ class GraftCatalog extends TableCatalog {
     new GraftSqlTable(dir, ident.toString, Some(vs.max))
   }
 
+  /** `CREATE TABLE` / `CREATE TABLE ... AS SELECT`, with `PARTITIONED BY`
+    * mapped onto the hidden-partitioning transforms (days/months/years/
+    * hours/bucket/truncate/identity — the Iceberg transform set). The
+    * empty table is durable and readable (one schema-carrying empty file
+    * under an unpartitioned first era; a declared spec lands as an
+    * immediate evolution, so the first data append lays out under it) —
+    * CTAS then arrives as the ordinary catalog write. Iceberg stages CTAS
+    * as one atomic commit; here it is create + append — the create is
+    * content-empty, so a failed CTAS leaves an empty table, never torn
+    * data. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: create tables with VersionedHiddenTable.create (data " +
-        "or a partition spec in hand) — a bare column list carries neither")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (exists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident.toString)
+    val transforms = GraftCatalog.toHiddenTransforms(partitions)
+    val dir = tableDir(ident)
+    HiddenPartitioning.register(spark)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).repartition(1)
+    VersionedHiddenTable.create(spark, dir, empty, Nil): Unit
+    if (transforms.nonEmpty)
+      VersionedHiddenTable.evolveSpec(spark, dir, transforms): Unit
+    new GraftSqlTable(dir, ident.toString, None)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
@@ -151,6 +170,33 @@ object GraftCatalog {
   /** Set the first time ANY GraftCatalog initializes in this JVM — the
     * O(1) license for [[GraftCatalogRewrite]] to traverse plans at all. */
   @volatile private[sources] var instantiated = false
+
+  /** `PARTITIONED BY` -> hidden-partitioning transforms (the Iceberg set).
+    * Unsupported shapes refuse loudly at CREATE time, never at write time. */
+  private[sources] def toHiddenTransforms(parts: Array[Transform])
+      : Seq[HiddenPartitioning.Transform] =
+    parts.toSeq.map { t =>
+      // the concrete transform case classes are private[sql]; the PUBLIC
+      // contract is (name, references, arguments) — match on that
+      def field: String = t.references().head.fieldNames().mkString(".")
+      def intArg: Int = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value().asInstanceOf[Number].intValue()
+      }.getOrElse(throw new IllegalArgumentException(
+        s"transform '${t.name()}' needs a literal int argument: $t"))
+      t.name() match {
+        case "identity" => HiddenPartitioning.IdentityT(field)
+        case "days" => HiddenPartitioning.DayT(field)
+        case "months" => HiddenPartitioning.MonthT(field)
+        case "years" => HiddenPartitioning.YearT(field)
+        case "hours" => HiddenPartitioning.HourT(field)
+        case "bucket" => HiddenPartitioning.BucketT(intArg, field)
+        case "truncate" => HiddenPartitioning.TruncateT(intArg, field)
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: unsupported partition transform '$other' " +
+            "(supported: identity, days, months, years, hours, bucket, truncate)")
+      }
+    }
 
   /** Session-local enablement: point `spark.sql.catalog.<name>` at this
     * class and register the read-path resolution rewrite. The catalog conf

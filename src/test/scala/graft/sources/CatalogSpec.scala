@@ -134,14 +134,14 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a narrow key-range catalog read must prune files: $narrow of $total scanned")
   }
 
-  test("catalog hygiene: listTables, dropTable, unsupported CREATE/ALTER refuse loudly") {
+  test("catalog hygiene: listTables, dropTable, unsupported ALTER refuses loudly") {
     val (cat, wh) = freshCatalog("hyg")
     VersionedHiddenTable.create(spark, s"$wh/db/a", events.limit(10), Nil): Unit
     VersionedHiddenTable.create(spark, s"$wh/db/b", events.limit(10), Nil): Unit
     assert(canon(spark.sql(s"SHOW TABLES IN $cat.db").select("tableName")) ==
       Seq("[a]", "[b]"))
     intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.db.c (x INT)").collect()
+      spark.sql(s"ALTER TABLE $cat.db.a ADD COLUMNS (z INT)").collect()
     }
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.a").head().getLong(0) == 10L)
     spark.sql(s"DROP TABLE $cat.db.a").collect(): Unit
@@ -149,5 +149,40 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(new Path(s"$wh/db/a")), "DROP TABLE must delete the dir")
     assert(canon(spark.sql(s"SHOW TABLES IN $cat.db").select("tableName")) ==
       Seq("[b]"))
+  }
+
+  test("CREATE TABLE (bare + PARTITIONED BY + CTAS): SQL DDL reaches the storage layer") {
+    val (cat, wh) = freshCatalog("ctas")
+    val ev = events
+    ev.filter(col("ts") < "2024-01-16").createOrReplaceTempView("ctas_first")
+    ev.filter(col("ts") >= "2024-01-16").createOrReplaceTempView("ctas_rest")
+    // CTAS with a hidden-partitioning transform: v0 empty create, v1 spec
+    // evolution (days), v2 the CTAS batch
+    spark.sql(s"CREATE TABLE $cat.db.t PARTITIONED BY (days(ts)) " +
+      "AS SELECT * FROM ctas_first").collect(): Unit
+    assert(VersionedHiddenTable.versions(spark, s"$wh/db/t") == Seq(0L, 1L, 2L))
+    assert(canon(spark.sql(s"SELECT * FROM $cat.db.t")) ==
+      canon(ev.filter(col("ts") < "2024-01-16")))
+    // the declared spec is the CURRENT spec: the CTAS batch landed under
+    // day-derived partition directories
+    val fs = new Path(wh).getFileSystem(spark.sessionState.newHadoopConf())
+    val era2 = fs.listStatus(new Path(s"$wh/db/t/data/era-2"))
+      .map(_.getPath.getName).filter(_.contains("="))
+    assert(era2.nonEmpty && era2.forall(_.startsWith("_p_day_")),
+      s"the CTAS batch must lay out under the declared days(ts) spec: ${era2.toSeq}")
+    // later INSERTs use the same spec; the content composes
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM ctas_rest").collect(): Unit
+    assert(canon(spark.sql(s"SELECT * FROM $cat.db.t")) == canon(ev))
+    // duplicate CREATE refuses; the empty pre-CTAS snapshot reads as zero rows
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.t (x INT)").collect()
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t VERSION AS OF 1")
+      .head().getLong(0) == 0L)
+    // bare CREATE TABLE: durable, empty, writable
+    spark.sql(s"CREATE TABLE $cat.db.e (x INT, y STRING)").collect(): Unit
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.e").head().getLong(0) == 0L)
+    spark.sql(s"INSERT INTO $cat.db.e VALUES (1, 'a'), (2, 'b')").collect(): Unit
+    assert(canon(spark.sql(s"SELECT * FROM $cat.db.e")) == Seq("[1,a]", "[2,b]"))
   }
 }
