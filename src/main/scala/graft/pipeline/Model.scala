@@ -255,8 +255,12 @@ final class DagRunner(models: Seq[Model], sources: Map[String, DataFrame] = Map.
           // incremental consumers, stats manifests land with every era
           graft.sources.VersionedHiddenTable.overwrite(
             spark, tableDir, df, transformsOf(n)): Unit
-          graft.sources.JoinAdvisor.autoHinted(spark, s"$tableDir/data",
-            graft.sources.VersionedHiddenTable.read(spark, tableDir))
+          // price the hint at the LIVE snapshot's bytes — data/ accumulates
+          // one retired era per run, so measuring the whole tree would cost
+          // a dimension-sized model its broadcast after enough runs
+          graft.sources.JoinAdvisor.autoHintedBytes(
+            graft.sources.VersionedHiddenTable.read(spark, tableDir),
+            graft.sources.VersionedHiddenTable.liveDataBytes(spark, tableDir))
         case Materialization.Compose => df
       }
     }

@@ -113,7 +113,10 @@ class GraftCatalog extends TableCatalog {
     val dir = tableDir(ident)
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val tsMillis = timestamp / 1000L
-    val vs = VersionedHiddenTable.versions(spark, dir).filter { v =>
+    // timestamp travel resolves along the MAIN branch (Iceberg's contract):
+    // a branch commit that is the newest snapshot before the timestamp must
+    // not leak branch-only content into an unqualified table read
+    val vs = VersionedHiddenTable.mainVersions(spark, dir).filter { v =>
       fs.getFileStatus(new Path(s"$dir/v=$v")).getModificationTime <= tsMillis
     }
     require(vs.nonEmpty,

@@ -124,9 +124,17 @@ object JoinAdvisor {
       broadcastMaxBytes: Long = 10L << 20): DataFrame = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (FileStats.dataBytes(fs, root) <= broadcastMaxBytes) df.hint("broadcast")
-    else df
+    autoHintedBytes(df, FileStats.dataBytes(fs, root), broadcastMaxBytes)
   }
+
+  /** [[autoHinted]] for callers that already hold the LIVE byte count — a
+    * versioned table prices at [[VersionedHiddenTable.liveDataBytes]] (the
+    * latest snapshot's eras + masks), never at its whole `data/` tree,
+    * which grows one retired era per overwrite run and would silently cost
+    * a dimension-sized model its broadcast hint. */
+  def autoHintedBytes(df: DataFrame, liveBytes: Long,
+      broadcastMaxBytes: Long = 10L << 20): DataFrame =
+    if (liveBytes <= broadcastMaxBytes) df.hint("broadcast") else df
 
   /** The advised probe frame for a SEMI/ANTI-shaped membership join: the
     * distinct key projection, broadcast when the NDV bound licenses it. */

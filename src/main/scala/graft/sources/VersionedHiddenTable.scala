@@ -204,6 +204,21 @@ object VersionedHiddenTable {
     }
   }
 
+  /** Data bytes of the LIVE latest main snapshot: its era directories plus
+    * its delete masks — NOT the whole `data/` tree, which accumulates every
+    * era ever written (one op=overwrite era per pipeline run, plus retired
+    * masks) and would over-count a dimension-sized table off its broadcast
+    * hint after enough runs. This is the size a planner should price a read
+    * of "the table" at. */
+  def liveDataBytes(spark: SparkSession, tableDir: String): Long = {
+    val (fs, _) = fsFor(spark, tableDir)
+    val vs = mainVersions(spark, tableDir)
+    require(vs.nonEmpty, s"no snapshots under $tableDir")
+    val (eras, dels) = snapshot(spark, tableDir, vs.max)
+    (eras.map(e => FileStats.dataBytes(fs, new Path(eraPath(tableDir, e)))) ++
+      dels.map(d => FileStats.dataBytes(fs, new Path(s"$tableDir/data/${d.dir}")))).sum
+  }
+
   /** Retained MAIN-lineage versions (what every unqualified read/DML/CDC
     * operation means by "the table"). */
   def mainVersions(spark: SparkSession, tableDir: String): Seq[Long] =

@@ -55,10 +55,15 @@ object ChangelogStream {
   val FormatName = "graft-changelog"
 
   /** The stream's fixed schema for `tableDir`: source columns of the latest
-    * snapshot plus the two CDC meta columns — derived from a plan-only
-    * zero-step `changes()` frame (no data scan). */
+    * MAIN snapshot plus the two CDC meta columns — derived from a plan-only
+    * zero-step `changes()` frame (no data scan). The feed is a main-lineage
+    * contract, so schema (like every offset) resolves along `mainVersions()`
+    * — a branch commit that happens to be the newest snapshot must not leak
+    * into the stream's identity. */
   def schemaFor(spark: SparkSession, tableDir: String): StructType = {
-    val latest = VersionedHiddenTable.versions(spark, tableDir).max
+    val vs = VersionedHiddenTable.mainVersions(spark, tableDir)
+    require(vs.nonEmpty, s"$FormatName: no main-lineage snapshots under $tableDir")
+    val latest = vs.max
     VersionedHiddenTable.changes(spark, tableDir, latest, Some(latest)).schema
   }
 
@@ -97,8 +102,17 @@ class ChangelogSourceProvider extends StreamSourceProvider with DataSourceRegist
       parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val dir = tableDir(parameters)
-    val vs = VersionedHiddenTable.versions(spark, dir)
-    require(vs.nonEmpty, s"${ChangelogStream.FormatName}: no snapshots under $dir")
+    // every version the stream resolves is a MAIN-lineage version: branch
+    // commits share the v=<n> id space but are invisible to the changelog,
+    // so admitting one here would poison the offset checkpoint (getBatch's
+    // changes() would refuse it on every retry, permanently wedging the
+    // stream)
+    val vs = VersionedHiddenTable.mainVersions(spark, dir)
+    require(vs.nonEmpty,
+      s"${ChangelogStream.FormatName}: no main-lineage snapshots under $dir")
+    // parse only — validation is LAZY (first fresh-checkpoint trigger, see
+    // ChangelogSource.requireStartingRetained): a restart whose checkpoint
+    // has advanced past an expired startingVersion must keep running
     val starting = parameters.get("startingVersion").map {
       case "earliest" => vs.min
       case v => v.toLong
@@ -125,10 +139,26 @@ class ChangelogSource(spark: SparkSession, tableDir: String,
     * version as their json body. */
   private def ver(o: OffsetV2): Long = o.json.toLong
 
-  private def tableLatest: Long = {
-    val vs = VersionedHiddenTable.versions(spark, tableDir)
-    require(vs.nonEmpty, s"no snapshots under $tableDir")
-    vs.max
+  /** Retained MAIN versions, sorted — the only id space offsets live in. */
+  private def mainVs: Seq[Long] = {
+    val vs = VersionedHiddenTable.mainVersions(spark, tableDir)
+    require(vs.nonEmpty, s"no main-lineage snapshots under $tableDir")
+    vs
+  }
+
+  private def tableLatest: Long = mainVs.max
+
+  /** Fresh-checkpoint guard, BEFORE the first offset lands in the log: a
+    * startingVersion that is expired — or a BRANCH id (branch commits share
+    * the v=<n> space but are invisible to the main changelog) — must refuse
+    * here, not after latestOffset has written an offset the every-retry
+    * `changes()` refusal would permanently wedge. Restarts never hit this:
+    * a checkpointed stream passes its committed offset as `start`. */
+  private def requireStartingRetained(): Unit = {
+    val vs = mainVs
+    require(vs.contains(startingVersion),
+      s"startingVersion=$startingVersion is not retained on the main " +
+        s"lineage (have ${vs.mkString(",")})")
   }
 
   // Trigger.AvailableNow pins the catch-up target ONCE at stream start;
@@ -137,7 +167,10 @@ class ChangelogSource(spark: SparkSession, tableDir: String,
 
   override def schema: StructType = schema0
 
-  override def initialOffset(): OffsetV2 = LongOffset(startingVersion)
+  override def initialOffset(): OffsetV2 = {
+    requireStartingRetained()
+    LongOffset(startingVersion)
+  }
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(tableLatest)
@@ -150,12 +183,24 @@ class ChangelogSource(spark: SparkSession, tableDir: String,
 
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     // the engine passes null before any batch has committed (first trigger
-    // of a fresh checkpoint): advance from the configured starting version
-    val from = Option(start).map(ver).getOrElse(startingVersion)
+    // of a fresh checkpoint): advance from the configured starting version,
+    // validating it NOW — the last moment before an offset derived from it
+    // is written to the checkpoint log
+    val from = Option(start).map(ver).getOrElse {
+      requireStartingRetained()
+      startingVersion
+    }
     val cap = availableNowCap.getOrElse(tableLatest)
+    // advance ALONG the retained main-version list, never by id arithmetic:
+    // branch commits interleave in the shared id space and expireSnapshots
+    // with tag/branch pins can leave mid-range gaps, so `from + n` may name
+    // a branch or unretained id that getBatch's changes() would refuse
+    val steps = mainVs.filter(v => v > from && v <= cap)
     val to = limit match {
-      case r: ReadMaxRows => math.min(cap, from + r.maxRows())
-      case _ => cap
+      case r: ReadMaxRows =>
+        steps.take(math.min(r.maxRows(), Int.MaxValue.toLong).toInt)
+          .lastOption.getOrElse(from)
+      case _ => steps.lastOption.getOrElse(from)
     }
     LongOffset(math.max(from, to))
   }

@@ -13,6 +13,15 @@ object GraftSqlBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Wrap a catalyst Expression as a user-facing [[org.apache.spark.sql.Column]]
+    * (`ExpressionUtils.column` is `private[sql]` in Spark 4's classic
+    * shim) — the SQL-DML converters hand library calls the predicates and
+    * SET values the parser produced, with attribute references unresolved
+    * back to names. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
   /** Mark a batch frame streaming-legal for a V1 `Source.getBatch` result —
     * the micro-batch runner asserts `isStreaming`, and the only sanctioned
     * spelling (Delta's own) is the `private[sql]` internalCreateDataFrame

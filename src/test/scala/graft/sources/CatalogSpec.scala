@@ -134,6 +134,40 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a narrow key-range catalog read must prune files: $narrow of $total scanned")
   }
 
+  test("SYSTEM_TIME travel resolves along MAIN even when a branch commit is newest") {
+    val (cat, wh) = freshCatalog("ttbranch")
+    val ev = events
+    val t = s"$wh/db/t"
+    VersionedHiddenTable.create(spark, t, ev.filter(col("user_id") < 8),
+      Seq(HiddenPartitioning.DayT("ts"))): Unit                 // v0 (main)
+    VersionedHiddenTable.createBranch(spark, t, "wip"): Unit
+    assert(VersionedHiddenTable.appendToBranch(spark, t, "wip",
+      ev.filter(col("user_id") >= 8))().isRight)                 // v1 (BRANCH) — newest
+    // a future timestamp sees every published snapshot; the newest is the
+    // branch commit, which main has never seen — Iceberg resolves timestamp
+    // travel along the main branch, so the read must return v0's content
+    assert(canon(spark.sql(s"SELECT * FROM $cat.db.t " +
+      "FOR SYSTEM_TIME AS OF '2099-01-01'")) ==
+      canon(ev.filter(col("user_id") < 8)),
+      "timestamp travel must not leak branch-only content")
+  }
+
+  test("DELETE FROM with a graft-relation subquery condition splices the inner read") {
+    val (cat, wh) = freshCatalog("delsub")
+    val ev = events
+    VersionedHiddenTable.create(spark, s"$wh/t", ev, Nil): Unit
+    VersionedHiddenTable.create(spark, s"$wh/u",
+      ev.filter(col("user_id") < 5).select(col("user_id")).distinct(), Nil): Unit
+    // the inner graft.u read sits inside DeleteFromTable's condition — it
+    // must still get the analysis-time splice (the target alone stays a V2
+    // relation for SupportsDelete planning)
+    spark.sql(s"DELETE FROM $cat.t WHERE user_id IN " +
+      s"(SELECT user_id FROM $cat.u)").collect(): Unit
+    assert(canon(spark.sql(s"SELECT * FROM $cat.t")) ==
+      canon(ev.filter(col("user_id") >= 5)),
+      "the subquery-driven DELETE must remove exactly the matching rows")
+  }
+
   test("catalog hygiene: listTables, dropTable, unsupported ALTER refuses loudly") {
     val (cat, wh) = freshCatalog("hyg")
     VersionedHiddenTable.create(spark, s"$wh/db/a", events.limit(10), Nil): Unit

@@ -193,4 +193,41 @@ class ChangelogStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         c.getMessage.contains("not retained")),
       s"the retention race must surface changes()'s loud refusal: $boom")
   }
+
+  test("branch commits interleaved in the id space neither wedge nor leak into the stream") {
+    val t = tmp("branch") + "/t"
+    val ev = events
+    VHT.create(spark, t, ev.filter(col("ts") < "2024-01-16"),
+      Seq(HiddenPartitioning.DayT("ts"))): Unit               // v0 (main)
+    VHT.createBranch(spark, t, "audit"): Unit
+    assert(VHT.appendToBranch(spark, t, "audit",
+      ev.filter(col("ts") >= "2024-01-16"))().isRight)         // v1 (BRANCH)
+    assert(VHT.append(spark, t,
+      ev.filter(col("ts") >= "2024-01-16"))().isRight)         // v2 (main)
+    assert(VHT.appendToBranch(spark, t, "audit",
+      ev.filter(col("ts") < "2024-01-16"))().isRight)          // v3 (BRANCH) — newest id
+    // schema + offsets must resolve along MAIN even though the newest
+    // snapshot is a branch commit; id arithmetic (from+1 = branch v1) would
+    // poison the checkpoint with a version changes() refuses on every retry
+    val out = tmp("branchout")
+    val batches = drain(
+      ChangelogStream.changelog(spark, t, startingVersion = Some(0L),
+        maxVersionsPerTrigger = Some(1)),
+      out, tmp("branchckpt"))
+    assert(batches.flatten.toSet == Set(2L),
+      s"the stream must surface exactly the main steps, no branch ids: $batches")
+    assert(canon(fold(t, 0L, spark.read.parquet(out))) == canon(rebuilt(t)),
+      "folding the streamed feed over v0 must reproduce main's latest state")
+    // a startingVersion naming a BRANCH id refuses loudly BEFORE any offset
+    // lands in the checkpoint log (a poisoned log would wedge every retry)
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(ChangelogStream.changelog(spark, t, startingVersion = Some(1L)),
+        tmp("branchout2"), tmp("branchckpt2"))
+    }
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: causes(e.getCause)
+    assert(causes(boom).exists(c => c.getMessage != null &&
+      c.getMessage.contains("not retained on the main lineage")),
+      s"a branch-id startingVersion must refuse at the source: $boom")
+  }
 }
