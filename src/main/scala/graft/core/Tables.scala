@@ -62,8 +62,16 @@ object Tables {
     * overwrite) derive their path here instead of copying the env/tag
     * logic, so a layout change can never fork them onto a stale path. */
   def scratchPath(dir: String, name: String): String = {
+    // default root is REPO-LOCAL (cwd), not java.io.tmpdir: the workspace
+    // persists across benchmark rounds while /tmp does not, so a fresh
+    // bench invocation starts WARM instead of re-paying every artifact
+    // build inside its timed budget (round 12's driver bench spent ~130 s
+    // rebuilding 27 artifacts and timed out). The corollary contract:
+    // artifacts are immutable once built — a builder whose CONTENT
+    // semantics change must take a new name (bump a `_v2` suffix), since
+    // the skip-if-exists check would otherwise serve the stale layout.
     val wh = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
-      s"${sys.props("java.io.tmpdir")}/graft-buckets")
+      new java.io.File(".graft-scratch").getAbsolutePath)
     s"$wh/${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
   }
 

@@ -999,6 +999,71 @@ object AggWindowOps extends QueryPack {
            |FROM events WHERE user_id >= 10 GROUP BY user_id""".stripMargin),
     doc = "Streaming CDC source: readStream over the versioned table's changelog (one bounded micro-batch per commit), the streamed feed folded over a v0 materialization reproduces the final state — hash-proven against a from-scratch rebuild (ST9/§2.9).")
 
+  // ---- ST10: catalog-addressed streaming — readStream.table ------------------
+  // st9's machinery behind the catalog name: `spark.readStream.table(
+  // "graft.db.t")` resolves to the changelog source through the analysis-
+  // time splice (GraftCatalogRewrite) — a streaming read of a graft table
+  // IS its CDC feed, reader options (startingVersion, maxVersionsPerTrigger)
+  // riding through. The builder drains the SAME s24/i11 DML history through
+  // the CATALOG spelling into its own feed; the query folds v0 forward by
+  // it. The oracle is st9's from-scratch rebuild, so catalog-stream fold ==
+  // format-stream fold == rebuild, all three hash-equal. Restart and
+  // feed-identity legs live in CatalogStreamSpec.
+  private val st10 = GQuery(
+    "st10_catalog_stream_fold",
+    (s, dir) => {
+      val VHT = graft.sources.VersionedHiddenTable
+      val vhtDir = graft.queries.RelationalOps.vhtCdcEvents(s, dir)
+      val feedRoot = Tables.scratchOnce(dir, "st10_catalog_feed",
+          done = p => scala.util.Try {
+            val fs = new org.apache.hadoop.fs.Path(p)
+              .getFileSystem(s.sessionState.newHadoopConf())
+            fs.exists(new org.apache.hadoop.fs.Path(p, "_FEED_DONE"))
+          }.getOrElse(false)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        // the catalog warehouse is the scratch root; the table identifier
+        // is the artifact directory's own name
+        val whRoot = vhtDir.substring(0, vhtDir.lastIndexOf('/'))
+        val ident = vhtDir.substring(vhtDir.lastIndexOf('/') + 1)
+        val cat = graft.sources.GraftCatalog.register(s,
+          s"graft_st10_${math.abs(whRoot.hashCode).toString}", whRoot)
+        val q = s.readStream
+          .option("startingVersion", 0)
+          .option("maxVersionsPerTrigger", 1)
+          .table(s"$cat.`$ident`")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$path/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(s"$path/feed")
+          }
+          .start()
+        q.awaitTermination()
+        fs.create(new org.apache.hadoop.fs.Path(path, "_FEED_DONE"), true).close()
+      }
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+      val base = VHT.read(s, vhtDir, Some(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n0"), sum(dec(col("value"))).as("t0"))
+      val delta = s.read.parquet(s"$feedRoot/feed")
+        .withColumn("sign",
+          when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("sign")).as("dn"), sum(dec(col("value")) * col("sign")).as("dv"))
+      base.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("t0"), lit(0).cast("decimal(18,4)")) +
+            coalesce(col("dv"), lit(0).cast("decimal(18,4)"))).cast("double").as("total"))
+        .filter(col("n") > 0)
+    },
+    Some("""SELECT user_id, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+           |FROM events WHERE user_id >= 10 GROUP BY user_id""".stripMargin),
+    doc = "Catalog-addressed streaming: readStream.table resolves to the changelog source via the analysis-time splice; the catalog-drained feed folded over v0 reproduces the final state — hash-proven against the from-scratch rebuild (ST10/§2.9).")
+
   // ---- A12: typed top-k Aggregator (§2.10 UDAF surface) ---------------------
   // Per-flag top-3 line items by price through graft.functions.TopKAggregator:
   // the buffer holds k entries, partials reduce map-side, merge combines two
@@ -2148,5 +2213,5 @@ object AggWindowOps extends QueryPack {
       w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, o1, o4, o5, u1, u2, u3, u4, u5, u6, u7, u8, u9,
       f1, f2, f3, f4, f5, f6, f7, f9, f10, f11, f13, f14, f15, f16, f17, f18,
       f19, f20, f21, f27, f28, f29, f30, f31, f32, f33,
-      st1, st2, st3, st4, st5, st6, st7, st8, st9)
+      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10)
 }

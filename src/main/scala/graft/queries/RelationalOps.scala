@@ -3113,8 +3113,285 @@ object RelationalOps extends QueryPack {
            |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) l""".stripMargin),
     doc = "LATERAL correlated top-N subquery, decorrelated to a windowed rank (J12/§2.6).")
 
+  // ---- S34: SQL UPDATE + MERGE INTO through the catalog ----------------------
+  // The two row-level DML verbs a lakehouse SQL user types daily, resolved
+  // by GraftCatalogRewrite into the SAME storage DML the Scala API drives
+  // (GraftSqlDml — Delta's convert-at-analysis pattern). History: v0 Scala
+  // create (first half) -> v1 SQL INSERT (rest) -> v2 SQL UPDATE (clicks
+  // before Jan 16 doubled — day-scoped, so the v1 era is carried BY
+  // REFERENCE, manifest-asserted: the update is group-based, never a
+  // full-table rewrite) -> v3 SQL MERGE with first-match clause order
+  // (matched views DELETE, other matched UPDATE SET *, unmatched INSERT *),
+  // manifest-asserted as ONE new era + ONE key mask (the bounded
+  // merge-on-read write shape). Three snapshot faces hash-gated.
+  private val s34 = GQuery(
+    "s34_sql_update_merge",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val whDir = Tables.scratchOnce(dir, "vht_events_sqldml",
+          done = p => scala.util.Try(
+            VHT.versions(s, s"$p/t") == Seq(0L, 1L, 2L, 3L)).getOrElse(false)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        val ev = t(s, dir, "events")
+        VHT.create(s, s"$path/t", ev.filter(col("ts") < "2024-01-16"),
+          Seq(graft.sources.HiddenPartitioning.DayT("ts"))): Unit
+        val cat = graft.sources.GraftCatalog.register(s,
+          s"graft_dml${math.abs(path.hashCode).toString}", path)
+        Tables.sqlOn(s, "ev_rest" -> ev.filter(col("ts") >= "2024-01-16")) { v =>
+          s"INSERT INTO $cat.t SELECT * FROM ${v("ev_rest")}"
+        }.collect(): Unit
+        s.sql(s"UPDATE $cat.t SET value = value * 2 " +
+          "WHERE ts < '2024-01-16' AND event_type = 'click'").collect(): Unit
+        def eras(v: Long): Set[String] = VHT.snapshotsMeta(s, s"$path/t")
+          .filter(col("version") === v).select("eras").head()
+          .getSeq[String](0).toSet
+        // group-based proof: the day-scoped UPDATE rewrote only eras that
+        // can hold a pre-Jan-16 click — the v1 INSERT era carries over
+        require(eras(2L).intersect(eras(1L)).nonEmpty,
+          "s34: SQL UPDATE must carry untouched eras by reference")
+        val src = ev.filter(col("event_id") < 100)
+          .withColumn("value", col("value") + 1000)
+          .unionByName(ev.filter(col("event_id") < 50)
+            .withColumn("event_id", col("event_id") + 10000000L))
+        Tables.sqlOn(s, "dml_src" -> src) { v =>
+          s"""MERGE INTO $cat.t t USING ${v("dml_src")} s
+             |ON t.event_id = s.event_id
+             |WHEN MATCHED AND s.event_type = 'view' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+        }.collect(): Unit
+        // bounded-write proof: one MERGE = one new upsert era + one key
+        // mask over the carried eras, nothing rewritten
+        require((eras(3L) -- eras(2L)).size == 1,
+          "s34: MERGE must add exactly one upsert era")
+        val dels3 = VHT.snapshotsMeta(s, s"$path/t")
+          .filter(col("version") === 3L).select("dels").head().getSeq[String](0)
+        require(dels3.size == 1,
+          s"s34: MERGE must add exactly one key mask, got $dels3")
+      }
+      val cat = graft.sources.GraftCatalog.register(s,
+        s"graft_dml${math.abs(whDir.hashCode).toString}", whDir)
+      def face(tag: String, from: String) =
+        s"""SELECT '$tag' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM $from GROUP BY event_type""".stripMargin
+      s.sql(Seq(face("latest", s"$cat.t"),
+        face("pre_merge", s"$cat.t VERSION AS OF 2"),
+        face("pre_update", s"$cat.t VERSION AS OF 1")).mkString("\nUNION ALL\n"))
+    },
+    Some("""WITH v2 AS (SELECT event_id, ts, user_id, event_type,
+           |    CASE WHEN ts < '2024-01-16' AND event_type = 'click'
+           |         THEN value * 2 ELSE value END AS value, props FROM events),
+           |src AS (SELECT event_id, ts, user_id, event_type,
+           |    value + 1000 AS value, props FROM events WHERE event_id < 100),
+           |ins AS (SELECT event_id + 10000000 AS event_id, ts, user_id,
+           |    event_type, value, props FROM events WHERE event_id < 50),
+           |v3 AS (
+           |  SELECT * FROM v2 WHERE event_id NOT IN (SELECT event_id FROM src)
+           |  UNION ALL SELECT * FROM src WHERE event_type <> 'view'
+           |  UNION ALL SELECT * FROM ins)
+           |SELECT 'latest' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  min(event_id) AS min_event
+           |FROM v3 GROUP BY event_type
+           |UNION ALL
+           |SELECT 'pre_merge', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), min(event_id)
+           |FROM v2 GROUP BY event_type
+           |UNION ALL
+           |SELECT 'pre_update', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), min(event_id)
+           |FROM events GROUP BY event_type""".stripMargin),
+    doc = "SQL UPDATE + MERGE INTO via the catalog: analysis-time conversion to the storage DML, era-carry and one-mask+one-era manifest-asserted (group-based), first-match clause order, three faces hash-gated (S34/§2.1).")
+
+  // ---- S35: ALTER TABLE ADD COLUMNS — SQL schema evolution -------------------
+  // The one schema change the add-only storage contract admits, as SQL DDL:
+  // v0 Scala create (narrow first half) -> v1 `ALTER TABLE … ADD COLUMNS
+  // (score DOUBLE)` (a published snapshot carrying a schema-widening empty
+  // era — exactly how CREATE TABLE records schema) -> v2 SQL INSERT of the
+  // widened rest (score = value*2). Latest face: old rows null-fill the new
+  // column; pre-evolution face keeps the narrow schema (asserted in the
+  // builder) and hash-gates the narrow content.
+  private val s35 = GQuery(
+    "s35_sql_add_columns",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val whDir = Tables.scratchOnce(dir, "vht_events_sqladdcol",
+          done = p => scala.util.Try(
+            VHT.versions(s, s"$p/t") == Seq(0L, 1L, 2L)).getOrElse(false)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        val ev = t(s, dir, "events")
+        VHT.create(s, s"$path/t", ev.filter(col("ts") < "2024-01-16"),
+          Seq(graft.sources.HiddenPartitioning.DayT("ts"))): Unit
+        val cat = graft.sources.GraftCatalog.register(s,
+          s"graft_ac${math.abs(path.hashCode).toString}", path)
+        s.sql(s"ALTER TABLE $cat.t ADD COLUMNS (score DOUBLE)").collect(): Unit
+        Tables.sqlOn(s, "ev_rest" -> t(s, dir, "events")
+            .filter(col("ts") >= "2024-01-16")
+            .withColumn("score", col("value") * 2)) { v =>
+          s"INSERT INTO $cat.t SELECT * FROM ${v("ev_rest")}"
+        }.collect(): Unit
+        require(s.sql(s"SELECT * FROM $cat.t VERSION AS OF 0").columns
+          .toSeq == ev.columns.toSeq,
+          "s35: the pre-evolution snapshot must keep the narrow schema")
+      }
+      val cat = graft.sources.GraftCatalog.register(s,
+        s"graft_ac${math.abs(whDir.hashCode).toString}", whDir)
+      s.sql(
+        s"""SELECT 'latest' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  CAST(sum(CAST(score AS DECIMAL(18,4))) AS DOUBLE) AS score_total
+           |FROM $cat.t GROUP BY event_type
+           |UNION ALL
+           |SELECT 'pre_evo', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE),
+           |  CAST(NULL AS DOUBLE)
+           |FROM $cat.t VERSION AS OF 0 GROUP BY event_type""".stripMargin)
+    },
+    Some("""SELECT 'latest' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           |  CAST(sum(CASE WHEN ts >= '2024-01-16'
+           |    THEN CAST(value * 2 AS DECIMAL(18,4)) END) AS DOUBLE) AS score_total
+           |FROM events GROUP BY event_type
+           |UNION ALL
+           |SELECT 'pre_evo', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE),
+           |  CAST(NULL AS DOUBLE)
+           |FROM events WHERE ts < '2024-01-16' GROUP BY event_type""".stripMargin),
+    doc = "ALTER TABLE ADD COLUMNS as SQL DDL: add-only evolution lands as a published schema-widening snapshot; INSERT + time travel across the boundary hash-gated, old rows null-fill (S35/§2.1).")
+
+  // ---- S36: branch SQL face — db.t.branch_<name> + VERSION AS OF 'branch' ----
+  // Branches get their SQL spelling (Iceberg's suffixed identifier): v0
+  // Scala create (first half) -> branch 'wip' -> SQL `INSERT INTO
+  // graft.t.branch_wip` (rest; v1 on the BRANCH lineage). The builder
+  // asserts isolation BEFORE publication: main's SQL read still holds the
+  // first half while the branch face reads its own head; then fastForward
+  // publishes (v2). Faces hash-gated: main latest (== full), the branch
+  // face, VERSION AS OF 'wip' (ref resolution), and the pre-ff main v0.
+  private val s36 = GQuery(
+    "s36_sql_branch_face",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val whDir = Tables.scratchOnce(dir, "vht_events_sqlbranch",
+          done = p => scala.util.Try(
+            VHT.mainVersions(s, s"$p/t") == Seq(0L, 2L)).getOrElse(false)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        val ev = t(s, dir, "events")
+        val firstN = ev.filter(col("ts") < "2024-01-16").count()
+        VHT.create(s, s"$path/t", ev.filter(col("ts") < "2024-01-16"),
+          Seq(graft.sources.HiddenPartitioning.DayT("ts"))): Unit
+        VHT.createBranch(s, s"$path/t", "wip"): Unit
+        val cat = graft.sources.GraftCatalog.register(s,
+          s"graft_br${math.abs(path.hashCode).toString}", path)
+        Tables.sqlOn(s, "ev_rest" -> ev.filter(col("ts") >= "2024-01-16")) { v =>
+          s"INSERT INTO $cat.t.branch_wip SELECT * FROM ${v("ev_rest")}"
+        }.collect(): Unit
+        // isolation: the branch write is invisible to main until ff
+        require(s.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == firstN,
+          "s36: main must not see branch commits before fast-forward")
+        require(s.sql(s"SELECT count(*) FROM $cat.t.branch_wip")
+          .head().getLong(0) == ev.count(),
+          "s36: the branch face must read its own head")
+        VHT.fastForward(s, s"$path/t", "wip"): Unit
+      }
+      val cat = graft.sources.GraftCatalog.register(s,
+        s"graft_br${math.abs(whDir.hashCode).toString}", whDir)
+      def face(tag: String, from: String) =
+        s"""SELECT '$tag' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+           |FROM $from GROUP BY event_type""".stripMargin
+      s.sql(Seq(face("main", s"$cat.t"),
+        face("branch_face", s"$cat.t.branch_wip"),
+        face("as_of_ref", s"$cat.t VERSION AS OF 'wip'"),
+        face("pre_ff", s"$cat.t VERSION AS OF 0")).mkString("\nUNION ALL\n"))
+    },
+    Some("""SELECT 'main' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+           |FROM events GROUP BY event_type
+           |UNION ALL
+           |SELECT 'branch_face', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           |FROM events GROUP BY event_type
+           |UNION ALL
+           |SELECT 'as_of_ref', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           |FROM events GROUP BY event_type
+           |UNION ALL
+           |SELECT 'pre_ff', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           |FROM events WHERE ts < '2024-01-16' GROUP BY event_type""".stripMargin),
+    doc = "Branch SQL face: db.t.branch_<name> reads/writes the branch lineage, VERSION AS OF resolves branch refs, builder-asserted isolation until fast-forward publishes (S36/§2.1).")
+
+  // ---- S37: SQL maintenance — CALL graft.system.{compact,vacuum,...} --------
+  // Iceberg's stored-procedure surface on Spark 4's DSv2 ProcedureCatalog:
+  // table operations stop needing Scala. History: v0 create (full) -> tag
+  // 'keep0' -> v1 merge-on-read delete (user 3) -> v2 `CALL compact`
+  // (clustered on event_id; builder asserts the mask retired and ONE folded
+  // era) -> `CALL vacuum(keep=1)` (drops only v1: the tag pins v0). Faces
+  // hash-gated: the post-compact latest (content-preserving) and the
+  // tag-pinned v0 that survived SQL-invoked retention.
+  private val s37 = GQuery(
+    "s37_sql_call_maintenance",
+    (s, dir) => {
+      graft.sources.HiddenPartitioning.register(s)
+      val VHT = graft.sources.VersionedHiddenTable
+      val whDir = Tables.scratchOnce(dir, "vht_events_sqlproc",
+          done = p => scala.util.Try(
+            VHT.versions(s, s"$p/t") == Seq(0L, 2L)).getOrElse(false)) { path =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(path), true): Unit
+        val ev = t(s, dir, "events")
+        VHT.create(s, s"$path/t", ev, Nil): Unit
+        VHT.tag(s, s"$path/t", "keep0", 0L)
+        require(VHT.deleteMergeOnRead(s, s"$path/t", col("user_id") === 3L) == 1L)
+        val cat = graft.sources.GraftCatalog.register(s,
+          s"graft_pr${math.abs(path.hashCode).toString}", path)
+        val v = s.sql(s"CALL $cat.system.compact('t', 'event_id', ${1L << 20})")
+          .head().getLong(0)
+        require(v == 2L, s"s37: CALL compact must publish v2, got $v")
+        val meta2 = VHT.snapshotsMeta(s, s"$path/t").filter(col("version") === 2L)
+        require(meta2.select("eras").head().getSeq[String](0).size == 1,
+          "s37: CALL compact must fold to one era")
+        require(meta2.select("dels").head().getSeq[String](0).isEmpty,
+          "s37: CALL compact must retire the merge-on-read mask")
+        val dropped = s.sql(s"CALL $cat.system.vacuum('t', 1)")
+          .collect().map(_.getLong(0)).toSeq
+        require(dropped == Seq(1L),
+          s"s37: CALL vacuum must drop only the untagged v1, got $dropped")
+      }
+      val cat = graft.sources.GraftCatalog.register(s,
+        s"graft_pr${math.abs(whDir.hashCode).toString}", whDir)
+      s.sql(
+        s"""SELECT 'latest' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+           |FROM $cat.t GROUP BY event_type
+           |UNION ALL
+           |SELECT 'tag_pinned', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           |FROM $cat.t VERSION AS OF 'keep0' GROUP BY event_type""".stripMargin)
+    },
+    Some("""SELECT 'latest' AS snapshot, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+           |FROM events WHERE user_id <> 3 GROUP BY event_type
+           |UNION ALL
+           |SELECT 'tag_pinned', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           |FROM events GROUP BY event_type""".stripMargin),
+    doc = "SQL maintenance procedures: CALL compact/vacuum on the DSv2 ProcedureCatalog delegate to the Scala maintenance entry points — compaction content-preserving + mask-retiring, retention tag-pin-respecting, both hash-gated (S37/§2.1).")
+
   override val all: Seq[GQuery] =
-    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, p1, p2, p5, p6, p7, p8, p11, p13, p14,
+    Seq(s2, s4, s5, s6, s8, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, p1, p2, p5, p6, p7, p8, p11, p13, p14,
       j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
       x1, x2, x3, x4, x5, x6, q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
       q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)

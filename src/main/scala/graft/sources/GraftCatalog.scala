@@ -52,10 +52,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * predicate back to a Column and runs the copy-on-write
   * [[VersionedHiddenTable.delete]] — stats-scoped era rewrites, snapshot
   * history intact. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
+
+  /** The warehouse root this catalog maps identifiers under (procedures
+    * resolve their `table` argument against it). */
+  private[sources] def warehouseDir: String = warehouse
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     GraftCatalog.instantiated = true
@@ -87,20 +92,43 @@ class GraftCatalog extends TableCatalog {
       .toArray
   }
 
+  /** `graft.db.t.branch_<name>` -> (table dir, branch name) — Iceberg's
+    * branch-suffixed identifier spelling: the branch part parses as the
+    * identifier's NAME with the table pushed into the namespace. */
+  private def branchTarget(ident: Identifier): Option[(String, String)] =
+    if (!ident.name.startsWith("branch_") || ident.namespace().isEmpty) None
+    else {
+      val b = ident.name.stripPrefix("branch_")
+      val dir = (warehouse +: ident.namespace().toSeq).mkString("/")
+      if (VersionedHiddenTable.versions(spark, dir).nonEmpty &&
+        VersionedHiddenTable.branches(spark, dir).contains(b)) Some((dir, b))
+      else None
+    }
+
   override def loadTable(ident: Identifier): Table = {
-    if (!exists(ident)) throw new NoSuchTableException(ident)
-    new GraftSqlTable(tableDir(ident), ident.toString, None)
+    if (exists(ident))
+      return new GraftSqlTable(tableDir(ident), ident.toString, None)
+    // branch face (Iceberg's spelling): SELECT/INSERT on db.t.branch_<name>
+    branchTarget(ident) match {
+      case Some((dir, b)) =>
+        new GraftSqlTable(dir, ident.toString, None, Some(b))
+      case None => throw new NoSuchTableException(ident)
+    }
   }
 
-  /** `VERSION AS OF <v|'tag'>`: an integer pins the snapshot id, anything
-    * else resolves as a tag name. */
+  /** `VERSION AS OF <v|'tag'|'branch'>`: an integer pins the snapshot id;
+    * a string resolves as a tag first, then as a branch HEAD (a read-only
+    * pin of the branch's current head — Iceberg's `VERSION AS OF 'audit'`
+    * ref resolution order). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
-    val v = version.toLongOption.getOrElse(
-      VersionedHiddenTable.tags(spark, dir).getOrElse(version,
-        throw new IllegalArgumentException(
-          s"$ident: '$version' is neither a snapshot version nor a tag")))
+    val v = version.toLongOption
+      .orElse(VersionedHiddenTable.tags(spark, dir).get(version))
+      .orElse(VersionedHiddenTable.branches(spark, dir).get(version)
+        .map(_ => VersionedHiddenTable.branchHead(spark, dir, version)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$ident: '$version' is neither a snapshot version, a tag, nor a branch"))
     new GraftSqlTable(dir, ident.toString, Some(v))
   }
 
@@ -149,10 +177,45 @@ class GraftCatalog extends TableCatalog {
     new GraftSqlTable(dir, ident.toString, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: schema evolves through evolving appends " +
-        "(VersionedHiddenTable.append with a widened batch), not ALTER TABLE")
+  /** `ALTER TABLE … ADD COLUMNS (…)`: the one schema change the storage
+    * layer's ADD-ONLY evolution contract admits — lands as an evolving
+    * append of a schema-carrying EMPTY era (exactly how `CREATE TABLE`
+    * records its schema), so the widened schema is a published snapshot:
+    * time travel across the boundary works, older snapshots keep the
+    * narrow schema, and narrower historical eras null-fill on read. Every
+    * other change (drop/rename/retype/reorder/nested) refuses loudly —
+    * those would break the null-fill fold that makes old eras readable. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"graft catalog: only top-level ADD COLUMNS is supported, got " +
+            s"nested ${a.fieldNames().mkString(".")}")
+        require(a.isNullable,
+          s"graft catalog: added column ${a.fieldNames().head} must be " +
+            "nullable (existing rows have no value for it)")
+        require(a.position() == null,
+          "graft catalog: ADD COLUMNS positions (FIRST/AFTER) are not " +
+            "supported — columns append at the end (add-only evolution)")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames().head, a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other — schema " +
+          "evolution is ADD-ONLY (ALTER TABLE … ADD COLUMNS, or an " +
+          "evolving append with a widened batch)")
+    }
+    VersionedHiddenTable.evolveSchema(spark, dir, adds): Unit
+    new GraftSqlTable(dir, ident.toString, None)
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!exists(ident)) return false
@@ -215,20 +278,31 @@ object GraftCatalog {
   }
 }
 
-/** One resolved catalog table, possibly version-pinned. Reads never reach
-  * [[newScanBuilder]] — [[GraftCatalogRewrite]] splices the library plan at
-  * analysis time — but the DSv2 write and delete faces are real. */
-class GraftSqlTable(val dir: String, ident: String, val pinned: Option[Long])
+/** One resolved catalog table — possibly version-pinned (`VERSION AS OF`),
+  * possibly a BRANCH face (`db.t.branch_<name>`: reads resolve the branch
+  * head at plan time; INSERT INTO appends to the branch, invisible to main
+  * until fast-forward). Reads never reach [[newScanBuilder]] —
+  * [[GraftCatalogRewrite]] splices the library plan at analysis time — but
+  * the DSv2 write and delete faces are real. */
+class GraftSqlTable(val dir: String, ident: String, val pinned: Option[Long],
+    val branch: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   /** Spark's Table.version (a cache-invalidation token): the pinned
-    * snapshot, or latest marker. */
-  override def version(): String = pinned.fold("latest")(_.toString)
+    * snapshot, the branch HEAD (moves with branch commits), or latest. */
+  override def version(): String = pinned.map(_.toString)
+    .orElse(branch.map(b =>
+      s"$b@${VersionedHiddenTable.branchHead(spark, dir, b)}"))
+    .getOrElse("latest")
 
   private def spark: SparkSession = SparkSession.active
 
   override def name(): String =
     pinned.fold(ident)(v => s"$ident@v$v")
+
+  /** The snapshot a READ of this face means right now. */
+  private def readVersion: Option[Long] = pinned.orElse(
+    branch.map(b => VersionedHiddenTable.branchHead(spark, dir, b)))
 
   override lazy val schema: StructType =
     readPlanSchemaCache
@@ -236,7 +310,7 @@ class GraftSqlTable(val dir: String, ident: String, val pinned: Option[Long])
   // one plan-only read per TABLE instance: analysis may probe schema() many
   // times per statement
   private lazy val readPlanSchemaCache: StructType =
-    VersionedHiddenTable.read(spark, dir, pinned).schema
+    VersionedHiddenTable.read(spark, dir, readVersion).schema
 
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(TableCapability.BATCH_READ)
@@ -248,11 +322,13 @@ class GraftSqlTable(val dir: String, ident: String, val pinned: Option[Long])
     caps
   }
 
-  /** The library read plan this table stands for (analysis-time splice). */
+  /** The library read plan this table stands for (analysis-time splice).
+    * A branch face re-resolves the branch HEAD here, per statement — a
+    * branch read always sees the branch's latest commit. */
   private[graft] def readPlan(spark: SparkSession)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     HiddenPartitioning.register(spark)
-    VersionedHiddenTable.read(spark, dir, pinned).queryExecution.analyzed
+    VersionedHiddenTable.read(spark, dir, readVersion).queryExecution.analyzed
   }
 
   /** Reads are spliced away at analysis time ([[GraftCatalogRewrite]]), but
@@ -293,14 +369,29 @@ class GraftSqlTable(val dir: String, ident: String, val pinned: Option[Long])
                 overwriteMode: Boolean): Unit = {
               val s = data.sparkSession
               HiddenPartitioning.register(s)
-              if (overwrite || overwriteMode)
-                VersionedHiddenTable.overwrite(s, dir, data): Unit
-              else
-                VersionedHiddenTable.append(s, dir, data)() match {
-                  case Right(_) => ()
-                  case Left(violations) => throw new IllegalStateException(
-                    s"WAP audit vetoed INSERT INTO $ident: ${violations.mkString("; ")}")
-                }
+              branch match {
+                case Some(b) =>
+                  // branch writes are WAP appends on the branch lineage —
+                  // invisible to every main surface until fastForward
+                  require(!(overwrite || overwriteMode),
+                    s"INSERT OVERWRITE on branch face $ident is not " +
+                      "supported — append to the branch, or overwrite main " +
+                      "and fast-forward")
+                  VersionedHiddenTable.appendToBranch(s, dir, b, data)() match {
+                    case Right(_) => ()
+                    case Left(violations) => throw new IllegalStateException(
+                      s"WAP audit vetoed INSERT INTO $ident: ${violations.mkString("; ")}")
+                  }
+                case None =>
+                  if (overwrite || overwriteMode)
+                    VersionedHiddenTable.overwrite(s, dir, data): Unit
+                  else
+                    VersionedHiddenTable.append(s, dir, data)() match {
+                      case Right(_) => ()
+                      case Left(violations) => throw new IllegalStateException(
+                        s"WAP audit vetoed INSERT INTO $ident: ${violations.mkString("; ")}")
+                    }
+              }
             }
           }
       }
@@ -314,6 +405,8 @@ class GraftSqlTable(val dir: String, ident: String, val pinned: Option[Long])
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(pinned.isEmpty, s"cannot DELETE from a version-pinned read of $ident")
+    require(branch.isEmpty, s"cannot DELETE from branch face $ident — " +
+      "branch DML is append-only until fast-forward")
     import org.apache.spark.sql.functions.lit
     val cond = filters.toSeq.flatMap(GraftSqlTable.filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))

@@ -61,9 +61,13 @@ case class GraftCatalogRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => splice(plan)
     }
 
-  private def requireUnpinned(t: GraftSqlTable, verb: String): Unit =
+  private def requireUnpinned(t: GraftSqlTable, verb: String): Unit = {
     require(t.pinned.isEmpty,
       s"cannot $verb a version-pinned read of ${t.name()}")
+    require(t.branch.isEmpty,
+      s"cannot $verb branch face ${t.name()} — branch DML is append-only " +
+        "until fast-forward")
+  }
 
   private def splice(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
@@ -72,6 +76,29 @@ case class GraftCatalogRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Project(r.output.zip(read.output).map { case (to, from) =>
           Alias(from, to.name)(exprId = to.exprId)
         }, read)
+      // `spark.readStream.table("graft.db.t")` — the catalog-addressed
+      // STREAMING read resolves to the changelog source (st9's machinery):
+      // a streaming read of a graft table IS its CDC feed (source columns
+      // + _change_type/_commit_version), documented loudly on
+      // ChangelogStream. The V2 relation is replaced whole — downstream
+      // expressions resolve against the spliced CDC schema on the next
+      // fixed-point iteration, so meta columns are selectable — and reader
+      // options (startingVersion, maxVersionsPerTrigger) ride through to
+      // the source. Without this splice the relation reaches
+      // MicroBatchExecution, which finds no MICRO_BATCH_READ capability.
+      case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if s.table.isInstanceOf[GraftSqlTable] =>
+        val t = s.table.asInstanceOf[GraftSqlTable]
+        require(t.pinned.isEmpty,
+          s"cannot stream a version-pinned read of ${t.name()}")
+        require(t.branch.isEmpty,
+          s"cannot stream branch face ${t.name()} — the changelog is a " +
+            "main-lineage contract; stream the table after fast-forward")
+        val reader = spark.readStream
+          .format(graft.streaming.ChangelogStream.FormatName)
+        for (k <- Seq("startingVersion", "maxVersionsPerTrigger"))
+          Option(s.extraOptions.get(k)).foreach(v => reader.option(k, v))
+        reader.load(t.dir).queryExecution.analyzed
     }
 
   private def spliceSubqueries(e: Expression): Expression = e.transform {

@@ -850,12 +850,57 @@ object VersionedHiddenTable {
       stageSnapshot(spark, tableDir, Seq(era), None, "overwrite", Some(vs.max)))
   }
 
-  /** The current spec = the spec of the snapshot's highest-numbered era. */
+  /** Marker naming an era as SCHEMA-ONLY ([[evolveSchema]]): it carries the
+    * widened schema in one empty unpartitioned file and must never win
+    * [[currentSpec]] — the layout keeps deriving from the newest DATA era.
+    * ('_'-prefixed without '=', so scans filter it like _SUCCESS.) */
+  private val SchemaOnlyMarker = "_SCHEMA_ONLY"
+
+  /** The current spec = the spec of the snapshot's highest-numbered era,
+    * skipping schema-only evolution markers (whose unpartitioned empty era
+    * would otherwise silently RESET a partitioned table's layout). */
   private def currentSpec(spark: SparkSession, tableDir: String,
       eras: Seq[String]): Seq[Transform] = {
-    val top = eras.maxBy(_.stripPrefix("era-").toInt)
+    val (fs, _) = fsFor(spark, tableDir)
+    val dataEras = eras.filterNot(e =>
+      fs.exists(new Path(eraPath(tableDir, e), SchemaOnlyMarker)))
+    val top = (if (dataEras.nonEmpty) dataEras else eras)
+      .maxBy(_.stripPrefix("era-").toInt)
     HiddenPartitioning.spec(spark, eraPath(tableDir, top)).getOrElse(
       throw new IllegalStateException(s"era $top under $tableDir has no spec file"))
+  }
+
+  /** ADD-ONLY schema evolution as a PUBLISHED snapshot — the storage face
+    * behind `ALTER TABLE … ADD COLUMNS`: the widened schema lands as one
+    * schema-carrying EMPTY era (unpartitioned on purpose — an empty
+    * partitioned write lands no files, so the evolution would vanish from
+    * the canonical-schema fold), tagged [[SchemaOnlyMarker]] so the
+    * table's partition spec keeps deriving from the newest DATA era.
+    * Existing rows null-fill the new columns; older snapshots keep the
+    * narrow schema; type conflicts and duplicates refuse loudly. Returns
+    * the published version. */
+  def evolveSchema(spark: SparkSession, tableDir: String,
+      adds: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(adds.nonEmpty, "ADD COLUMNS needs at least one column")
+    HiddenPartitioning.register(spark)
+    val vs = mainVersions(spark, tableDir)
+    require(vs.nonEmpty, s"no snapshots under $tableDir")
+    val (eras, dels) = snapshot(spark, tableDir, vs.max)
+    val canonical = canonicalSchema(spark, tableDir, eras)
+    val dup = adds.map(_.name)
+      .filter(n => canonical.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(dup.isEmpty, s"column(s) already exist: ${dup.mkString(", ")}")
+    val widened = org.apache.spark.sql.types.StructType(
+      canonical.fields ++ adds.map(_.copy(nullable = true)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+      .repartition(1)
+    val era = writeEra(spark, tableDir, empty, Nil)
+    val (fs, _) = fsFor(spark, tableDir)
+    fs.create(new Path(eraPath(tableDir, era), SchemaOnlyMarker), true).close()
+    publish(spark, tableDir,
+      stageSnapshotDels(spark, tableDir, eras :+ era, dels, None,
+        "evolve-schema", Some(vs.max)))
   }
 
   /** WAP append under the snapshot's current spec: new era staged as data,
@@ -1988,11 +2033,12 @@ object VersionedHiddenTable {
     val rows = versions(spark, tableDir).map { v =>
       val batches = ls(fs, new Path(s"$tableDir/v=$v")).map(_.getPath.getName)
         .collect { case n if n.startsWith("_batch-") => n.stripPrefix("_batch-") }
-      (v, snapshotEras(spark, tableDir, v), batches, snapshotOp(spark, tableDir, v))
+      (v, snapshotEras(spark, tableDir, v), batches, snapshotOp(spark, tableDir, v),
+        snapshot(spark, tableDir, v)._2.map(_.dir))
     }
     val spark2 = spark
     import spark2.implicits._
-    rows.toDF("version", "eras", "batch_ids", "op")
+    rows.toDF("version", "eras", "batch_ids", "op", "dels")
   }
 
   /** Batch ids of all PUBLISHED snapshots — the replay-idempotency test for

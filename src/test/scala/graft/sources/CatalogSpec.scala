@@ -174,8 +174,12 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     VersionedHiddenTable.create(spark, s"$wh/db/b", events.limit(10), Nil): Unit
     assert(canon(spark.sql(s"SHOW TABLES IN $cat.db").select("tableName")) ==
       Seq("[a]", "[b]"))
+    // non-ADD changes break the add-only null-fill fold and refuse loudly
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.db.a ADD COLUMNS (z INT)").collect()
+      spark.sql(s"ALTER TABLE $cat.db.a DROP COLUMN value").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.a RENAME COLUMN value TO v2").collect()
     }
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.a").head().getLong(0) == 10L)
     spark.sql(s"DROP TABLE $cat.db.a").collect(): Unit
@@ -183,6 +187,107 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(new Path(s"$wh/db/a")), "DROP TABLE must delete the dir")
     assert(canon(spark.sql(s"SHOW TABLES IN $cat.db").select("tableName")) ==
       Seq("[b]"))
+  }
+
+  test("ALTER TABLE ADD COLUMNS: SQL schema evolution, time travel across the boundary") {
+    val (cat, wh) = freshCatalog("addcol")
+    val ev = events
+    val t = s"$wh/db/t"
+    VersionedHiddenTable.create(spark, t, ev.filter(col("user_id") < 8),
+      Seq(HiddenPartitioning.DayT("ts"))): Unit
+    spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMNS (score DOUBLE, note STRING)")
+      .collect(): Unit
+    assert(VersionedHiddenTable.mainVersions(spark, t) == Seq(0L, 1L),
+      "the evolution is a published snapshot")
+    // widened schema visible; old rows null-fill
+    val widened = spark.sql(s"SELECT * FROM $cat.db.t")
+    assert(widened.columns.takeRight(2).toSeq == Seq("score", "note"))
+    assert(widened.filter(col("score").isNotNull).count() == 0)
+    // INSERT with the widened schema, then read both sides of the boundary
+    ev.filter(col("user_id") >= 8)
+      .withColumn("score", col("value") * 2)
+      .withColumn("note", lit("new")).createOrReplaceTempView("addcol_rest")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM addcol_rest").collect(): Unit
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t WHERE note = 'new'")
+      .head().getLong(0) == ev.filter(col("user_id") >= 8).count())
+    assert(spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF 0").columns
+      .toSeq == ev.columns.toSeq,
+      "pre-evolution snapshots keep the narrow schema")
+    // duplicate column refuses
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMNS (score DOUBLE)").collect()
+    }
+  }
+
+  test("branch SQL face: db.t.branch_<name> reads/writes; VERSION AS OF branch; main isolated") {
+    val (cat, wh) = freshCatalog("branch")
+    val ev = events
+    val t = s"$wh/db/t"
+    VersionedHiddenTable.create(spark, t, ev.filter(col("user_id") < 8),
+      Seq(HiddenPartitioning.DayT("ts"))): Unit
+    VersionedHiddenTable.createBranch(spark, t, "wip"): Unit
+    // SQL branch read == Scala branchHead read
+    assert(canon(spark.sql(s"SELECT * FROM $cat.db.t.branch_wip")) ==
+      canon(VersionedHiddenTable.readBranch(spark, t, "wip")))
+    // SQL write to the branch leaves main's SQL read unchanged
+    ev.filter(col("user_id") >= 8).createOrReplaceTempView("branch_rest")
+    spark.sql(s"INSERT INTO $cat.db.t.branch_wip SELECT * FROM branch_rest")
+      .collect(): Unit
+    assert(canon(spark.sql(s"SELECT * FROM $cat.db.t")) ==
+      canon(ev.filter(col("user_id") < 8)),
+      "main must not see branch commits")
+    assert(canon(spark.sql(s"SELECT * FROM $cat.db.t.branch_wip")) == canon(ev),
+      "the branch face reads its own head")
+    // VERSION AS OF '<branch>' resolves the branch head read-only
+    assert(canon(spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF 'wip'")) ==
+      canon(ev))
+    // branch faces refuse OVERWRITE and DML
+    intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE $cat.db.t.branch_wip SELECT * FROM branch_rest").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.db.t.branch_wip WHERE user_id < 3").collect()
+    }
+    // after fast-forward, main's SQL read picks the branch content up
+    VersionedHiddenTable.fastForward(spark, t, "wip"): Unit
+    assert(canon(spark.sql(s"SELECT * FROM $cat.db.t")) == canon(ev),
+      "fast-forward publishes the branch content to main")
+  }
+
+  test("CALL procedures: compact preserves content and reduces files; retention; maintain") {
+    val (cat, wh) = freshCatalog("proc")
+    val ev = events
+    val t = s"$wh/db/t"
+    VersionedHiddenTable.create(spark, t, ev.filter(col("ts") < "2024-01-16"), Nil): Unit
+    assert(VersionedHiddenTable.append(spark, t,
+      ev.filter(col("ts") >= "2024-01-16"))().isRight)
+    assert(VersionedHiddenTable.deleteMergeOnRead(spark, t, col("user_id") === 3L) == 2L)
+    val before = canon(spark.sql(s"SELECT * FROM $cat.db.t"))
+    val scanBefore = scannedFiles(spark.sql(s"SELECT * FROM $cat.db.t"))
+    // SQL-invoked clustered compaction: content hash unchanged, one era,
+    // mask retired, and a key-range read prunes files afterwards
+    val v = spark.sql(
+      s"CALL $cat.system.compact('db.t', 'event_id', ${1L << 10})")
+      .head().getLong(0)
+    assert(v == 3L, "compaction publishes a snapshot and returns its version")
+    assert(canon(spark.sql(s"SELECT * FROM $cat.db.t")) == before,
+      "compaction must not change a row")
+    val total = scannedFiles(spark.sql(s"SELECT * FROM $cat.db.t"))
+    val narrow = scannedFiles(spark.sql(
+      s"SELECT * FROM $cat.db.t WHERE event_id BETWEEN 10 AND 20"))
+    assert(narrow * 2 < total,
+      s"clustered CALL compact must enable file skipping: $narrow of $total")
+    // tag v0, then CALL vacuum: the tag pin survives, untagged history goes
+    VersionedHiddenTable.tag(spark, t, "keep0", 0L)
+    val dropped = spark.sql(s"CALL $cat.system.vacuum('db.t', 1)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(dropped == Seq(1L, 2L), s"vacuum drops untagged history: $dropped")
+    assert(canon(spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF 'keep0'")) ==
+      canon(ev.filter(col("ts") < "2024-01-16")), "the tag pin survives CALL vacuum")
+    // maintain on the now-tidy table: no compaction, nothing dropped
+    val r = spark.sql(s"CALL $cat.system.maintain('db.t')").head()
+    assert(!r.getBoolean(2), "a tidy table must not re-compact")
+    assert(canon(spark.sql(s"SELECT * FROM $cat.db.t")) == before)
   }
 
   test("CREATE TABLE (bare + PARTITIONED BY + CTAS): SQL DDL reaches the storage layer") {

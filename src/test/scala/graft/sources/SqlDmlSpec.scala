@@ -93,6 +93,24 @@ class SqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"correlated DML subqueries must refuse loudly: $boom")
   }
 
+  test("SQL UPDATE is group-based: day-scoped predicate carries untouched eras by reference") {
+    val (cat, sqlT, _) = twin("updscope")
+    def eras(v: Long): Set[String] = VersionedHiddenTable
+      .snapshotsMeta(spark, sqlT).filter(col("version") === v)
+      .select("eras").head().getSeq[String](0).toSet
+    // twin history = v0 era (ts < Jan 16) + v1 era (rest); a day-scoped
+    // UPDATE can only match the first era, so the second must survive in
+    // the new snapshot UNREWRITTEN — the stats/pruning-scoped probe, not a
+    // full-table rewrite (what makes SQL UPDATE one bounded write at 100 TB)
+    spark.sql(s"UPDATE $cat.db.sql_t SET value = value + 1 " +
+      "WHERE ts < '2024-01-16' AND event_type = 'click'").collect(): Unit
+    val carried = eras(2L).intersect(eras(1L))
+    assert(carried.nonEmpty,
+      s"the unmatched era must carry by reference: v1=${eras(1L)} v2=${eras(2L)}")
+    assert((eras(2L) -- eras(1L)).size == 1,
+      "exactly the one era that can match is rewritten")
+  }
+
   test("SQL MERGE INTO upsert == Scala merge (one mask + one era, one snapshot)") {
     val (cat, sqlT, apiT) = twin("mrg")
     val src = events.filter(col("event_id") < 100)
