@@ -555,12 +555,51 @@ object HiddenPartitioning {
     }
   }
 
+  // Base-frame cache for IMMUTABLE directories (eras and delete masks are
+  // never rewritten once a snapshot references them — the storage layer's
+  // core discipline): `spark.read.parquet(dir)` pays a file listing plus a
+  // footer schema read PER CALL, and a multi-step changelog plan constructs
+  // dozens of such frames over the SAME handful of directories — measured
+  // at ~1.4 s of pure plan time per changelog step before this cache
+  // (the i11 round-12/13 cost regression). A hit is honored only while the
+  // directory's (mtime, length) fingerprint is unchanged — one FileSystem
+  // metadata call — so a dropped-and-recreated table at the same path
+  // (scratch rebuilds, tests) can never be served a stale listing. Keyed
+  // weakly per session: frames hold session state and must not leak across
+  // session lifetimes.
+  private val frameCaches = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]]())
+
+  /** [[org.apache.spark.sql.SparkSession.read]].parquet for an IMMUTABLE
+    * directory, fingerprint-cached per session. Callers must only pass
+    * era/delete directories (immutable once published); a mutable path
+    * would be served its creation-time listing. */
+  private[sources] def readImmutableParquet(spark: SparkSession,
+      path: String): DataFrame = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val q = fs.makeQualified(hp).toString
+    val st = fs.getFileStatus(hp)
+    val fp = s"${st.getModificationTime}|${st.getLen}"
+    val m = frameCaches.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]())
+    val hit = m.get(q)
+    if (hit != null && hit._1 == fp) hit._2
+    else {
+      val df = spark.read.parquet(path)
+      if (m.size >= 4096) m.clear()
+      m.put(q, (fp, df))
+      df
+    }
+  }
+
   /** One era's frame: source columns only — the derived partition columns
     * are physical layout, not schema. */
   private[sources] def readEra(spark: SparkSession, path: String): DataFrame = {
     val ts = spec(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no $SpecFile under $path"))
-    spark.read.parquet(path).drop(ts.map(_.partCol): _*)
+    readImmutableParquet(spark, path).drop(ts.map(_.partCol): _*)
   }
 
   /** The user-facing read: source columns only, all eras unioned. Filters

@@ -402,7 +402,7 @@ object VersionedHiddenTable {
     if (hit != null) hit
     else {
       import org.apache.spark.sql.functions.col
-      val rows = spark.read.parquet(delDir).select(col(GFile))
+      val rows = HiddenPartitioning.readImmutableParquet(spark, delDir).select(col(GFile))
         .distinct().limit(1025).collect()
       val res = if (rows.length > 1024) None
         else Some(rows.map(_.getString(0)).toSeq.sorted)
@@ -437,7 +437,7 @@ object VersionedHiddenTable {
       val mine = touchedPaths(spark, delDir).map(_.filter(_.startsWith(eraPrefix)))
       if (mine.exists(_.isEmpty)) acc // mask provably touches no file of this era
       else {
-        val delDf = spark.read.parquet(delDir).select(fc(GFile), fc(GPos))
+        val delDf = HiddenPartitioning.readImmutableParquet(spark, delDir).select(fc(GFile), fc(GPos))
         val keys = if (delBytes(spark, delDir) <= deleteBroadcastMax(spark))
           broadcast(delDf) else delDf
         def cond(left: DataFrame) =
@@ -659,7 +659,7 @@ object VersionedHiddenTable {
     dels.filter(d => d.kind == "eq" && d.over.contains(e)).foldLeft(base) { (acc, d) =>
       import org.apache.spark.sql.functions.{col => fc}
       val delDir = s"$tableDir/data/${d.dir}"
-      val delDf = spark.read.parquet(delDir)
+      val delDf = HiddenPartitioning.readImmutableParquet(spark, delDir)
       val on = if (d.cols.nonEmpty) d.cols else delDf.columns.toSeq
       val bounds = maskBounds(spark, delDir, on, base.schema)
       val frac = disjointFileFraction(spark, tableDir, e, bounds)
@@ -1505,7 +1505,7 @@ object VersionedHiddenTable {
               else Some(PricedDel(dl, delDir, Seq(GFile, GPos), Nil, 0.0, mine))
             } else {
               val on = if (dl.cols.nonEmpty) dl.cols
-                else spark.read.parquet(delDir).columns.toSeq
+                else HiddenPartitioning.readImmutableParquet(spark, delDir).columns.toSeq
               val bounds = maskBounds(spark, delDir, on, canonical)
               val frac = disjointFileFraction(spark, tableDir, e, bounds)
               if (frac >= 1.0) None
@@ -1523,7 +1523,7 @@ object VersionedHiddenTable {
             val (_, parts) = priced.foldLeft((vis, Seq.empty[DataFrame])) {
               case ((remaining, acc), p) =>
                 import org.apache.spark.sql.functions.{col => fc, not}
-                val keys = spark.read.parquet(p.delDir).select(p.on.map(col): _*)
+                val keys = HiddenPartitioning.readImmutableParquet(spark, p.delDir).select(p.on.map(col): _*)
                 // same broadcast ceiling as the read path's applyDels
                 val d = if (delBytes(spark, p.delDir) <= deleteBroadcastMax(spark))
                   broadcast(keys) else keys
