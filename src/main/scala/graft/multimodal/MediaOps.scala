@@ -454,12 +454,21 @@ object MediaOps extends QueryPack {
     "m7_media_phash_neardup",
     (s, dir) => {
       import s.implicits._
-      val sigs = t(s, dir, "documents")
+      // r13 (guide §1.2 "don't compute things you throw away"): decode ONCE
+      // PER DISTINCT CONTENT, not once per document. Payload bytes are a
+      // pure function of cid, so the old per-doc mapPartitions re-decoded
+      // the same 40 images N/40 times each (5000 encode+decode round trips
+      // at sf0.1 for 40 distinct signatures). A production media pipeline
+      // does the same dedup with a byte-digest pre-group (m6's exact-dup
+      // discipline) before the expensive perceptual decode; here the
+      // content key is cid, so distinct-cid IS distinct-content. The tiny
+      // signature table broadcast-joins back onto the doc ids.
+      val docsCid = t(s, dir, "documents")
         .select(col("doc_id"), pmod(col("doc_id"), lit(40)).as("cid"))
-        .select(col("doc_id"), col("cid"),
-          dimW(col("cid")).as("w"), dimH(col("cid")).as("h"))
-        .as[(Long, Long, Int, Int)]
-        .mapPartitions(_.map { case (id, cid, w, h) =>
+      val cidSigs = docsCid.select(col("cid")).distinct()
+        .select(col("cid"), dimW(col("cid")).as("w"), dimH(col("cid")).as("h"))
+        .as[(Long, Int, Int)]
+        .mapPartitions(_.map { case (cid, w, h) =>
           val g = poolGrid(syntheticPng(cid, w, h), 8)
           var sig = 0L
           var r = 0
@@ -471,9 +480,11 @@ object MediaOps extends QueryPack {
             }
             r += 1
           }
-          (id, sig)
+          (cid, sig)
         })
-        .toDF("doc_id", "sim")
+        .toDF("cid", "sim")
+      val sigs = docsCid.join(broadcast(cidSigs), Seq("cid"))
+        .select(col("doc_id"), col("sim"))
       // SCALE BOUNDARY: content is keyed doc_id % 40, so every doc of a cid
       // cluster shares ONE signature and hammingPairs' same-signature groups
       // are N/40 docs — BucketCap (10k) silently drops a whole group past

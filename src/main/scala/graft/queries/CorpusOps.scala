@@ -431,21 +431,36 @@ object CorpusOps extends QueryPack {
     * order-insensitive (ln() can differ in the last ulp across engines —
     * 12 fractional digits is far above that noise, far below the signal). */
   private[queries] def bigramLogProb(docs: DataFrame): DataFrame = {
-      val wArr = split(col("text"), " ")
-      val bgExpr = when(size(wArr) >= 2,
-        transform(sequence(lit(1), size(wArr) - 1),
-          i => concat_ws(" ", element_at(wArr, i), element_at(wArr, i + 1))))
-        .otherwise(array().cast("array<string>"))
+      // r13 (guide §2.3/§2.4): two structural cuts vs the string-keyed form.
+      // (1) Words are xxhash64'd ONCE into an array and each bigram key
+      //     combines two array loads (the d2/d3 hashedShingles trick —
+      //     building "w1 w2" strings re-evaluates split() per element and
+      //     shuffles strings where two longs do); counts are unchanged
+      //     because equal bigrams hash equal (the same collision exposure
+      //     d2/d3 already accept).
+      // (2) The prefix counts DERIVE from the distinct-bigram counts:
+      //     c_pre(w1) = sum of c_bg over bigrams starting with w1, so the
+      //     second corpus-wide aggregate and the second corpus-wide join of
+      //     the old form collapse into vocabulary-sized work. The stream is
+      //     aggregated once (by (hb, hw)) and joined once (on hb).
       val bg = docs
-        .select(col("doc_id"), explode(bgExpr).as("bg"))
-        .select(col("doc_id"),
-          xxhash64(col("bg")).as("hb"),
-          xxhash64(element_at(split(col("bg"), " "), 1)).as("hw"))
-        .cache()
-      val cbg = bg.groupBy(col("hb")).agg(count(lit(1)).as("c_bg"))
-      val cpre = bg.groupBy(col("hw")).agg(count(lit(1)).as("c_pre"))
-      bg.join(cbg, Seq("hb")).join(cpre, Seq("hw"))
-        .withColumn("lp", (log(col("c_bg")) - log(col("c_pre"))).cast("decimal(28,12)"))
+        .select(col("doc_id"), expr("transform(split(text, ' '), x -> xxhash64(x))").as("hw"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(hw) >= 2 THEN transform(sequence(1, size(hw) - 1),
+            |  i -> struct(xxhash64(hw[i-1], hw[i]) AS hb, hw[i-1] AS hw1))
+            |ELSE cast(array() AS array<struct<hb:bigint,hw1:bigint>>) END""".stripMargin))
+          .as("e"))
+        .select(col("doc_id"), col("e.hb").as("hb"), col("e.hw1").as("hw"))
+        .cache() // two consumers (count + scoring join); 3 longs/row
+      // one corpus-wide aggregate: occurrence count per distinct bigram
+      // (hw rides in the key — it is determined by hb, so cardinality is
+      // unchanged and no second pass is needed to recover the prefix)
+      val cbg = bg.groupBy(col("hb"), col("hw")).agg(count(lit(1)).as("c_bg"))
+      val cpre = cbg.groupBy(col("hw")).agg(sum(col("c_bg")).as("c_pre"))
+      val lp = cbg.join(cpre, Seq("hw"))
+        .select(col("hb"),
+          (log(col("c_bg")) - log(col("c_pre"))).cast("decimal(28,12)").as("lp"))
+      bg.join(lp, Seq("hb"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           sum(col("lp")).cast("double").as("logprob_sum"))

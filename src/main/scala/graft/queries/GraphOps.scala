@@ -458,28 +458,37 @@ object GraphOps extends QueryPack {
   // traversal belongs on that path.
   private val g6 = GQuery(
     "g6_recursive_cte_reach",
-    (s, dir) =>
-      graft.core.Tables.sqlOn(s, "events" -> t(s, dir, "events")) { v =>
+    (s, dir) => {
+      // The edge CTE is MATERIALIZED before the recursion (r13, guide §2.4):
+      // UnionLoop re-executes the recursive step's whole subtree every
+      // iteration, so an `edges` CTE spelled inside the recursive SQL paid
+      // the full events scan + per-user window + DISTINCT once per hop (the
+      // before-plan shows the Window/Aggregate subtree under the loop body —
+      // 4 redundant corpus passes for 3 hops). Deriving the identical edge
+      // list as a DataFrame (same lead-window + null/<>/k<20 filters, same
+      // null semantics) and cutting it turns each iteration into a join
+      // against a ~100-row local relation; the recursion itself still runs
+      // through Spark's UnionLoop — the semantics pin is unchanged.
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(get_json_object(props, '$.k') AS INT)").as("k"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = graft.core.Lineage.cut(
+        ev.withColumn("nk", lead(col("k"), 1).over(w))
+          .filter(col("nk").isNotNull && col("nk") =!= col("k") &&
+            col("k") < 20 && col("nk") < 20)
+          .select(col("k").cast("bigint").as("src"), col("nk").cast("bigint").as("dst"))
+          .distinct())
+      graft.core.Tables.sqlOn(s, "edges" -> edges) { v =>
         s"""WITH RECURSIVE
-        |ev AS (
-        |  SELECT user_id, ts, event_id,
-        |    CAST(get_json_object(props, '$$.k') AS INT) AS k
-        |  FROM ${v("events")}),
-        |seq AS (
-        |  SELECT k, lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
-        |  FROM ev),
-        |edges AS (
-        |  SELECT DISTINCT CAST(k AS BIGINT) AS src, CAST(nk AS BIGINT) AS dst
-        |  FROM seq WHERE nk IS NOT NULL AND nk <> k
-        |    AND k < 20 AND nk < 20),
         |reach(node, d) AS (
-        |  SELECT DISTINCT src AS node, 0 AS d FROM edges WHERE src < 3
+        |  SELECT DISTINCT src AS node, 0 AS d FROM ${v("edges")} WHERE src < 3
         |  UNION ALL
         |  SELECT e.dst, r.d + 1
-        |  FROM reach r JOIN edges e ON e.src = r.node
+        |  FROM reach r JOIN ${v("edges")} e ON e.src = r.node
         |  WHERE r.d < 3)
         |SELECT node AS k, min(d) AS dist FROM reach GROUP BY node""".stripMargin
-      },
+      }
+    },
     Some("""WITH RECURSIVE
            |ev AS (
            |  SELECT user_id, ts, event_id,

@@ -479,24 +479,41 @@ object TextOps extends QueryPack {
     // per-slot cost is generated code, not an interpreted nested lambda
     // (which measured ~210 ns/slot and dominated the query; the 15M
     // candidate slots are the irreducible banding-verify work, interpreting
-    // them was not). Only surviving signature pairs — a few thousand —
-    // reach the doc cross-product lambda and the dedup shuffle.
+    // them was not).
+    // r13 (guide §2.3 "shuffle keys and metadata instead of payloads"): the
+    // bucket entries carry ONLY (sim, is_exact) — the member doc lists ride
+    // neither the bucket collect_list nor the pair explode. A surviving
+    // signature pair is found once per shared bucket (up to 3 chunks x the
+    // probe multiplicity), so deduplication happens at the SIGNATURE-pair
+    // level (a few thousand 2-long rows) BEFORE the doc cross-product
+    // expands; the old form exploded the doc product per duplicate bucket
+    // hit and then distinct'd the expanded stream — on m7's 125-doc
+    // signature groups that was ~2 s of redundant struct traffic. Doc lists
+    // partition the corpus across signatures, so expanding each distinct
+    // signature pair exactly once emits each doc pair exactly once — no
+    // post-expansion distinct needed.
     // b = -1 is the exact entry; b in [0, 20) are the single-bit probe flips
-    val cross = sigBucketEntries(groups).groupBy(col("u"), col("key"))
-      .agg(collect_list(
-        struct(col("sim"), col("docs"), col("is_exact"))).as("ds"))
+    // (docs is not referenced below, so Catalyst prunes it out of the
+    // bucket shuffle — only sim/is_exact/u/key cross the exchange)
+    val sigPairs = sigBucketEntries(groups)
+      .groupBy(col("u"), col("key"))
+      .agg(collect_list(struct(col("sim"), col("is_exact"))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= cap)
       .select(col("ds"), explode(expr("filter(ds, x -> x.is_exact)")).as("e"))
       .select(explode(col("ds")).as("p"), col("e"))
       .filter(expr(s"p.sim < e.sim AND bit_count(p.sim ^ e.sim) <= $maxDist"))
+      .select(col("p.sim").as("sim_a"), col("e.sim").as("sim_b"))
+      .distinct()
+    val cross = sigPairs
+      .join(groups.select(col("sim").as("sim_a"), col("docs").as("da")), Seq("sim_a"))
+      .join(groups.select(col("sim").as("sim_b"), col("docs").as("db")), Seq("sim_b"))
       .select(explode(expr(
-        """flatten(transform(p.docs, a ->
-          |  transform(e.docs, b ->
+        """flatten(transform(da, a ->
+          |  transform(db, b ->
           |    struct(least(a, b) as doc_a, greatest(a, b) as doc_b))))""".stripMargin)).as("c"),
-        expr(s"bit_count(p.sim ^ e.sim)").as("dist"))
+        expr(s"bit_count(sim_a ^ sim_b)").as("dist"))
       .select(col("c.doc_a").as("doc_a"), col("c.doc_b").as("doc_b"),
         col("dist"))
-      .distinct()
     intra.union(cross)
   }
 

@@ -1576,7 +1576,29 @@ object VersionedHiddenTable {
           case (Some(g), None)       => tag(g, "delete")
           case (None, Some(bn))      => tag(bn, "insert")
           case (Some(g), Some(bn))   =>
-            tag(bn.exceptAll(g), "insert").unionByName(tag(g.exceptAll(bn), "delete"))
+            // r13 (guide §2.4): ONE signed aggregation replaces the
+            // exceptAll PAIR. Catalyst rewrites each exceptAll into
+            // union + count-aggregate + replicate (RewriteExceptAll), so
+            // spelling the both-directions diff as two exceptAlls paid the
+            // full-width exchange of BOTH era frames twice. Summing +1/-1
+            // weights once and splitting on the sign is the identical
+            // multiset difference (net > 0 ⇒ that many inserts, net < 0 ⇒
+            // that many deletes, rows with equal multiplicity vanish) for
+            // half the shuffle — on a CoW-update step this is the dominant
+            // cost of the whole feed.
+            import org.apache.spark.sql.functions.{explode, expr, when}
+            val cols = bn.columns.toSeq
+            val net = bn.withColumn("_w", lit(1L))
+              .unionByName(g.withColumn("_w", lit(-1L)))
+              .groupBy(cols.map(col): _*)
+              .agg(org.apache.spark.sql.functions.sum(col("_w")).as("_net"))
+              .filter(col("_net") =!= 0L)
+            net.select(cols.map(col) ++ Seq(
+                explode(expr("sequence(1L, abs(_net))")).as("_rep"),
+                when(col("_net") > 0, lit("insert")).otherwise(lit("delete"))
+                  .as("_change_type"),
+                lit(b).as("_commit_version")): _*)
+              .drop("_rep")
         }
     }.toSeq
     (empty +: steps).reduce(_.unionByName(_))
