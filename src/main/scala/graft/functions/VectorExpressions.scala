@@ -275,6 +275,7 @@ object GraftFunctions {
     "graft_ql2" -> binary("graft_ql2", QL2Distance),
     "graft_qnorm2" -> unary("graft_qnorm2", QNorm2),
     "graft_qmatmul" -> binary("graft_qmatmul", QMatVec),
+    "graft_minhash" -> binary("graft_minhash", MinHashSignature),
     "graft_nfc" -> unary("graft_nfc", NfcNormalize),
     "graft_nfkc" -> unary("graft_nfkc", NfkcNormalize),
     "graft_strip_accents" -> unary("graft_strip_accents", StripAccents))
@@ -313,6 +314,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_dot" -> classOf[DotProduct], "graft_cosine" -> classOf[CosineSimilarity],
       "graft_qdot" -> classOf[QDotProduct], "graft_ql2" -> classOf[QL2Distance],
       "graft_qnorm2" -> classOf[QNorm2], "graft_qmatmul" -> classOf[QMatVec],
+      "graft_minhash" -> classOf[MinHashSignature],
       "graft_nfc" -> classOf[NfcNormalize], "graft_nfkc" -> classOf[NfkcNormalize],
       "graft_strip_accents" -> classOf[StripAccents])
     GraftFunctions.fns.foreach { case (name, builder) =>

@@ -303,24 +303,34 @@ object TextOps extends QueryPack {
     * already accepts, ~1e-9 at fixture vocabulary sizes). */
   private[queries] def minhashPairs(docs: DataFrame, threshold: Double,
       dfCap: Long): DataFrame = {
-    // capped postings feed three consumers (heavy set, signatures, verify
-    // arrays) — cache the one narrow exploded scan
+    graft.functions.GraftFunctions.register(docs.sparkSession) // graft_minhash
+    // capped postings feed two consumers (heavy set, per-doc arrays) —
+    // cache the one narrow exploded scan
     val ex0 = hashedShingles(docs).cache()
     val heavy = ex0.groupBy(col("hv")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
     val exF = ex0.join(broadcast(heavy), Seq("hv"), "left_anti")
+    // the per-doc sorted shingle arrays feed THREE consumers (signature
+    // fold + both verify sides) — cache the doc-sized frame
     val sh = exF.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("hv"))).as("shingles"))
-    val ex = exF.withColumn("hv", pmod(col("hv"), lit(P)))
-    // 128 universal hashes from one base hash; min per doc = signature.
-    val minCols = (0 until NumHashes).map(i =>
-      min((lit(hashA(i)) * col("hv") + lit(hashB(i))) % lit(P)).as(s"m$i"))
-    val sig = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .cache()
+    // 128 universal hashes, folded per DOCUMENT by the graft_minhash kernel
+    // over the array the verify stage materializes anyway (r13, guide §1.2):
+    // the previous 128-column min AGGREGATE evaluated 128 expressions and
+    // updated 128 hash-aggregate slots per POSTING ROW and paid its own
+    // doc-keyed exchange — measured ~1.2-1.8 s of the sf0.1 query, the
+    // single heaviest stage. Arithmetic and results are bit-identical
+    // (see MinHashSignature's doc); the bands below hash the same values.
+    val abConst = typedLit((0 until NumHashes).flatMap(i => Seq(hashA(i), hashB(i))))
+    val sig = sh.select(col("doc_id"),
+      call_function("graft_minhash", col("shingles"), abConst).as("ms"))
     // Band signatures: hash of each 4-row slice; explode to (band, bandHash),
     // then bucket-group and emit pairwise combos — no self-join, so the
-    // shingle+128-hash pipeline executes exactly once.
+    // shingle pipeline executes exactly once.
     val bandStructs = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      val cols = (0 until RowsPerBand).map(r =>
+        element_at(col("ms"), b * RowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("bh"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))

@@ -1183,14 +1183,28 @@ object VectorOps extends QueryPack {
         col("v").as("va"), col("cell"))
   }
 
-  /** Exact cosine >= threshold pair join over (vec_id, label, v). */
+  /** Exact cosine >= threshold pair join over (vec_id, label, v).
+    *
+    * r13 (guide §1.2 per-task work): each side's norm is computed ONCE per
+    * vector before the pair join instead of inside the fused kernel per
+    * PAIR — the fused graft_cosine runs three accumulators (dot, |a|²,
+    * |b|²) over every candidate, so on the ~n²/ball candidate stream 2/3
+    * of the FLOPs re-derived norms already known at vector granularity.
+    * Bit-exactness is preserved by construction: graft_dot(v, v) is the
+    * same ascending-index fold the kernel's norm accumulator runs, and
+    * `dot / (sqrt(na) * sqrt(nb))` is the kernel's exact operation chain
+    * (CosineSimilarity.doGenCode), so every admitted sim is IEEE-identical
+    * to the fused form the oracle gate was proven against. */
   private[queries] def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val members = emb.select(col("vec_id").as("vec_b"), col("label").as("cell"),
       col("v").as("vb"))
-    cellProbes(emb, threshold).join(members, Seq("cell"))
+      .withColumn("nb", sqrt(expr("graft_dot(vb, vb)")))
+    cellProbes(emb, threshold)
+      .withColumn("na", sqrt(expr("graft_dot(va, va)")))
+      .join(members, Seq("cell"))
       .filter(col("cell_a") < col("cell") ||
         (col("cell_a") === col("cell") && col("vec_a") < col("vec_b")))
-      .withColumn("sim", round(cosine("va", "vb"), 6))
+      .withColumn("sim", round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("sim"))
