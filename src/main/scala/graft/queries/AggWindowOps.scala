@@ -192,18 +192,25 @@ object AggWindowOps extends QueryPack {
   // Reference: models/main/mart_sgp_percentiles.sql:16-32
   private val a8 = GQuery(
     "a8_percentile_signflip",
-    // p80/p90 share ONE percentile buffer via the array form — each
+    // ALL THREE percentiles share ONE buffer via the array form — each
     // percentile(...) aggregate otherwise buffers the whole group's values
-    // separately (3x the state at any scale); the sign-flipped p20 needs its
-    // own buffer because its input column differs (the P12 idiom).
+    // separately (r13, guide §5: the doubled ObjectHashAggregate state was
+    // the query's dominant cost). The sign-flipped p20 rides the same
+    // buffer through the exact identity -percentile(-x, 0.8) ==
+    // percentile(x, 0.2): Spark interpolates lowerKey*(higher-pos) +
+    // higherKey*(pos-lower), and flipping the sign of every value mirrors
+    // the sorted order, so the flipped form evaluates the SAME two
+    // products in commuted (IEEE-exact) addition order; only the rank
+    // position (n-1)*0.2 vs (n-1) - (n-1)*0.8 can differ, in its last
+    // ulp — orders of magnitude below the round(4) gate, re-proven
+    // against the unchanged sign-flip oracle at sf0.001/sf0.01.
     (s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
-        expr("percentile(l_extendedprice, array(0.8, 0.9))").as("ps"),
-        round(expr("-percentile(-l_extendedprice, 0.8)"), 4).as("p20_flip"))
+        expr("percentile(l_extendedprice, array(0.2, 0.8, 0.9))").as("ps"))
         .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 4).as("p80"),
-          round(element_at(col("ps"), 2), 4).as("p90"),
-          col("p20_flip")),
+          round(element_at(col("ps"), 2), 4).as("p80"),
+          round(element_at(col("ps"), 3), 4).as("p90"),
+          round(element_at(col("ps"), 1), 4).as("p20_flip")),
     Some("""SELECT l_returnflag,
            |  round(quantile_cont(l_extendedprice, 0.8), 4) AS p80,
            |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,

@@ -75,11 +75,20 @@ object IncrementalOps extends QueryPack {
       val all = ev(s, dir)
       val c1 = lit("2024-01-11").cast("timestamp")
       val c2 = lit("2024-01-21").cast("timestamp")
-      val h0 = Incremental.scd2Rebuild(all.filter(col("ts") < c1),
-        Seq("user_id"), "event_type", "ts", "event_id")
-      val h1 = Incremental.scd2Apply(h0,
-        all.filter(col("ts") >= c1 && col("ts") < c2),
-        Seq("user_id"), "event_type", "ts", "event_id")
+      // r13 (Lineage discipline, guide §3.3): scd2Apply references its
+      // history input THREE times (open-interval probe, closing join,
+      // closed passthrough), so chaining applies re-embedded the whole
+      // upstream plan 3^n-ish times — the before-plan carried 13 copies of
+      // the events scan+window. Cutting each fold state keeps the plan
+      // linear in the batch count, which is also the production shape: a
+      // real incremental materialization lands every fold on storage.
+      val h0 = graft.core.Lineage.cut(
+        Incremental.scd2Rebuild(all.filter(col("ts") < c1),
+          Seq("user_id"), "event_type", "ts", "event_id"))
+      val h1 = graft.core.Lineage.cut(
+        Incremental.scd2Apply(h0,
+          all.filter(col("ts") >= c1 && col("ts") < c2),
+          Seq("user_id"), "event_type", "ts", "event_id"))
       val h2 = Incremental.scd2Apply(h1, all.filter(col("ts") >= c2),
         Seq("user_id"), "event_type", "ts", "event_id")
       h2.select(col("user_id"), col("event_type"),

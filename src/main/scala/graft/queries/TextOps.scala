@@ -1703,8 +1703,18 @@ object TextOps extends QueryPack {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = jaccardPairsShared(s, dir, 0.5, DfCap).select(col("doc_a"), col("doc_b"))
-      val psh0 = hashedShinglesPos(docs)
-      val heavy = psh0.select(col("doc_id"), col("hv")).distinct()
+      // r13 (guide §2.3): only pair MEMBERS need positional shingles — the
+      // span scan is pair-scoped by construction, so the positional explode
+      // runs over the (broadcast) member set instead of the whole corpus.
+      // The DF cap must stay CORPUS-wide (df counts every document), so the
+      // heavy set derives from the distinct-shingle stream hashedShingles
+      // already defines — the identical (doc_id, hv) distinct universe the
+      // old positional-distinct spelling produced.
+      val members = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val psh0 = hashedShinglesPos(
+        docs.join(broadcast(members), Seq("doc_id"), "left_semi"))
+      val heavy = hashedShingles(docs)
         .groupBy(col("hv")).agg(count(lit(1)).as("df"))
         .filter(col("df") > DfCap)
       val psh = psh0.join(broadcast(heavy), Seq("hv"), "left_anti")

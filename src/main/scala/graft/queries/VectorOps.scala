@@ -1470,39 +1470,64 @@ object VectorOps extends QueryPack {
   private[queries] def mmrSelect(cand: DataFrame, candPairs: DataFrame,
       k: Int, lambda: Double): DataFrame = {
     // cand: (qid, nid, rel, v); candPairs: (qid, nid, mid, psim)
-    // Each round references the prior state TWICE (pick argmax + update
-    // join); an eager localCheckpoint per round keeps the plan linear in k
-    // instead of doubling every round (state is queries x shortlist rows —
-    // tiny by construction, so materializing it is free).
-    // maxsim is NULL until the first picked-pair sim arrives (the empty-set
-    // diversity term is 0 in the score, but the running max must start from
-    // the first REAL sim — seeding with 0.0 would clip negative cosines and
-    // diverge from the textbook max over the picked set).
-    val init = cand.select(col("qid"), col("nid"), col("rel"))
-      .withColumn("maxsim", lit(null).cast("double"))
-      .withColumn("rank", lit(null).cast("int"))
-      .localCheckpoint()
-    (1 to k).foldLeft(init) { (state, r) =>
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("mmr").desc, col("pnid"))
-      val picks = state.filter(col("rank").isNull)
-        .select(col("qid"), col("nid").as("pnid"),
-          (lit(lambda) * col("rel")
-            - lit(1 - lambda) * coalesce(col("maxsim"), lit(0.0))).as("mmr"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("qid"), col("pnid"))
-      state.join(broadcast(picks), Seq("qid"), "left")
-        .join(candPairs.select(col("qid"), col("nid"), col("mid").as("pnid"),
-          col("psim")), Seq("qid", "nid", "pnid"), "left")
-        .select(col("qid"), col("nid"), col("rel"),
-          when(col("rank").isNull && col("nid") =!= col("pnid"),
-            when(col("maxsim").isNull, col("psim"))
-              .otherwise(greatest(col("maxsim"), col("psim"))))
-            .otherwise(col("maxsim")).as("maxsim"),
-          when(col("rank").isNull && col("nid") === col("pnid"), lit(r))
-            .otherwise(col("rank")).as("rank"))
-        .localCheckpoint()
-    }.filter(col("rank").isNotNull)
+    //
+    // r13 (guide §8 "decide with small rows"): the greedy selection runs
+    // MAP-SIDE, one pass per query. The previous form iterated k
+    // distributed rounds — each an eager localCheckpoint, a per-round
+    // broadcast build and a pair join, ~2k cluster jobs for a decision
+    // over a SHORTLIST-BOUNDED block (q × 30 rel values + q × 30² pair
+    // sims, a few KB per query by construction — the reason the loop was
+    // affordable at all is the same reason it never needed to be
+    // distributed). Grouping each query's block into one row and folding
+    // the greedy argmax in compiled Scala does the identical selection in
+    // one stage. Arithmetic is preserved operation for operation:
+    // lambda * rel - (1 - lambda) * maxsim with the same Scala-computed
+    // (1 - lambda) double, maxsim as an incremental max fold (== the old
+    // `greatest` chain; no NaNs exist here), ties on exact mmr equality
+    // broken by smallest nid — the exact ordering SimilaritySpec's
+    // independent replay pins, and the DuckDB oracle replays the same
+    // rounds, so the hash gate re-proves equality end to end.
+    val sp = cand.sparkSession
+    import sp.implicits._
+    val candG = cand.groupBy(col("qid"))
+      .agg(collect_list(struct(col("nid").as("_1"), col("rel").as("_2"))).as("cs"))
+    val pairG = candPairs.groupBy(col("qid"))
+      .agg(collect_list(struct(col("nid").as("_1"), col("mid").as("_2"),
+        col("psim").as("_3"))).as("ps"))
+    candG.join(pairG, Seq("qid"), "left")
+      .select(col("qid").as("_1"), col("cs").as("_2"),
+        coalesce(col("ps"),
+          expr("cast(array() AS array<struct<_1:bigint,_2:bigint,_3:double>>)"))
+          .as("_3"))
+      .as[(Long, Seq[(Long, Double)], Seq[(Long, Long, Double)])]
+      .flatMap { case (qid, cs, ps) =>
+        val psim = ps.map { case (n, m, s) => (n, m) -> s }.toMap
+        val picked = scala.collection.mutable.ArrayBuffer[Long]()
+        // absent key = no picked-pair sim yet (the NULL state of the old
+        // fold): the empty-set diversity term is 0.0 in the score, but the
+        // running max starts from the first REAL sim — seeding with 0.0
+        // would clip negative cosines
+        val maxsim = scala.collection.mutable.HashMap[Long, Double]()
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+        var r = 1
+        while (r <= k && picked.size < cs.size) {
+          val remaining = cs.filterNot(c => picked.contains(c._1))
+          val pick = remaining.minBy { case (n, rv) =>
+            (-(lambda * rv - (1 - lambda) * maxsim.getOrElse(n, 0.0)), n)
+          }
+          picked += pick._1
+          out += ((qid, r, pick._1, pick._2))
+          remaining.foreach { case (n, _) =>
+            if (n != pick._1) {
+              val s = psim((n, pick._1))
+              maxsim(n) = maxsim.get(n).fold(s)(math.max(_, s))
+            }
+          }
+          r += 1
+        }
+        out
+      }
+      .toDF("qid", "rank", "nid", "rel")
       .select(col("qid"), col("rank"), col("nid"), round(col("rel"), 6).as("rel"))
   }
 
@@ -1660,6 +1685,10 @@ object VectorOps extends QueryPack {
         .withColumn("len", size(col("w")))
       val stats = docs.agg(count(lit(1)).as("n_docs"),
         sum(col("len").cast("long")).as("sum_len"))
+      // (r13 note: restricting the token stream to query-document tokens
+      // before this aggregate was measured SLOWER at sf0.1 — Zipf means the
+      // 10 query docs' tokens cover most of the occurrence stream, so the
+      // semi join added cost without shrinking the exchange; left as-is.)
       val postings = docs
         .select(col("doc_id"), col("len"), explode(col("w")).as("tok"))
         .groupBy(col("doc_id"), col("len"), col("tok"))
