@@ -1847,10 +1847,17 @@ object TextOps extends QueryPack {
       val wTop = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))
       val top2 = c2.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
         .select(col("doc_id"), col("g").as("top2_gram"), col("c").as("c2"))
-      val g5 = base.filter(col("nw") >= 5).select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 4), i -> concat_ws(' '," +
-          " element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)," +
-          " element_at(w, i + 3), element_at(w, i + 4)))")).as("g"))
+      // r13 (guide §2.3): the 5-gram branch outputs only COUNTS, never a
+      // gram string, so it counts by 64-bit hashes — one word-hash array
+      // per doc, one xxhash64 combine per position — instead of building
+      // and shuffling ~50-char concat strings per position (equal grams
+      // hash equal; the d2/d3 collision exposure). The 2-gram branch keeps
+      // strings: its output and tie-break need them.
+      val g5 = base.filter(col("nw") >= 5)
+        .select(col("doc_id"), expr("transform(w, x -> xxhash64(x))").as("hw"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(hw) - 4)," +
+            " i -> xxhash64(hw[i-1], hw[i], hw[i+1], hw[i+2], hw[i+3]))")).as("g"))
       val d5 = g5.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).cast("long").as("dup_pos"),
