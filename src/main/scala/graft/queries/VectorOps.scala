@@ -1518,8 +1518,12 @@ object VectorOps extends QueryPack {
           picked += pick._1
           out += ((qid, r, pick._1, pick._2))
           remaining.foreach { case (n, _) =>
-            if (n != pick._1) {
-              val s = psim((n, pick._1))
+            // .get, not apply: the old left-join form tolerated an absent
+            // shortlist pair (greatest skips nulls) — a missing (n, pick)
+            // sim leaves n's running max untouched instead of crashing.
+            // mmrInputs builds the complete nid != mid cross today, so this
+            // is behavior-identical for every current caller.
+            if (n != pick._1) psim.get((n, pick._1)).foreach { s =>
               maxsim(n) = maxsim.get(n).fold(s)(math.max(_, s))
             }
           }
