@@ -29,4 +29,14 @@ object Lineage {
   /** Eagerly materialize `df` with truncated lineage (see object doc). */
   def cut(df: DataFrame): DataFrame =
     if (reliable(df.sparkSession)) df.checkpoint() else df.localCheckpoint()
+
+  /** LAZY cut: lineage truncates, but materialization happens as a side
+    * effect of the caller's next action instead of a dedicated job — for
+    * round state that is referenced once per consumer and whose first
+    * consumer is a full scan (a checksum/stats collect), this saves one
+    * job per round over [[cut]]. The caller must guarantee that first
+    * action computes every partition (an aggregate does; a limit/head may
+    * not), or later consumers re-run the uncheckpointed partitions. */
+  def cutLazy(df: DataFrame): DataFrame =
+    if (reliable(df.sparkSession)) df.checkpoint(false) else df.localCheckpoint(false)
 }

@@ -483,7 +483,11 @@ object MediaOps extends QueryPack {
           (cid, sig)
         })
         .toDF("cid", "sim")
-      val sigs = docsCid.join(broadcast(cidSigs), Seq("cid"))
+      // r14 (scale-hardening, VERDICT r13 #3): no forced broadcast — the
+      // distinct-content signature table is 40 rows under THIS content key
+      // but grows with the corpus under any real one; AQE broadcasts it at
+      // runtime while small and falls back to a shuffled join when not.
+      val sigs = docsCid.join(cidSigs, Seq("cid"))
         .select(col("doc_id"), col("sim"))
       // SCALE BOUNDARY: content is keyed doc_id % 40, so every doc of a cid
       // cluster shares ONE signature and hammingPairs' same-signature groups

@@ -59,12 +59,23 @@ object CorpusOps extends QueryPack {
   private[queries] def connectedComponents(edgesIn: DataFrame, maxIters: Int = 25): DataFrame = {
     def cut(df: DataFrame): DataFrame = graft.core.Lineage.cut(df)
     val edges = edgesIn.select(col("u"), col("v")).persist()
-    var labels = cut(edges.select(col("u").as("doc")).distinct()
-      .select(col("doc"), col("doc").as("lbl")))
     def checksum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    var prev = checksum(labels)
+    // r14 (guide §1.2 job-count discipline): the round state only needs an
+    // EAGER cut where it is referenced twice inside one plan (the
+    // pointer-jump self-join of `stepped`). The round OUTPUT is referenced
+    // once per consumer, so `next` takes a LAZY localCheckpoint — the
+    // checksum collect materializes it as a side effect, where the old
+    // eager cut + checksum paid two jobs per round. (A DataFrame persist()
+    // measured slower here: DF caching builds compressed columnar batches
+    // per round; the checkpoint stores raw rows.) The initial fixpoint
+    // checksum also folds away: prev starts empty and the first round
+    // always runs (labels == fixpoint already is detected one round later,
+    // exactly as before — the checksum is monotone).
+    var labels = cut(edges.select(col("u").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("lbl")))
+    var prev: Option[java.math.BigDecimal] = None
     var it = 0
     var done = false
     while (!done && it < maxIters) {
@@ -79,11 +90,13 @@ object CorpusOps extends QueryPack {
       // lookup side re-aliases to fresh attributes — a raw self-join of the
       // same plan collides on attribute ids.
       val lookup = stepped.select(col("doc").as("p_doc"), col("lbl").as("p_lbl"))
-      val next = cut(stepped.join(lookup, col("lbl") === col("p_doc"))
-        .select(col("doc"), col("p_lbl").as("lbl")))
+      val next = graft.core.Lineage.cutLazy(
+        stepped.join(lookup, col("lbl") === col("p_doc"))
+          .select(col("doc"), col("p_lbl").as("lbl")))
       val cur = checksum(next)
-      done = cur.compareTo(prev) == 0
-      prev = cur
+      labels.unpersist()
+      done = prev.exists(_.compareTo(cur) == 0)
+      prev = Some(cur)
       labels = next
       it += 1
     }
@@ -814,11 +827,14 @@ object CorpusOps extends QueryPack {
           symFrac <= 0.10 &&
           concat(lit(" "), col("text"), lit(" ")).contains(" the "))
         .withColumn("is_test", isTest)
-      val keepFirst = qual
-        .groupBy(md5(col("text")).as("th"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      val surv = qual.join(keepFirst, Seq("doc_id")).filter(!col("is_test"))
+      // r14 (guide §2.4): keep-first as ONE ranking window over qual
+      // instead of a groupBy + join-back — the join-back re-ran the whole
+      // regexp-heavy quality screen (two regexp_replace passes over every
+      // text) as a second corpus subtree. row_number ordered by doc_id
+      // with rn=1 IS min(doc_id) membership, row for row.
+      val wFirst = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val surv = qual.withColumn("rn", row_number().over(wFirst))
+        .filter(col("rn") === 1 && !col("is_test")).drop("rn")
       val ex0 = TextOps.hashedShingles(docs).cache()
       val heavy = ex0.groupBy(col("hv")).agg(count(lit(1)).as("df"))
         .filter(col("df") > TextOps.DfCap)

@@ -80,10 +80,18 @@ object GraphOps extends QueryPack {
     * damping-0.85 rank after `iters` power iterations, scaled by [[Scale]].
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edgesW = edges.join(deg, "src").persist() // once, outside the loop
+    // r14 (guide §2.4, the g6 lesson): materialize the edge list ONCE.
+    // Only edgesW was persisted before, so nodes, deg, the n_nodes
+    // broadcast and init (referenced twice by round 1) each re-derived the
+    // caller's corpus pipeline (events scan + per-user window + DISTINCT)
+    // as their own subtree. After the cut every derived frame reads the
+    // vocabulary-bounded edge list. Per-round cuts stay — the r13 A/B
+    // showed removing them loses the AQE broadcast sizing (1.4 -> 6.3 s).
+    val e0 = graft.core.Lineage.cut(edges.select(col("src"), col("dst")))
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesW = e0.join(deg, "src").persist() // once, outside the loop
     // n_nodes and the teleport term are scalars: 1-row broadcast attaches
     val nRow = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     val init = nodes.crossJoin(nRow)
@@ -168,7 +176,11 @@ object GraphOps extends QueryPack {
     * counted exactly once, at its orientation apex; all joins are plain
     * equi-joins (wedge build on the apex, closure probe on the third edge).
     */
-  def triangleCounts(und: DataFrame): DataFrame = {
+  def triangleCounts(undIn: DataFrame): DataFrame = {
+    // r14 (guide §2.4): the edge list is referenced four times below (both
+    // degree-union branches, the orientation join, the closure probe) — cut
+    // it once so the caller's corpus derivation runs once, not per subtree.
+    val und = graft.core.Lineage.cut(undIn.select(col("a"), col("b")))
     val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val oriented = und
@@ -233,7 +245,9 @@ object GraphOps extends QueryPack {
   private val g3 = GQuery(
     "g3_link_prediction",
     (s, dir) => {
-      val und = undirectedEdges(s, dir)
+      // r14 (guide §2.4): und feeds both nbr branches and the anti join —
+      // cut once so the corpus window pipeline runs once, not per subtree
+      val und = graft.core.Lineage.cut(undirectedEdges(s, dir))
       val nbr = und.select(col("a").as("node"), col("b").as("nb"))
         .union(und.select(col("b").as("node"), col("a").as("nb")))
       val deg = nbr.groupBy(col("node")).agg(count(lit(1)).as("deg"))

@@ -830,10 +830,20 @@ object TextOps extends QueryPack {
   private val d21 = GQuery(
     "d21_mean_idf",
     (s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), explode(words(col("text"))).as("tok"))
-        .filter(col("tok") =!= "")
-      val df = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // r14 (guide §2.3/§2.4, the d17 derived-counts trick): the raw token
+      // stream was exploded TWICE (once under df's distinct, once as the
+      // join probe). Collapse to per-(doc, tok) counts c in ONE corpus
+      // pass; df is then the count of rows per tok over that frame, and the
+      // per-doc occurrence algebra is exact with weights: Σ_occurrences
+      // term == Σ_(doc,tok) c * term (DECIMAL times an exact long — no
+      // rounding anywhere new), and count(*) over occurrences == Σ c. Cut
+      // so the df subtree and the probe side share the materialization.
+      val tf = graft.core.Lineage.cut(
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c")))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
       // per-token IDF terms round to 9 digits and sum in DECIMAL (the d30
       // discipline): a raw avg() of doubles merges partials in partition
@@ -841,10 +851,15 @@ object TextOps extends QueryPack {
       // round differently run-to-run / engine-to-engine
       val term = round(log(col("n_docs").cast("double") / col("df")), 9)
         .cast("decimal(18,9)")
-      toks.join(df, "tok")
+      // c rides as DECIMAL(10,0): a bare long would promote the product to
+      // precision 39 > 38 and Spark would TRIM THE SCALE to 8, silently
+      // rounding the 9th digit the oracle keeps; (18,9) x (10,0) = (29,9)
+      // stays exact (per-doc token counts are far below 10^10)
+      tf.join(df, "tok")
         .crossJoin(broadcast(n))
         .groupBy(col("doc_id"))
-        .agg(round((sum(term).cast("double") / count(lit(1))), 6).as("mean_idf"))
+        .agg(round((sum(term * col("c").cast("decimal(10,0)")).cast("double")
+          / sum(col("c"))), 6).as("mean_idf"))
     },
     Some("""WITH toks AS (
            |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -1447,16 +1462,24 @@ object TextOps extends QueryPack {
     "d41_bpe_apply_merge",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      // one row per word occurrence; re-derived per pass — the explode off a
-      // pruned parquet scan is cheaper than materializing 3M tiny rows
-      // (measured equal at sf0.1, and the scan path spills nothing)
-      val wordsDf = docs.select(explode(split(col("text"), " ")).as("w"))
+      // r14 (guide §2.3/§2.4 — the d51 trainer shape applied to the single
+      // round): collapse the corpus ONCE into the (word, freq) vocabulary
+      // table; the pair count, merge tally and recount are then
+      // frequency-weighted aggregates over thousands of distinct words
+      // instead of three separate corpus-sized explode passes. The algebra
+      // is exact — counting a pair over word OCCURRENCES equals summing
+      // freq over distinct words (integer sums) — so the argmax, the
+      // tie-break (cnt desc, pair asc) and every output count are
+      // unchanged, which the oracle hash re-proves.
+      val wordFreq = docs.select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)
-      val top = wordsDf
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .persist() // vocabulary-sized; reclaimed by the bench's clearCache
+      val top = wordFreq
         .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
-          i => col("w").substr(i, lit(2)))).as("pair"))
+          i => col("w").substr(i, lit(2)))).as("pair"), col("freq"))
         .filter(substring(col("pair"), 1, 1) =!= substring(col("pair"), 2, 1))
-        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(1)
         .head().getString(0)
       // apply the merge by MARKER SUBSTITUTION: the winning pair has distinct
@@ -1470,11 +1493,10 @@ object TextOps extends QueryPack {
       val marker = ""
       val w2 = regexp_replace(col("w"),
         lit(java.util.regex.Pattern.quote(top)), lit(marker))
-      // one BPE round's output: the re-tokenized corpus (what the next
-      // round trains on) — materialized once, read by recount + stats
-      val merged = wordsDf.select(w2.as("w2"),
-        (length(col("w")) - length(w2)).cast("long").as("nm"))
-        .persist() // reuse-only (shallow lineage); clearCache() reclaims it
+      // one BPE round's output: the re-tokenized vocabulary (what the next
+      // round trains on) — derives from the cached wordFreq per reference
+      val merged = wordFreq.select(w2.as("w2"), col("freq"),
+        ((length(col("w")) - length(w2)).cast("long") * col("freq")).as("nm"))
       val nMerges = merged.agg(sum(col("nm"))).head().getLong(0)
       def sym(j: Column) = {
         val ch = col("w2").substr(j, lit(1))
@@ -1483,8 +1505,8 @@ object TextOps extends QueryPack {
       val next = merged
         .filter(length(col("w2")) >= 2)
         .select(explode(transform(sequence(lit(1), length(col("w2")) - 1),
-          i => concat(sym(i), lit("+"), sym(i + 1)))).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          i => concat(sym(i), lit("+"), sym(i + 1)))).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(10)
         .select(lit("next").as("kind"), col("pair"), col("cnt"))
       import s.implicits._
@@ -1555,6 +1577,12 @@ object TextOps extends QueryPack {
       import s.implicits._
       val pairsOf = (w: Column) => explode(transform(
         sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2))))
+      // (r14 negative A/B, kept as the guide's §1.3 "ideal plan is slower"
+      // case: replacing the per-round EAGER localCheckpoint with persist()
+      // measured 1.2 -> 1.9 s — DF caching builds compressed columnar
+      // batches per round — and with a LAZY checkpoint 1.2 -> 1.6 s. The
+      // eager cut's extra job per round is cheaper than either on this
+      // vocabulary-sized state; left as-is.)
       var w = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)
@@ -1710,14 +1738,20 @@ object TextOps extends QueryPack {
       // heavy set derives from the distinct-shingle stream hashedShingles
       // already defines — the identical (doc_id, hv) distinct universe the
       // old positional-distinct spelling produced.
+      // r14 (scale-hardening, VERDICT r13 #3): no forced broadcast on the
+      // pair-member set or the heavy-shingle set — neither is driver-
+      // bounded at corpus scale (near-dup membership and df>cap vocabulary
+      // both grow with the data). AQE picks broadcast at runtime while the
+      // materialized sides are small and degrades to a shuffled join when
+      // they are not, instead of OOMing the driver.
       val members = pairs.select(col("doc_a").as("doc_id"))
         .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
       val psh0 = hashedShinglesPos(
-        docs.join(broadcast(members), Seq("doc_id"), "left_semi"))
+        docs.join(members, Seq("doc_id"), "left_semi"))
       val heavy = hashedShingles(docs)
         .groupBy(col("hv")).agg(count(lit(1)).as("df"))
         .filter(col("df") > DfCap)
-      val psh = psh0.join(broadcast(heavy), Seq("hv"), "left_anti")
+      val psh = psh0.join(heavy, Seq("hv"), "left_anti")
       val m = pairs
         .join(psh.select(col("doc_id").as("doc_a"), col("pos").as("ia"), col("hv")),
           Seq("doc_a"))

@@ -569,7 +569,19 @@ object HiddenPartitioning {
   // session lifetimes.
   private val frameCaches = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]]())
+      java.util.Map[String, (String, DataFrame)]]())
+
+  /** Access-ordered LRU, synchronized (r14: the old cache cleared ALL 4096
+    * entries at capacity — correctness-safe but a plan-time latency cliff
+    // on wide table fleets; evicting the least-recently-used entry keeps
+    * the hot changelog directories resident). */
+  private def newFrameLru(): java.util.Map[String, (String, DataFrame)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (String, DataFrame)](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (String, DataFrame)]): Boolean =
+          size() > 4096
+      })
 
   /** [[org.apache.spark.sql.SparkSession.read]].parquet for an IMMUTABLE
     * directory, fingerprint-cached per session. Callers must only pass
@@ -582,13 +594,11 @@ object HiddenPartitioning {
     val q = fs.makeQualified(hp).toString
     val st = fs.getFileStatus(hp)
     val fp = s"${st.getModificationTime}|${st.getLen}"
-    val m = frameCaches.computeIfAbsent(spark,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]())
+    val m = frameCaches.computeIfAbsent(spark, _ => newFrameLru())
     val hit = m.get(q)
     if (hit != null && hit._1 == fp) hit._2
     else {
       val df = spark.read.parquet(path)
-      if (m.size >= 4096) m.clear()
       m.put(q, (fp, df))
       df
     }

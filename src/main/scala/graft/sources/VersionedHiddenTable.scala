@@ -1571,37 +1571,43 @@ object VersionedHiddenTable {
         def tag(df: DataFrame, t: String) = df
           .withColumn("_change_type", lit(t))
           .withColumn("_commit_version", lit(b))
-        (gone, born) match {
-          case (None, None)          => empty
-          case (Some(g), None)       => tag(g, "delete")
-          case (None, Some(bn))      => tag(bn, "insert")
-          case (Some(g), Some(bn))   =>
-            // r13 (guide §2.4): ONE signed aggregation replaces the
-            // exceptAll PAIR. Catalyst rewrites each exceptAll into
-            // union + count-aggregate + replicate (RewriteExceptAll), so
-            // spelling the both-directions diff as two exceptAlls paid the
-            // full-width exchange of BOTH era frames twice. Summing +1/-1
-            // weights once and splitting on the sign is the identical
-            // multiset difference (net > 0 ⇒ that many inserts, net < 0 ⇒
-            // that many deletes, rows with equal multiplicity vanish) for
-            // half the shuffle — on a CoW-update step this is the dominant
-            // cost of the whole feed.
-            import org.apache.spark.sql.functions.{explode, expr, when}
-            val cols = bn.columns.toSeq
-            val net = bn.withColumn("_w", lit(1L))
-              .unionByName(g.withColumn("_w", lit(-1L)))
-              .groupBy(cols.map(col): _*)
-              .agg(org.apache.spark.sql.functions.sum(col("_w")).as("_net"))
-              .filter(col("_net") =!= 0L)
-            net.select(cols.map(col) ++ Seq(
-                explode(expr("sequence(1L, abs(_net))")).as("_rep"),
-                when(col("_net") > 0, lit("insert")).otherwise(lit("delete"))
-                  .as("_change_type"),
-                lit(b).as("_commit_version")): _*)
-              .drop("_rep")
-        }
+        (b, gone, born, tag _)
     }.toSeq
-    (empty +: steps).reduce(_.unionByName(_))
+    // One-sided steps (pure appends, pure deletes) need no aggregation at
+    // all: their rows pass through tagged. Two-sided steps (CoW rewrites,
+    // rollbacks) each need the signed multiset diff — r13 fused the
+    // exceptAll PAIR into one +1/-1 aggregation per step (net > 0 ⇒ that
+    // many inserts, net < 0 ⇒ that many deletes, equal multiplicity
+    // vanishes); r14 (guide §2.4 again) fuses those per-step aggregations
+    // into ONE global aggregation keyed by (_commit_version, row): the
+    // grouping key gains the step id, so the per-step algebra is untouched
+    // row for row, but a history with N diffing steps now plans ONE
+    // Exchange + HashAggregate instead of N — on the registry histories
+    // that is 4-5 aggregate stages collapsed into one, and the same bytes
+    // shuffled through fewer stage barriers at any scale.
+    val direct = steps.collect {
+      case (_, Some(g), None, tag) => tag(g, "delete")
+      case (_, None, Some(bn), tag) => tag(bn, "insert")
+    }
+    val twoSided = steps.collect { case (b, Some(g), Some(bn), _) =>
+      bn.withColumn("_w", lit(1L)).withColumn("_commit_version", lit(b))
+        .unionByName(g.withColumn("_w", lit(-1L)).withColumn("_commit_version", lit(b)))
+    }
+    val fused = twoSided.reduceOption(_.unionByName(_)).map { u =>
+      import org.apache.spark.sql.functions.{explode, expr, when}
+      val cols = u.columns.toSeq.filterNot(Set("_w", "_commit_version"))
+      val net = u
+        .groupBy((cols :+ "_commit_version").map(col): _*)
+        .agg(org.apache.spark.sql.functions.sum(col("_w")).as("_net"))
+        .filter(col("_net") =!= 0L)
+      net.select(cols.map(col) ++ Seq(
+          explode(expr("sequence(1L, abs(_net))")).as("_rep"),
+          when(col("_net") > 0, lit("insert")).otherwise(lit("delete"))
+            .as("_change_type"),
+          col("_commit_version")): _*)
+        .drop("_rep")
+    }
+    (empty +: (direct ++ fused.toSeq)).reduce(_.unionByName(_))
   }
 
   // ---- named refs (Iceberg's tags) -------------------------------------------

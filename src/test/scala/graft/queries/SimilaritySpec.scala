@@ -494,4 +494,25 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       (q, 1, rels.toSeq.minBy { case (n, r) => (-r, n) }._1) }.toSet
     assert(top1.subsetOf(got), "rank-1 must be the pure-relevance argmax")
   }
+
+  test("e14: mmrSelect tolerates a missing shortlist pair (left-join semantics)") {
+    // mmrInputs builds the complete nid != mid cross today, but mmrSelect's
+    // contract is the OLD left-join one: an absent (candidate, pick) sim
+    // leaves that candidate's running max untouched — it must not throw.
+    // Here (3, 1) is missing: after pick 1, n3 keeps maxsim "unset" (term
+    // 0.0) while n2 is penalized by 0.95, so round 2 picks n3.
+    val s = spark; import s.implicits._
+    val cand = Seq((1L, 1L, 0.9), (1L, 2L, 0.8), (1L, 3L, 0.7))
+      .toDF("qid", "nid", "rel")
+    val pairs = Seq(
+      (1L, 2L, 1L, 0.95), (1L, 1L, 2L, 0.95),
+      (1L, 2L, 3L, 0.10), (1L, 3L, 2L, 0.10),
+      (1L, 1L, 3L, 0.20)) // (3, 1) deliberately absent
+      .toDF("qid", "nid", "mid", "psim")
+    val got = VectorOps.mmrSelect(cand, pairs, k = 3, lambda = 0.7)
+      .select("qid", "rank", "nid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1, 1L), (1L, 2, 3L), (1L, 3, 2L)),
+      s"missing-pair greedy selection diverged: $got")
+  }
 }
