@@ -1265,7 +1265,12 @@ object VectorOps extends QueryPack {
   private val e6 = GQuery(
     "e6_knn_graph",
     (s, dir) => {
-      val pairs = cosineNearDupPairs(embDouble(s, dir), D9Threshold)
+      // r14 (guide §2.4): the symmetrize union references the pair table
+      // twice, and the static plan embeds the WHOLE ball-pruned pair join
+      // once per branch — cut the (output-scale) pair set so the join runs
+      // once. Measured ~35% off e6 solo warm.
+      val pairs = graft.core.Lineage.cut(
+        cosineNearDupPairs(embDouble(s, dir), D9Threshold))
       val sym = pairs
         .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor"), col("sim"))
         .union(pairs
